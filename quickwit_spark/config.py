@@ -1,0 +1,136 @@
+"""Index configuration — the analog of Quickwit's ``DocMapping`` +
+``IndexingSettings`` (reference: quickwit-config/src/index_config.rs:45-58,
+quickwit-doc-mapper/src/default_doc_mapper/field_mapping_entry.rs:250-299).
+
+Only the pieces the transcript engine needs: text fields with a tokenizer
+and an optional position record, a timestamp fast field, tag fields for
+split pruning, and the build/merge knobs whose defaults mirror the
+reference's pinned constants (BASELINE.md §a).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+
+@dataclass(frozen=True)
+class FieldConfig:
+    """One indexed field (reference: field_mapping_entry.rs:117-134).
+
+    tokenizer: 'default' (simple split + lowercase + drop >40 chars),
+               'raw' (whole value, drop >100 chars, no lowercasing —
+               quickwit-doc-mapper/src/tokenizers.rs:23-29), or 'en_stem'.
+    record:    'basic' (docids), 'freq' (+term freqs), 'position'
+               (+token positions, required for phrase queries).
+    """
+
+    name: str
+    tokenizer: str = "default"
+    record: str = "freq"
+
+    @property
+    def with_positions(self) -> bool:
+        return self.record == "position"
+
+
+# Default field mapping for the transcripts table (BASELINE.json input_hint):
+# (conv_id string, turn_idx int, role string, text string, tool string, ts ts)
+TRANSCRIPT_FIELDS = (
+    FieldConfig("text", tokenizer="default", record="position"),
+    FieldConfig("role", tokenizer="raw", record="basic"),
+    FieldConfig("tool", tokenizer="raw", record="basic"),
+)
+
+
+@dataclass(frozen=True)
+class IndexConfig:
+    """Build + query configuration for one index.
+
+    Defaults mirror the reference where a constant exists:
+    * split_num_docs_target=10M (index_config.rs:180-182) — scaled down
+      by callers for tests.
+    * merge_factor=10 / max_merge_factor=12 (index_config.rs:114-120).
+    * min_level_num_docs=100k (merge_policy.rs:165-175).
+    * max tag values per field = 1000 (packager.rs:36-43).
+    * default field for unqualified query terms = 'text'.
+    """
+
+    fields: tuple[FieldConfig, ...] = TRANSCRIPT_FIELDS
+    default_search_field: str = "text"
+    timestamp_field: str = "ts"
+    tag_fields: tuple[str, ...] = ("tool",)
+    doc_key_fields: tuple[str, ...] = ("conv_id", "turn_idx")
+    routing_field: str = "conv_id"
+
+    # build knobs
+    split_num_docs_target: int = 10_000_000
+    block_size: int = 128          # docs per block-max WAND block
+    hot_term_doc_freq: int = 100_000   # salt terms with df above this
+    salt_docid_range: int = 65_536     # docid span per salted posting shard
+    max_tag_values: int = 1000
+
+    # merge knobs
+    merge_factor: int = 10
+    max_merge_factor: int = 12
+    min_level_num_docs: int = 100_000
+
+    # BM25 (Lucene/tantivy constants)
+    k1: float = 1.2
+    b: float = 0.75
+
+    def field(self, name: str) -> FieldConfig:
+        for f in self.fields:
+            if f.name == name:
+                return f
+        raise KeyError(f"no such indexed field: {name}")
+
+    @property
+    def field_names(self) -> tuple[str, ...]:
+        return tuple(f.name for f in self.fields)
+
+    def to_dict(self) -> dict:
+        return {
+            "fields": [
+                {"name": f.name, "tokenizer": f.tokenizer, "record": f.record}
+                for f in self.fields
+            ],
+            "default_search_field": self.default_search_field,
+            "timestamp_field": self.timestamp_field,
+            "tag_fields": list(self.tag_fields),
+            "doc_key_fields": list(self.doc_key_fields),
+            "routing_field": self.routing_field,
+            "split_num_docs_target": self.split_num_docs_target,
+            "block_size": self.block_size,
+            "hot_term_doc_freq": self.hot_term_doc_freq,
+            "salt_docid_range": self.salt_docid_range,
+            "max_tag_values": self.max_tag_values,
+            "merge_factor": self.merge_factor,
+            "max_merge_factor": self.max_merge_factor,
+            "min_level_num_docs": self.min_level_num_docs,
+            "k1": self.k1,
+            "b": self.b,
+        }
+
+    @staticmethod
+    def from_dict(d: dict) -> "IndexConfig":
+        return IndexConfig(
+            fields=tuple(
+                FieldConfig(f["name"], f["tokenizer"], f["record"])
+                for f in d["fields"]
+            ),
+            default_search_field=d["default_search_field"],
+            timestamp_field=d["timestamp_field"],
+            tag_fields=tuple(d["tag_fields"]),
+            doc_key_fields=tuple(d["doc_key_fields"]),
+            routing_field=d["routing_field"],
+            split_num_docs_target=d["split_num_docs_target"],
+            block_size=d["block_size"],
+            hot_term_doc_freq=d["hot_term_doc_freq"],
+            salt_docid_range=d["salt_docid_range"],
+            max_tag_values=d["max_tag_values"],
+            merge_factor=d["merge_factor"],
+            max_merge_factor=d["max_merge_factor"],
+            min_level_num_docs=d["min_level_num_docs"],
+            k1=d["k1"],
+            b=d["b"],
+        )

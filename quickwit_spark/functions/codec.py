@@ -1,0 +1,110 @@
+"""Delta + varint (LEB128) posting-list codec, numpy-vectorized.
+
+The reference's posting lists are delta + bitpacked inside tantivy
+(public knowledge; invoked from quickwit-indexing/src/actors/indexer.rs:277-280).
+We keep the same information content — (docid delta, term-freq,
+positions delta) — but use LEB128 varints, which vectorize cleanly in
+numpy for both encode (build path) and decode (query kernel hot path).
+
+All functions operate on uint64 numpy arrays; no per-element Python.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+_MASKS = [np.uint64(0x7F) << np.uint64(7 * j) for j in range(10)]
+
+
+def encode_varint(values: np.ndarray) -> bytes:
+    """LEB128-encode an array of non-negative ints to one bytes blob."""
+    v = np.asarray(values, dtype=np.uint64)
+    if v.size == 0:
+        return b""
+    # bytes needed per value: 1 + number of 7-bit groups above the first
+    nbytes = np.ones(v.size, dtype=np.int64)
+    for j in range(1, 10):
+        nbytes += (v >= (np.uint64(1) << np.uint64(7 * j))).astype(np.int64)
+    offsets = np.concatenate(([0], np.cumsum(nbytes)[:-1]))
+    out = np.zeros(int(nbytes.sum()), dtype=np.uint8)
+    for j in range(10):
+        mask = nbytes > j
+        if not mask.any():
+            break
+        payload = ((v[mask] >> np.uint64(7 * j)) & np.uint64(0x7F)).astype(np.uint8)
+        cont = (nbytes[mask] > j + 1).astype(np.uint8) << 7
+        out[offsets[mask] + j] = payload | cont
+    return out.tobytes()
+
+
+def decode_varint(buf: bytes) -> np.ndarray:
+    """Decode a LEB128 blob back to a uint64 array."""
+    arr = np.frombuffer(buf, dtype=np.uint8)
+    if arr.size == 0:
+        return np.empty(0, dtype=np.uint64)
+    is_last = (arr & 0x80) == 0
+    ends = np.flatnonzero(is_last)
+    starts = np.empty_like(ends)
+    starts[0] = 0
+    starts[1:] = ends[:-1] + 1
+    lens = ends - starts + 1
+    group_id = np.repeat(np.arange(ends.size, dtype=np.int64), lens)
+    within = np.arange(arr.size, dtype=np.int64) - np.repeat(starts, lens)
+    payload = (arr & np.uint8(0x7F)).astype(np.uint64) << (
+        np.uint64(7) * within.astype(np.uint64)
+    )
+    out = np.zeros(ends.size, dtype=np.uint64)
+    np.bitwise_or.at(out, group_id, payload)
+    return out
+
+
+def delta_encode(sorted_values: np.ndarray) -> bytes:
+    """Varint-encode first value + successive deltas of a sorted array."""
+    v = np.asarray(sorted_values, dtype=np.uint64)
+    if v.size == 0:
+        return b""
+    deltas = np.empty_like(v)
+    deltas[0] = v[0]
+    np.subtract(v[1:], v[:-1], out=deltas[1:])
+    return encode_varint(deltas)
+
+
+def delta_decode(buf: bytes) -> np.ndarray:
+    deltas = decode_varint(buf)
+    if deltas.size == 0:
+        return deltas
+    return np.cumsum(deltas, dtype=np.uint64)
+
+
+def encode_positions(positions_concat: np.ndarray, counts: np.ndarray) -> bytes:
+    """Encode per-doc position lists (concatenated) with per-doc delta reset.
+
+    ``counts[i]`` = number of positions for doc i (== its term-freq);
+    positions within a doc are strictly increasing.
+    """
+    p = np.asarray(positions_concat, dtype=np.uint64)
+    if p.size == 0:
+        return b""
+    deltas = np.empty_like(p)
+    deltas[0] = p[0]
+    np.subtract(p[1:], p[:-1], out=deltas[1:])
+    # reset delta at each doc boundary (store absolute first position)
+    starts = np.concatenate(([0], np.cumsum(counts)[:-1])).astype(np.int64)
+    deltas[starts] = p[starts]
+    return encode_varint(deltas)
+
+
+def decode_positions(buf: bytes, counts: np.ndarray) -> np.ndarray:
+    """Inverse of :func:`encode_positions`; returns the concatenated array."""
+    deltas = decode_varint(buf)
+    if deltas.size == 0:
+        return deltas
+    counts = np.asarray(counts, dtype=np.int64)
+    starts = np.concatenate(([0], np.cumsum(counts)[:-1]))
+    # segmented cumsum: cumsum all, then subtract the carried prefix per
+    # doc (cs is nondecreasing, so forward-fill via maximum.accumulate)
+    cs = np.cumsum(deltas, dtype=np.uint64)
+    prefix = np.zeros_like(cs)
+    prefix[starts[1:]] = cs[starts[1:] - 1]
+    np.maximum.accumulate(prefix, out=prefix)
+    return cs - prefix

@@ -1,0 +1,196 @@
+"""Tokenizers with the exact semantics of the reference's registry
+(quickwit-doc-mapper/src/tokenizers.rs:23-29 + tantivy's
+``TokenizerManager::default()``):
+
+* ``raw``      — the whole value is one token; tokens longer than 100
+                 chars are dropped (RemoveLongFilter::limit(100)); NOT
+                 lowercased.
+* ``default``  — tantivy SimpleTokenizer: split on any non-alphanumeric
+                 char (unicode alphanumeric, underscore is a separator),
+                 drop tokens longer than 40 chars
+                 (RemoveLongFilter::limit(40)), then lowercase.
+* ``en_stem``  — ``default`` + English Porter stemmer (public algorithm).
+
+Rank-identity of BM25 vs the oracle depends on these semantics being
+locked; see tests/test_tokenize.py for char-level cases.
+
+The same pure-Python functions back (a) the pytest oracle engine and
+(b) the pandas-UDF build path (applied per Arrow batch via
+``pandas.Series.map`` over *columns of strings*, which is vectorized at
+the batch level — the per-string regex is C-level re2-like CPython).
+"""
+
+from __future__ import annotations
+
+import re
+from functools import lru_cache
+
+import pandas as pd
+
+# Unicode alphanumeric runs, excluding underscore (tantivy's
+# SimpleTokenizer splits on `!char::is_alphanumeric`; Python's \w is
+# alphanumeric+underscore, so subtract `_`).
+_TOKEN_RE = re.compile(r"[^\W_]+", re.UNICODE)
+
+MAX_TOKEN_LEN_DEFAULT = 40
+MAX_TOKEN_LEN_RAW = 100
+
+
+def tokenize_default(text: str | None) -> list[str]:
+    if not text:
+        return []
+    return [
+        t.lower()
+        for t in _TOKEN_RE.findall(text)
+        if len(t) <= MAX_TOKEN_LEN_DEFAULT
+    ]
+
+
+def tokenize_raw(text: str | None) -> list[str]:
+    if text is None:
+        return []
+    return [text] if 0 < len(text) <= MAX_TOKEN_LEN_RAW else []
+
+
+# ---------------------------------------------------------------------------
+# Porter stemmer (public algorithm, Porter 1980) — only used when a field
+# opts into the `en_stem` tokenizer; kept dependency-free.
+# ---------------------------------------------------------------------------
+
+_VOWELS = "aeiou"
+
+
+def _is_cons(word: str, i: int) -> bool:
+    c = word[i]
+    if c in _VOWELS:
+        return False
+    if c == "y":
+        return i == 0 or not _is_cons(word, i - 1)
+    return True
+
+
+def _measure(stem: str) -> int:
+    m, prev_vowel = 0, False
+    for i in range(len(stem)):
+        cons = _is_cons(stem, i)
+        if cons and prev_vowel:
+            m += 1
+        prev_vowel = not cons
+    return m
+
+
+def _has_vowel(stem: str) -> bool:
+    return any(not _is_cons(stem, i) for i in range(len(stem)))
+
+
+def _ends_double_cons(word: str) -> bool:
+    return (
+        len(word) >= 2
+        and word[-1] == word[-2]
+        and _is_cons(word, len(word) - 1)
+    )
+
+
+def _cvc(word: str) -> bool:
+    if len(word) < 3:
+        return False
+    return (
+        _is_cons(word, len(word) - 3)
+        and not _is_cons(word, len(word) - 2)
+        and _is_cons(word, len(word) - 1)
+        and word[-1] not in "wxy"
+    )
+
+
+@lru_cache(maxsize=65536)
+def porter_stem(word: str) -> str:  # noqa: C901 - classic algorithm
+    if len(word) <= 2:
+        return word
+    w = word
+    # step 1a
+    if w.endswith("sses"):
+        w = w[:-2]
+    elif w.endswith("ies"):
+        w = w[:-2]
+    elif not w.endswith("ss") and w.endswith("s"):
+        w = w[:-1]
+    # step 1b
+    if w.endswith("eed"):
+        if _measure(w[:-3]) > 0:
+            w = w[:-1]
+    else:
+        flag = False
+        if w.endswith("ed") and _has_vowel(w[:-2]):
+            w, flag = w[:-2], True
+        elif w.endswith("ing") and _has_vowel(w[:-3]):
+            w, flag = w[:-3], True
+        if flag:
+            if w.endswith(("at", "bl", "iz")):
+                w += "e"
+            elif _ends_double_cons(w) and not w.endswith(("l", "s", "z")):
+                w = w[:-1]
+            elif _measure(w) == 1 and _cvc(w):
+                w += "e"
+    # step 1c
+    if w.endswith("y") and _has_vowel(w[:-1]):
+        w = w[:-1] + "i"
+    # step 2
+    for suf, rep in (
+        ("ational", "ate"), ("tional", "tion"), ("enci", "ence"),
+        ("anci", "ance"), ("izer", "ize"), ("abli", "able"), ("alli", "al"),
+        ("entli", "ent"), ("eli", "e"), ("ousli", "ous"), ("ization", "ize"),
+        ("ation", "ate"), ("ator", "ate"), ("alism", "al"), ("iveness", "ive"),
+        ("fulness", "ful"), ("ousness", "ous"), ("aliti", "al"),
+        ("iviti", "ive"), ("biliti", "ble"),
+    ):
+        if w.endswith(suf):
+            if _measure(w[: -len(suf)]) > 0:
+                w = w[: -len(suf)] + rep
+            break
+    # step 3
+    for suf, rep in (
+        ("icate", "ic"), ("ative", ""), ("alize", "al"), ("iciti", "ic"),
+        ("ical", "ic"), ("ful", ""), ("ness", ""),
+    ):
+        if w.endswith(suf):
+            if _measure(w[: -len(suf)]) > 0:
+                w = w[: -len(suf)] + rep
+            break
+    # step 4
+    for suf in (
+        "al", "ance", "ence", "er", "ic", "able", "ible", "ant", "ement",
+        "ment", "ent", "ou", "ism", "ate", "iti", "ous", "ive", "ize",
+    ):
+        if w.endswith(suf):
+            if _measure(w[: -len(suf)]) > 1:
+                w = w[: -len(suf)]
+            break
+    else:
+        if w.endswith("ion") and _measure(w[:-3]) > 1 and w[-4] in "st":
+            w = w[:-3]
+    # step 5a
+    if w.endswith("e"):
+        stem = w[:-1]
+        if _measure(stem) > 1 or (_measure(stem) == 1 and not _cvc(stem)):
+            w = stem
+    # step 5b
+    if _measure(w) > 1 and _ends_double_cons(w) and w.endswith("l"):
+        w = w[:-1]
+    return w
+
+
+def tokenize_en_stem(text: str | None) -> list[str]:
+    return [porter_stem(t) for t in tokenize_default(text)]
+
+
+TOKENIZERS = {
+    "default": tokenize_default,
+    "raw": tokenize_raw,
+    "en_stem": tokenize_en_stem,
+}
+
+
+def tokenize_series(texts: pd.Series, tokenizer: str) -> pd.Series:
+    """Batch tokenization for Arrow UDFs: Series[str] -> Series[list[str]]."""
+    fn = TOKENIZERS[tokenizer]
+    return texts.map(fn)

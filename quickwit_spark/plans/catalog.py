@@ -1,0 +1,212 @@
+"""Split catalog — the metastore analog.
+
+Mirrors the reference's split lifecycle and metadata:
+* ``SplitMetadata`` fields — quickwit-metastore/src/split_metadata.rs:56-105
+  (split_id, num_docs, size bytes, time_range, tags, footer offsets →
+  here: parquet paths);
+* state machine ``Staged → Published → MarkedForDeletion`` —
+  split_metadata.rs:130-139;
+* atomic publish + checkpoint — quickwit-indexing/src/actors/publisher.rs:140-148,
+  quickwit-metastore/src/checkpoint.rs:286-330: publishing new splits,
+  replacing merged-away splits, and advancing the source checkpoint is
+  ONE atomic catalog write (temp-file + rename), which is what makes the
+  build checkpoint-resumable at split granularity.
+
+Lineage/metrics rows (north rule): one row per split build/merge op with
+split id, term range, doc count, bytes, wall time — appended to
+``<index>/lineage/*.parquet`` (a metrics table Spark can read).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import uuid
+from dataclasses import asdict, dataclass, field
+
+from quickwit_spark.config import IndexConfig
+
+STAGED = "Staged"
+PUBLISHED = "Published"
+MARKED_FOR_DELETION = "MarkedForDeletion"
+
+
+@dataclass
+class SplitMetadata:
+    split_id: str
+    state: str = STAGED
+    num_docs: int = 0
+    sum_doc_len: int = 0
+    uncompressed_docs_size_in_bytes: int = 0
+    size_in_bytes: int = 0
+    time_range: tuple | None = None       # (min_epoch_us, max_epoch_us) inclusive
+    term_range: tuple | None = None       # (min_term, max_term) on the default field
+    tags: dict = field(default_factory=dict)  # tag field -> sorted values or None=overflow
+    num_merge_ops: int = 0
+    create_timestamp: float = 0.0
+    update_timestamp: float = 0.0
+    source_partitions: list = field(default_factory=list)  # routing partition ids covered
+
+    def to_dict(self) -> dict:
+        d = asdict(self)
+        d["time_range"] = list(self.time_range) if self.time_range else None
+        d["term_range"] = list(self.term_range) if self.term_range else None
+        return d
+
+    @staticmethod
+    def from_dict(d: dict) -> "SplitMetadata":
+        d = dict(d)
+        if d.get("time_range"):
+            d["time_range"] = tuple(d["time_range"])
+        if d.get("term_range"):
+            d["term_range"] = tuple(d["term_range"])
+        return SplitMetadata(**d)
+
+
+class Catalog:
+    """File-backed catalog with atomic rename commits (the reference's
+    FileBackedMetastore analog; a production deployment would put this
+    in an Iceberg table / PostgreSQL as the reference does)."""
+
+    def __init__(self, index_dir: str):
+        self.index_dir = index_dir
+        self.path = os.path.join(index_dir, "catalog.json")
+        self.config: IndexConfig | None = None
+        self.splits: dict[str, SplitMetadata] = {}
+        self.checkpoint: dict[str, str] = {}  # source partition -> position
+        self.source_path: str | None = None
+
+    # -- persistence ------------------------------------------------------
+
+    @staticmethod
+    def create(index_dir: str, config: IndexConfig, source_path: str | None = None) -> "Catalog":
+        os.makedirs(index_dir, exist_ok=True)
+        os.makedirs(os.path.join(index_dir, "splits"), exist_ok=True)
+        os.makedirs(os.path.join(index_dir, "lineage"), exist_ok=True)
+        cat = Catalog(index_dir)
+        cat.config = config
+        cat.source_path = source_path
+        cat._commit()
+        return cat
+
+    @staticmethod
+    def load(index_dir: str) -> "Catalog":
+        cat = Catalog(index_dir)
+        with open(cat.path) as f:
+            d = json.load(f)
+        cat.config = IndexConfig.from_dict(d["config"])
+        cat.splits = {
+            s["split_id"]: SplitMetadata.from_dict(s) for s in d["splits"]
+        }
+        cat.checkpoint = d.get("checkpoint", {})
+        cat.source_path = d.get("source_path")
+        return cat
+
+    @staticmethod
+    def exists(index_dir: str) -> bool:
+        return os.path.exists(os.path.join(index_dir, "catalog.json"))
+
+    def _commit(self) -> None:
+        """Atomic write: temp file + rename (publisher.rs:140-148 analog)."""
+        payload = {
+            "config": self.config.to_dict(),
+            "splits": [s.to_dict() for s in self.splits.values()],
+            "checkpoint": self.checkpoint,
+            "source_path": self.source_path,
+        }
+        tmp = self.path + f".tmp-{uuid.uuid4().hex}"
+        with open(tmp, "w") as f:
+            json.dump(payload, f, indent=1, sort_keys=True)
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp, self.path)
+
+    # -- state machine ----------------------------------------------------
+
+    def stage_split(self, meta: SplitMetadata) -> None:
+        meta.state = STAGED
+        meta.create_timestamp = meta.create_timestamp or time.time()
+        meta.update_timestamp = time.time()
+        self.splits[meta.split_id] = meta
+        self._commit()
+
+    def publish_splits(
+        self,
+        split_ids: list[str],
+        replaced_split_ids: list[str] = (),
+        checkpoint_delta: dict[str, str] | None = None,
+    ) -> None:
+        """Atomic publish: new splits become visible, replaced splits are
+        marked for deletion, checkpoint advances — all in one commit.
+        Backwards checkpoint deltas are rejected (checkpoint.rs:286-330)."""
+        if checkpoint_delta:
+            for part, pos in checkpoint_delta.items():
+                cur = self.checkpoint.get(part, "")
+                if pos < cur:
+                    raise ValueError(
+                        f"incompatible checkpoint delta for {part}: {pos!r} < {cur!r}"
+                    )
+        for sid in split_ids:
+            meta = self.splits[sid]
+            if meta.state not in (STAGED, PUBLISHED):
+                raise ValueError(f"cannot publish split {sid} in state {meta.state}")
+            meta.state = PUBLISHED
+            meta.update_timestamp = time.time()
+        for sid in replaced_split_ids:
+            self.splits[sid].state = MARKED_FOR_DELETION
+            self.splits[sid].update_timestamp = time.time()
+        if checkpoint_delta:
+            self.checkpoint.update(checkpoint_delta)
+        self._commit()
+
+    def mark_for_deletion(self, split_ids: list[str]) -> None:
+        for sid in split_ids:
+            self.splits[sid].state = MARKED_FOR_DELETION
+        self._commit()
+
+    def delete_splits(self, split_ids: list[str]) -> None:
+        """GC: physically removable only once marked (garbage_collection.rs)."""
+        import shutil
+
+        for sid in split_ids:
+            meta = self.splits.get(sid)
+            if meta is None:
+                continue
+            if meta.state not in (MARKED_FOR_DELETION, STAGED):
+                raise ValueError(f"split {sid} is {meta.state}, not deletable")
+            shutil.rmtree(self.split_dir(sid), ignore_errors=True)
+            del self.splits[sid]
+        self._commit()
+
+    # -- queries over the catalog ------------------------------------------
+
+    def published_splits(self) -> list[SplitMetadata]:
+        return sorted(
+            (s for s in self.splits.values() if s.state == PUBLISHED),
+            key=lambda s: s.split_id,
+        )
+
+    def split_dir(self, split_id: str) -> str:
+        return os.path.join(self.index_dir, "splits", split_id)
+
+    def total_docs(self) -> int:
+        return sum(s.num_docs for s in self.published_splits())
+
+    def total_doc_len(self) -> int:
+        return sum(s.sum_doc_len for s in self.published_splits())
+
+    # -- lineage ------------------------------------------------------------
+
+    def append_lineage(self, rows: list[dict]) -> None:
+        """Append per-split lineage/metrics rows (split id, term range,
+        doc count, bytes, wall time) to the metrics parquet table."""
+        import pandas as pd
+
+        if not rows:
+            return
+        df = pd.DataFrame(rows)
+        out = os.path.join(
+            self.index_dir, "lineage", f"lineage-{uuid.uuid4().hex}.parquet"
+        )
+        df.to_parquet(out, index=False)

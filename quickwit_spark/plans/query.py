@@ -1,0 +1,239 @@
+"""Query mini-language: terms, ``field:term``, phrases with slop,
+AND/OR/NOT (conjunction by default), parentheses.
+
+Semantics follow the reference's query layer:
+* conjunction by default — quickwit-doc-mapper/src/query_builder.rs:60-63
+  (``set_conjunction_by_default``);
+* phrase slop ``"a b"~N`` — docs/reference/query-language.md, behavior
+  pinned by quickwit-search/src/tests.rs:111-143;
+* ``-clause`` / ``NOT clause`` = must-not.
+
+Scoring (our addition — the reference disables scoring at this rev,
+quickwit-search/src/collector.rs:318-323): Lucene-style boolean sum of
+BM25 clause scores over matching positive clauses; phrase tf = number
+of phrase occurrences within the slop window.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+
+
+@dataclass(frozen=True)
+class Term:
+    field: str
+    value: str
+
+
+@dataclass(frozen=True)
+class Phrase:
+    field: str
+    tokens: tuple[str, ...]
+    slop: int = 0
+
+
+@dataclass(frozen=True)
+class Bool:
+    must: tuple = ()
+    should: tuple = ()
+    must_not: tuple = ()
+
+
+@dataclass(frozen=True)
+class MatchAll:
+    pass
+
+
+QueryAst = object  # union of the above
+
+
+_TOKEN_SPEC = re.compile(
+    r"""
+    \s*(?:
+        (?P<lparen>\() |
+        (?P<rparen>\)) |
+        (?P<quoted>(?:(?P<qfield>[A-Za-z_][\w.]*):)?"(?P<phrase>[^"]*)"(?:~(?P<slop>\d+))?) |
+        (?P<neg>-) |
+        (?P<word>(?:(?P<field>[A-Za-z_][\w.]*):)?[^\s()"-][^\s()"]*)
+    )
+    """,
+    re.VERBOSE,
+)
+
+
+class QueryParseError(ValueError):
+    pass
+
+
+def _lex(q: str) -> list[tuple[str, object]]:
+    tokens: list[tuple[str, object]] = []
+    pos = 0
+    while pos < len(q):
+        m = _TOKEN_SPEC.match(q, pos)
+        if not m or m.end() == pos:
+            if q[pos:].strip() == "":
+                break
+            raise QueryParseError(f"cannot lex query at: {q[pos:]!r}")
+        pos = m.end()
+        if m.group("lparen"):
+            tokens.append(("(", None))
+        elif m.group("rparen"):
+            tokens.append((")", None))
+        elif m.group("quoted") is not None:
+            slop = int(m.group("slop") or 0)
+            tokens.append(
+                ("phrase", (m.group("qfield"), m.group("phrase"), slop))
+            )
+        elif m.group("neg"):
+            tokens.append(("NOT", None))
+        else:
+            word = m.group("word")
+            fld = m.group("field")
+            if fld is None and word in ("AND", "OR", "NOT"):
+                tokens.append((word, None))
+            elif fld is None and word == "*":
+                tokens.append(("matchall", None))
+            else:
+                value = word[len(fld) + 1 :] if fld else word
+                tokens.append(("term", (fld, value)))
+    return tokens
+
+
+class _Parser:
+    def __init__(self, tokens: list, default_field: str, tokenize):
+        self.toks = tokens
+        self.i = 0
+        self.default_field = default_field
+        self.tokenize = tokenize
+
+    def peek(self):
+        return self.toks[self.i] if self.i < len(self.toks) else (None, None)
+
+    def next(self):
+        t = self.peek()
+        self.i += 1
+        return t
+
+    def parse(self):
+        node = self.parse_or()
+        if self.i != len(self.toks):
+            raise QueryParseError(f"trailing tokens at {self.i}")
+        return node
+
+    def parse_or(self):
+        clauses = [self.parse_and()]
+        while self.peek()[0] == "OR":
+            self.next()
+            clauses.append(self.parse_and())
+        if len(clauses) == 1:
+            return clauses[0]
+        return Bool(should=tuple(clauses))
+
+    def parse_and(self):
+        must: list = []
+        must_not: list = []
+        while True:
+            kind, _ = self.peek()
+            if kind in (None, ")", "OR"):
+                break
+            if kind == "AND":
+                self.next()
+                continue
+            if kind == "NOT":
+                self.next()
+                must_not.append(self.parse_unary())
+                continue
+            must.append(self.parse_unary())
+        if not must and not must_not:
+            raise QueryParseError("empty clause")
+        if len(must) == 1 and not must_not:
+            return must[0]
+        return Bool(must=tuple(must), must_not=tuple(must_not))
+
+    def parse_unary(self):
+        kind, val = self.next()
+        if kind == "(":
+            node = self.parse_or()
+            if self.next()[0] != ")":
+                raise QueryParseError("unbalanced parentheses")
+            return node
+        if kind == "NOT":
+            inner = self.parse_unary()
+            return Bool(must_not=(inner,))
+        if kind == "matchall":
+            return MatchAll()
+        if kind == "term":
+            fld, value = val
+            fld = fld or self.default_field
+            toks = self.tokenize(fld, value)
+            if len(toks) == 0:
+                return MatchAll()  # term vanishes under tokenization
+            if len(toks) == 1:
+                return Term(fld, toks[0])
+            return Phrase(fld, tuple(toks), 0)
+        if kind == "phrase":
+            fld, text, slop = val
+            fld = fld or self.default_field
+            toks = self.tokenize(fld, text)
+            if len(toks) == 0:
+                return MatchAll()
+            if len(toks) == 1:
+                return Term(fld, toks[0])
+            return Phrase(fld, tuple(toks), slop)
+        raise QueryParseError(f"unexpected token {kind}")
+
+
+def parse_query(q: str, config) -> QueryAst:
+    """Parse ``q`` against an :class:`IndexConfig` (field-aware
+    tokenization: raw fields keep the value verbatim)."""
+    from quickwit_spark.functions.tokenize import TOKENIZERS
+
+    def tok(fld: str, value: str) -> list[str]:
+        try:
+            tokenizer = config.field(fld).tokenizer
+        except KeyError:
+            raise QueryParseError(f"field {fld!r} is not indexed")
+        return TOKENIZERS[tokenizer](value)
+
+    q = q.strip()
+    if not q or q == "*":
+        return MatchAll()
+    tokens = _lex(q)
+    if not tokens:
+        return MatchAll()
+    return _Parser(tokens, config.default_search_field, tok).parse()
+
+
+def query_terms(ast: QueryAst) -> set[tuple[str, str]]:
+    """All (field, token) pairs the query touches — drives the postings
+    scan filter (predicate pushdown to Parquet)."""
+    out: set[tuple[str, str]] = set()
+
+    def walk(node):
+        if isinstance(node, Term):
+            out.add((node.field, node.value))
+        elif isinstance(node, Phrase):
+            out.update((node.field, t) for t in node.tokens)
+        elif isinstance(node, Bool):
+            for c in node.must + node.should + node.must_not:
+                walk(c)
+
+    walk(ast)
+    return out
+
+
+def positive_required_terms(ast: QueryAst) -> set[tuple[str, str]]:
+    """(field, token) pairs that MUST match for any hit — sound input to
+    term-range / tag split pruning (mirrors tag_pruning.rs:28-51: OR is
+    the union, must_not and unknown shapes are uninformative)."""
+    if isinstance(ast, Term):
+        return {(ast.field, ast.value)}
+    if isinstance(ast, Phrase):
+        return {(ast.field, t) for t in ast.tokens}
+    if isinstance(ast, Bool) and ast.must:
+        out: set[tuple[str, str]] = set()
+        for c in ast.must:
+            out |= positive_required_terms(c)
+        return out
+    return set()
