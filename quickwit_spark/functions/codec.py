@@ -108,6 +108,38 @@ def grouped_delta_encode(
     return [blob[bounds[i] : bounds[i + 1]] for i in range(starts.size)]
 
 
+def read_first_varint(blob: bytes) -> tuple[int, int]:
+    """Decode the first LEB128 value; returns (value, encoded_length)."""
+    value = 0
+    shift = 0
+    for i, byte in enumerate(blob):
+        value |= (byte & 0x7F) << shift
+        if not byte & 0x80:
+            return value, i + 1
+        shift += 7
+    raise ValueError("truncated varint")
+
+
+def replace_first_varint(blob: bytes, new_value: int) -> bytes:
+    """Rewrite the leading varint of ``blob`` — the O(1) merge splice:
+    a delta-encoded posting row only stores ONE absolute value (its
+    head), so renumbering a whole row under a docid offset, or turning
+    an absolute head into a delta from the previous row's tail when
+    coalescing rows, is a single-varint patch."""
+    _, n = read_first_varint(blob)
+    out = bytearray()
+    v = int(new_value)
+    while True:
+        b = v & 0x7F
+        v >>= 7
+        if v:
+            out.append(b | 0x80)
+        else:
+            out.append(b)
+            break
+    return bytes(out) + blob[n:]
+
+
 def delta_encode(sorted_values: np.ndarray) -> bytes:
     """Varint-encode first value + successive deltas of a sorted array."""
     v = np.asarray(sorted_values, dtype=np.uint64)

@@ -124,6 +124,9 @@ def _field_posting_columns(
 
     max_tf = np.maximum.reduceat(tf, row_starts)
     min_dl = np.minimum.reduceat(p_dl, row_starts)
+    row_ends = np.append(row_starts[1:], p_code.size) - 1
+    first_docid = p_docid[row_starts]
+    last_docid = p_docid[row_ends]
 
     doc_id_blobs = grouped_delta_encode(p_docid, row_starts, delta=True)
     tf_blobs = grouped_delta_encode(tf, row_starts, delta=False)
@@ -144,6 +147,8 @@ def _field_posting_columns(
         "df": row_dfs,
         "max_tf": max_tf.astype(np.int64),
         "min_dl": min_dl.astype(np.int64),
+        "first_docid": first_docid.astype(np.int64),
+        "last_docid": last_docid.astype(np.int64),
         "doc_ids": doc_id_blobs,
         "tfs": tf_blobs,
         "positions": pos_blobs,
@@ -183,7 +188,7 @@ def build_split_tables(pdf: pd.DataFrame, config: IndexConfig):
         k: []
         for k in (
             "field", "term", "shard", "df", "max_tf", "min_dl",
-            "doc_ids", "tfs", "positions",
+            "first_docid", "last_docid", "doc_ids", "tfs", "positions",
         )
     }
     term_range = None

@@ -1,0 +1,363 @@
+"""Split merge: log-level planner + byte-splice merge executor.
+
+Planner mirrors ``StableMultitenantWithTimestampMergePolicy``
+(quickwit-indexing/src/merge_policy.rs):
+* maturity: ``num_docs >= split_num_docs_target`` (merge_policy.rs:241-248,
+  default 10M — quickwit-config/src/index_config.rs:180-182);
+* stable sort young splits most-recent-first:
+  ``(Reverse(time_range.end), num_docs)`` with splits lacking a time
+  range first (merge_policy.rs:300-306);
+* ``build_split_levels``: walk the list, starting a new level whenever
+  ``num_docs >= current_level_max_docs``; level cap =
+  ``max(3 * first_split_docs, min_level_num_docs)`` then
+  ``3 * num_docs`` (merge_policy.rs:415-442);
+* per level (reverse order), grow a candidate from the level's end
+  backwards until one-more-would-be-too-big
+  (len ≥ max_merge_factor or Σdocs ≥ target), discard if too small
+  (len ≤ 1 or len < merge_factor) (merge_policy.rs:444-493).
+
+Executor re-expresses ``MergeExecutor::process_merge``
+(quickwit-indexing/src/actors/merge_executor.rs:283-347): where the
+reference opens K tantivy directories under a UnionDirectory and lets
+tantivy merge segments, we merge K *term-sorted Parquet posting files*.
+Because every posting row stores exactly ONE absolute docid (its head;
+all else deltas) plus its tail docid, renumbering a row under a docid
+offset — and re-chaining it onto the previous row when coalescing — is
+a single-varint patch (``replace_first_varint``): the merge never
+decodes posting bodies. Term-freq and position blobs concatenate as raw
+bytes (no cross-row delta chains). This is the property that makes
+hierarchical merging cheap at 10^12 turns: merge cost is O(rows), not
+O(postings).
+
+Each merge op runs as one Spark task (the reference runs one merge per
+node on a CPU pool — merge pipeline in indexing_pipeline.rs:233-337);
+the driver loop is the MergePlanner (merge_planner.rs:61-81), and
+publish(replaced=...) retires inputs atomically
+(publisher.rs:140-148).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+import numpy as np
+import pandas as pd
+
+from quickwit_spark.config import IndexConfig
+from quickwit_spark.functions.codec import replace_first_varint
+from quickwit_spark.operators.build import DOCS_FILE, POSTINGS_FILE
+from quickwit_spark.plans.catalog import Catalog, SplitMetadata
+
+# ---------------------------------------------------------------------------
+# planner
+# ---------------------------------------------------------------------------
+
+_TOO_SMALL, _VALID, _TOO_BIG = 0, 1, 2
+
+
+def _candidate_size(cand: list[SplitMetadata], config: IndexConfig) -> int:
+    if len(cand) <= 1:
+        return _TOO_SMALL
+    if len(cand) >= config.max_merge_factor:
+        return _TOO_BIG
+    if sum(s.num_docs for s in cand) >= config.split_num_docs_target:
+        return _TOO_BIG
+    if len(cand) < config.merge_factor:
+        return _TOO_SMALL
+    return _VALID
+
+
+def build_split_levels(
+    splits: list[SplitMetadata], config: IndexConfig
+) -> list[range]:
+    """merge_policy.rs:415-442 verbatim semantics."""
+    if not splits:
+        return []
+    levels: list[range] = []
+    start = 0
+    level_max = max(splits[0].num_docs * 3, config.min_level_num_docs)
+    for ord_, split in enumerate(splits):
+        if split.num_docs >= level_max:
+            levels.append(range(start, ord_))
+            start = ord_
+            level_max = 3 * split.num_docs
+    levels.append(range(start, len(splits)))
+    return levels
+
+
+def plan_merge_operations(
+    splits: list[SplitMetadata], config: IndexConfig
+) -> list[list[SplitMetadata]]:
+    """Returns groups of splits to merge (merge_policy.rs:289-331)."""
+    young = [s for s in splits if s.num_docs < config.split_num_docs_target]
+    # most recent first; None time_range sorts first (Rust Option<Reverse>)
+    young.sort(
+        key=lambda s: (
+            (0,) if s.time_range is None else (1, -s.time_range[1]),
+            s.num_docs,
+        )
+    )
+    ops: list[list[SplitMetadata]] = []
+    for level in reversed(build_split_levels(young, config)):
+        end = level.stop
+        start = end
+        for ord_ in reversed(range(level.start, level.stop)):
+            if _candidate_size(young[start:end], config) == _TOO_BIG:
+                break
+            start = ord_
+        if _candidate_size(young[start:end], config) == _TOO_SMALL:
+            continue
+        ops.append(young[start:end])
+        del young[start:end]
+    return ops
+
+
+# ---------------------------------------------------------------------------
+# executor (split-local; runs in a Spark task)
+# ---------------------------------------------------------------------------
+
+def merge_split_files(
+    split_dirs: list[str], out_dir: str, config: IndexConfig
+) -> dict:
+    """K-way merge of term-sorted posting files + doc stores into
+    ``out_dir``. Inputs must be given in the docid-concatenation order
+    (sorted by split_id). Returns the new split's metadata dict."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    # --- doc stores: concat with docid offsets --------------------------
+    doc_tables = []
+    offsets = []
+    off = 0
+    for d in split_dirs:
+        t = pq.read_table(os.path.join(d, DOCS_FILE))
+        offsets.append(off)
+        docid = t.column("docid").to_numpy() + off
+        t = t.set_column(0, "docid", pa.array(docid, type=pa.int64()))
+        doc_tables.append(t)
+        off += len(t)
+    docs = pa.concat_tables(doc_tables)
+    os.makedirs(out_dir, exist_ok=True)
+    pq.write_table(
+        docs, os.path.join(out_dir, DOCS_FILE),
+        compression="zstd", row_group_size=65536,
+    )
+
+    # --- postings: sort-merge rows, splice varint heads ------------------
+    frames = []
+    for i, d in enumerate(split_dirs):
+        f = pq.read_table(os.path.join(d, POSTINGS_FILE)).to_pandas()
+        f["src"] = i
+        f["first_docid"] += offsets[i]
+        f["last_docid"] += offsets[i]
+        frames.append(f)
+    allrows = pd.concat(frames, ignore_index=True)
+    allrows.sort_values(
+        ["field", "term", "src", "shard"], inplace=True, kind="mergesort"
+    )
+
+    fields = allrows["field"].to_numpy()
+    terms = allrows["term"].to_numpy()
+    firsts = allrows["first_docid"].to_numpy()
+    lasts = allrows["last_docid"].to_numpy()
+    dfs = allrows["df"].to_numpy()
+    max_tfs = allrows["max_tf"].to_numpy()
+    min_dls = allrows["min_dl"].to_numpy()
+    doc_blobs = allrows["doc_ids"].to_numpy()
+    tf_blobs = allrows["tfs"].to_numpy()
+    pos_blobs = allrows["positions"].to_numpy()
+
+    n = len(allrows)
+    group_start = np.empty(n, dtype=bool)
+    if n:
+        group_start[0] = True
+        group_start[1:] = (fields[1:] != fields[:-1]) | (terms[1:] != terms[:-1])
+    starts = np.flatnonzero(group_start)
+    bounds = np.append(starts, n)
+
+    out = {
+        k: []
+        for k in (
+            "field", "term", "shard", "df", "max_tf", "min_dl",
+            "first_docid", "last_docid", "doc_ids", "tfs", "positions",
+        )
+    }
+    pack_cap = max(config.salt_docid_range, 1)
+    for g in range(starts.size):
+        s, e = bounds[g], bounds[g + 1]
+        shard_ord = 0
+        i = s
+        while i < e:
+            # greedily pack consecutive rows up to ~salt_docid_range docs
+            j = i
+            cum = 0
+            while j < e and (j == i or cum + dfs[j] <= pack_cap):
+                cum += dfs[j]
+                j += 1
+            # head row: absolute docid (already offset); subsequent rows:
+            # head becomes a delta from the previous row's tail
+            parts = [replace_first_varint(doc_blobs[i], int(firsts[i]))]
+            for r in range(i + 1, j):
+                parts.append(
+                    replace_first_varint(
+                        doc_blobs[r], int(firsts[r] - lasts[r - 1])
+                    )
+                )
+            out["field"].append(fields[s])
+            out["term"].append(terms[s])
+            out["shard"].append(shard_ord)
+            out["df"].append(int(dfs[i:j].sum()))
+            out["max_tf"].append(int(max_tfs[i:j].max()))
+            out["min_dl"].append(int(min_dls[i:j].min()))
+            out["first_docid"].append(int(firsts[i]))
+            out["last_docid"].append(int(lasts[j - 1]))
+            out["doc_ids"].append(b"".join(parts))
+            out["tfs"].append(b"".join(tf_blobs[i:j]))
+            out["positions"].append(
+                None if pos_blobs[i] is None else b"".join(pos_blobs[i:j])
+            )
+            shard_ord += 1
+            i = j
+
+    postings = pd.DataFrame(out)
+    pq.write_table(
+        pa.Table.from_pandas(postings, preserve_index=False),
+        os.path.join(out_dir, POSTINGS_FILE),
+        compression="zstd",
+        row_group_size=16384,
+    )
+
+    size = sum(
+        os.path.getsize(os.path.join(out_dir, f))
+        for f in (POSTINGS_FILE, DOCS_FILE)
+    )
+    ts_us = docs.column("ts_us").to_numpy()
+    text_rows = postings[postings["field"] == config.default_search_field]
+    return {
+        "num_docs": int(len(docs)),
+        "sum_doc_len": int(docs.column("doc_len").to_numpy().sum()),
+        "size_in_bytes": int(size),
+        "time_range": (int(ts_us.min()), int(ts_us.max())) if len(docs) else None,
+        "term_range": (
+            (str(text_rows["term"].min()), str(text_rows["term"].max()))
+            if len(text_rows)
+            else None
+        ),
+    }
+
+
+# ---------------------------------------------------------------------------
+# driver loop
+# ---------------------------------------------------------------------------
+
+def _merge_tags(inputs: list[SplitMetadata], config: IndexConfig) -> dict:
+    tags: dict = {}
+    for field in config.tag_fields:
+        vals: set | None = set()
+        for s in inputs:
+            v = (s.tags or {}).get(field)
+            if v is None:
+                vals = None
+                break
+            vals |= set(v)
+        if vals is not None and len(vals) > config.max_tag_values:
+            vals = None
+        tags[field] = sorted(vals) if vals is not None else None
+    return tags
+
+
+def execute_merge(
+    spark, catalog: Catalog, inputs: list[SplitMetadata], gen: int
+) -> SplitMetadata:
+    """One merge op = one Spark task (merge_executor.rs:283-347 analog);
+    publish(new, replaced=inputs) is the atomic cutover."""
+    config = catalog.config
+    inputs = sorted(inputs, key=lambda s: s.split_id)
+    new_id = f"merge-{gen:04d}-" + "-".join(
+        s.split_id.rsplit("-", 1)[-1] for s in inputs[:4]
+    ) + f"-{len(inputs):02d}"
+    in_dirs = [catalog.split_dir(s.split_id) for s in inputs]
+    out_dir = catalog.split_dir(new_id)
+    cfg_dict = config.to_dict()
+
+    def kernel(iterator):
+        for pdf in iterator:
+            if len(pdf):
+                t0 = time.time()
+                meta = merge_split_files(in_dirs, out_dir, IndexConfig.from_dict(cfg_dict))
+                meta["wall_time_sec"] = time.time() - t0
+                yield pd.DataFrame({"meta": [json.dumps(meta)]})
+
+    row = (
+        spark.createDataFrame([(1,)], "one int")
+        .coalesce(1)
+        .mapInPandas(kernel, schema="meta string")
+        .collect()
+    )
+    meta = json.loads(row[0].meta)
+    sm = SplitMetadata(
+        split_id=new_id,
+        num_docs=meta["num_docs"],
+        sum_doc_len=meta["sum_doc_len"],
+        uncompressed_docs_size_in_bytes=sum(
+            s.uncompressed_docs_size_in_bytes for s in inputs
+        ),
+        size_in_bytes=meta["size_in_bytes"],
+        time_range=tuple(meta["time_range"]) if meta["time_range"] else None,
+        term_range=tuple(meta["term_range"]) if meta["term_range"] else None,
+        tags=_merge_tags(inputs, config),
+        num_merge_ops=max(s.num_merge_ops for s in inputs) + 1,
+        source_partitions=sorted(
+            {p for s in inputs for p in s.source_partitions}
+        ),
+    )
+    catalog.stage_split(sm)
+    catalog.publish_splits([new_id], replaced_split_ids=[s.split_id for s in inputs])
+    catalog.append_lineage(
+        [
+            {
+                "split_id": new_id,
+                "op": "merge",
+                "partition": None,
+                "num_docs": sm.num_docs,
+                "size_in_bytes": sm.size_in_bytes,
+                "term_min": sm.term_range[0] if sm.term_range else None,
+                "term_max": sm.term_range[1] if sm.term_range else None,
+                "wall_time_sec": meta["wall_time_sec"],
+                "ts": time.time(),
+            }
+        ]
+    )
+    return sm
+
+
+def run_merge_pipeline(spark, index_dir: str, max_rounds: int = 100) -> int:
+    """MergePlanner loop (merge_planner.rs:61-81): plan → execute →
+    re-plan until no candidate remains. Returns number of merges run."""
+    catalog = Catalog.load(index_dir)
+    gen = 0
+    total = 0
+    for _ in range(max_rounds):
+        ops = plan_merge_operations(catalog.published_splits(), catalog.config)
+        if not ops:
+            break
+        for inputs in ops:
+            execute_merge(spark, catalog, inputs, gen)
+            gen += 1
+            total += 1
+    return total
+
+
+def gc_deleted_splits(index_dir: str) -> list[str]:
+    """Garbage collection (garbage_collection.rs analog): physically
+    delete splits already marked for deletion."""
+    catalog = Catalog.load(index_dir)
+    doomed = [
+        s.split_id
+        for s in catalog.splits.values()
+        if s.state == "MarkedForDeletion"
+    ]
+    catalog.delete_splits(doomed)
+    return doomed

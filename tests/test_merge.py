@@ -1,0 +1,208 @@
+"""Merge planner + executor tests (merge_policy.rs invariants,
+merge_executor.rs doc conservation; proptest analogs via hypothesis)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from quickwit_spark.config import IndexConfig
+from quickwit_spark.operators.merge import (
+    build_split_levels,
+    plan_merge_operations,
+)
+from quickwit_spark.plans.catalog import SplitMetadata
+
+
+def _split(i, num_docs, t_end=None):
+    return SplitMetadata(
+        split_id=f"split-{i:05d}",
+        state="Published",
+        num_docs=num_docs,
+        time_range=(0, t_end) if t_end is not None else None,
+    )
+
+
+CFG = IndexConfig(
+    merge_factor=10, max_merge_factor=12,
+    split_num_docs_target=10_000_000, min_level_num_docs=100_000,
+)
+
+
+class TestPlanner:
+    def test_ten_small_splits_merge(self):
+        splits = [_split(i, 1000, t_end=i) for i in range(10)]
+        ops = plan_merge_operations(splits, CFG)
+        assert len(ops) == 1
+        assert len(ops[0]) == 10
+
+    def test_nine_small_splits_no_merge(self):
+        splits = [_split(i, 1000, t_end=i) for i in range(9)]
+        assert plan_merge_operations(splits, CFG) == []
+
+    def test_mature_splits_excluded(self):
+        splits = [_split(i, 10_000_000, t_end=i) for i in range(20)]
+        assert plan_merge_operations(splits, CFG) == []
+
+    def test_max_merge_factor_cap(self):
+        splits = [_split(i, 1000, t_end=i) for i in range(25)]
+        ops = plan_merge_operations(splits, CFG)
+        assert all(len(op) <= CFG.max_merge_factor for op in ops)
+        assert sum(len(op) for op in ops) >= 12
+
+    def test_levels_are_log_scale(self):
+        sizes = [1_000, 2_000, 3_000, 400_000, 500_000, 5_000_000]
+        splits = [_split(i, s) for i, s in enumerate(sizes)]
+        levels = build_split_levels(splits, CFG)
+        # level 0 holds everything < max(3*1000, 100k)=100k
+        assert list(levels[0]) == [0, 1, 2]
+
+    def test_result_stays_under_target(self):
+        splits = [_split(i, 4_000_000, t_end=i) for i in range(12)]
+        ops = plan_merge_operations(splits, CFG)
+        for op in ops:
+            assert sum(s.num_docs for s in op) < 2 * CFG.split_num_docs_target
+
+    @given(
+        st.lists(
+            st.integers(min_value=1, max_value=15_000_000),
+            min_size=0, max_size=60,
+        )
+    )
+    @settings(max_examples=200, deadline=None)
+    def test_planner_invariants(self, sizes):
+        splits = [_split(i, s, t_end=i) for i, s in enumerate(sizes)]
+        ops = plan_merge_operations(splits, CFG)
+        seen = set()
+        for op in ops:
+            assert CFG.merge_factor // 1 >= 2  # sanity
+            assert 2 <= len(op) <= CFG.max_merge_factor
+            for s in op:
+                assert s.num_docs < CFG.split_num_docs_target  # young only
+                assert s.split_id not in seen  # disjoint ops
+                seen.add(s.split_id)
+
+
+@pytest.fixture(scope="module")
+def merged_index(spark, corpus, tmp_path_factory):
+    """Index built with 4 splits, then fully merged down."""
+    from quickwit_spark.operators.build import build_index
+    from quickwit_spark.operators.merge import run_merge_pipeline
+    from quickwit_spark.plans.catalog import Catalog
+
+    cfg = IndexConfig(
+        hot_term_doc_freq=200, salt_docid_range=64,
+        merge_factor=2, max_merge_factor=4, min_level_num_docs=10,
+    )
+    d = str(tmp_path_factory.mktemp("merge") / "idx")
+    build_index(spark, spark.createDataFrame(corpus), d, cfg, n_splits=4)
+    n = run_merge_pipeline(spark, d)
+    assert n >= 1
+    return d
+
+
+class TestMergeExecution:
+    def test_doc_conservation(self, merged_index, corpus):
+        from quickwit_spark.plans.catalog import Catalog
+
+        cat = Catalog.load(merged_index)
+        pub = cat.published_splits()
+        assert len(pub) == 1
+        assert cat.total_docs() == len(corpus)
+        assert pub[0].num_merge_ops >= 1
+        assert sorted(pub[0].source_partitions) == [0, 1, 2, 3]
+
+    def test_docids_unique_and_dense(self, merged_index):
+        import os
+
+        import pyarrow.parquet as pq
+
+        from quickwit_spark.plans.catalog import Catalog
+
+        cat = Catalog.load(merged_index)
+        s = cat.published_splits()[0]
+        docs = pq.read_table(
+            os.path.join(cat.split_dir(s.split_id), "docs.parquet"),
+            columns=["docid"],
+        )
+        ids = docs.column("docid").to_numpy()
+        assert ids.min() == 0 and ids.max() == len(ids) - 1
+        assert np.unique(ids).size == ids.size
+
+    def test_posting_content_matches_rebuild(self, merged_index, corpus, spark, tmp_path):
+        """Merged postings must decode to the same (conv_id, turn_idx, tf)
+        sets per term as a from-scratch single-split build."""
+        import os
+
+        import pyarrow.parquet as pq
+
+        from quickwit_spark.functions.codec import decode_varint, delta_decode
+        from quickwit_spark.operators.build import build_index
+        from quickwit_spark.plans.catalog import Catalog
+
+        cfg1 = IndexConfig(hot_term_doc_freq=200, salt_docid_range=64)
+        d1 = str(tmp_path / "single")
+        build_index(spark, spark.createDataFrame(corpus), d1, cfg1, n_splits=1)
+
+        def term_map(index_dir):
+            cat = Catalog.load(index_dir)
+            out = {}
+            for s in cat.published_splits():
+                sd = cat.split_dir(s.split_id)
+                docs = pq.read_table(
+                    os.path.join(sd, "docs.parquet"),
+                    columns=["docid", "conv_id", "turn_idx"],
+                ).to_pandas().set_index("docid")
+                posts = pq.read_table(os.path.join(sd, "postings.parquet")).to_pandas()
+                for row in posts.itertuples():
+                    ids = delta_decode(row.doc_ids).astype(np.int64)
+                    tfs = decode_varint(row.tfs).astype(np.int64)
+                    key = (row.field, row.term)
+                    for d_, tf in zip(ids, tfs):
+                        out.setdefault(key, set()).add(
+                            (docs.loc[d_, "conv_id"], int(docs.loc[d_, "turn_idx"]), int(tf))
+                        )
+            return out
+
+        merged = term_map(merged_index)
+        rebuilt = term_map(d1)
+        assert merged.keys() == rebuilt.keys()
+        import random
+
+        rng = random.Random(0)
+        for key in rng.sample(sorted(merged.keys()), min(300, len(merged))):
+            assert merged[key] == rebuilt[key], key
+
+    def test_search_scores_survive_merge(self, spark, merged_index, oracle):
+        """Scores and match sets are invariant under merge (global stats
+        unchanged); only the (split_id, docid) tie encoding changes."""
+        from quickwit_spark.operators.search import Searcher
+
+        se = Searcher(spark, merged_index)
+        for q in ["w00001", "hotterm", '"w00001 w00002"~2', "w00004 -w00001",
+                  "role:assistant AND w00002"]:
+            n_o, hits_o = oracle.search(q, k=15)
+            r = se.search(q, k=15)
+            assert r.num_hits == n_o
+            want = sorted(
+                ((h.conv_id, h.turn_idx, round(h.score, 9)) for h in hits_o)
+            )
+            got = sorted(
+                ((h.conv_id, h.turn_idx, round(h.score, 9)) for h in r.hits)
+            )
+            assert got == want
+
+    def test_gc_removes_replaced_splits(self, merged_index):
+        import os
+
+        from quickwit_spark.operators.merge import gc_deleted_splits
+        from quickwit_spark.plans.catalog import Catalog
+
+        doomed = gc_deleted_splits(merged_index)
+        assert len(doomed) >= 4
+        cat = Catalog.load(merged_index)
+        assert all(s.state == "Published" for s in cat.splits.values())
+        for sid in doomed:
+            assert not os.path.exists(cat.split_dir(sid))
