@@ -1,38 +1,724 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``queries()`` exposes the engine's operator surface (SURVEY.md §2) over
+the driver's testdata tables; ``oracle_sql()`` gives the DuckDB-runnable
+ANSI-SQL twin of each. Search-engine entries build a real inverted
+index over the ``documents`` table (cached per sf_dir) and run the
+distributed BM25 kernel; the oracle recomputes BM25 from first
+principles in SQL. Pipeline entries (dedup / similarity / text
+analysis / multimodal) are pure DataFrame plans with SQL twins built
+from the same cross-engine hash primitive
+``H(s) = int(md5(s)[:15 hex], 16)``.
 """
 
 from __future__ import annotations
 
+import os
+import tempfile
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+# ---------------------------------------------------------------------------
+# shared constants (must match quickwit_spark.config.IndexConfig defaults)
+# ---------------------------------------------------------------------------
+
+K1, B = 1.2, 0.75
+TOKS = "regexp_extract_all(lower(text), '[0-9a-z]+')"          # duckdb
+_IDX_CACHE: dict[str, str] = {}
 
 
-def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+def _documents_config():
+    from quickwit_spark.config import FieldConfig, IndexConfig
+
+    return IndexConfig(
+        fields=(
+            FieldConfig("text", tokenizer="default", record="position"),
+            FieldConfig("lang", tokenizer="raw", record="basic"),
+            FieldConfig("source", tokenizer="raw", record="basic"),
+        ),
+        default_search_field="text",
+        timestamp_field="ts",
+        tag_fields=("source",),
+        doc_key_fields=("doc_id",),
+        routing_field="doc_id",
+    )
+
+
+def _documents_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    # synthesized deterministic timestamp (the engine indexes by time)
+    return df.withColumn(
+        "ts",
+        F.expr("timestamp'2025-01-01 00:00:00' + make_interval(0,0,0,0,0,0,doc_id)"),
+    )
+
+
+def _docs_index(spark: SparkSession, sf_dir: str) -> str:
+    """Build (once per sf_dir per process) the inverted index over the
+    documents table; returns the index dir."""
+    if sf_dir in _IDX_CACHE:
+        return _IDX_CACHE[sf_dir]
+    from quickwit_spark.operators.build import build_index
+
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    d = os.path.join(tempfile.gettempdir(), f"qs_entry_idx_{tag}_v3")
+    from quickwit_spark.plans.catalog import Catalog
+
+    if not Catalog.exists(d):
+        build_index(
+            spark, _documents_df(spark, sf_dir), d,
+            _documents_config(), n_splits=4,
+        )
+    _IDX_CACHE[sf_dir] = d
+    return d
+
+
+def _searcher(spark, sf_dir):
+    from quickwit_spark.operators.search import Searcher
+
+    return Searcher(spark, _docs_index(spark, sf_dir))
+
+
+def _hits_df(spark, resp) -> DataFrame:
+    rows = [(int(h.doc["doc_id"]), round(float(h.score), 4)) for h in resp.hits]
+    return spark.createDataFrame(rows, "doc_id long, score double")
+
+
+# ---------------------------------------------------------------------------
+# search-engine queries
+# ---------------------------------------------------------------------------
+
+def q_bm25_topk(spark, sf_dir):
+    return _hits_df(spark, _searcher(spark, sf_dir).search("vector", k=20))
+
+
+def q_bm25_boolean(spark, sf_dir):
+    return _hits_df(spark, _searcher(spark, sf_dir).search("merge AND stream", k=20))
+
+
+def q_bm25_disjunction(spark, sf_dir):
+    return _hits_df(spark, _searcher(spark, sf_dir).search("vector OR hash", k=20))
+
+
+def q_bm25_must_not(spark, sf_dir):
+    return _hits_df(spark, _searcher(spark, sf_dir).search("vector -merge", k=20))
+
+
+def q_bm25_phrase(spark, sf_dir):
+    return _hits_df(spark, _searcher(spark, sf_dir).search('"table value"', k=20))
+
+
+def q_search_num_hits(spark, sf_dir):
+    resp = _searcher(spark, sf_dir).search("vector", k=1)
+    return spark.createDataFrame([(resp.num_hits,)], "num_hits long")
+
+
+def q_search_sort_fastfield(spark, sf_dir):
+    resp = _searcher(spark, sf_dir).search(
+        "vector", k=20, sort_by="n_chars", sort_desc=True
+    )
+    rows = [(int(h.doc["doc_id"]), int(h.doc["n_chars"])) for h in resp.hits]
+    return spark.createDataFrame(rows, "doc_id long, n_chars long")
+
+
+def q_search_tag_filter(spark, sf_dir):
+    """Tag-field (raw tokenizer) term + text term conjunction."""
+    resp = _searcher(spark, sf_dir).search("source:src3 AND vector", k=50)
+    rows = [(int(h.doc["doc_id"]), round(float(h.score), 4)) for h in resp.hits]
+    return spark.createDataFrame(rows, "doc_id long, score double")
+
+
+def q_search_time_range(spark, sf_dir):
+    """[start, end) timestamp filter on the synthesized ts field
+    (ts = 2025-01-01 + doc_id seconds → doc_id in [100, 300))."""
+    base = 1_735_689_600_000_000
+    resp = _searcher(spark, sf_dir).search(
+        "vector", k=50,
+        start_us=base + 100 * 1_000_000, end_us=base + 300 * 1_000_000,
+    )
+    rows = [(int(h.doc["doc_id"]), round(float(h.score), 4)) for h in resp.hits]
+    return spark.createDataFrame(rows, "doc_id long, score double")
+
+
+def q_agg_terms_source(spark, sf_dir):
+    resp = _searcher(spark, sf_dir).search(
+        "vector", k=1,
+        aggs={"by_source": {"terms": {"field": "source", "size": 8}}},
+    )
+    rows = [
+        (b["key"], int(b["doc_count"]))
+        for b in resp.aggs["by_source"]["buckets"]
+    ]
+    return spark.createDataFrame(rows, "source string, doc_count long")
+
+
+def q_agg_stats_nchars(spark, sf_dir):
+    resp = _searcher(spark, sf_dir).search(
+        "vector", k=1, aggs={"st": {"stats": {"field": "n_chars"}}}
+    )
+    s = resp.aggs["st"]
+    return spark.createDataFrame(
+        [(int(s["count"]), float(s["sum"]), float(s["min"]), float(s["max"]),
+          round(float(s["avg"]), 4))],
+        "cnt long, total double, mn double, mx double, av double",
+    )
+
+
+def q_agg_histogram_nchars(spark, sf_dir):
+    resp = _searcher(spark, sf_dir).search(
+        "vector", k=1,
+        aggs={"h": {"histogram": {"field": "n_chars", "interval": 100.0}}},
+    )
+    rows = [
+        (float(b["key"]), int(b["doc_count"])) for b in resp.aggs["h"]["buckets"]
+    ]
+    return spark.createDataFrame(rows, "bucket double, doc_count long")
+
+
+def q_search_stream_fastfield(spark, sf_dir):
+    """Search-stream export: fast-field values of ALL matching docs
+    (search_stream/leaf.rs:72-284 analog) — unordered dump."""
+    se = _searcher(spark, sf_dir)
+    resp = se.search("hash", k=10_000)
+    rows = [(int(h.doc["doc_id"]), int(h.doc["n_chars"])) for h in resp.hits]
+    return spark.createDataFrame(rows, "doc_id long, n_chars long")
+
+
+# ---------------------------------------------------------------------------
+# pipeline queries (pure DataFrame plans over the parquet tables)
+# ---------------------------------------------------------------------------
+
+def _docs(spark, sf_dir):
+    return spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+
+
+def _embs(spark, sf_dir):
+    return spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+
+
+def q_token_count(spark, sf_dir):
+    from quickwit_spark.pipeline.textstats import token_count
+
+    return token_count(_docs(spark, sf_dir))
+
+
+def q_quality_score(spark, sf_dir):
+    from quickwit_spark.pipeline.textstats import quality_score
+
+    return quality_score(_docs(spark, sf_dir))
+
+
+def q_lang_id(spark, sf_dir):
+    from quickwit_spark.pipeline.textstats import lang_id
+
+    return lang_id(_docs(spark, sf_dir))
+
+
+def q_fingerprint(spark, sf_dir):
+    from quickwit_spark.pipeline.textstats import fingerprint
+
+    return fingerprint(_docs(spark, sf_dir))
+
+
+def q_dedup_exact(spark, sf_dir):
+    from quickwit_spark.pipeline.dedup import exact_dedup
+
+    return exact_dedup(_docs(spark, sf_dir))
+
+
+def q_dedup_minhash_lsh(spark, sf_dir):
+    from quickwit_spark.pipeline.dedup import minhash_lsh_pairs
+
+    return minhash_lsh_pairs(_docs(spark, sf_dir), threshold=0.4)
+
+
+def q_dedup_ngram_jaccard(spark, sf_dir):
+    from quickwit_spark.pipeline.dedup import ngram_jaccard_pairs
+
+    return ngram_jaccard_pairs(_docs(spark, sf_dir), threshold=0.4)
+
+
+def q_dedup_simhash(spark, sf_dir):
+    from quickwit_spark.pipeline.dedup import simhash
+
+    return simhash(_docs(spark, sf_dir))
+
+
+def q_dedup_embedding_cosine(spark, sf_dir):
+    from quickwit_spark.pipeline.dedup import embedding_cosine_pairs
+
+    return embedding_cosine_pairs(_embs(spark, sf_dir), threshold=0.2)
+
+
+def q_ann_cosine_topk(spark, sf_dir):
+    from quickwit_spark.pipeline.similarity import cosine_topk
+
+    embs = _embs(spark, sf_dir)
+    return cosine_topk(embs, embs.where(F.col("vec_id") < 5), k=10)
+
+
+def q_ann_lsh_topk(spark, sf_dir):
+    from quickwit_spark.pipeline.similarity import lsh_ann_topk
+
+    embs = _embs(spark, sf_dir)
+    return lsh_ann_topk(embs, embs.where(F.col("vec_id") < 5), k=10, n_planes=4)
+
+
+def q_media_metadata(spark, sf_dir):
+    from quickwit_spark.pipeline.multimodal import (
+        attach_fake_payload,
+        extract_media_metadata,
+    )
+
+    return extract_media_metadata(
+        attach_fake_payload(_docs(spark, sf_dir)), fake=True
+    )
+
+
+def q_frame_sample(spark, sf_dir):
+    from quickwit_spark.pipeline.multimodal import (
+        attach_fake_payload,
+        extract_media_metadata,
+        frame_sample,
+    )
+
+    meta = extract_media_metadata(
+        attach_fake_payload(_docs(spark, sf_dir)), fake=True
+    )
+    return frame_sample(meta, every_n=8)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "bm25_topk": q_bm25_topk,
+        "bm25_boolean": q_bm25_boolean,
+        "bm25_disjunction": q_bm25_disjunction,
+        "bm25_must_not": q_bm25_must_not,
+        "bm25_phrase": q_bm25_phrase,
+        "search_num_hits": q_search_num_hits,
+        "search_sort_fastfield": q_search_sort_fastfield,
+        "search_tag_filter": q_search_tag_filter,
+        "search_time_range": q_search_time_range,
+        "search_stream_fastfield": q_search_stream_fastfield,
+        "agg_terms_source": q_agg_terms_source,
+        "agg_stats_nchars": q_agg_stats_nchars,
+        "agg_histogram_nchars": q_agg_histogram_nchars,
+        "token_count": q_token_count,
+        "quality_score": q_quality_score,
+        "lang_id": q_lang_id,
+        "fingerprint": q_fingerprint,
+        "dedup_exact": q_dedup_exact,
+        "dedup_minhash_lsh": q_dedup_minhash_lsh,
+        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+        "dedup_simhash": q_dedup_simhash,
+        "dedup_embedding_cosine": q_dedup_embedding_cosine,
+        "ann_cosine_topk": q_ann_cosine_topk,
+        "ann_lsh_topk": q_ann_lsh_topk,
+        "media_metadata": q_media_metadata,
+        "frame_sample": q_frame_sample,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+def entry(spark: SparkSession) -> DataFrame:
+    """Flagship: BM25 top-k over an index built from sf0.001 docs."""
+    return q_bm25_topk(spark, "/root/testdata/sf0.001")
+
+
+# ---------------------------------------------------------------------------
+# DuckDB oracle SQL
+# ---------------------------------------------------------------------------
+
+# BM25 scaffolding: token table, doc lengths, corpus stats
+_BM25_WITH = f"""
+WITH toks AS (
+  SELECT doc_id, unnest({TOKS}) AS term
+  FROM documents
+),
+dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+stats AS (
+  SELECT (SELECT count(*) FROM documents) AS n,
+         (SELECT count(*) FROM toks) * 1.0 / (SELECT count(*) FROM documents) AS avgdl
+)
+"""
+
+
+def _bm25_term_cte(term: str, alias: str) -> str:
+    """Per-term scored CTE: (doc_id, s) BM25 partial for one term."""
+    return f"""
+{alias}_tf AS (
+  SELECT doc_id, count(*) AS tf FROM toks WHERE term = '{term}' GROUP BY doc_id
+),
+{alias} AS (
+  SELECT t.doc_id,
+         ln(1 + ((SELECT n FROM stats) - (SELECT count(*) FROM {alias}_tf) + 0.5)
+                / ((SELECT count(*) FROM {alias}_tf) + 0.5))
+         * (t.tf * ({K1} + 1)) / (t.tf + {K1} * (1 - {B} + {B} * dl.dl / (SELECT avgdl FROM stats))) AS s
+  FROM {alias}_tf t JOIN dl ON t.doc_id = dl.doc_id
+)
+"""
+
+
+def _bm25_single(term: str, k: int = 20) -> str:
+    return (
+        _BM25_WITH + "," + _bm25_term_cte(term, "t1")
+        + f"""
+SELECT doc_id, round(s, 4) AS score FROM t1
+ORDER BY s DESC, doc_id ASC LIMIT {k}
+"""
+    )
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    h15 = "(('0x' || substr(md5({x}), 1, 15))::BIGINT)"
+    shingles = (
+        f"list_distinct(list_transform(generate_series(1, greatest(len({TOKS}) - 2, 1)),"
+        f" i -> array_to_string(({TOKS})[i:i+2], ' ')))"
+    )
+    en = ", ".join(f"'{w}'" for w in ("the", "a", "of", "and", "to", "in", "is", "it", "that", "for"))
+    de = ", ".join(f"'{w}'" for w in ("der", "die", "das", "und", "ist", "ein", "nicht", "mit", "zu", "auf"))
+    fr = ", ".join(f"'{w}'" for w in ("le", "la", "les", "et", "est", "un", "une", "pas", "pour", "dans"))
+
+    dot = (
+        "list_sum(list_transform(generate_series(1, len(a.embedding)),"
+        " i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE))"
+    )
+    self_dot = (
+        "list_sum(list_transform(generate_series(1, len(embedding)),"
+        " i -> embedding[i]::DOUBLE * embedding[i]::DOUBLE))"
+    )
+
+    def lsh_bucket_expr(n_planes: int, seed: int = 42) -> str:
+        parts = []
+        for p in range(n_planes):
+            comp_sign = h15.format(x=f"concat('{seed}:', '{p}', ':', cast(i - 1 as string))")
+            proj = (
+                f"list_sum(list_transform(generate_series(1, len(embedding)),"
+                f" i -> embedding[i]::DOUBLE * ({comp_sign} % 2 * 2 - 1)))"
+            )
+            parts.append(f"CASE WHEN {proj} > 0 THEN '1' ELSE '0' END")
+        return "concat(" + ", ".join(parts) + ")"
+
+    sql: dict[str, str] = {}
+
+    sql["bm25_topk"] = _bm25_single("vector")
+
+    sql["bm25_boolean"] = (
+        _BM25_WITH + ","
+        + _bm25_term_cte("merge", "t1") + ","
+        + _bm25_term_cte("stream", "t2")
+        + """
+SELECT t1.doc_id, round(t1.s + t2.s, 4) AS score
+FROM t1 JOIN t2 ON t1.doc_id = t2.doc_id
+ORDER BY t1.s + t2.s DESC, t1.doc_id ASC LIMIT 20
+"""
+    )
+
+    sql["bm25_disjunction"] = (
+        _BM25_WITH + ","
+        + _bm25_term_cte("vector", "t1") + ","
+        + _bm25_term_cte("hash", "t2")
+        + """
+, u AS (
+  SELECT coalesce(t1.doc_id, t2.doc_id) AS doc_id,
+         coalesce(t1.s, 0) + coalesce(t2.s, 0) AS s
+  FROM t1 FULL OUTER JOIN t2 ON t1.doc_id = t2.doc_id
+)
+SELECT doc_id, round(s, 4) AS score FROM u
+ORDER BY s DESC, doc_id ASC LIMIT 20
+"""
+    )
+
+    sql["bm25_must_not"] = (
+        _BM25_WITH + ","
+        + _bm25_term_cte("vector", "t1") + ","
+        + _bm25_term_cte("merge", "t2")
+        + """
+SELECT t1.doc_id, round(t1.s, 4) AS score
+FROM t1 WHERE t1.doc_id NOT IN (SELECT doc_id FROM t2)
+ORDER BY t1.s DESC, t1.doc_id ASC LIMIT 20
+"""
+    )
+
+    # phrase "table value": tf = adjacent-pair count; idf = sum of both
+    # terms' idfs (Lucene-style phrase scoring, slop 0)
+    sql["bm25_phrase"] = f"""
+WITH lsts AS (SELECT doc_id, {TOKS} AS lst FROM documents),
+toks AS (SELECT doc_id, unnest(lst) AS term FROM lsts),
+dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+stats AS (
+  SELECT (SELECT count(*) FROM documents) AS n,
+         (SELECT count(*) FROM toks) * 1.0 / (SELECT count(*) FROM documents) AS avgdl
+),
+df1 AS (SELECT count(DISTINCT doc_id) AS df FROM toks WHERE term = 'table'),
+df2 AS (SELECT count(DISTINCT doc_id) AS df FROM toks WHERE term = 'value'),
+pf AS (
+  SELECT doc_id, list_sum(list_transform(generate_series(1, len(lst) - 1),
+    i -> CASE WHEN lst[i] = 'table' AND lst[i+1] = 'value' THEN 1 ELSE 0 END)) AS tf
+  FROM lsts
+),
+scored AS (
+  SELECT pf.doc_id,
+    (ln(1 + ((SELECT n FROM stats) - (SELECT df FROM df1) + 0.5) / ((SELECT df FROM df1) + 0.5))
+     + ln(1 + ((SELECT n FROM stats) - (SELECT df FROM df2) + 0.5) / ((SELECT df FROM df2) + 0.5)))
+    * (pf.tf * ({K1} + 1)) / (pf.tf + {K1} * (1 - {B} + {B} * dl.dl / (SELECT avgdl FROM stats))) AS s
+  FROM pf JOIN dl ON pf.doc_id = dl.doc_id WHERE pf.tf > 0
+)
+SELECT doc_id, round(s, 4) AS score FROM scored
+ORDER BY s DESC, doc_id ASC LIMIT 20
+"""
+
+    sql["search_num_hits"] = f"""
+SELECT count(*) AS num_hits FROM documents
+WHERE list_contains({TOKS}, 'vector')
+"""
+
+    sql["search_sort_fastfield"] = f"""
+SELECT doc_id, n_chars FROM documents
+WHERE list_contains({TOKS}, 'vector')
+ORDER BY n_chars DESC, doc_id ASC LIMIT 20
+"""
+
+    # conjunction scoring: the raw tag term scores too (tf=1, doc len =
+    # text doc len, df = docs with source='src3') — same as the engine's
+    # Bool.must clause-score sum
+    sql["search_tag_filter"] = (
+        _BM25_WITH + "," + _bm25_term_cte("vector", "t1")
+        + f"""
+, srcdf AS (SELECT count(*) AS df FROM documents WHERE source = 'src3'),
+srcs AS (
+  SELECT d.doc_id,
+    ln(1 + ((SELECT n FROM stats) - (SELECT df FROM srcdf) + 0.5)
+           / ((SELECT df FROM srcdf) + 0.5))
+    * (1 * ({K1} + 1)) / (1 + {K1} * (1 - {B} + {B} * dl.dl / (SELECT avgdl FROM stats))) AS s
+  FROM documents d JOIN dl ON d.doc_id = dl.doc_id
+  WHERE d.source = 'src3'
+)
+SELECT t1.doc_id, round(t1.s + srcs.s, 4) AS score
+FROM t1 JOIN srcs ON t1.doc_id = srcs.doc_id
+ORDER BY t1.s + srcs.s DESC, t1.doc_id ASC LIMIT 50
+"""
+    )
+
+    sql["search_time_range"] = (
+        _BM25_WITH + "," + _bm25_term_cte("vector", "t1")
+        + """
+SELECT doc_id, round(s, 4) AS score FROM t1
+WHERE doc_id >= 100 AND doc_id < 300
+ORDER BY s DESC, doc_id ASC LIMIT 50
+"""
+    )
+
+    sql["search_stream_fastfield"] = f"""
+SELECT doc_id, n_chars FROM documents
+WHERE list_contains({TOKS}, 'hash')
+"""
+
+    sql["agg_terms_source"] = f"""
+SELECT source, count(*) AS doc_count FROM documents
+WHERE list_contains({TOKS}, 'vector')
+GROUP BY source ORDER BY doc_count DESC, source ASC LIMIT 8
+"""
+
+    sql["agg_stats_nchars"] = f"""
+SELECT count(*) AS cnt, sum(n_chars)::DOUBLE AS total,
+       min(n_chars)::DOUBLE AS mn, max(n_chars)::DOUBLE AS mx,
+       round(avg(n_chars), 4) AS av
+FROM documents WHERE list_contains({TOKS}, 'vector')
+"""
+
+    sql["agg_histogram_nchars"] = f"""
+SELECT floor(n_chars / 100.0) * 100.0 AS bucket, count(*) AS doc_count
+FROM documents WHERE list_contains({TOKS}, 'vector')
+GROUP BY bucket ORDER BY bucket
+"""
+
+    sql["token_count"] = f"""
+SELECT doc_id,
+       len({TOKS})::BIGINT AS n_tokens,
+       len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]'))::BIGINT AS n_bpeish,
+       length(text)::BIGINT AS n_chars_computed
+FROM documents
+"""
+
+    sql["quality_score"] = f"""
+WITH q AS (
+  SELECT doc_id,
+    length(text)::BIGINT AS n_chars_q,
+    len({TOKS})::BIGINT AS n_toks,
+    len(list_filter({TOKS}, t -> t IN ({en})))::BIGINT AS n_stop,
+    len(list_distinct({TOKS}))::BIGINT AS n_distinct
+  FROM documents
+), r AS (
+  SELECT *,
+    round(n_stop * 1.0 / greatest(n_toks, 1), 6) AS stopword_ratio,
+    round(n_distinct * 1.0 / greatest(n_toks, 1), 6) AS distinct_ratio
+  FROM q
+)
+SELECT *,
+  round(least(n_toks / 100.0, 1.0) * 0.4
+        + least(stopword_ratio * 5.0, 1.0) * 0.2
+        + distinct_ratio * 0.4, 6) AS quality
+FROM r
+"""
+
+    sql["lang_id"] = f"""
+WITH v AS (
+  SELECT doc_id,
+    len(list_filter({TOKS}, t -> t IN ({en})))::INT AS v_en,
+    len(list_filter({TOKS}, t -> t IN ({de})))::INT AS v_de,
+    len(list_filter({TOKS}, t -> t IN ({fr})))::INT AS v_fr
+  FROM documents
+)
+SELECT doc_id, v_en, v_de, v_fr,
+  CASE WHEN greatest(v_en, v_de, v_fr) = 0 THEN 'und'
+       WHEN v_de = greatest(v_en, v_de, v_fr) THEN 'de'
+       WHEN v_en = greatest(v_en, v_de, v_fr) THEN 'en'
+       ELSE 'fr' END AS lang_pred
+FROM v
+"""
+
+    sql["fingerprint"] = f"""
+SELECT doc_id,
+  md5(array_to_string({TOKS}, ' ')) AS content_md5,
+  list_min(list_transform(
+    generate_series(1, greatest(len({TOKS}) - 2, 1)),
+    i -> {h15.format(x=f"array_to_string(({TOKS})[i:i+2], ' ')")}
+  )) AS shingle_min_hash
+FROM documents
+"""
+
+    sql["dedup_exact"] = """
+WITH w AS (SELECT doc_id, md5(text) AS digest FROM documents),
+g AS (SELECT digest, min(doc_id) AS keeper_id, count(*) AS group_size FROM w GROUP BY digest)
+SELECT w.doc_id, g.keeper_id, g.group_size, w.doc_id <> g.keeper_id AS is_dup
+FROM w JOIN g ON w.digest = g.digest
+"""
+
+    jaccard_verify = f"""
+sets_ AS (SELECT doc_id, {shingles} AS sh FROM documents),
+verified AS (
+  SELECT c.id_a, c.id_b,
+    round(len(list_intersect(sa.sh, sb.sh)) * 1.0
+          / (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))), 6) AS jaccard
+  FROM cand c
+  JOIN sets_ sa ON c.id_a = sa.doc_id
+  JOIN sets_ sb ON c.id_b = sb.doc_id
+)
+SELECT id_a, id_b, jaccard FROM verified WHERE jaccard >= {{thr}}
+"""
+
+    sql["dedup_minhash_lsh"] = f"""
+WITH sh AS (
+  SELECT doc_id, unnest({shingles}) AS shingle FROM documents
+),
+sig AS (
+  SELECT doc_id, p.perm,
+         min({h15.format(x="concat(cast(p.perm as string), ':', shingle)")}) AS minhash
+  FROM sh, (SELECT unnest(generate_series(0, 11)) AS perm) p
+  GROUP BY doc_id, p.perm
+),
+bands AS (
+  SELECT doc_id, (perm // 3) AS band,
+         md5(array_to_string(list_sort(list(minhash)), ',')) AS bucket
+  FROM sig GROUP BY doc_id, band
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b ON a.band = b.band AND a.bucket = b.bucket
+  WHERE a.doc_id < b.doc_id
+),
+{jaccard_verify.format(thr=0.4)}
+"""
+
+    sql["dedup_ngram_jaccard"] = f"""
+WITH sh AS (
+  SELECT doc_id, unnest({shingles}) AS shingle FROM documents
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM sh a JOIN sh b ON a.shingle = b.shingle
+  WHERE a.doc_id < b.doc_id
+),
+{jaccard_verify.format(thr=0.4)}
+"""
+
+    # 60-bit simhash: explode tokens x bits, vote, reassemble
+    sql["dedup_simhash"] = f"""
+WITH toks AS (SELECT doc_id, unnest({TOKS}) AS term FROM documents),
+th AS (SELECT doc_id, {h15.format(x='term')} AS h FROM toks),
+votes AS (
+  SELECT doc_id, b.bit,
+         sum(((h >> b.bit) & 1) * 2 - 1) AS v
+  FROM th, (SELECT unnest(generate_series(0, 59)) AS bit) b
+  GROUP BY doc_id, b.bit
+)
+SELECT doc_id, sum(CASE WHEN v > 0 THEN (1::BIGINT << bit) ELSE 0 END)::BIGINT AS simhash
+FROM votes GROUP BY doc_id
+"""
+
+    sql["dedup_embedding_cosine"] = f"""
+WITH w AS (SELECT vec_id, embedding, sqrt({self_dot}) AS nrm FROM embeddings)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round({dot} / (a.nrm * b.nrm), 6) AS cosine
+FROM w a JOIN w b ON a.vec_id < b.vec_id
+WHERE round({dot} / (a.nrm * b.nrm), 6) >= 0.2
+"""
+
+    sql["ann_cosine_topk"] = f"""
+WITH w AS (SELECT vec_id, embedding, sqrt({self_dot}) AS nrm FROM embeddings),
+scored AS (
+  SELECT b.vec_id AS query_id, a.vec_id AS neighbor_id,
+         round({dot} / (a.nrm * b.nrm), 6) AS cosine
+  FROM w a JOIN w b ON a.vec_id <> b.vec_id
+  WHERE b.vec_id < 5
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, rank, cosine FROM ranked WHERE rank <= 10
+"""
+
+    sql["ann_lsh_topk"] = f"""
+WITH w AS (
+  SELECT vec_id, embedding, sqrt({self_dot}) AS nrm,
+         {lsh_bucket_expr(4)} AS bucket
+  FROM embeddings
+),
+scored AS (
+  SELECT b.vec_id AS query_id, a.vec_id AS neighbor_id,
+         round({dot} / (a.nrm * b.nrm), 6) AS cosine
+  FROM w a JOIN w b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id
+  WHERE b.vec_id < 5
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, rank, cosine FROM ranked WHERE rank <= 10
+"""
+
+    sql["media_metadata"] = """
+SELECT doc_id AS media_id,
+  CASE WHEN doc_id % 3 = 0 THEN 'image'
+       WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS kind,
+  octet_length(encode(text))::BIGINT AS byte_len,
+  lower(hex(encode(substr(text, 1, 4)))) AS header,
+  CASE WHEN doc_id % 3 = 0 THEN ((ascii(substr(text, 1, 1)) % 64 + 1) * 16)::INT ELSE 0 END AS width,
+  CASE WHEN doc_id % 3 = 0 THEN ((octet_length(encode(text)) % 64 + 1) * 16)::INT ELSE 0 END AS height,
+  CASE WHEN doc_id % 3 = 2 THEN (octet_length(encode(text)) % 24 + 1)::INT ELSE 1 END AS n_frames
+FROM documents
+"""
+
+    sql["frame_sample"] = """
+WITH meta AS (
+  SELECT doc_id AS media_id,
+         (octet_length(encode(text)) % 24 + 1)::INT AS n_frames
+  FROM documents WHERE doc_id % 3 = 2
+)
+SELECT media_id, unnest(generate_series(0, n_frames - 1, 8))::INT AS frame_idx
+FROM meta
+"""
+
+    return sql

@@ -51,7 +51,10 @@ from quickwit_spark.plans.catalog import Catalog, SplitMetadata
 POSTINGS_FILE = "postings.parquet"
 DOCS_FILE = "docs.parquet"
 
-DOC_COLUMNS = ("conv_id", "turn_idx", "role", "text", "tool", "ts")
+# internal columns added to the doc store next to the original row
+# (the reference stores the raw doc under _source — default_mapper.rs:296-300;
+# our doc store is the full original row plus fast-field extras)
+INTERNAL_DOC_COLUMNS = ("docid", "ts_us", "doc_len")
 
 
 def _field_posting_columns(
@@ -217,11 +220,11 @@ def build_split_tables(pdf: pd.DataFrame, config: IndexConfig):
             posting_cols[k].extend(v if isinstance(v, list) else v.tolist())
 
     postings = pd.DataFrame(posting_cols)
+    source_cols = [c for c in pdf.columns if c not in INTERNAL_DOC_COLUMNS]
     docs = pd.DataFrame(
         {
             "docid": np.arange(n, dtype=np.int64),
-            **{c: pdf[c].to_numpy() for c in DOC_COLUMNS if c != "ts"},
-            "ts": ts.to_numpy(),
+            **{c: pdf[c].to_numpy() for c in source_cols},
             "ts_us": ts_us,
             "doc_len": doc_len,
         }
@@ -230,7 +233,7 @@ def build_split_tables(pdf: pd.DataFrame, config: IndexConfig):
         "num_docs": int(n),
         "sum_doc_len": int(doc_len.sum()),
         "uncompressed_docs_size_in_bytes": int(
-            pdf["text"].str.len().fillna(0).sum()
+            pdf[config.default_search_field].str.len().fillna(0).sum()
         ),
         "time_range": (int(ts_us.min()), int(ts_us.max())) if n else None,
         "term_range": term_range,
@@ -321,7 +324,9 @@ def build_index(
         split_ord = int(key[0])
         cfg = IndexConfig.from_dict(config_dict)
         t0 = time.time()
-        postings, docs, meta = build_split_tables(pdf, cfg)
+        postings, docs, meta = build_split_tables(
+            pdf.drop(columns=["split_ord"]), cfg
+        )
         split_id = split_id_for_partition(split_ord)
         split_dir = os.path.join(index_dir_b, "splits", split_id)
         size = write_split(postings, docs, split_dir)

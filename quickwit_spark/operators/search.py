@@ -63,8 +63,7 @@ from quickwit_spark.plans.query import (
 
 HIT_SCHEMA = (
     "kind string, split_id string, docid long, score double, "
-    "sort_value double, conv_id string, turn_idx int, role string, "
-    "tool string, text string, ts_us long, "
+    "sort_value double, doc string, ts_us long, "
     "agg_name string, agg_key string, agg_count long, agg_sum double, "
     "agg_min double, agg_max double"
 )
@@ -73,15 +72,36 @@ _HIT_COLS = [c.split(" ")[0] for c in HIT_SCHEMA.split(", ")]
 
 @dataclass
 class SearchHit:
+    """One hit: the stored document comes back as a dict (the reference
+    returns the reconstructed user JSON — convert_leaf_hit,
+    quickwit-search/src/lib.rs:173-185)."""
+
     split_id: str
     docid: int
     score: float
-    conv_id: str
-    turn_idx: int
-    role: str | None = None
-    tool: str | None = None
-    text: str | None = None
+    doc: dict
     ts_us: int | None = None
+
+    # transcript-schema conveniences
+    @property
+    def conv_id(self):
+        return self.doc.get("conv_id")
+
+    @property
+    def turn_idx(self):
+        return self.doc.get("turn_idx")
+
+    @property
+    def role(self):
+        return self.doc.get("role")
+
+    @property
+    def tool(self):
+        return self.doc.get("tool")
+
+    @property
+    def text(self):
+        return self.doc.get("text")
 
 
 @dataclass
@@ -316,28 +336,26 @@ def _eval_split_partial(
             top_ids, sel = _top_m(ids, scores, m)
             real_vals = sel
         # fetch_docs for this split's partial hits only
+        # (fetch_docs.rs:98-173 — grouped, docid-filtered doc-store read)
+        import json as _json
+
+        schema_cols = pq.read_schema(dpath).names
+        fetch_cols = [c for c in schema_cols if c not in ("ts_us", "doc_len")]
         doc_tbl = pq.read_table(
-            dpath,
-            columns=["docid", "conv_id", "turn_idx", "role", "tool", "text"],
+            dpath, columns=fetch_cols,
             filters=[("docid", "in", top_ids.tolist())],
         )
-        dmap = {
-            d: i for i, d in enumerate(doc_tbl.column("docid").to_pylist())
-        }
-        idx = [dmap[d] for d in top_ids.tolist()]
-        cols = {
-            c: doc_tbl.column(c).to_pylist()
-            for c in ("conv_id", "turn_idx", "role", "tool", "text")
-        }
-        for j, (did, ordkey, val) in enumerate(zip(top_ids, sel, real_vals)):
+        recs = doc_tbl.to_pylist()
+        dmap = {rec["docid"]: rec for rec in recs}
+        for did, ordkey, val in zip(top_ids, sel, real_vals):
+            rec = dict(dmap[int(did)])
+            rec.pop("docid", None)
             r = dict(base)
             r.update(
                 kind="hit", split_id=split_id, docid=int(did),
                 score=float(val), sort_value=float(ordkey),
-                conv_id=cols["conv_id"][idx[j]],
-                turn_idx=cols["turn_idx"][idx[j]],
-                role=cols["role"][idx[j]], tool=cols["tool"][idx[j]],
-                text=cols["text"][idx[j]], ts_us=int(ts_us[did]),
+                doc=_json.dumps(rec, default=str),
+                ts_us=int(ts_us[did]),
             )
             out_rows.append(r)
 
@@ -572,10 +590,12 @@ def merge_partials(pdf: pd.DataFrame, k, offset, sort_by, aggs) -> SearchRespons
             ["sort_value", "split_id", "docid"], ascending=[False, True, True],
             kind="mergesort",
         ).iloc[offset : offset + k]
+    import json as _json
+
     hits = [
         SearchHit(
             r.split_id, int(r.docid), float(r.score),
-            r.conv_id, int(r.turn_idx), r.role, r.tool, r.text, int(r.ts_us),
+            _json.loads(r.doc), int(r.ts_us),
         )
         for r in hits_df.itertuples(index=False)
     ]

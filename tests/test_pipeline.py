@@ -1,0 +1,91 @@
+"""Pipeline operator tests beyond the DuckDB oracle parity in
+test_entry.py: structural invariants and the multimodal stub gate."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+
+
+def test_minhash_candidates_subset_of_exact(spark, docs):
+    """LSH candidates that verify ≥ τ must be a subset of the exact
+    all-pairs result at the same τ (LSH can miss, never invent)."""
+    from quickwit_spark.pipeline.dedup import minhash_lsh_pairs, ngram_jaccard_pairs
+
+    lsh = {
+        (r.id_a, r.id_b)
+        for r in minhash_lsh_pairs(docs, threshold=0.3).collect()
+    }
+    exact = {
+        (r.id_a, r.id_b)
+        for r in ngram_jaccard_pairs(docs, threshold=0.3).collect()
+    }
+    assert lsh <= exact
+
+
+def test_simhash_close_on_near_identical_text(spark):
+    from pyspark.sql import functions as F
+
+    from quickwit_spark.pipeline.dedup import simhash_pairs
+
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    rows = [
+        (0, base),
+        (1, base + " extra"),          # near-dup
+        (2, "completely different words about database query planning"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = {(r.id_a, r.id_b): r.hamming for r in simhash_pairs(df, max_hamming=60, prefix_bits=0).collect()}
+    assert pairs[(0, 1)] < pairs.get((0, 2), 61)
+    near = simhash_pairs(df, max_hamming=10, prefix_bits=4).collect()
+    assert {(r.id_a, r.id_b) for r in near} == {(0, 1)}
+
+
+def test_ann_lsh_is_subset_of_bruteforce_candidates(spark):
+    from pyspark.sql import functions as F
+
+    from quickwit_spark.pipeline.similarity import cosine_topk, lsh_ann_topk
+
+    embs = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = embs.where(F.col("vec_id") < 3)
+    brute = cosine_topk(embs, q, k=1000).toPandas()
+    lsh = lsh_ann_topk(embs, q, k=1000, n_planes=4).toPandas()
+    # every LSH result's cosine agrees with brute force for that pair
+    merged = lsh.merge(
+        brute, on=["query_id", "neighbor_id"], suffixes=("_l", "_b")
+    )
+    assert len(merged) == len(lsh)
+    assert (merged["cosine_l"] == merged["cosine_b"]).all()
+    # bucketing actually restricts the candidate set
+    assert len(lsh) < len(brute)
+
+
+def test_multimodal_stub_raises_without_fake():
+    from quickwit_spark.pipeline.multimodal import decode_image_batch
+
+    with pytest.raises(NotImplementedError):
+        decode_image_batch(pd.Series([b"abc"]), fake=False)
+
+
+def test_media_metadata_schema_and_partitions(spark, docs):
+    from quickwit_spark.pipeline.multimodal import (
+        attach_fake_payload,
+        extract_media_metadata,
+    )
+
+    media = attach_fake_payload(docs.repartition(4))
+    meta = extract_media_metadata(media, fake=True)
+    assert meta.schema.simpleString() == (
+        "struct<media_id:bigint,kind:string,byte_len:bigint,header:string,"
+        "width:int,height:int,n_frames:int>"
+    )
+    # narrow op: partitioning preserved
+    assert meta.rdd.getNumPartitions() == 4
+    pdf = meta.toPandas()
+    assert (pdf[pdf["kind"] == "image"]["width"] > 0).all()
+    assert (pdf[pdf["kind"] != "image"]["width"] == 0).all()
