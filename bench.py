@@ -1,0 +1,187 @@
+"""Benchmark harness: index-build throughput + BM25 query latency +
+pipeline ops, with an N→4N-core scaling probe.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": <total sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": ...,
+   "build_turns_per_sec": ..., "query_p50_sec": ...,
+   "scaling": {"cores_n": 8, "cores_4n": 32,
+               "throughput_n": ..., "throughput_4n": ..., "efficiency": ...}}
+
+The scaling-efficiency criterion (BASELINE.json: ≥0.8 from N to 4N
+executors) is evidenced by running the identical build job in fresh
+processes at local[8] and local[32] on the same input and comparing
+turns/sec (no real cluster in this sandbox). Disable with
+SPARK_GRAFT_BENCH_SCALING=0.
+
+Usage: python bench.py            # full bench at $SPARK_GRAFT_SF_DIR
+       python bench.py --scale-probe <cpus> <parquet> <n_turns>
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import statistics
+import subprocess
+import sys
+import tempfile
+import time
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+TURNS_BY_SF = {"sf0.001": 2_000, "sf0.01": 20_000, "sf0.1": 200_000}
+
+QUERY_SET = [
+    ("term", "w00010"),
+    ("term_rare", "w00420"),
+    ("hot_term", "hotterm"),
+    ("conj", "w00003 w00007"),
+    ("disj", "w00010 OR w00020"),
+    ("neg", "w00004 -w00001"),
+    ("phrase", '"w00001 w00002"~2'),
+    ("field", "role:assistant AND w00002"),
+    ("sorted", ("w00002", {"sort_by": "ts"})),
+    ("agg", ("w00001", {"k": 0, "aggs": {"r": {"terms": {"field": "role", "size": 5}}}})),
+]
+
+
+def _sf_name() -> str:
+    return os.path.basename(os.path.normpath(SF_DIR))
+
+
+def _gen_transcripts_parquet(n_turns: int, path: str) -> None:
+    from quickwit_spark.sources.transcripts import generate_transcripts
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    pdf = generate_transcripts(n_turns, seed=42, hot_term_frac=0.1)
+    pq.write_table(
+        pa.Table.from_pandas(pdf, preserve_index=False), path,
+        coerce_timestamps="us", compression="zstd",
+    )
+
+
+def _build(spark, src_parquet: str, index_dir: str, n_splits: int = 8) -> float:
+    from quickwit_spark.operators.build import build_index
+
+    t0 = time.time()
+    build_index(spark, src_parquet, index_dir, n_splits=n_splits, resume=False)
+    return time.time() - t0
+
+
+def scale_probe(cpus: int, src_parquet: str, n_turns: int) -> None:
+    """Child process: build at local[cpus], print throughput JSON."""
+    from quickwit_spark.session import get_spark
+
+    spark = get_spark(f"bench_probe_{cpus}", cpus=cpus, shuffle_partitions=max(cpus, 8))
+    with tempfile.TemporaryDirectory() as td:
+        # warm the JVM/session with a tiny job so probe timing is compute
+        spark.range(1000).count()
+        dt = _build(spark, src_parquet, os.path.join(td, "idx"), n_splits=max(cpus, 8))
+    print(json.dumps({"cpus": cpus, "sec": dt, "turns_per_sec": n_turns / dt}))
+    spark.stop()
+
+
+def _run_scale_probe(cpus: int, src: str, n_turns: int) -> dict:
+    out = subprocess.run(
+        [sys.executable, os.path.abspath(__file__), "--scale-probe", str(cpus), src, str(n_turns)],
+        capture_output=True, text=True, timeout=1800,
+        cwd=os.path.dirname(os.path.abspath(__file__)),
+    )
+    for line in reversed(out.stdout.strip().splitlines()):
+        try:
+            return json.loads(line)
+        except json.JSONDecodeError:
+            continue
+    raise RuntimeError(f"scale probe failed: {out.stderr[-2000:]}")
+
+
+def main() -> None:
+    from quickwit_spark.operators.search import Searcher
+    from quickwit_spark.session import get_spark
+
+    sf = _sf_name()
+    n_turns = TURNS_BY_SF.get(sf, 20_000)
+    t_total0 = time.time()
+    timings: dict[str, float] = {}
+
+    spark = get_spark("bench", cpus=CPUS)
+
+    workdir = tempfile.mkdtemp(prefix="qs_bench_")
+    src = os.path.join(workdir, "transcripts.parquet")
+    _gen_transcripts_parquet(n_turns, src)
+
+    # --- index build throughput ---------------------------------------
+    index_dir = os.path.join(workdir, "index")
+    build_sec = _build(spark, src, index_dir, n_splits=max(CPUS // 2, 4))
+    timings["index_build"] = round(build_sec, 3)
+    build_tps = n_turns / build_sec
+
+    # --- query latency -------------------------------------------------
+    se = Searcher(spark, index_dir)
+    se.search("w00001", k=10)  # warm caches + JVM
+    lat, lat_dist = [], []
+    for name, q in QUERY_SET:
+        if isinstance(q, tuple):
+            query, kwargs = q
+        else:
+            query, kwargs = q, {}
+        t0 = time.time()
+        se.search(query, **{"k": 10, **kwargs})
+        dt = time.time() - t0
+        timings[f"search_{name}"] = round(dt, 4)
+        lat.append(dt)
+        # distributed leaf fan-out path (forced Spark job)
+        t0 = time.time()
+        se.search(query, **{"k": 10, "mode": "spark", **kwargs})
+        lat_dist.append(time.time() - t0)
+    p50 = statistics.median(lat)
+    p50_dist = statistics.median(lat_dist)
+
+    # --- pipeline ops over the documents table -------------------------
+    import __spark_entry__ as entry
+
+    for name in ("token_count", "dedup_exact", "dedup_minhash_lsh",
+                 "ann_cosine_topk", "media_metadata"):
+        t0 = time.time()
+        entry.queries()[name](spark, SF_DIR).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.time() - t0, 3)
+
+    spark.stop()
+
+    # --- scaling probe (N vs 4N cores, fresh processes) ----------------
+    scaling = None
+    if os.environ.get("SPARK_GRAFT_BENCH_SCALING", "1") != "0":
+        lo = _run_scale_probe(8, src, n_turns)
+        hi = _run_scale_probe(32, src, n_turns)
+        eff = hi["turns_per_sec"] / (4.0 * lo["turns_per_sec"])
+        scaling = {
+            "cores_n": 8, "cores_4n": 32,
+            "throughput_n": round(lo["turns_per_sec"], 1),
+            "throughput_4n": round(hi["turns_per_sec"], 1),
+            "efficiency": round(eff, 3),
+        }
+
+    result = {
+        "metric": "index-build + BM25 search + pipeline ops wall time",
+        "value": round(time.time() - t_total0, 2),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "n_turns": n_turns,
+        "build_turns_per_sec": round(build_tps, 1),
+        "query_p50_sec": round(p50, 4),
+        "query_p50_distributed_sec": round(p50_dist, 4),
+        "scaling": scaling,
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    if len(sys.argv) > 1 and sys.argv[1] == "--scale-probe":
+        scale_probe(int(sys.argv[2]), sys.argv[3], int(sys.argv[4]))
+    else:
+        main()

@@ -378,4 +378,7 @@ def build_index(
             }
         )
     catalog.append_lineage(lineage)
+    from quickwit_spark.operators.stats import refresh_term_stats
+
+    refresh_term_stats(spark, catalog)
     return catalog

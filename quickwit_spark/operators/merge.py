@@ -347,6 +347,10 @@ def run_merge_pipeline(spark, index_dir: str, max_rounds: int = 100) -> int:
             execute_merge(spark, catalog, inputs, gen)
             gen += 1
             total += 1
+    if total:
+        from quickwit_spark.operators.stats import refresh_term_stats
+
+        refresh_term_stats(spark, catalog)
     return total
 
 

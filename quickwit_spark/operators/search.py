@@ -472,6 +472,15 @@ class Searcher:
     def _global_df(self, terms: set[tuple[str, str]]) -> dict:
         missing = sorted(t for t in terms if t not in self._df_cache)
         if missing:
+            # fast path: precomputed index-level term stats (hotcache
+            # analog — see operators/stats.py), driver-side point read
+            from quickwit_spark.operators.stats import lookup_term_stats
+
+            found = lookup_term_stats(self.catalog, set(missing))
+            if found is not None:
+                self._df_cache.update(found)
+                return {t: self._df_cache[t] for t in terms}
+        if missing:
             splits = self.catalog.published_splits()
             # term-range pruning is sound for df too: a pruned split has
             # zero occurrences of the term
@@ -525,6 +534,7 @@ class Searcher:
         sort_desc: bool = True,
         aggs: dict | None = None,
         wand: bool = True,
+        mode: str = "auto",
     ) -> SearchResponse:
         import time as _time
 
@@ -533,17 +543,29 @@ class Searcher:
             # request validation (quickwit-search/src/root.rs:112-133)
             raise ValueError("max_hits + start_offset must be ≤ 10,000")
         pdf = self.search_partials(
-            query, k, offset, start_us, end_us, sort_by, sort_desc, aggs, wand
+            query, k, offset, start_us, end_us, sort_by, sort_desc, aggs,
+            wand, mode,
         )
         resp = merge_partials(pdf, k, offset, sort_by, aggs)
         resp.elapsed_sec = _time.time() - t0
         return resp
 
+    # a leaf search is executed in driver threads when the pruned split
+    # set is small — the reference's single_node_search skips the gRPC
+    # fan-out the same way (quickwit-search/src/lib.rs:189-251); larger
+    # split sets go through the Spark job (the root→leaf fan-out)
+    DRIVER_EXEC_MAX_SPLITS = 32
+
     def search_partials(
         self, query, k, offset=0, start_us=None, end_us=None,
         sort_by=None, sort_desc=True, aggs=None, wand=True,
+        mode: str = "auto",
     ) -> pd.DataFrame:
-        """Run the distributed leaf phase; returns the partial rows."""
+        """Run the leaf phase; returns the partial rows.
+
+        mode: 'spark' (distributed mapInPandas over splits), 'driver'
+        (thread pool in-process — same kernel function), or 'auto'.
+        """
         ast = parse_query(query, self.config)
         splits = prune_splits(
             self.catalog.published_splits(), ast, self.config, start_us, end_us
@@ -556,12 +578,36 @@ class Searcher:
             "df": self._global_df(query_terms(ast)),
         }
         m = k + offset
-        config, index_dir = self.config, self.index_dir
+        config = self.config
         rows = [
             (s.split_id, self.catalog.split_dir(s.split_id)) for s in splits
         ]
-        sdf = self.spark.createDataFrame(rows, "split_id string, path string")
-        sdf = sdf.repartition(len(rows))
+        if mode == "auto":
+            mode = (
+                "driver"
+                if len(rows) <= self.DRIVER_EXEC_MAX_SPLITS
+                else "spark"
+            )
+
+        if mode == "driver":
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(max_workers=min(len(rows), 16)) as ex:
+                parts = list(
+                    ex.map(
+                        lambda r: _eval_split_partial(
+                            r[0], r[1], ast, stats, config, m,
+                            start_us, end_us, sort_by, sort_desc, aggs,
+                        ),
+                        rows,
+                    )
+                )
+            return pd.concat(parts, ignore_index=True)
+
+        sdf = self.spark.createDataFrame(
+            self.spark.sparkContext.parallelize(rows, len(rows)),
+            "split_id string, path string",
+        )
 
         def kernel(iterator):
             for pdf in iterator:

@@ -1,0 +1,97 @@
+"""Index-level term statistics (global doc-freq per term).
+
+The BM25 idf needs GLOBAL doc-freq; recomputing it per query was a
+Spark job (~1s of latency). Instead we materialize Σ df per (field,
+term) over the published split set at publish time — the analog of the
+reference's hotcache/footer (quickwit-directories/src/hot_directory.rs:
+everything needed to *open* the index precomputed at package time) —
+and the query path does a driver-side Parquet-pushdown point read
+(~ms). The file is named by the catalog's published-set version hash,
+so a stale file is never used; queries fall back to the distributed
+aggregation when it's missing.
+
+Scale: term-stats is vocab-sized (millions of rows at 10^12 turns, a
+few hundred MB) — written sorted by (field, term) so point lookups
+touch one row group; refresh cost is one narrow aggregation over the
+splits' (field, term, df) columns, run as a Spark job.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pandas as pd
+
+from quickwit_spark.operators.build import POSTINGS_FILE
+from quickwit_spark.plans.catalog import Catalog
+
+
+def refresh_term_stats(spark, catalog: Catalog) -> str | None:
+    """Aggregate per-split df columns into the index-level stats file
+    for the CURRENT published set. No-op if already current."""
+    out_path = catalog.term_stats_path()
+    if os.path.exists(out_path):
+        return out_path
+    splits = catalog.published_splits()
+    if not splits:
+        return None
+    rows = [(catalog.split_dir(s.split_id),) for s in splits]
+    sdf = spark.createDataFrame(rows, "path string").repartition(
+        min(len(rows), 64)
+    )
+
+    def read_dfs(iterator):
+        import pyarrow.parquet as pq
+
+        for pdf in iterator:
+            out = []
+            for path in pdf["path"]:
+                t = pq.read_table(
+                    os.path.join(path, POSTINGS_FILE),
+                    columns=["field", "term", "df"],
+                )
+                out.append(t.to_pandas())
+            if out:
+                yield pd.concat(out, ignore_index=True)
+
+    agg = (
+        sdf.mapInPandas(read_dfs, schema="field string, term string, df long")
+        .groupBy("field", "term")
+        .sum("df")
+        .withColumnRenamed("sum(df)", "df")
+        .sort("field", "term")
+        .toPandas()
+    )
+    os.makedirs(os.path.dirname(out_path), exist_ok=True)
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    tmp = out_path + ".tmp"
+    pq.write_table(
+        pa.Table.from_pandas(agg, preserve_index=False), tmp,
+        compression="zstd", row_group_size=65536,
+    )
+    os.replace(tmp, out_path)
+    return out_path
+
+
+def lookup_term_stats(
+    catalog: Catalog, terms: set[tuple[str, str]]
+) -> dict[tuple[str, str], int] | None:
+    """Driver-side pushdown point read of global dfs; None if the stats
+    file for the current published set doesn't exist."""
+    path = catalog.term_stats_path()
+    if not os.path.exists(path):
+        return None
+    import pyarrow.parquet as pq
+
+    term_values = sorted({t for _, t in terms})
+    tbl = pq.read_table(path, filters=[("term", "in", term_values)])
+    found: dict[tuple[str, str], int] = {}
+    for f, t, df in zip(
+        tbl.column("field").to_pylist(),
+        tbl.column("term").to_pylist(),
+        tbl.column("df").to_pylist(),
+    ):
+        found[(f, t)] = int(df)
+    return {t: found.get(t, 0) for t in terms}

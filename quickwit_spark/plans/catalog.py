@@ -190,6 +190,19 @@ class Catalog:
     def split_dir(self, split_id: str) -> str:
         return os.path.join(self.index_dir, "splits", split_id)
 
+    def stats_version(self) -> str:
+        """Deterministic version tag of the published split set — names
+        the precomputed index-level term-stats file."""
+        import hashlib
+
+        ids = ",".join(s.split_id for s in self.published_splits())
+        return hashlib.md5(ids.encode()).hexdigest()[:16]
+
+    def term_stats_path(self) -> str:
+        return os.path.join(
+            self.index_dir, "term_stats", f"stats-{self.stats_version()}.parquet"
+        )
+
     def total_docs(self) -> int:
         return sum(s.num_docs for s in self.published_splits())
 

@@ -40,6 +40,20 @@ def test_rank_identity(oracle, searcher, query):
         assert_rank_identical(oracle.search(query, k=k), searcher.search(query, k=k))
 
 
+def test_spark_and_driver_modes_agree(oracle, searcher):
+    """The distributed mapInPandas path and the single-node thread-pool
+    path (single_node_search analog, lib.rs:189-251) share the kernel
+    and must return identical responses."""
+    for q in ["w00001", "hotterm", '"w00001 w00002"~2', "w00004 -w00001"]:
+        a = searcher.search(q, k=10, mode="spark")
+        b = searcher.search(q, k=10, mode="driver")
+        assert a.num_hits == b.num_hits
+        assert [(h.split_id, h.docid, h.score) for h in a.hits] == [
+            (h.split_id, h.docid, h.score) for h in b.hits
+        ]
+        assert_rank_identical(oracle.search(q, k=10), a)
+
+
 def test_deep_k(oracle, searcher):
     assert_rank_identical(
         oracle.search("w00001", k=200), searcher.search("w00001", k=200)
