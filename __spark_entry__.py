@@ -608,20 +608,27 @@ verified AS (
 SELECT id_a, id_b, jaccard FROM verified WHERE jaccard >= {{thr}}
 """
 
+    M = 1 << 40  # MINHASH_MOD
+    mh_h1 = h15.format(x="s") + f" % {M}"
+    mh_h2 = h15.format(x="concat('~', s)") + f" % {M}"
     sql["dedup_minhash_lsh"] = f"""
-WITH sh AS (
-  SELECT doc_id, unnest({shingles}) AS shingle FROM documents
+WITH hs AS (
+  SELECT doc_id,
+    list_transform({shingles}, s -> {mh_h1}) AS hs1,
+    list_transform({shingles}, s -> {mh_h2}) AS hs2
+  FROM documents
 ),
 sig AS (
-  SELECT doc_id, p.perm,
-         min({h15.format(x="concat(cast(p.perm as string), ':', shingle)")}) AS minhash
-  FROM sh, (SELECT unnest(generate_series(0, 11)) AS perm) p
-  GROUP BY doc_id, p.perm
+  SELECT doc_id,
+    list_transform(generate_series(0, 11),
+      p -> list_min(list_transform(generate_series(1, len(hs1)),
+             i -> (hs1[i] + p * hs2[i]) % {M}))) AS signature
+  FROM hs
 ),
 bands AS (
-  SELECT doc_id, (perm // 3) AS band,
-         md5(array_to_string(list_sort(list(minhash)), ',')) AS bucket
-  FROM sig GROUP BY doc_id, band
+  SELECT doc_id, b.band,
+         md5(array_to_string(signature[b.band * 3 + 1 : b.band * 3 + 3], ',')) AS bucket
+  FROM sig, (SELECT unnest(generate_series(0, 3)) AS band) b
 ),
 cand AS (
   SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b

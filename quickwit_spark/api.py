@@ -1,0 +1,153 @@
+"""User-facing Index API — the analog of the reference's CLI + REST
+surface (SURVEY.md §2.11: `quickwit index
+create/describe/ingest/search/merge/gc`, `GET /api/v1/{index}/search`,
+`GET /api/v1/{index}/search/stream` — quickwit-cli/src/index.rs:254-264,
+quickwit-serve/src/search_api/rest_handler.rs:83-166).
+
+One object, one index directory; a user of the reference CLI maps each
+command onto a method here.
+"""
+
+from __future__ import annotations
+
+from dataclasses import asdict
+
+from quickwit_spark.config import IndexConfig
+from quickwit_spark.operators.build import build_index
+from quickwit_spark.operators.merge import gc_deleted_splits, run_merge_pipeline
+from quickwit_spark.operators.search import (
+    Searcher,
+    SearchResponse,
+    stream_fast_field,
+)
+from quickwit_spark.plans.catalog import Catalog
+
+
+class Index:
+    """A published inverted index over a transcripts-shaped table."""
+
+    def __init__(self, spark, index_dir: str):
+        self.spark = spark
+        self.index_dir = index_dir
+        self._searcher: Searcher | None = None
+
+    # -- lifecycle (CLI `index create` / `index delete`) -----------------
+
+    @staticmethod
+    def create(spark, index_dir: str, config: IndexConfig | None = None) -> "Index":
+        if Catalog.exists(index_dir):
+            raise ValueError(f"index already exists at {index_dir}")
+        Catalog.create(index_dir, config or IndexConfig())
+        return Index(spark, index_dir)
+
+    @staticmethod
+    def open(spark, index_dir: str) -> "Index":
+        if not Catalog.exists(index_dir):
+            raise FileNotFoundError(f"no index at {index_dir}")
+        return Index(spark, index_dir)
+
+    def delete(self) -> None:
+        import shutil
+
+        shutil.rmtree(self.index_dir, ignore_errors=True)
+        self._searcher = None
+
+    # -- ingest (CLI `index ingest`) -------------------------------------
+
+    def ingest(self, source, n_splits: int = 8) -> "Index":
+        """Batch ingest a DataFrame or parquet path (resumable at split
+        granularity — re-running after a crash skips published work)."""
+        build_index(
+            self.spark, source, self.index_dir,
+            config=self.catalog().config if Catalog.exists(self.index_dir) else None,
+            n_splits=n_splits, resume=True,
+        )
+        self._searcher = None
+        return self
+
+    def ingest_stream(self, stream_df, checkpoint_dir: str, n_splits: int = 4,
+                      trigger: dict | None = None):
+        """Streaming ingest (ingest API / Kafka source analog)."""
+        from quickwit_spark.streaming.ingest import start_stream_build
+
+        return start_stream_build(
+            self.spark, stream_df, self.index_dir, checkpoint_dir,
+            n_splits=n_splits, trigger=trigger,
+        )
+
+    # -- search (REST `/search`, `/search/stream`) ------------------------
+
+    def searcher(self) -> Searcher:
+        if self._searcher is None:
+            self._searcher = Searcher(self.spark, self.index_dir)
+        return self._searcher
+
+    def search(self, query: str, **kwargs) -> SearchResponse:
+        """REST-equivalent params: k (max_hits, default 20 —
+        rest_handler.rs:44-46), offset (start_offset), start_us/end_us
+        (start_timestamp/end_timestamp, [incl, excl)), sort_by
+        (sort_by_field), aggs (ES-compatible agg subset)."""
+        return self.searcher().search(query, **kwargs)
+
+    def search_json(self, query: str, **kwargs) -> dict:
+        """SearchResponse as the REST JSON shape
+        (search_api.proto:96-111)."""
+        r = self.search(query, **kwargs)
+        return {
+            "num_hits": r.num_hits,
+            "hits": [
+                {
+                    "score": h.score,
+                    "document": h.doc,
+                    "split_id": h.split_id,
+                    "doc_id": h.docid,
+                }
+                for h in r.hits
+            ],
+            "elapsed_time_micros": int(r.elapsed_sec * 1e6),
+            "aggregations": r.aggs or None,
+        }
+
+    def search_stream(self, query: str, fast_field: str, **kwargs):
+        """Fast-field export of all matching docs as a DataFrame —
+        sink with .write.csv(...) etc."""
+        return stream_fast_field(self.searcher(), query, fast_field, **kwargs)
+
+    # -- maintenance (CLI `index merge` / `index gc`) ---------------------
+
+    def merge(self) -> int:
+        n = run_merge_pipeline(self.spark, self.index_dir)
+        self._searcher = None
+        return n
+
+    def gc(self) -> list[str]:
+        return gc_deleted_splits(self.index_dir)
+
+    # -- introspection (CLI `index describe`, `split list`) ---------------
+
+    def catalog(self) -> Catalog:
+        return Catalog.load(self.index_dir)
+
+    def describe(self) -> dict:
+        cat = self.catalog()
+        pub = cat.published_splits()
+        return {
+            "index_dir": self.index_dir,
+            "num_published_splits": len(pub),
+            "num_docs": cat.total_docs(),
+            "size_in_bytes": sum(s.size_in_bytes for s in pub),
+            "checkpoint": dict(cat.checkpoint),
+            "fields": [f.name for f in cat.config.fields],
+        }
+
+    def list_splits(self) -> list[dict]:
+        return [s.to_dict() for s in self.catalog().splits.values()]
+
+    def lineage(self):
+        """The per-split lineage/metrics table (north rule) as a
+        DataFrame."""
+        import os
+
+        return self.spark.read.parquet(
+            os.path.join(self.index_dir, "lineage")
+        )

@@ -47,3 +47,51 @@ def phrase_freq_many(
         dtype=np.int64,
         count=len(docs_positions),
     )
+
+
+_SEG = np.int64(1) << np.int64(32)  # doc segment stride for key packing
+
+
+def phrase_freq_bulk(
+    token_positions: list[tuple[np.ndarray, np.ndarray]], slop: int
+) -> np.ndarray:
+    """Fully vectorized phrase frequency across MANY docs at once —
+    the query-kernel hot path (a per-candidate Python loop is quadratic
+    pain on high-df phrases).
+
+    ``token_positions[t] = (counts, positions)``: for token t, the
+    per-candidate-doc position counts (len = n_docs, same doc order for
+    every token, every count ≥ 1) and the concatenated positions.
+
+    Implements the same greedy chain as :func:`phrase_freq` by packing
+    (doc_ord, position) into one int64 key ``doc_ord * 2^32 + pos`` and
+    running ONE ``searchsorted`` per phrase token over all anchors of
+    all docs simultaneously.
+    """
+    n_docs = token_positions[0][0].size
+    if n_docs == 0:
+        return np.empty(0, dtype=np.int64)
+    keys = []
+    doc_ords = []
+    for counts, pos in token_positions:
+        ords = np.repeat(np.arange(n_docs, dtype=np.int64), counts)
+        keys.append(ords * _SEG + pos.astype(np.int64))
+        doc_ords.append(ords)
+    anchors = keys[0]          # sorted: doc-major, position-minor
+    anchor_ord = doc_ords[0]
+    prev = anchors
+    alive = np.ones(anchors.size, dtype=bool)
+    for t in range(1, len(keys)):
+        j = np.searchsorted(keys[t], prev + 1)
+        ok = j < keys[t].size
+        cand = np.where(ok, np.minimum(j, keys[t].size - 1), 0)
+        nxt = keys[t][cand]
+        ok &= (nxt >> np.int64(32)) == anchor_ord  # same doc
+        alive &= ok
+        prev = np.where(alive, nxt, prev)
+    n_gap = len(keys) - 1
+    within = (prev - anchors - n_gap) <= slop  # same doc ⇒ plain diff
+    good = alive & within
+    out = np.zeros(n_docs, dtype=np.int64)
+    np.add.at(out, anchor_ord[good], 1)
+    return out

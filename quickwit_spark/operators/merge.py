@@ -337,6 +337,7 @@ def run_merge_pipeline(spark, index_dir: str, max_rounds: int = 100) -> int:
     """MergePlanner loop (merge_planner.rs:61-81): plan → execute →
     re-plan until no candidate remains. Returns number of merges run."""
     catalog = Catalog.load(index_dir)
+    pre_version = catalog.stats_version()
     gen = 0
     total = 0
     for _ in range(max_rounds):
@@ -348,9 +349,14 @@ def run_merge_pipeline(spark, index_dir: str, max_rounds: int = 100) -> int:
             gen += 1
             total += 1
     if total:
-        from quickwit_spark.operators.stats import refresh_term_stats
+        from quickwit_spark.operators.stats import (
+            carry_forward_term_stats,
+            refresh_term_stats,
+        )
 
-        refresh_term_stats(spark, catalog)
+        # global dfs are invariant under merge — reuse the stats file
+        if not carry_forward_term_stats(catalog, pre_version):
+            refresh_term_stats(spark, catalog)
     return total
 
 

@@ -48,7 +48,7 @@ import pandas as pd
 
 from quickwit_spark.config import IndexConfig
 from quickwit_spark.functions.codec import decode_positions, decode_varint, delta_decode
-from quickwit_spark.functions.phrase import phrase_freq
+from quickwit_spark.functions.phrase import phrase_freq_bulk
 from quickwit_spark.operators.build import DOCS_FILE, POSTINGS_FILE
 from quickwit_spark.plans.catalog import Catalog
 from quickwit_spark.plans.pruning import prune_splits
@@ -166,6 +166,82 @@ def _bm25_scores(tfs, dls, df_global, n_total, avgdl, k1, b):
     return idf * norm
 
 
+def _wand_single_term(
+    split_dir: str, field: str, term: str, doc_len, stats, config, m: int
+) -> tuple[np.ndarray, np.ndarray, int, int]:
+    """Block-max top-m for a single term at shard granularity — the
+    posting-row analog of tantivy's block-max WAND (SURVEY.md §2.6; the
+    reference disables scoring at this rev, collector.rs:318-323, so
+    pruning is our north-rule addition).
+
+    Every posting row (shard) stores (df, max_tf, min_dl); its BM25
+    upper bound is score(max_tf, min_dl). Shards are visited in
+    descending upper-bound order and SKIPPED — never decoded, never
+    scored — once their bound falls strictly below the current m-th
+    best score (sound: bounds are visited in descending order, so no
+    later shard can beat theta; ties at theta are scored because the
+    skip is strict). num_hits stays exact (Σ shard dfs; shards of one
+    term hold disjoint docs). Returns
+    (ids, scores, num_hits, shards_skipped).
+    """
+    import pyarrow.parquet as pq
+
+    path = os.path.join(split_dir, POSTINGS_FILE)
+    stat_tbl = pq.read_table(
+        path,
+        columns=["field", "term", "shard", "df", "max_tf", "min_dl"],
+        filters=[("term", "=", term), ("field", "=", field)],
+    )
+    n_shards = len(stat_tbl)
+    empty = (np.empty(0, np.int64), np.empty(0, np.float64))
+    if n_shards == 0:
+        return (*empty, 0, 0)
+    shards = stat_tbl.column("shard").to_numpy()
+    dfs = stat_tbl.column("df").to_numpy()
+    max_tfs = stat_tbl.column("max_tf").to_numpy()
+    min_dls = stat_tbl.column("min_dl").to_numpy()
+    num_hits = int(dfs.sum())
+    df_global = stats["df"].get((field, term), 0)
+    k1, b = config.k1, config.b
+    ubs = _bm25_scores(
+        max_tfs, min_dls.astype(np.float64), df_global,
+        stats["N"], stats["avgdl"], k1, b,
+    )
+    order = np.argsort(-ubs, kind="stable")
+
+    best_ids = np.empty(0, np.int64)
+    best_scores = np.empty(0, np.float64)
+    theta = -math.inf
+    scored = 0
+    blob_tbl = None
+    for oi in order:
+        ub = ubs[oi]
+        if best_ids.size >= m and ub < theta:
+            break
+        if blob_tbl is None:
+            blob_tbl = pq.read_table(
+                path,
+                columns=["shard", "doc_ids", "tfs"],
+                filters=[("term", "=", term), ("field", "=", field)],
+            )
+            by_shard = {
+                s: i for i, s in enumerate(blob_tbl.column("shard").to_pylist())
+            }
+        i = by_shard[int(shards[oi])]
+        ids = delta_decode(blob_tbl.column("doc_ids")[i].as_py()).astype(np.int64)
+        tfs = decode_varint(blob_tbl.column("tfs")[i].as_py()).astype(np.int64)
+        scores = _bm25_scores(
+            tfs, doc_len[ids], df_global, stats["N"], stats["avgdl"], k1, b
+        )
+        best_ids = np.concatenate([best_ids, ids])
+        best_scores = np.concatenate([best_scores, scores])
+        best_ids, best_scores = _top_m(best_ids, best_scores, m)
+        scored += 1
+        if best_ids.size >= m:
+            theta = best_scores[-1]
+    return best_ids, best_scores, num_hits, n_shards - scored
+
+
 class _SplitEval:
     """Evaluates a query AST against one split, vectorized."""
 
@@ -210,21 +286,22 @@ class _SplitEval:
             if cand.size == 0:
                 return empty
             idf_sum = sum(self._idf(k) for k in keys)
-            # per-doc position arrays per token
-            per_tok = []
+            # gather each token's candidate-doc position segments with a
+            # vectorized variable-length take, then bulk phrase matching
+            token_positions = []
             for docids, tfs, pos in plists:
                 starts = np.concatenate(([0], np.cumsum(tfs)[:-1]))
                 idx = np.searchsorted(docids, cand)
-                per_tok.append(
-                    [pos[starts[j] : starts[j] + tfs[j]] for j in idx]
+                seg_starts = starts[idx]
+                seg_lens = tfs[idx]
+                total = int(seg_lens.sum())
+                inner = np.arange(total, dtype=np.int64) - np.repeat(
+                    np.concatenate(([0], np.cumsum(seg_lens)[:-1])), seg_lens
                 )
-            freqs = np.fromiter(
-                (
-                    phrase_freq([per_tok[t][i] for t in range(len(keys))], node.slop)
-                    for i in range(cand.size)
-                ),
-                np.float64,
-                count=cand.size,
+                gathered = pos[np.repeat(seg_starts, seg_lens) + inner]
+                token_positions.append((seg_lens, gathered))
+            freqs = phrase_freq_bulk(token_positions, node.slop).astype(
+                np.float64
             )
             mask = freqs > 0
             cand, freqs = cand[mask], freqs[mask]
@@ -286,12 +363,11 @@ def _eval_split_partial(
     sort_by,
     sort_desc,
     aggs: dict | None,
+    wand: bool = True,
 ) -> pd.DataFrame:
     """One leaf search: returns partial rows (hits + count + agg buckets)."""
     import pyarrow.parquet as pq
 
-    terms = query_terms(ast)
-    postings = _read_postings(split_dir, terms) if terms else {}
     dpath = os.path.join(split_dir, DOCS_FILE)
     fast_cols = ["doc_len", "ts_us"]
     if sort_by and sort_by not in ("ts", "ts_us") and sort_by not in fast_cols:
@@ -300,6 +376,28 @@ def _eval_split_partial(
     doc_len = fast.column("doc_len").to_numpy().astype(np.int64)
     ts_us = fast.column("ts_us").to_numpy()
 
+    # block-max WAND fast path: single-term relevance top-k with no
+    # residual filters — prune shards by score upper bound
+    use_wand = (
+        wand
+        and isinstance(ast, Term)
+        and sort_by is None
+        and not aggs
+        and start_us is None
+        and end_us is None
+        and m > 0
+    )
+    if use_wand:
+        ids, scores, num_hits, _skipped = _wand_single_term(
+            split_dir, ast.field, ast.value, doc_len.astype(np.float64),
+            stats, config, m,
+        )
+        return _partial_rows_from_topk(
+            split_id, dpath, ids, scores, scores, num_hits, ts_us
+        )
+
+    terms = query_terms(ast)
+    postings = _read_postings(split_dir, terms) if terms else {}
     ev = _SplitEval(postings, doc_len, stats, config)
     ids, scores = ev.eval(ast)
 
@@ -316,12 +414,7 @@ def _eval_split_partial(
     out_rows: list[dict] = []
     base = {c: None for c in _HIT_COLS}
 
-    # count row (collector.rs:191 num_hits)
-    count_row = dict(base)
-    count_row.update(kind="count", split_id=split_id, agg_count=int(ids.size))
-    out_rows.append(count_row)
-
-    # partial top-m hits
+    # partial top-m hits (+ count row)
     if m > 0 and ids.size:
         if sort_by:
             col = ts_us if sort_by in ("ts", "ts_us") else fast.column(sort_by).to_numpy()
@@ -335,29 +428,14 @@ def _eval_split_partial(
         else:
             top_ids, sel = _top_m(ids, scores, m)
             real_vals = sel
-        # fetch_docs for this split's partial hits only
-        # (fetch_docs.rs:98-173 — grouped, docid-filtered doc-store read)
-        import json as _json
-
-        schema_cols = pq.read_schema(dpath).names
-        fetch_cols = [c for c in schema_cols if c not in ("ts_us", "doc_len")]
-        doc_tbl = pq.read_table(
-            dpath, columns=fetch_cols,
-            filters=[("docid", "in", top_ids.tolist())],
+        out_rows.extend(
+            _hit_rows(split_id, dpath, top_ids, sel, real_vals, ts_us)
         )
-        recs = doc_tbl.to_pylist()
-        dmap = {rec["docid"]: rec for rec in recs}
-        for did, ordkey, val in zip(top_ids, sel, real_vals):
-            rec = dict(dmap[int(did)])
-            rec.pop("docid", None)
-            r = dict(base)
-            r.update(
-                kind="hit", split_id=split_id, docid=int(did),
-                score=float(val), sort_value=float(ordkey),
-                doc=_json.dumps(rec, default=str),
-                ts_us=int(ts_us[did]),
-            )
-            out_rows.append(r)
+
+    # count row (collector.rs:191 num_hits)
+    count_row = dict(base)
+    count_row.update(kind="count", split_id=split_id, agg_count=int(ids.size))
+    out_rows.append(count_row)
 
     # partial aggregations (collector.rs:214-221 intermediate results)
     if aggs and ids.size:
@@ -385,6 +463,51 @@ def _eval_split_partial(
                 r["agg_name"] = name
             out_rows.extend(rows)
 
+    return pd.DataFrame(out_rows, columns=_HIT_COLS)
+
+
+def _hit_rows(
+    split_id: str, dpath: str, top_ids, sel, real_vals, ts_us
+) -> list[dict]:
+    """fetch_docs for one split's partial hits only (fetch_docs.rs:98-173
+    — grouped, docid-filtered doc-store read) → hit rows."""
+    import json as _json
+
+    import pyarrow.parquet as pq
+
+    base = {c: None for c in _HIT_COLS}
+    if len(top_ids) == 0:
+        return []
+    schema_cols = pq.read_schema(dpath).names
+    fetch_cols = [c for c in schema_cols if c not in ("ts_us", "doc_len")]
+    doc_tbl = pq.read_table(
+        dpath, columns=fetch_cols,
+        filters=[("docid", "in", [int(d) for d in top_ids])],
+    )
+    dmap = {rec["docid"]: rec for rec in doc_tbl.to_pylist()}
+    rows = []
+    for did, ordkey, val in zip(top_ids, sel, real_vals):
+        rec = dict(dmap[int(did)])
+        rec.pop("docid", None)
+        r = dict(base)
+        r.update(
+            kind="hit", split_id=split_id, docid=int(did),
+            score=float(val), sort_value=float(ordkey),
+            doc=_json.dumps(rec, default=str),
+            ts_us=int(ts_us[did]),
+        )
+        rows.append(r)
+    return rows
+
+
+def _partial_rows_from_topk(
+    split_id: str, dpath: str, top_ids, sel, real_vals, num_hits: int, ts_us
+) -> pd.DataFrame:
+    base = {c: None for c in _HIT_COLS}
+    out_rows = _hit_rows(split_id, dpath, top_ids, sel, real_vals, ts_us)
+    count_row = dict(base)
+    count_row.update(kind="count", split_id=split_id, agg_count=int(num_hits))
+    out_rows.append(count_row)
     return pd.DataFrame(out_rows, columns=_HIT_COLS)
 
 
@@ -597,7 +720,7 @@ class Searcher:
                     ex.map(
                         lambda r: _eval_split_partial(
                             r[0], r[1], ast, stats, config, m,
-                            start_us, end_us, sort_by, sort_desc, aggs,
+                            start_us, end_us, sort_by, sort_desc, aggs, wand,
                         ),
                         rows,
                     )
@@ -614,7 +737,7 @@ class Searcher:
                 for split_id, path in zip(pdf["split_id"], pdf["path"]):
                     yield _eval_split_partial(
                         split_id, path, ast, stats, config, m,
-                        start_us, end_us, sort_by, sort_desc, aggs,
+                        start_us, end_us, sort_by, sort_desc, aggs, wand,
                     )
 
         out = sdf.mapInPandas(kernel, schema=HIT_SCHEMA)
@@ -705,3 +828,79 @@ def _final_agg(kind: str, params: dict, sub: pd.DataFrame):
 def search(spark, index_dir: str, query: str, **kwargs) -> SearchResponse:
     """One-shot search (cold caches)."""
     return Searcher(spark, index_dir).search(query, **kwargs)
+
+
+STREAM_SCHEMA = "split_id string, docid long, value double"
+
+
+def stream_fast_field(
+    searcher: Searcher,
+    query: str,
+    fast_field: str,
+    start_us: int | None = None,
+    end_us: int | None = None,
+):
+    """Search-stream export (quickwit-search/src/search_stream/leaf.rs:
+    72-284): evaluate the query and dump the fast-field value of EVERY
+    matching doc — no top-k cap, unordered, streamed straight out of
+    the leaf tasks as a DataFrame the caller can sink anywhere
+    (`.write.csv(...)` = the reference's CSV/ClickHouseRowBinary
+    output formats).
+    """
+    ast = parse_query(query, searcher.config)
+    splits = prune_splits(
+        searcher.catalog.published_splits(), ast, searcher.config,
+        start_us, end_us,
+    )
+    spark = searcher.spark
+    if not splits:
+        return spark.createDataFrame([], STREAM_SCHEMA)
+    stats = {
+        "N": searcher.n_docs,
+        "avgdl": (searcher.catalog.total_doc_len() / max(searcher.n_docs, 1)) or 1.0,
+        "df": searcher._global_df(query_terms(ast)),
+    }
+    config = searcher.config
+    rows = [(s.split_id, searcher.catalog.split_dir(s.split_id)) for s in splits]
+    sdf = spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, len(rows)),
+        "split_id string, path string",
+    )
+
+    def kernel(iterator):
+        import pyarrow.parquet as pq
+
+        for pdf in iterator:
+            for split_id, path in zip(pdf["split_id"], pdf["path"]):
+                dpath = os.path.join(path, DOCS_FILE)
+                cols = ["doc_len", "ts_us"]
+                if fast_field not in cols:
+                    cols.append(fast_field)
+                fast = pq.read_table(dpath, columns=cols)
+                doc_len = fast.column("doc_len").to_numpy().astype(np.int64)
+                ts_us = fast.column("ts_us").to_numpy()
+                terms = query_terms(ast)
+                postings = _read_postings(path, terms) if terms else {}
+                ev = _SplitEval(postings, doc_len, stats, config)
+                ids, _ = ev.eval(ast)
+                if start_us is not None or end_us is not None:
+                    mask = np.ones(ids.size, dtype=bool)
+                    tvals = ts_us[ids]
+                    if start_us is not None:
+                        mask &= tvals >= start_us
+                    if end_us is not None:
+                        mask &= tvals < end_us
+                    ids = ids[mask]
+                vals = (
+                    ts_us if fast_field in ("ts", "ts_us")
+                    else fast.column(fast_field).to_numpy()
+                )
+                yield pd.DataFrame(
+                    {
+                        "split_id": split_id,
+                        "docid": ids,
+                        "value": vals[ids].astype(np.float64),
+                    }
+                )
+
+    return sdf.mapInPandas(kernel, schema=STREAM_SCHEMA)

@@ -26,15 +26,43 @@ from quickwit_spark.operators.build import POSTINGS_FILE
 from quickwit_spark.plans.catalog import Catalog
 
 
+DRIVER_REFRESH_MAX_SPLITS = 64
+
+
 def refresh_term_stats(spark, catalog: Catalog) -> str | None:
     """Aggregate per-split df columns into the index-level stats file
-    for the CURRENT published set. No-op if already current."""
+    for the CURRENT published set. No-op if already current.
+
+    Small split counts aggregate driver-side (pyarrow column-pruned
+    reads + one pandas groupby — no Spark job on the build's critical
+    path); large ones run the distributed aggregation."""
     out_path = catalog.term_stats_path()
     if os.path.exists(out_path):
         return out_path
     splits = catalog.published_splits()
     if not splits:
         return None
+
+    if len(splits) <= DRIVER_REFRESH_MAX_SPLITS:
+        from concurrent.futures import ThreadPoolExecutor
+
+        import pyarrow.parquet as pq
+
+        def read_one(s):
+            return pq.read_table(
+                os.path.join(catalog.split_dir(s.split_id), POSTINGS_FILE),
+                columns=["field", "term", "df"],
+            ).to_pandas()
+
+        with ThreadPoolExecutor(max_workers=min(len(splits), 16)) as ex:
+            frames = list(ex.map(read_one, splits))
+        agg = (
+            pd.concat(frames, ignore_index=True)
+            .groupby(["field", "term"], as_index=False, sort=True)["df"]
+            .sum()
+        )
+        return _write_stats(agg, out_path)
+
     rows = [(catalog.split_dir(s.split_id),) for s in splits]
     sdf = spark.createDataFrame(rows, "path string").repartition(
         min(len(rows), 64)
@@ -62,10 +90,14 @@ def refresh_term_stats(spark, catalog: Catalog) -> str | None:
         .sort("field", "term")
         .toPandas()
     )
-    os.makedirs(os.path.dirname(out_path), exist_ok=True)
+    return _write_stats(agg, out_path)
+
+
+def _write_stats(agg: pd.DataFrame, out_path: str) -> str:
     import pyarrow as pa
     import pyarrow.parquet as pq
 
+    os.makedirs(os.path.dirname(out_path), exist_ok=True)
     tmp = out_path + ".tmp"
     pq.write_table(
         pa.Table.from_pandas(agg, preserve_index=False), tmp,
@@ -73,6 +105,24 @@ def refresh_term_stats(spark, catalog: Catalog) -> str | None:
     )
     os.replace(tmp, out_path)
     return out_path
+
+
+def carry_forward_term_stats(catalog: Catalog, old_version: str) -> bool:
+    """Merges don't change global doc-freqs (Σ df is invariant under
+    split concatenation), so the stats file survives a merge round
+    verbatim — just republish it under the new version name."""
+    old_path = os.path.join(
+        catalog.index_dir, "term_stats", f"stats-{old_version}.parquet"
+    )
+    new_path = catalog.term_stats_path()
+    if os.path.exists(new_path) or not os.path.exists(old_path):
+        return os.path.exists(new_path)
+    import shutil
+
+    tmp = new_path + ".tmp"
+    shutil.copyfile(old_path, tmp)
+    os.replace(tmp, new_path)
+    return True
 
 
 def lookup_term_stats(

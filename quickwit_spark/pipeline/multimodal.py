@@ -54,7 +54,10 @@ def decode_image_batch(payloads: pd.Series, fake: bool) -> pd.DataFrame:
     lens = payloads.str.len().astype("int64")
     first = payloads.apply(lambda b: b[0] if len(b) else 0).astype("int64")
     return pd.DataFrame(
-        {"width": (first % 64 + 1) * 16, "height": (lens % 64 + 1) * 16}
+        {
+            "width": ((first % 64 + 1) * 16).astype("int32"),
+            "height": ((lens % 64 + 1) * 16).astype("int32"),
+        }
     )
 
 
@@ -77,11 +80,14 @@ def extract_media_metadata(df: DataFrame, fake: bool = True) -> DataFrame:
                     "n_frames": np.ones(n, dtype="int32"),
                 }
             )
-            img = out["kind"] == "image"
+            img = (out["kind"] == "image").to_numpy()
             if img.any():
                 dec = decode_image_batch(pdf.loc[img, "payload"], fake)
-                out.loc[img, "width"] = dec["width"].to_numpy()
-                out.loc[img, "height"] = dec["height"].to_numpy()
+                w = out["width"].to_numpy().copy()
+                h = out["height"].to_numpy().copy()
+                w[img] = dec["width"].to_numpy()
+                h[img] = dec["height"].to_numpy()
+                out["width"], out["height"] = w, h
             vid = out["kind"] == "video"
             if vid.any():
                 # fake frame sampling: frame count from byte length

@@ -219,6 +219,17 @@ class Catalog:
         if not rows:
             return
         df = pd.DataFrame(rows)
+        # pin dtypes so lineage files from different ops (build / merge /
+        # stream_ingest) present one mergeable parquet schema
+        df["partition"] = (
+            df["partition"].map(lambda v: -1 if v is None else int(v)).astype("int64")
+        )
+        for c in ("num_docs", "size_in_bytes"):
+            df[c] = df[c].astype("int64")
+        for c in ("term_min", "term_max", "split_id", "op"):
+            df[c] = df[c].astype("string")
+        for c in ("wall_time_sec", "ts"):
+            df[c] = df[c].astype("float64")
         out = os.path.join(
             self.index_dir, "lineage", f"lineage-{uuid.uuid4().hex}.parquet"
         )

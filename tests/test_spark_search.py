@@ -54,6 +54,68 @@ def test_spark_and_driver_modes_agree(oracle, searcher):
         assert_rank_identical(oracle.search(q, k=10), a)
 
 
+class TestWand:
+    @pytest.fixture(scope="class")
+    def sharded_index(self, spark, corpus, tmp_path_factory):
+        from quickwit_spark.config import IndexConfig
+        from quickwit_spark.operators.build import build_index
+
+        cfg = IndexConfig(hot_term_doc_freq=50, salt_docid_range=32)
+        d = str(tmp_path_factory.mktemp("wand") / "idx")
+        build_index(spark, spark.createDataFrame(corpus), d, cfg, n_splits=4)
+        return d
+
+    def test_wand_equals_exhaustive(self, spark, sharded_index, oracle):
+        from quickwit_spark.operators.search import Searcher
+
+        se = Searcher(spark, sharded_index)
+        for q in ["hotterm", "w00001", "w00042"]:
+            a = se.search(q, k=10, wand=True)
+            b = se.search(q, k=10, wand=False)
+            assert a.num_hits == b.num_hits
+            assert [(h.split_id, h.docid, h.score) for h in a.hits] == [
+                (h.split_id, h.docid, h.score) for h in b.hits
+            ]
+
+    def test_wand_actually_skips_shards(self, spark, sharded_index):
+        import numpy as np
+        import pyarrow.parquet as pq
+
+        from quickwit_spark.operators.search import _wand_single_term
+        from quickwit_spark.plans.catalog import Catalog
+        from quickwit_spark.plans.query import parse_query, query_terms
+
+        cat = Catalog.load(sharded_index)
+        split = cat.published_splits()[0]
+        sd = cat.split_dir(split.split_id)
+        doc_len = (
+            pq.read_table(sd + "/docs.parquet", columns=["doc_len"])
+            .column("doc_len").to_numpy().astype(np.float64)
+        )
+        # global stats straight from the catalog + stats file
+        from quickwit_spark.operators.stats import lookup_term_stats
+
+        df = lookup_term_stats(cat, {("text", "hotterm")})
+        stats = {
+            "N": cat.total_docs(),
+            "avgdl": cat.total_doc_len() / cat.total_docs(),
+            "df": df,
+        }
+        ids, scores, num_hits, skipped = _wand_single_term(
+            sd, "text", "hotterm", doc_len, stats, cat.config, 5
+        )
+        assert skipped > 0          # pruning engaged
+        assert len(ids) == 5
+        assert num_hits > 5
+        # exhaustive check within the split
+        ids_all, scores_all, n_all, _ = _wand_single_term(
+            sd, "text", "hotterm", doc_len, stats, cat.config, 10_000
+        )
+        assert n_all == num_hits == len(ids_all)
+        order = np.lexsort((ids_all, -scores_all))
+        np.testing.assert_array_equal(ids, ids_all[order][:5])
+
+
 def test_deep_k(oracle, searcher):
     assert_rank_identical(
         oracle.search("w00001", k=200), searcher.search("w00001", k=200)

@@ -1,0 +1,133 @@
+"""Streaming ingest tests: incremental split publication, exactly-once
+replay, file-source restart resume (the reference's source-checkpoint
+semantics — checkpoint.rs:286-330, publisher.rs:140-148)."""
+
+from __future__ import annotations
+
+import os
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from quickwit_spark.config import IndexConfig
+from quickwit_spark.oracle import OracleEngine
+from quickwit_spark.sources.transcripts import generate_transcripts
+
+CFG = IndexConfig(hot_term_doc_freq=200, salt_docid_range=64)
+
+
+def _write(pdf, path):
+    pq.write_table(
+        pa.Table.from_pandas(pdf, preserve_index=False), path,
+        coerce_timestamps="us",
+    )
+
+
+def _match_set(searcher, oracle, query, k=15):
+    """Full match set + scores must be identical; at small k only the
+    score sequence is compared (split ids differ between streaming
+    ingest and the oracle's batch layout, so ties at the k-boundary
+    legitimately select different equal-scored docs)."""
+    n_o, hits_o = oracle.search(query, k=10_000)
+    r = searcher.search(query, k=10_000)
+    assert r.num_hits == n_o
+    want = sorted((h.conv_id, h.turn_idx, round(h.score, 9)) for h in hits_o)
+    got = sorted((h.conv_id, h.turn_idx, round(h.score, 9)) for h in r.hits)
+    assert got == want
+    small = searcher.search(query, k=k)
+    assert [round(h.score, 9) for h in small.hits] == [
+        round(h.score, 9) for h in hits_o[:k]
+    ]
+
+
+class TestIngestBatch:
+    @pytest.fixture(scope="class")
+    def corpus2(self):
+        full = generate_transcripts(1200, seed=11)
+        convs = sorted(full["conv_id"].unique())
+        half = set(convs[: len(convs) // 2])
+        return full[full["conv_id"].isin(half)], full[~full["conv_id"].isin(half)], full
+
+    def test_incremental_batches_and_replay(self, spark, corpus2, tmp_path):
+        from quickwit_spark.operators.search import Searcher
+        from quickwit_spark.plans.catalog import Catalog
+        from quickwit_spark.streaming.ingest import ingest_batch
+
+        b1, b2, full = corpus2
+        idx = str(tmp_path / "sidx")
+        ids1 = ingest_batch(spark, spark.createDataFrame(b1), idx, "b0001", CFG, n_splits=2)
+        assert len(ids1) >= 1
+        ids2 = ingest_batch(spark, spark.createDataFrame(b2), idx, "b0002", CFG, n_splits=2)
+        assert ids2 and set(ids2).isdisjoint(ids1)
+
+        # replay of batch 1 is a no-op (exactly-once)
+        replay = ingest_batch(spark, spark.createDataFrame(b1), idx, "b0001", CFG, n_splits=2)
+        assert replay == []
+        cat = Catalog.load(idx)
+        assert cat.total_docs() == len(full)
+
+        oracle = OracleEngine(full.reset_index(drop=True), CFG, n_splits=2)
+        se = Searcher(spark, idx)
+        for q in ["w00001", "w00002 w00003", '"w00001 w00002"~1']:
+            _match_set(se, oracle, q)
+
+    def test_merge_compacts_stream_splits(self, spark, corpus2, tmp_path):
+        from quickwit_spark.operators.merge import run_merge_pipeline
+        from quickwit_spark.operators.search import Searcher
+        from quickwit_spark.plans.catalog import Catalog
+        from quickwit_spark.streaming.ingest import ingest_batch
+
+        b1, b2, full = corpus2
+        idx = str(tmp_path / "midx")
+        cfg = IndexConfig(
+            hot_term_doc_freq=200, salt_docid_range=64,
+            merge_factor=2, max_merge_factor=4, min_level_num_docs=10,
+        )
+        ingest_batch(spark, spark.createDataFrame(b1), idx, "b1", cfg, n_splits=2)
+        ingest_batch(spark, spark.createDataFrame(b2), idx, "b2", cfg, n_splits=2)
+        assert run_merge_pipeline(spark, idx) >= 1
+        cat = Catalog.load(idx)
+        assert len(cat.published_splits()) == 1
+        assert cat.total_docs() == len(full)
+        oracle = OracleEngine(full.reset_index(drop=True), cfg, n_splits=2)
+        _match_set(Searcher(spark, idx), oracle, "w00001")
+
+
+def test_file_stream_available_now_resume(spark, tmp_path):
+    """Two availableNow rounds with a file added in between: the second
+    run indexes ONLY the new file (Spark source checkpoint) and the
+    catalog publishes each batch exactly once."""
+    from quickwit_spark.operators.search import Searcher
+    from quickwit_spark.plans.catalog import Catalog
+    from quickwit_spark.streaming.ingest import start_stream_build
+
+    full = generate_transcripts(800, seed=13)
+    convs = sorted(full["conv_id"].unique())
+    half = set(convs[: len(convs) // 2])
+    p1, p2 = full[full["conv_id"].isin(half)], full[~full["conv_id"].isin(half)]
+
+    src = tmp_path / "in"
+    src.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+    idx = str(tmp_path / "fidx")
+    _write(p1, str(src / "part1.parquet"))
+
+    schema = spark.read.parquet(str(src / "part1.parquet")).schema
+    stream = spark.readStream.schema(schema).parquet(str(src))
+    q = start_stream_build(spark, stream, idx, ckpt, CFG, n_splits=2)
+    q.awaitTermination(120)
+
+    n_after_1 = Catalog.load(idx).total_docs()
+    assert n_after_1 == len(p1)
+
+    _write(p2, str(src / "part2.parquet"))
+    stream = spark.readStream.schema(schema).parquet(str(src))
+    q = start_stream_build(spark, stream, idx, ckpt, CFG, n_splits=2)
+    q.awaitTermination(120)
+
+    cat = Catalog.load(idx)
+    assert cat.total_docs() == len(full)  # no dup, no loss
+
+    oracle = OracleEngine(full.reset_index(drop=True), CFG, n_splits=2)
+    _match_set(Searcher(spark, idx), oracle, "w00001")
