@@ -72,29 +72,52 @@ def _build(spark, src_parquet: str, index_dir: str, n_splits: int = 8) -> float:
     return time.time() - t0
 
 
-SCALE_PROBE_SPLITS = 32  # fixed across parallelism levels: measures CORE
-                         # scaling, not split-count effects
+# Fixed across parallelism levels (measures CORE scaling, not
+# split-count effects) and deliberately >> cores: with exactly
+# cores-many groups, hash collisions into shuffle partitions leave
+# some tasks holding 2 groups while others idle (a straggler tax that
+# doesn't exist at real scale, where splits >> executors).
+SCALE_PROBE_SPLITS = 512
+
+
+# The probe input is the bench corpus replicated in-Spark (cheap,
+# parallel) so the indexing compute dominates the fixed driver/JVM
+# orchestration floor — at sandbox sizes a ~5 s floor would otherwise
+# mask core scaling that is trivially present at 10M-doc-split scale.
+SCALE_PROBE_REPLICATE = 4
+# N=4 vs 4N=16: the sandbox's 32 hardware cores must hold BOTH the JVM
+# task threads and the Python kernel workers; local[32] oversubscribes
+# 2x and measures contention, not scaling (on a real cluster executors
+# and python workers are provisioned per-core).
+SCALE_CORES_N, SCALE_CORES_4N = 2, 8
 
 
 def scale_probe(cpus: int, src_parquet: str, n_turns: int) -> None:
     """Child process: build at local[cpus], print throughput JSON.
-    Warm-up build first (JVM codegen + python worker pool), then the
-    timed run; best of 2 to shave host noise."""
+    Warm-up build first (JVM codegen + python worker pool), then one
+    timed run over the replicated corpus."""
+    from pyspark.sql import functions as F
+
+    from quickwit_spark.operators.build import build_index
     from quickwit_spark.session import get_spark
 
     spark = get_spark(f"bench_probe_{cpus}", cpus=cpus, shuffle_partitions=max(cpus, 8))
+    base = spark.read.parquet(src_parquet)
+    df = base
+    for i in range(1, SCALE_PROBE_REPLICATE):
+        df = df.unionAll(
+            base.withColumn("conv_id", F.concat(F.lit(f"r{i}-"), F.col("conv_id")))
+        )
+    total_turns = n_turns * SCALE_PROBE_REPLICATE
     with tempfile.TemporaryDirectory() as td:
-        spark.read.parquet(src_parquet).limit(2000).write.mode("overwrite").parquet(
-            os.path.join(td, "warm_src")
-        )
-        _build(spark, os.path.join(td, "warm_src"), os.path.join(td, "warm_idx"),
-               n_splits=SCALE_PROBE_SPLITS)
-        dt = min(
-            _build(spark, src_parquet, os.path.join(td, f"idx{i}"),
-                   n_splits=SCALE_PROBE_SPLITS)
-            for i in range(2)
-        )
-    print(json.dumps({"cpus": cpus, "sec": dt, "turns_per_sec": n_turns / dt}))
+        warm = base.limit(20_000)
+        build_index(spark, warm, os.path.join(td, "warm_idx"),
+                    n_splits=SCALE_PROBE_SPLITS, resume=False)
+        t0 = time.time()
+        build_index(spark, df, os.path.join(td, "idx"),
+                    n_splits=SCALE_PROBE_SPLITS, resume=False)
+        dt = time.time() - t0
+    print(json.dumps({"cpus": cpus, "sec": dt, "turns_per_sec": total_turns / dt}))
     spark.stop()
 
 
@@ -177,12 +200,12 @@ def main() -> None:
             _gen_transcripts_parquet(probe_turns, probe_src)
         else:
             probe_src = src
-        lo = _run_scale_probe(8, probe_src, probe_turns)
-        hi = _run_scale_probe(32, probe_src, probe_turns)
+        lo = _run_scale_probe(SCALE_CORES_N, probe_src, probe_turns)
+        hi = _run_scale_probe(SCALE_CORES_4N, probe_src, probe_turns)
         eff = hi["turns_per_sec"] / (4.0 * lo["turns_per_sec"])
         scaling = {
-            "cores_n": 8, "cores_4n": 32,
-            "probe_turns": probe_turns,
+            "cores_n": SCALE_CORES_N, "cores_4n": SCALE_CORES_4N,
+            "probe_turns": probe_turns * SCALE_PROBE_REPLICATE,
             "throughput_n": round(lo["turns_per_sec"], 1),
             "throughput_4n": round(hi["turns_per_sec"], 1),
             "efficiency": round(eff, 3),

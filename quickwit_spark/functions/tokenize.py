@@ -194,3 +194,97 @@ def tokenize_series(texts: pd.Series, tokenizer: str) -> pd.Series:
     """Batch tokenization for Arrow UDFs: Series[str] -> Series[list[str]]."""
     fn = TOKENIZERS[tokenizer]
     return texts.map(fn)
+
+
+# ---------------------------------------------------------------------------
+# Arrow-native flat tokenization — the build-kernel hot path.
+#
+# The pure-Python tokenizers above are the SEMANTIC REFERENCE (and what
+# the oracle uses); building a 10M-doc split through them materializes
+# tens of millions of Python string objects, which thrashes the
+# allocator/caches badly enough that 32 concurrent build kernels run
+# ~3x slower per doc than 8 (measured). The Arrow path keeps every
+# token in C++ string buffers end-to-end: utf8_lower →
+# split_pattern_regex → length-filter → dictionary_encode. RE2's
+# [^\p{L}\p{N}]+ splits exactly like the reference semantics
+# ([^\W_]+ per char — tests/test_tokenize_arrow.py locks parity).
+# ---------------------------------------------------------------------------
+
+import numpy as np
+
+_ARROW_SPLIT_PATTERN = "[^\\p{L}\\p{N}]+"
+
+
+def tokenize_encode(values: pd.Series, tokenizer: str):
+    """Tokenize a column and dictionary-encode the flat token stream.
+
+    Returns ``(lens, codes, uniq)``:
+    * ``lens[i]``  — token count of doc i (int64),
+    * ``codes``    — flat per-token term ids in doc order (int64),
+    * ``uniq``     — SORTED unique terms (object ndarray); ``codes``
+                     index into it.
+    Output is identical to tokenizing with ``TOKENIZERS[tokenizer]``
+    and factorizing with sort=True.
+    """
+    if tokenizer == "default":
+        return _tokenize_encode_arrow(values)
+    from itertools import chain
+
+    if not isinstance(values, (list, pd.Series)):
+        values = values.to_pylist()  # pyarrow column (raw/en_stem fields)
+    fn = TOKENIZERS[tokenizer]
+    tok_lists = [fn(v) for v in values]
+    n = len(tok_lists)
+    lens = np.fromiter((len(t) for t in tok_lists), np.int64, count=n)
+    flat = np.empty(int(lens.sum()), dtype=object)
+    flat[:] = list(chain.from_iterable(tok_lists))
+    codes, uniq = pd.factorize(flat, sort=True)
+    return lens, codes.astype(np.int64), uniq
+
+
+def _tokenize_encode_arrow(values):
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    if isinstance(values, pa.ChunkedArray):
+        arr = values.combine_chunks()
+    elif isinstance(values, pa.Array):
+        arr = values
+    else:
+        arr = pa.array(values, type=pa.string(), from_pandas=True)
+    if arr.type != pa.string():
+        arr = arr.cast(pa.string())
+    n = len(arr)
+    lst = pc.split_pattern_regex(
+        pc.utf8_lower(arr), _ARROW_SPLIT_PATTERN
+    )
+    lens = (
+        pc.fill_null(pc.list_value_length(lst), 0)
+        .to_numpy(zero_copy_only=False)
+        .astype(np.int64)
+    )
+    flat = pc.list_flatten(lst)
+    tok_len = pc.utf8_length(flat)
+    keep = pc.and_(
+        pc.greater(tok_len, 0),
+        pc.less_equal(tok_len, MAX_TOKEN_LEN_DEFAULT),
+    )
+    keep_np = keep.to_numpy(zero_copy_only=False)
+    if not keep_np.all():
+        doc_of_tok = np.repeat(np.arange(n, dtype=np.int64), lens)
+        dropped = np.bincount(doc_of_tok[~keep_np], minlength=n)
+        lens = lens - dropped
+        flat = pc.filter(flat, keep)
+    if len(flat) == 0:
+        return lens, np.empty(0, np.int64), np.empty(0, dtype=object)
+    enc = pc.dictionary_encode(flat)
+    indices = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    dictionary = enc.dictionary
+    # UTF-8 byte order == code-point order, so Arrow's sort matches
+    # Python string comparison
+    sort_idx = pc.array_sort_indices(dictionary).to_numpy(zero_copy_only=False)
+    rank = np.empty(len(dictionary), dtype=np.int64)
+    rank[sort_idx] = np.arange(len(dictionary), dtype=np.int64)
+    codes = rank[indices]
+    uniq = dictionary.take(pa.array(sort_idx)).to_numpy(zero_copy_only=False)
+    return lens, codes, uniq.astype(object)

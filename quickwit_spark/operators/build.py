@@ -38,18 +38,23 @@ from __future__ import annotations
 import json
 import os
 import time
-from itertools import chain
 
 import numpy as np
 import pandas as pd
 
 from quickwit_spark.config import IndexConfig
 from quickwit_spark.functions.codec import grouped_delta_encode
-from quickwit_spark.functions.tokenize import TOKENIZERS
+from quickwit_spark.functions.tokenize import tokenize_encode
 from quickwit_spark.plans.catalog import Catalog, SplitMetadata
 
 POSTINGS_FILE = "postings.parquet"
 DOCS_FILE = "docs.parquet"
+
+# Publish batch size: each atomic catalog commit covers a chunk of
+# splits + their checkpoint keys (the reference's PackagedSplitBatch →
+# publish unit); a crash between chunks loses at most one chunk of work
+# to the resume filter.
+PUBLISH_CHUNK = 16
 
 # internal columns added to the doc store next to the original row
 # (the reference stores the raw doc under _source — default_mapper.rs:296-300;
@@ -58,7 +63,9 @@ INTERNAL_DOC_COLUMNS = ("docid", "ts_us", "doc_len")
 
 
 def _field_posting_columns(
-    tok_lists: list[list[str]],
+    lens: np.ndarray,
+    codes: np.ndarray,
+    uniq_terms: np.ndarray,
     doc_len: np.ndarray,
     field_name: str,
     with_positions: bool,
@@ -67,23 +74,21 @@ def _field_posting_columns(
 ) -> dict | None:
     """Vectorized posting construction for one field of one split.
 
-    Token-table explode → factorize → lexsort → run-length boundaries,
-    then ONE varint pass per component sliced at row boundaries
-    (grouped_delta_encode). Returns parallel column lists for the
-    postings Parquet, rows sorted by (term, shard).
+    Input is the dictionary-encoded flat token stream from
+    ``tokenize_encode`` (lens per doc, term codes in doc order, sorted
+    term dictionary). lexsort → run-length boundaries, then ONE varint
+    pass per component sliced at row boundaries (grouped_delta_encode).
+    Returns parallel column lists for the postings Parquet, rows
+    sorted by (term, shard).
     """
-    n = len(tok_lists)
-    lens = np.fromiter((len(t) for t in tok_lists), np.int64, count=n)
-    total = int(lens.sum())
+    n = lens.size
+    total = int(codes.size)
     if total == 0:
         return None
-    flat = np.empty(total, dtype=object)
-    flat[:] = list(chain.from_iterable(tok_lists))
     docids = np.repeat(np.arange(n, dtype=np.int64), lens)
     doc_starts = np.concatenate(([0], np.cumsum(lens)[:-1]))
     pos = np.arange(total, dtype=np.int64) - np.repeat(doc_starts, lens)
 
-    codes, uniq_terms = pd.factorize(flat, sort=True)
     order = np.lexsort((pos, docids, codes))
     codes, docids, pos = codes[order], docids[order], pos[order]
 
@@ -159,6 +164,21 @@ def _field_posting_columns(
     }
 
 
+def limit_worker_threads(n: int = 1) -> None:
+    """Cap Arrow's per-process thread pools inside task workers — many
+    concurrent kernels each defaulting to a cores-wide pool oversubscribe
+    the machine (measured ~4x per-kernel slowdown at 32 workers)."""
+    try:
+        import pyarrow as pa
+
+        if pa.cpu_count() > n:
+            pa.set_cpu_count(n)
+        if pa.io_thread_count() > 2:
+            pa.set_io_thread_count(2)
+    except Exception:
+        pass
+
+
 def build_split_tables(pdf: pd.DataFrame, config: IndexConfig):
     """Pure (no-Spark) split build: one routing partition's docs →
     (postings DataFrame, docs DataFrame, metadata dict).
@@ -169,6 +189,7 @@ def build_split_tables(pdf: pd.DataFrame, config: IndexConfig):
     is deterministic here because docids are a deterministic function of
     doc identity.
     """
+    limit_worker_threads()
     pdf = pdf.sort_values(
         list(config.doc_key_fields), kind="mergesort"
     ).reset_index(drop=True)
@@ -176,16 +197,11 @@ def build_split_tables(pdf: pd.DataFrame, config: IndexConfig):
     ts = pd.to_datetime(pdf[config.timestamp_field])
     ts_us = (ts.astype("int64") // 1000).to_numpy()
 
-    field_tokens: dict[str, list[list[str]]] = {}
+    field_tokens: dict[str, tuple] = {}
     for f in config.fields:
-        fn = TOKENIZERS[f.tokenizer]
-        field_tokens[f.name] = [fn(v) for v in pdf[f.name]]
+        field_tokens[f.name] = tokenize_encode(pdf[f.name], f.tokenizer)
 
-    doc_len = np.fromiter(
-        (len(t) for t in field_tokens[config.default_search_field]),
-        np.int64,
-        count=n,
-    )
+    doc_len = field_tokens[config.default_search_field][0]
 
     posting_cols: dict[str, list] = {
         k: []
@@ -197,8 +213,11 @@ def build_split_tables(pdf: pd.DataFrame, config: IndexConfig):
     term_range = None
     tags: dict[str, list | None] = {}
     for f in config.fields:
+        f_lens, f_codes, f_uniq = field_tokens[f.name]
         cols = _field_posting_columns(
-            field_tokens[f.name],
+            f_lens,
+            f_codes,
+            f_uniq,
             doc_len,
             f.name,
             f.with_positions,
@@ -242,9 +261,10 @@ def build_split_tables(pdf: pd.DataFrame, config: IndexConfig):
     return postings, docs, meta
 
 
-def write_split(postings: pd.DataFrame, docs: pd.DataFrame, split_dir: str) -> int:
+def write_split(postings: pd.DataFrame, docs, split_dir: str) -> int:
     """Write a split's two Parquet files (zstd, like the reference's doc
-    store — index_config.rs:172-178); returns total bytes."""
+    store — index_config.rs:172-178); returns total bytes. ``docs`` may
+    be a pandas DataFrame or a pyarrow Table."""
     import pyarrow as pa
     import pyarrow.parquet as pq
 
@@ -258,13 +278,90 @@ def write_split(postings: pd.DataFrame, docs: pd.DataFrame, split_dir: str) -> i
         # small row groups keep term-filtered reads tight
         row_group_size=16384,
     )
-    pq.write_table(
-        pa.Table.from_pandas(docs, preserve_index=False),
-        dpath,
-        compression="zstd",
-        row_group_size=65536,
-    )
+    if not isinstance(docs, pa.Table):
+        docs = pa.Table.from_pandas(docs, preserve_index=False)
+    pq.write_table(docs, dpath, compression="zstd", row_group_size=65536)
     return os.path.getsize(ppath) + os.path.getsize(dpath)
+
+
+def build_split_tables_arrow(tbl, config: IndexConfig):
+    """Arrow-native variant of :func:`build_split_tables` — the
+    ``applyInArrow`` kernel body. Keeps every string in C++ buffers
+    (sort_by, tokenize, dictionary-encode, doc-store assembly) so 32
+    concurrent kernels don't fight over Python object allocation;
+    output is identical (tests assert byte parity of posting blobs).
+    """
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    limit_worker_threads()
+    tbl = tbl.sort_by([(k, "ascending") for k in config.doc_key_fields])
+    n = len(tbl)
+    ts_col = tbl.column(config.timestamp_field)
+    if ts_col.type != pa.timestamp("us"):
+        ts_col = pc.cast(ts_col, pa.timestamp("us"))
+    ts_us = pc.cast(ts_col, pa.int64()).combine_chunks()
+
+    field_tokens: dict[str, tuple] = {}
+    for f in config.fields:
+        field_tokens[f.name] = tokenize_encode(tbl.column(f.name), f.tokenizer)
+    doc_len = field_tokens[config.default_search_field][0]
+
+    posting_cols: dict[str, list] = {
+        k: []
+        for k in (
+            "field", "term", "shard", "df", "max_tf", "min_dl",
+            "first_docid", "last_docid", "doc_ids", "tfs", "positions",
+        )
+    }
+    term_range = None
+    tags: dict[str, list | None] = {}
+    for f in config.fields:
+        f_lens, f_codes, f_uniq = field_tokens[f.name]
+        cols = _field_posting_columns(
+            f_lens, f_codes, f_uniq, doc_len, f.name, f.with_positions,
+            config.hot_term_doc_freq, config.salt_docid_range,
+        )
+        if cols is None:
+            continue
+        uniq = cols.pop("_uniq_terms")
+        if f.name == config.default_search_field:
+            term_range = (str(uniq[0]), str(uniq[-1]))
+        if f.name in config.tag_fields:
+            tags[f.name] = (
+                sorted(map(str, uniq))
+                if uniq.size <= config.max_tag_values
+                else None
+            )
+        for k, v in cols.items():
+            posting_cols[k].extend(v if isinstance(v, list) else v.tolist())
+    postings = pd.DataFrame(posting_cols)
+
+    docs = pa.table(
+        {
+            "docid": pa.array(np.arange(n, dtype=np.int64)),
+            **{c: tbl.column(c) for c in tbl.column_names},
+            "ts_us": ts_us,
+            "doc_len": pa.array(doc_len),
+        }
+    )
+    text_len = pc.sum(
+        pc.fill_null(
+            pc.utf8_length(tbl.column(config.default_search_field)), 0
+        )
+    ).as_py() or 0
+    mm = pc.min_max(ts_us)
+    meta = {
+        "num_docs": int(n),
+        "sum_doc_len": int(doc_len.sum()),
+        "uncompressed_docs_size_in_bytes": int(text_len),
+        "time_range": (
+            (int(mm["min"].as_py()), int(mm["max"].as_py())) if n else None
+        ),
+        "term_range": term_range,
+        "tags": tags,
+    }
+    return postings, docs, meta
 
 
 def split_id_for_partition(split_ord: int) -> str:
@@ -320,12 +417,16 @@ def build_index(
     index_dir_b = index_dir
     config_dict = config.to_dict()
 
-    def build_group(key, pdf):
-        split_ord = int(key[0])
+    def build_group(key, tbl):
+        import pyarrow as pa
+
+        split_ord = int(
+            key[0].as_py() if hasattr(key[0], "as_py") else key[0]
+        )
         cfg = IndexConfig.from_dict(config_dict)
         t0 = time.time()
-        postings, docs, meta = build_split_tables(
-            pdf.drop(columns=["split_ord"]), cfg
+        postings, docs, meta = build_split_tables_arrow(
+            tbl.drop_columns(["split_ord"]), cfg
         )
         split_id = split_id_for_partition(split_ord)
         split_dir = os.path.join(index_dir_b, "splits", split_id)
@@ -336,47 +437,57 @@ def build_index(
             size_in_bytes=size,
             wall_time_sec=time.time() - t0,
         )
-        return pd.DataFrame({"split_ord": [split_ord], "meta": [json.dumps(meta)]})
+        return pa.table(
+            {"split_ord": [split_ord], "meta": [json.dumps(meta)]}
+        )
 
     results = (
         df.groupBy("split_ord")
-        .applyInPandas(build_group, schema="split_ord long, meta string")
+        .applyInArrow(build_group, schema="split_ord long, meta string")
         .collect()
     )
 
     lineage = []
-    for row in sorted(results, key=lambda r: r.split_ord):
-        meta = json.loads(row.meta)
-        sm = SplitMetadata(
-            split_id=meta["split_id"],
-            num_docs=meta["num_docs"],
-            sum_doc_len=meta["sum_doc_len"],
-            uncompressed_docs_size_in_bytes=meta["uncompressed_docs_size_in_bytes"],
-            size_in_bytes=meta["size_in_bytes"],
-            time_range=tuple(meta["time_range"]) if meta["time_range"] else None,
-            term_range=tuple(meta["term_range"]) if meta["term_range"] else None,
-            tags=meta["tags"],
-            source_partitions=[meta["split_ord"]],
-        )
-        catalog.stage_split(sm)
-        # atomic publish + checkpoint advance, one split at a time —
-        # kill between iterations ⇒ resumable at split granularity
+    ordered = sorted(results, key=lambda r: r.split_ord)
+    for i in range(0, len(ordered), PUBLISH_CHUNK):
+        chunk = ordered[i : i + PUBLISH_CHUNK]
+        metas = []
+        for row in chunk:
+            meta = json.loads(row.meta)
+            metas.append(meta)
+        sms = [
+            SplitMetadata(
+                split_id=m["split_id"],
+                num_docs=m["num_docs"],
+                sum_doc_len=m["sum_doc_len"],
+                uncompressed_docs_size_in_bytes=m["uncompressed_docs_size_in_bytes"],
+                size_in_bytes=m["size_in_bytes"],
+                time_range=tuple(m["time_range"]) if m["time_range"] else None,
+                term_range=tuple(m["term_range"]) if m["term_range"] else None,
+                tags=m["tags"],
+                source_partitions=[m["split_ord"]],
+            )
+            for m in metas
+        ]
+        catalog.stage_splits(sms)
         catalog.publish_splits(
-            [sm.split_id], checkpoint_delta={str(meta["split_ord"]): "done"}
+            [sm.split_id for sm in sms],
+            checkpoint_delta={str(m["split_ord"]): "done" for m in metas},
         )
-        lineage.append(
-            {
-                "split_id": sm.split_id,
-                "op": "build",
-                "partition": meta["split_ord"],
-                "num_docs": sm.num_docs,
-                "size_in_bytes": sm.size_in_bytes,
-                "term_min": sm.term_range[0] if sm.term_range else None,
-                "term_max": sm.term_range[1] if sm.term_range else None,
-                "wall_time_sec": meta["wall_time_sec"],
-                "ts": time.time(),
-            }
-        )
+        for sm, m in zip(sms, metas):
+            lineage.append(
+                {
+                    "split_id": sm.split_id,
+                    "op": "build",
+                    "partition": m["split_ord"],
+                    "num_docs": sm.num_docs,
+                    "size_in_bytes": sm.size_in_bytes,
+                    "term_min": sm.term_range[0] if sm.term_range else None,
+                    "term_max": sm.term_range[1] if sm.term_range else None,
+                    "wall_time_sec": m["wall_time_sec"],
+                    "ts": time.time(),
+                }
+            )
     catalog.append_lineage(lineage)
     from quickwit_spark.operators.stats import refresh_term_stats
 

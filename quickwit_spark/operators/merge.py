@@ -127,6 +127,9 @@ def merge_split_files(
     import pyarrow as pa
     import pyarrow.parquet as pq
 
+    from quickwit_spark.operators.build import limit_worker_threads
+
+    limit_worker_threads()
     # --- doc stores: concat with docid offsets --------------------------
     doc_tables = []
     offsets = []

@@ -368,6 +368,9 @@ def _eval_split_partial(
     """One leaf search: returns partial rows (hits + count + agg buckets)."""
     import pyarrow.parquet as pq
 
+    from quickwit_spark.operators.build import limit_worker_threads
+
+    limit_worker_threads()
     dpath = os.path.join(split_dir, DOCS_FILE)
     fast_cols = ["doc_len", "ts_us"]
     if sort_by and sort_by not in ("ts", "ts_us") and sort_by not in fast_cols:

@@ -26,7 +26,7 @@ from quickwit_spark.operators.build import POSTINGS_FILE
 from quickwit_spark.plans.catalog import Catalog
 
 
-DRIVER_REFRESH_MAX_SPLITS = 64
+DRIVER_REFRESH_MAX_SPLITS = 256
 
 
 def refresh_term_stats(spark, catalog: Catalog) -> str | None:
@@ -48,20 +48,25 @@ def refresh_term_stats(spark, catalog: Catalog) -> str | None:
 
         import pyarrow.parquet as pq
 
+        import pyarrow as pa
+
         def read_one(s):
             return pq.read_table(
                 os.path.join(catalog.split_dir(s.split_id), POSTINGS_FILE),
                 columns=["field", "term", "df"],
-            ).to_pandas()
+            )
 
         with ThreadPoolExecutor(max_workers=min(len(splits), 16)) as ex:
-            frames = list(ex.map(read_one, splits))
-        agg = (
-            pd.concat(frames, ignore_index=True)
-            .groupby(["field", "term"], as_index=False, sort=True)["df"]
-            .sum()
+            tables = list(ex.map(read_one, splits))
+        # aggregate in Arrow C++ (faster than pandas for many splits)
+        merged = (
+            pa.concat_tables(tables)
+            .group_by(["field", "term"])
+            .aggregate([("df", "sum")])
+            .rename_columns(["field", "term", "df"])
+            .sort_by([("field", "ascending"), ("term", "ascending")])
         )
-        return _write_stats(agg, out_path)
+        return _write_stats(merged.to_pandas(), out_path)
 
     rows = [(catalog.split_dir(s.split_id),) for s in splits]
     sdf = spark.createDataFrame(rows, "path string").repartition(

@@ -125,10 +125,15 @@ class Catalog:
     # -- state machine ----------------------------------------------------
 
     def stage_split(self, meta: SplitMetadata) -> None:
-        meta.state = STAGED
-        meta.create_timestamp = meta.create_timestamp or time.time()
-        meta.update_timestamp = time.time()
-        self.splits[meta.split_id] = meta
+        self.stage_splits([meta])
+
+    def stage_splits(self, metas: list[SplitMetadata]) -> None:
+        """Stage a batch in ONE atomic commit (uploader.rs staging)."""
+        for meta in metas:
+            meta.state = STAGED
+            meta.create_timestamp = meta.create_timestamp or time.time()
+            meta.update_timestamp = time.time()
+            self.splits[meta.split_id] = meta
         self._commit()
 
     def publish_splits(

@@ -20,6 +20,10 @@ def get_spark(
         cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     if shuffle_partitions is None:
         shuffle_partitions = max(cpus, 8)
+    # Python workers inherit this env: one Arrow/OpenMP thread each.
+    # Without it every applyInPandas worker spawns a cores-wide Arrow
+    # pool (32 workers x 32 threads thrashed kernels ~4x slower).
+    os.environ.setdefault("OMP_NUM_THREADS", "1")
     # make quickwit_spark importable in python workers regardless of cwd
     # (the local-mode analog of spark-submit --py-files)
     pkg_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
@@ -38,6 +42,8 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.compression.codec", "zstd")
+        # single large parquet files should still scan wide
+        .config("spark.sql.files.maxPartitionBytes", "33554432")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "48g"))
         .config("spark.ui.enabled", "false")
         .config("spark.driver.maxResultSize", "4g")

@@ -100,15 +100,47 @@ class TestBuildSplitTables:
         assert meta["tags"]["tool"] is not None  # ≤ 20 tools
 
 
+def test_arrow_and_pandas_split_builders_agree():
+    """The applyInArrow kernel body must produce byte-identical posting
+    blobs and equal doc stores to the pandas reference builder."""
+    import pyarrow as pa
+
+    from quickwit_spark.operators.build import build_split_tables_arrow
+
+    pdf = generate_transcripts(800, seed=5, hot_term_frac=0.4)
+    cfg = IndexConfig(hot_term_doc_freq=50, salt_docid_range=32)
+    p_post, p_docs, p_meta = build_split_tables(pdf, cfg)
+    tbl = pa.Table.from_pandas(pdf, preserve_index=False).set_column(
+        pdf.columns.get_loc("ts"),
+        "ts",
+        pa.Table.from_pandas(pdf[["ts"]]).column("ts").cast(pa.timestamp("us")),
+    )
+    a_post, a_docs, a_meta = build_split_tables_arrow(tbl, cfg)
+    assert p_meta == a_meta
+    assert len(p_post) == len(a_post)
+    for col in ("field", "term", "shard", "df", "max_tf", "min_dl",
+                "first_docid", "last_docid"):
+        assert p_post[col].tolist() == a_post[col].tolist(), col
+    for col in ("doc_ids", "tfs", "positions"):
+        assert p_post[col].tolist() == a_post[col].tolist(), col
+    ad = a_docs.to_pandas()
+    for col in ("docid", "conv_id", "turn_idx", "text", "ts_us", "doc_len"):
+        assert p_docs[col].tolist() == ad[col].tolist(), col
+
+
 def test_resume_after_partial_publish(spark, corpus, config, tmp_path):
     """Kill between split publishes → re-run → no loss, no duplication
     (publisher.rs:140-148 atomic publish; checkpoint.rs resume)."""
     from quickwit_spark.operators.build import build_index
     from quickwit_spark.plans.catalog import Catalog
 
+    import quickwit_spark.operators.build as build_mod
+
     idx = str(tmp_path / "idx")
     sdf = spark.createDataFrame(corpus)
 
+    monkey_chunk = build_mod.PUBLISH_CHUNK
+    build_mod.PUBLISH_CHUNK = 1  # per-split publishes for this test
     real_publish = Catalog.publish_splits
     calls = {"n": 0}
 
@@ -124,6 +156,7 @@ def test_resume_after_partial_publish(spark, corpus, config, tmp_path):
             build_index(spark, sdf, idx, config, n_splits=4)
     finally:
         Catalog.publish_splits = real_publish
+        build_mod.PUBLISH_CHUNK = monkey_chunk
 
     cat = Catalog.load(idx)
     assert len(cat.published_splits()) == 2  # partial progress persisted
