@@ -113,10 +113,15 @@ def scale_probe(cpus: int, src_parquet: str, n_turns: int) -> None:
         warm = base.limit(20_000)
         build_index(spark, warm, os.path.join(td, "warm_idx"),
                     n_splits=SCALE_PROBE_SPLITS, resume=False)
-        t0 = time.time()
-        build_index(spark, df, os.path.join(td, "idx"),
-                    n_splits=SCALE_PROBE_SPLITS, resume=False)
-        dt = time.time() - t0
+        # best of 2 per level: the sandbox VM shares a host and single
+        # runs vary ±20%; best-of damps co-tenant noise symmetrically
+        dts = []
+        for i in range(2):
+            t0 = time.time()
+            build_index(spark, df, os.path.join(td, f"idx{i}"),
+                        n_splits=SCALE_PROBE_SPLITS, resume=False)
+            dts.append(time.time() - t0)
+        dt = min(dts)
     print(json.dumps({"cpus": cpus, "sec": dt, "turns_per_sec": total_turns / dt}))
     spark.stop()
 

@@ -446,6 +446,8 @@ def _eval_split_partial(
         for spec in aggs.values():
             for params in spec.values():
                 agg_cols_needed.add(params["field"])
+                if params.get("stats_field"):
+                    agg_cols_needed.add(params["stats_field"])
         col_arrays = {}
         for c in agg_cols_needed:
             if c in ("ts", "ts_us"):
@@ -459,7 +461,12 @@ def _eval_split_partial(
         for name, spec in aggs.items():
             kind, params = next(iter(spec.items()))
             vals = col_arrays[params["field"]][ids]
-            rows = _partial_agg(kind, params, vals)
+            extra = (
+                {params["stats_field"]: col_arrays[params["stats_field"]][ids]}
+                if params.get("stats_field")
+                else None
+            )
+            rows = _partial_agg(kind, params, vals, extra)
             for r in rows:
                 r["kind"] = "agg"
                 r["split_id"] = split_id
@@ -514,19 +521,35 @@ def _partial_rows_from_topk(
     return pd.DataFrame(out_rows, columns=_HIT_COLS)
 
 
-def _partial_agg(kind: str, params: dict, vals: np.ndarray) -> list[dict]:
+def _partial_agg(
+    kind: str, params: dict, vals: np.ndarray, extra_cols: dict | None = None
+) -> list[dict]:
     """Per-split partial aggregation buckets (ES-compatible subset the
-    reference wires through — docs/reference/aggregation.md: terms,
-    histogram, range, avg, stats)."""
+    reference wires through — docs/reference/aggregation.md: terms
+    (with optional stats sub-agg + order-by-sub-agg), histogram, range,
+    avg, stats)."""
     base = {c: None for c in _HIT_COLS}
     rows = []
     if kind == "terms":
         ser = pd.Series(vals)
-        counts = ser.value_counts(dropna=True)
-        for key, cnt in counts.items():
-            r = dict(base)
-            r.update(agg_key=str(key), agg_count=int(cnt))
-            rows.append(r)
+        stats_field = params.get("stats_field")
+        if stats_field is not None:
+            sv = pd.Series(extra_cols[stats_field]).astype(float)
+            grouped = sv.groupby(ser).agg(["count", "sum", "min", "max"])
+            for key, g in grouped.iterrows():
+                r = dict(base)
+                r.update(
+                    agg_key=str(key), agg_count=int(g["count"]),
+                    agg_sum=float(g["sum"]), agg_min=float(g["min"]),
+                    agg_max=float(g["max"]),
+                )
+                rows.append(r)
+        else:
+            counts = ser.value_counts(dropna=True)
+            for key, cnt in counts.items():
+                r = dict(base)
+                r.update(agg_key=str(key), agg_count=int(cnt))
+                rows.append(r)
     elif kind == "histogram":
         interval = float(params["interval"])
         v = vals[~pd.isna(vals)].astype(np.float64)
@@ -728,6 +751,9 @@ class Searcher:
                         rows,
                     )
                 )
+            parts = [p for p in parts if len(p)]
+            if not parts:
+                return pd.DataFrame(columns=_HIT_COLS)
             return pd.concat(parts, ignore_index=True)
 
         sdf = self.spark.createDataFrame(
@@ -786,10 +812,42 @@ AGGREGATION_BUCKET_LIMIT = 65_000  # collector.rs:273
 
 def _final_agg(kind: str, params: dict, sub: pd.DataFrame):
     if kind == "terms":
+        size = int(params.get("size", 10))
+        if params.get("stats_field"):
+            m = sub.groupby("agg_key").agg(
+                doc_count=("agg_count", "sum"), s_sum=("agg_sum", "sum"),
+                s_min=("agg_min", "min"), s_max=("agg_max", "max"),
+            )
+            if len(m) > AGGREGATION_BUCKET_LIMIT:
+                raise ValueError("aggregation bucket limit exceeded")
+            m["s_avg"] = m["s_sum"] / m["doc_count"]
+            metric, direction = next(
+                iter(params.get("order", {"doc_count": "desc"}).items())
+            )
+            col = {
+                "doc_count": "doc_count", "stats.sum": "s_sum",
+                "stats.min": "s_min", "stats.max": "s_max",
+                "stats.avg": "s_avg",
+            }[metric]
+            ordered = m.sort_index().sort_values(
+                col, ascending=(direction == "asc"), kind="mergesort"
+            )
+            return {
+                "buckets": [
+                    {
+                        "key": key, "doc_count": int(g["doc_count"]),
+                        "stats": {
+                            "count": int(g["doc_count"]),
+                            "sum": float(g["s_sum"]), "min": float(g["s_min"]),
+                            "max": float(g["s_max"]), "avg": float(g["s_avg"]),
+                        },
+                    }
+                    for key, g in ordered.head(size).iterrows()
+                ]
+            }
         merged = sub.groupby("agg_key")["agg_count"].sum()
         if len(merged) > AGGREGATION_BUCKET_LIMIT:
             raise ValueError("aggregation bucket limit exceeded")
-        size = int(params.get("size", 10))
         ordered = merged.sort_index().sort_values(ascending=False, kind="mergesort")
         return {
             "buckets": [

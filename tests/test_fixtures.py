@@ -1,0 +1,208 @@
+"""FIXTURES.md F1–F6 + F9: the reference's own e2e test corpora and
+golden expectations, re-expressed over transcript rows
+(quickwit-search/src/tests.rs — simple :31-73, slop corpus :111-143,
+multi-split ties :163-213, time filter :215-318, sort-by :320-381,
+tag pruning :435-497, aggregations :718-789)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from quickwit_spark.config import IndexConfig
+from quickwit_spark.oracle import OracleEngine
+from quickwit_spark.sources.transcripts import EPOCH_BASE_US, fixture_corpus
+
+CFG = IndexConfig()
+
+
+def _engine(spark, pdf, tmp_path, n_splits=2, cfg=CFG):
+    from quickwit_spark.operators.build import build_index
+    from quickwit_spark.operators.search import Searcher
+
+    idx = str(tmp_path / "idx")
+    build_index(spark, spark.createDataFrame(pdf), idx, cfg, n_splits=n_splits)
+    return Searcher(spark, idx)
+
+
+SNOOPY = (
+    "Snoopy is an anthropomorphic beagle[5] in the comic strip "
+    "Peanuts by Charles M. Schulz."
+)
+BEAGLE = (
+    "The beagle is a breed of small scent hound, similar in appearance "
+    "to the much larger foxhound."
+)
+
+
+class TestF1SimpleSearch:
+    @pytest.fixture(scope="class")
+    def se(self, spark, tmp_path_factory):
+        rows = [(SNOOPY,), (BEAGLE,)] * 10
+        return _engine(
+            spark, fixture_corpus(rows), tmp_path_factory.mktemp("f1")
+        )
+
+    def test_anthropomorphic_one_hit(self, se):
+        assert se.search("anthropomorphic", k=5).num_hits == 10  # 10 copies
+        # single copy variant (tests.rs:31-73 has 1 snoopy doc)
+        r = se.search("anthropomorphic AND schulz", k=5)
+        assert r.num_hits == 10
+
+    def test_beagle_twenty_hits_tie_order(self, se):
+        r = se.search("beagle", k=6)
+        assert r.num_hits == 20  # both docs contain 'beagle', 10 copies each
+        # tie order: (score desc, split_id asc, docid asc) — SNOOPY docs
+        # (tf=1, shorter? no: scores per doc group equal) deterministic
+        keys = [(h.split_id, h.docid) for h in r.hits]
+        assert keys == sorted(keys, key=lambda t: (t[0], t[1])) or len(set(h.score for h in r.hits)) > 1
+
+
+PHRASE_ROWS = [
+    ("a red bike",), ("a small blue bike",),
+    ("a small, rusty, and yellow bike",), ("fred's small bike",),
+    ("a tiny shelter",),
+]
+PHRASE_GOLDEN = [
+    ('"small bird"~2', 0),
+    ('"red bike"~2', 1),
+    ('"small blue bike"~3', 1),
+    ('"small bike"', 1),
+    ('"small bike"~1', 2),
+    ('"small bike"~2', 2),
+    ('"small bike"~3', 3),
+    ('"tiny shelter"~3', 1),
+]
+
+
+class TestF2PhraseSlop:
+    @pytest.fixture(scope="class")
+    def se(self, spark, tmp_path_factory):
+        return _engine(
+            spark, fixture_corpus(PHRASE_ROWS), tmp_path_factory.mktemp("f2")
+        )
+
+    @pytest.mark.parametrize("query,expected", PHRASE_GOLDEN)
+    def test_slop_match_counts(self, se, query, expected):
+        assert se.search(query, k=10).num_hits == expected
+
+    @pytest.mark.parametrize("query,expected", PHRASE_GOLDEN)
+    def test_oracle_agrees(self, query, expected):
+        oracle = OracleEngine(fixture_corpus(PHRASE_ROWS), CFG, n_splits=2)
+        assert oracle.search(query, k=10)[0] == expected
+
+
+class TestF3TimeFilter:
+    @pytest.fixture(scope="class")
+    def se(self, spark, tmp_path_factory):
+        pdf = fixture_corpus([(f"info @ t:{i + 1}",) for i in range(30)])
+        # ts = epoch + (i+1) seconds
+        pdf["ts"] = pd.to_datetime(
+            EPOCH_BASE_US + (np.arange(30, dtype=np.int64) + 1) * 1_000_000,
+            unit="us",
+        )
+        return _engine(spark, pdf, tmp_path_factory.mktemp("f3"))
+
+    def test_half_open_range(self, se):
+        s = EPOCH_BASE_US + 10 * 1_000_000
+        e = EPOCH_BASE_US + 20 * 1_000_000
+        r = se.search("info", k=15, start_us=s, end_us=e, sort_by="ts")
+        assert r.num_hits == 10
+        assert r.hits[0].text == "info @ t:19"   # newest first
+        assert r.hits[-1].text == "info @ t:10"  # start inclusive
+
+    def test_open_ended(self, se):
+        r = se.search("info", k=30, end_us=EPOCH_BASE_US + 20 * 1_000_000)
+        assert r.num_hits == 19  # end exclusive
+
+
+class TestF4SortByFastField:
+    @pytest.fixture(scope="class")
+    def se(self, spark, tmp_path_factory):
+        pdf = fixture_corpus([("city",)] * 30)
+        temps = (np.arange(30) + 32).astype("int64")
+        rng = np.random.default_rng(1)
+        rng.shuffle(temps)
+        pdf["temperature"] = temps
+        return _engine(spark, pdf, tmp_path_factory.mktemp("f4"))
+
+    def test_sort_desc_top15(self, se):
+        r = se.search("city", k=15, sort_by="temperature", sort_desc=True)
+        assert r.num_hits == 30
+        vals = [h.doc["temperature"] for h in r.hits]
+        assert vals == sorted(vals, reverse=True)
+        assert vals[0] == 61 and len(vals) == 15
+
+    def test_sort_asc(self, se):
+        r = se.search("city", k=5, sort_by="temperature", sort_desc=False)
+        assert [h.doc["temperature"] for h in r.hits] == [32, 33, 34, 35, 36]
+
+
+class TestF5TagPruning:
+    def _splits(self):
+        from quickwit_spark.plans.catalog import SplitMetadata
+
+        return [
+            SplitMetadata("s-paul", state="Published", tags={"tool": ["paul"]}),
+            SplitMetadata("s-adrien", state="Published", tags={"tool": ["adrien"]}),
+        ]
+
+    @pytest.mark.parametrize(
+        "query,n_selected",
+        [
+            ("tool:francois", 0),
+            ("*", 2),
+            ("tool:francois OR tool:paul OR tool:adrien", 2),
+            ("tool:paul", 1),
+            ("tool:paul AND tool:adrien", 0),
+        ],
+    )
+    def test_pruner_golden(self, query, n_selected):
+        from quickwit_spark.plans.pruning import prune_splits
+        from quickwit_spark.plans.query import parse_query
+
+        ast = parse_query(query, CFG)
+        assert len(prune_splits(self._splits(), ast, CFG)) == n_selected
+
+
+class TestF6Aggregations:
+    @pytest.fixture(scope="class")
+    def se(self, spark, tmp_path_factory):
+        colors = ["blue", "blue", "green", "white", "white"]
+        prices = [10.0, 15.0, 10.0, 100.0, 1.0]
+        pdf = fixture_corpus([(f"fruit {c}",) for c in colors])
+        pdf["color"] = colors
+        pdf["price"] = prices
+        return _engine(spark, pdf, tmp_path_factory.mktemp("f6"))
+
+    def test_terms_ordered_by_substats_max(self, se):
+        r = se.search(
+            "fruit", k=0,
+            aggs={
+                "by_color": {
+                    "terms": {
+                        "field": "color", "size": 10,
+                        "stats_field": "price",
+                        "order": {"stats.max": "desc"},
+                    }
+                }
+            },
+        )
+        buckets = r.aggs["by_color"]["buckets"]
+        assert [b["key"] for b in buckets] == ["white", "blue", "green"]
+        white = buckets[0]["stats"]
+        assert white == {
+            "count": 2, "sum": 101.0, "min": 1.0, "max": 100.0, "avg": 50.5
+        }
+        assert buckets[2]["stats"]["max"] == 10.0
+
+
+def test_f9_split_balance_under_hot_term(searcher):
+    """F9: hot-term salting keeps per-split (per-task) bytes balanced —
+    no split holds >2x the median bytes (read from the lineage table)."""
+    sizes = sorted(
+        s.size_in_bytes for s in searcher.catalog.published_splits()
+    )
+    median = sizes[len(sizes) // 2]
+    assert sizes[-1] <= 2 * median
