@@ -86,7 +86,13 @@ class Index:
         """REST-equivalent params: k (max_hits, default 20 —
         rest_handler.rs:44-46), offset (start_offset), start_us/end_us
         (start_timestamp/end_timestamp, [incl, excl)), sort_by
-        (sort_by_field), aggs (ES-compatible agg subset)."""
+        (sort_by_field with the REST '+'/'-' prefix DSL —
+        rest_handler.rs:83-114: '-field' = desc (default), '+field' =
+        asc), aggs (ES-compatible agg subset)."""
+        sort_by = kwargs.get("sort_by")
+        if isinstance(sort_by, str) and sort_by[:1] in "+-":
+            kwargs["sort_desc"] = sort_by[0] == "-"
+            kwargs["sort_by"] = sort_by[1:]
         return self.searcher().search(query, **kwargs)
 
     def search_json(self, query: str, **kwargs) -> dict:

@@ -363,14 +363,26 @@ def run_merge_pipeline(spark, index_dir: str, max_rounds: int = 100) -> int:
     return total
 
 
-def gc_deleted_splits(index_dir: str) -> list[str]:
+STAGED_GRACE_PERIOD_SECS = 3600.0
+
+
+def gc_deleted_splits(
+    index_dir: str, grace_period_secs: float = STAGED_GRACE_PERIOD_SECS
+) -> list[str]:
     """Garbage collection (garbage_collection.rs analog): physically
-    delete splits already marked for deletion."""
+    delete marked-for-deletion splits, plus Staged splits older than
+    the grace period (orphans from a crashed build that will never be
+    published — the reference's staged-grace sweep)."""
     catalog = Catalog.load(index_dir)
+    now = time.time()
     doomed = [
         s.split_id
         for s in catalog.splits.values()
         if s.state == "MarkedForDeletion"
+        or (
+            s.state == "Staged"
+            and now - (s.update_timestamp or now) > grace_period_secs
+        )
     ]
     catalog.delete_splits(doomed)
     return doomed

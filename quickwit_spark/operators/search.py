@@ -900,6 +900,7 @@ def stream_fast_field(
     fast_field: str,
     start_us: int | None = None,
     end_us: int | None = None,
+    partition_by: str | None = None,
 ):
     """Search-stream export (quickwit-search/src/search_stream/leaf.rs:
     72-284): evaluate the query and dump the fast-field value of EVERY
@@ -914,8 +915,9 @@ def stream_fast_field(
         start_us, end_us,
     )
     spark = searcher.spark
+    schema = STREAM_SCHEMA + (", partition double" if partition_by else "")
     if not splits:
-        return spark.createDataFrame([], STREAM_SCHEMA)
+        return spark.createDataFrame([], schema)
     stats = {
         "N": searcher.n_docs,
         "avgdl": (searcher.catalog.total_doc_len() / max(searcher.n_docs, 1)) or 1.0,
@@ -937,6 +939,8 @@ def stream_fast_field(
                 cols = ["doc_len", "ts_us"]
                 if fast_field not in cols:
                     cols.append(fast_field)
+                if partition_by and partition_by not in cols:
+                    cols.append(partition_by)
                 fast = pq.read_table(dpath, columns=cols)
                 doc_len = fast.column("doc_len").to_numpy().astype(np.int64)
                 ts_us = fast.column("ts_us").to_numpy()
@@ -956,12 +960,19 @@ def stream_fast_field(
                     ts_us if fast_field in ("ts", "ts_us")
                     else fast.column(fast_field).to_numpy()
                 )
-                yield pd.DataFrame(
-                    {
-                        "split_id": split_id,
-                        "docid": ids,
-                        "value": vals[ids].astype(np.float64),
-                    }
-                )
+                out = {
+                    "split_id": split_id,
+                    "docid": ids,
+                    "value": vals[ids].astype(np.float64),
+                }
+                if partition_by:
+                    # PartitionnedFastFieldCollector analog
+                    # (search_stream/collector.rs:31-170)
+                    pvals = (
+                        ts_us if partition_by in ("ts", "ts_us")
+                        else fast.column(partition_by).to_numpy()
+                    )
+                    out["partition"] = pvals[ids].astype(np.float64)
+                yield pd.DataFrame(out)
 
-    return sdf.mapInPandas(kernel, schema=STREAM_SCHEMA)
+    return sdf.mapInPandas(kernel, schema=schema)

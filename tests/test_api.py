@@ -56,6 +56,41 @@ def test_search_stream_export(index, oracle, tmp_path):
     df.write.csv(out)  # the CSV output format of the reference
 
 
+def test_sort_prefix_dsl(index):
+    """REST '+field'/'-field' sort DSL (rest_handler.rs:83-114)."""
+    desc = index.search("w00002", k=5, sort_by="-ts")
+    asc = index.search("w00002", k=5, sort_by="+ts")
+    d = [h.ts_us for h in desc.hits]
+    a = [h.ts_us for h in asc.hits]
+    assert d == sorted(d, reverse=True)
+    assert a == sorted(a)
+    assert a[0] <= d[0]
+
+
+def test_partitioned_stream_export(index):
+    """PartitionnedFastFieldCollector analog: dump (value, partition)
+    pairs for all matches."""
+    df = index.search_stream("w00002", "doc_len", partition_by="turn_idx")
+    pdf = df.toPandas()
+    assert set(pdf.columns) == {"split_id", "docid", "value", "partition"}
+    assert len(pdf) == index.search("w00002", k=1).num_hits
+    assert (pdf["partition"] >= 0).all()
+
+
+def test_gc_grace_period_reaps_stale_staged(index):
+    from quickwit_spark.operators.merge import gc_deleted_splits
+    from quickwit_spark.plans.catalog import Catalog, SplitMetadata
+
+    cat = index.catalog()
+    stale = SplitMetadata(split_id="stale-001")
+    cat.stage_split(stale)
+    cat.splits["stale-001"].update_timestamp -= 7200
+    cat._commit()
+    doomed = gc_deleted_splits(index.index_dir, grace_period_secs=3600)
+    assert "stale-001" in doomed
+    assert "stale-001" not in Catalog.load(index.index_dir).splits
+
+
 def test_ingest_resume_noop(index, corpus, spark):
     """Re-ingesting the same source is a checkpointed no-op."""
     before = index.describe()
