@@ -265,6 +265,28 @@ def q_ann_lsh_topk(spark, sf_dir):
     return lsh_ann_topk(embs, embs.where(F.col("vec_id") < 5), k=10, n_planes=4)
 
 
+def q_events_windowed(spark, sf_dir):
+    from quickwit_spark.pipeline.events import windowed_event_counts
+
+    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    return windowed_event_counts(ev, "1 hour").select(
+        F.col("window_start").cast("timestamp_ltz").cast("long").alias("window_start_s"),
+        "event_type", "n_events", "value_sum", "value_avg",
+    )
+
+
+def q_events_sessionize(spark, sf_dir):
+    from quickwit_spark.pipeline.events import sessionize
+
+    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    return sessionize(ev, gap_minutes=30).select(
+        "user_id", "session_idx", "n_events",
+        F.col("session_start").cast("timestamp_ltz").cast("long").alias("session_start_s"),
+        F.col("session_end").cast("timestamp_ltz").cast("long").alias("session_end_s"),
+        "value_sum",
+    )
+
+
 def q_media_metadata(spark, sf_dir):
     from quickwit_spark.pipeline.multimodal import (
         attach_fake_payload,
@@ -317,6 +339,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_topk": q_ann_lsh_topk,
         "media_metadata": q_media_metadata,
         "frame_sample": q_frame_sample,
+        "events_windowed": q_events_windowed,
+        "events_sessionize": q_events_sessionize,
     }
 
 
@@ -704,6 +728,35 @@ ranked AS (
   FROM scored
 )
 SELECT query_id, neighbor_id, rank, cosine FROM ranked WHERE rank <= 10
+"""
+
+    sql["events_windowed"] = """
+SELECT (epoch_us(date_trunc('hour', ts)) // 1000000)::BIGINT AS window_start_s, event_type,
+       count(*) AS n_events,
+       round(sum(value), 4) AS value_sum,
+       round(avg(value), 4) AS value_avg
+FROM events GROUP BY 1, 2
+"""
+
+    sql["events_sessionize"] = """
+WITH flagged AS (
+  SELECT user_id, ts, event_id, value,
+    CASE WHEN lag(ts) OVER w IS NULL
+              OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+         THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), s AS (
+  SELECT *, sum(new_session) OVER (
+    PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING
+  ) AS session_idx
+  FROM flagged
+)
+SELECT user_id, session_idx::BIGINT AS session_idx, count(*) AS n_events,
+       (epoch_us(min(ts)) // 1000000)::BIGINT AS session_start_s,
+       (epoch_us(max(ts)) // 1000000)::BIGINT AS session_end_s,
+       round(sum(value), 4) AS value_sum
+FROM s GROUP BY user_id, session_idx
 """
 
     sql["media_metadata"] = """
