@@ -113,15 +113,10 @@ def scale_probe(cpus: int, src_parquet: str, n_turns: int) -> None:
         warm = base.limit(20_000)
         build_index(spark, warm, os.path.join(td, "warm_idx"),
                     n_splits=SCALE_PROBE_SPLITS, resume=False)
-        # best of 2 per level: the sandbox VM shares a host and single
-        # runs vary ±20%; best-of damps co-tenant noise symmetrically
-        dts = []
-        for i in range(2):
-            t0 = time.time()
-            build_index(spark, df, os.path.join(td, f"idx{i}"),
-                        n_splits=SCALE_PROBE_SPLITS, resume=False)
-            dts.append(time.time() - t0)
-        dt = min(dts)
+        t0 = time.time()
+        build_index(spark, df, os.path.join(td, "idx"),
+                    n_splits=SCALE_PROBE_SPLITS, resume=False)
+        dt = time.time() - t0
     print(json.dumps({"cpus": cpus, "sec": dt, "turns_per_sec": total_turns / dt}))
     spark.stop()
 
@@ -205,14 +200,22 @@ def main() -> None:
             _gen_transcripts_parquet(probe_turns, probe_src)
         else:
             probe_src = src
-        lo = _run_scale_probe(SCALE_CORES_N, probe_src, probe_turns)
-        hi = _run_scale_probe(SCALE_CORES_4N, probe_src, probe_turns)
-        eff = hi["turns_per_sec"] / (4.0 * lo["turns_per_sec"])
+        # two INTERLEAVED rounds (N, 4N, N, 4N), best per level: the
+        # sandbox VM shares a host and throughput swings ±2x over
+        # minutes; interleaving samples both levels under comparable
+        # host conditions instead of biasing whichever ran during a
+        # slow window
+        best = {SCALE_CORES_N: 0.0, SCALE_CORES_4N: 0.0}
+        for _ in range(2):
+            for cpus in (SCALE_CORES_N, SCALE_CORES_4N):
+                r = _run_scale_probe(cpus, probe_src, probe_turns)
+                best[cpus] = max(best[cpus], r["turns_per_sec"])
+        eff = best[SCALE_CORES_4N] / (4.0 * best[SCALE_CORES_N])
         scaling = {
             "cores_n": SCALE_CORES_N, "cores_4n": SCALE_CORES_4N,
             "probe_turns": probe_turns * SCALE_PROBE_REPLICATE,
-            "throughput_n": round(lo["turns_per_sec"], 1),
-            "throughput_4n": round(hi["turns_per_sec"], 1),
+            "throughput_n": round(best[SCALE_CORES_N], 1),
+            "throughput_4n": round(best[SCALE_CORES_4N], 1),
             "efficiency": round(eff, 3),
         }
 
