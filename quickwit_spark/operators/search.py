@@ -684,6 +684,7 @@ class Searcher:
         aggs: dict | None = None,
         wand: bool = True,
         mode: str = "auto",
+        search_fields: list | None = None,
     ) -> SearchResponse:
         import time as _time
 
@@ -693,7 +694,7 @@ class Searcher:
             raise ValueError("max_hits + start_offset must be ≤ 10,000")
         pdf = self.search_partials(
             query, k, offset, start_us, end_us, sort_by, sort_desc, aggs,
-            wand, mode,
+            wand, mode, search_fields,
         )
         resp = merge_partials(pdf, k, offset, sort_by, aggs)
         resp.elapsed_sec = _time.time() - t0
@@ -708,14 +709,14 @@ class Searcher:
     def search_partials(
         self, query, k, offset=0, start_us=None, end_us=None,
         sort_by=None, sort_desc=True, aggs=None, wand=True,
-        mode: str = "auto",
+        mode: str = "auto", search_fields=None,
     ) -> pd.DataFrame:
         """Run the leaf phase; returns the partial rows.
 
         mode: 'spark' (distributed mapInPandas over splits), 'driver'
         (thread pool in-process — same kernel function), or 'auto'.
         """
-        ast = parse_query(query, self.config)
+        ast = parse_query(query, self.config, search_fields)
         splits = prune_splits(
             self.catalog.published_splits(), ast, self.config, start_us, end_us
         )

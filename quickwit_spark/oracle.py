@@ -179,10 +179,11 @@ class OracleEngine:
         sort_by: str | None = None,
         sort_desc: bool = True,
         offset: int = 0,
+        search_fields=None,
     ) -> tuple[int, list[OracleHit]]:
         """Returns (num_hits, top-k hits). Time range is [start, end) in
         epoch micros on the timestamp fast field (filters.rs:61-155)."""
-        ast = parse_query(query, self.config)
+        ast = parse_query(query, self.config, search_fields)
         scores = self._eval(ast)
         if start_us is not None or end_us is not None:
             scores = {

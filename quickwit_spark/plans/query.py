@@ -101,11 +101,29 @@ def _lex(q: str) -> list[tuple[str, object]]:
 
 
 class _Parser:
-    def __init__(self, tokens: list, default_field: str, tokenize):
+    def __init__(self, tokens: list, default_fields, tokenize):
         self.toks = tokens
         self.i = 0
-        self.default_field = default_field
+        # unqualified terms search ALL default fields (the REST
+        # `search_field` param — rest_handler.rs:83-114): a multi-field
+        # unqualified term becomes Should(per-field terms), scored as
+        # the boolean sum over matching fields
+        self.default_fields = (
+            [default_fields] if isinstance(default_fields, str) else list(default_fields)
+        )
         self.tokenize = tokenize
+
+    def _default_expand(self, make_node):
+        nodes = []
+        for fld in self.default_fields:
+            node = make_node(fld)
+            if node is not None:
+                nodes.append(node)
+        if not nodes:
+            return MatchAll()
+        if len(nodes) == 1:
+            return nodes[0]
+        return Bool(should=tuple(nodes))
 
     def peek(self):
         return self.toks[self.i] if self.i < len(self.toks) else (None, None)
@@ -165,28 +183,40 @@ class _Parser:
             return MatchAll()
         if kind == "term":
             fld, value = val
-            fld = fld or self.default_field
-            toks = self.tokenize(fld, value)
-            if len(toks) == 0:
-                return MatchAll()  # term vanishes under tokenization
-            if len(toks) == 1:
-                return Term(fld, toks[0])
-            return Phrase(fld, tuple(toks), 0)
+
+            def make_term(field):
+                toks = self.tokenize(field, value)
+                if len(toks) == 0:
+                    return None
+                if len(toks) == 1:
+                    return Term(field, toks[0])
+                return Phrase(field, tuple(toks), 0)
+
+            if fld is not None:
+                return make_term(fld) or MatchAll()
+            return self._default_expand(make_term)
         if kind == "phrase":
             fld, text, slop = val
-            fld = fld or self.default_field
-            toks = self.tokenize(fld, text)
-            if len(toks) == 0:
-                return MatchAll()
-            if len(toks) == 1:
-                return Term(fld, toks[0])
-            return Phrase(fld, tuple(toks), slop)
+
+            def make_phrase(field):
+                toks = self.tokenize(field, text)
+                if len(toks) == 0:
+                    return None
+                if len(toks) == 1:
+                    return Term(field, toks[0])
+                return Phrase(field, tuple(toks), slop)
+
+            if fld is not None:
+                return make_phrase(fld) or MatchAll()
+            return self._default_expand(make_phrase)
         raise QueryParseError(f"unexpected token {kind}")
 
 
-def parse_query(q: str, config) -> QueryAst:
+def parse_query(q: str, config, search_fields=None) -> QueryAst:
     """Parse ``q`` against an :class:`IndexConfig` (field-aware
-    tokenization: raw fields keep the value verbatim)."""
+    tokenization: raw fields keep the value verbatim).
+    ``search_fields`` overrides the default field(s) for unqualified
+    terms (REST ``search_field`` param)."""
     from quickwit_spark.functions.tokenize import TOKENIZERS
 
     def tok(fld: str, value: str) -> list[str]:
@@ -202,7 +232,8 @@ def parse_query(q: str, config) -> QueryAst:
     tokens = _lex(q)
     if not tokens:
         return MatchAll()
-    return _Parser(tokens, config.default_search_field, tok).parse()
+    fields = search_fields or config.default_search_field
+    return _Parser(tokens, fields, tok).parse()
 
 
 def query_terms(ast: QueryAst) -> set[tuple[str, str]]:

@@ -159,6 +159,28 @@ def test_sort_by_fast_field(oracle, searcher):
         )
 
 
+def test_multi_field_search(oracle, searcher, corpus):
+    """REST search_field param: unqualified terms match ANY of the
+    given fields, scored as the boolean sum over matching fields."""
+    # 'bash' appears only in the tool field — unqualified with
+    # search_fields including tool must find it
+    for sf in (["text", "tool"], ["tool"], ["text", "role", "tool"]):
+        n_o, hits_o = oracle.search("bash", k=10, search_fields=sf)
+        r = searcher.search("bash", k=10, search_fields=sf)
+        assert r.num_hits == n_o
+        assert [(h.split_id, h.docid) for h in r.hits] == [
+            (h.split_id, h.docid) for h in hits_o
+        ]
+        for a, b in zip(hits_o, r.hits):
+            assert abs(a.score - b.score) < 1e-9
+    # default (text only) finds none
+    assert searcher.search("bash", k=5).num_hits == 0
+    # mixed: a real text term across text+tool fields
+    n_o, hits_o = oracle.search("w00005 OR bash", k=10, search_fields=["text", "tool"])
+    r = searcher.search("w00005 OR bash", k=10, search_fields=["text", "tool"])
+    assert r.num_hits == n_o
+
+
 def test_request_limits(searcher):
     # root.rs:112-133
     with pytest.raises(ValueError):
