@@ -752,7 +752,8 @@ class Searcher:
                         rows,
                     )
                 )
-            parts = [p for p in parts if len(p)]
+            # object dtype avoids the all-NA-column concat dtype warning
+            parts = [p.astype(object) for p in parts if len(p)]
             if not parts:
                 return pd.DataFrame(columns=_HIT_COLS)
             return pd.concat(parts, ignore_index=True)

@@ -1,0 +1,48 @@
+"""FIXTURES.md F7: the ~50-query BM25 rank-identity battery over the
+F0 corpus — head/torso/tail terms, AND/OR/NOT combos, field-scoped,
+phrases with slop, k ∈ {1, 10, 100}; engine must be rank-identical
+with score equality to 1e-6 (we assert 1e-9)."""
+
+from __future__ import annotations
+
+import pytest
+
+from tests.conftest import assert_rank_identical
+
+# Zipf rank → df tier over the 50k vocab: w00000-w00004 head,
+# w00050-w00400 torso, w01500+ tail
+HEAD = ["w00000", "w00001", "w00002", "w00003", "w00004"]
+TORSO = ["w00050", "w00120", "w00200", "w00300", "w00400"]
+TAIL = ["w01500", "w02500", "w04000", "w06000", "w09000"]
+
+QUERIES = (
+    HEAD
+    + TORSO
+    + TAIL
+    + [f"{a} {b}" for a, b in zip(HEAD, TORSO)]            # AND head∧torso
+    + [f"{a} OR {b}" for a, b in zip(TORSO, TAIL)]         # OR torso∨tail
+    + [f"{a} -{b}" for a, b in zip(HEAD, HEAD[1:])]        # NOT
+    + [
+        f'"{a} {b}"~{s}'
+        for (a, b), s in zip(zip(HEAD, HEAD[1:]), (0, 1, 2, 3))
+    ]                                                      # phrases w/ slop
+    + [
+        "role:user AND w00003",
+        "role:tool AND w00001",
+        "tool:python AND w00002",
+        "tool:grep OR tool:sed",
+        "(w00000 OR w00050) AND (w00001 OR w00120)",
+        "NOT w00000 AND NOT w00001 AND w00050",
+        "hotterm AND w00000",
+        "hotterm -w00000",
+        'w00120 AND "w00000 w00001"~2',
+    ]
+)
+
+
+@pytest.mark.parametrize("query", QUERIES)
+def test_f7_rank_identity(oracle, searcher, query):
+    for k in (1, 10, 100):
+        assert_rank_identical(
+            oracle.search(query, k=k), searcher.search(query, k=k)
+        )

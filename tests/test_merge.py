@@ -194,6 +194,59 @@ class TestMergeExecution:
             )
             assert got == want
 
+    def test_merge_crash_before_publish_is_recoverable(
+        self, spark, corpus, tmp_path
+    ):
+        """Failpoint analog (quickwit-indexing/failpoints/mod.rs): kill
+        the merge between staging and publishing — inputs stay
+        Published, queries keep working, the staged orphan is GC'd by
+        the grace sweep, and a retry completes."""
+        from quickwit_spark.operators.build import build_index
+        from quickwit_spark.operators.merge import (
+            gc_deleted_splits,
+            run_merge_pipeline,
+        )
+        from quickwit_spark.operators.search import Searcher
+        from quickwit_spark.plans.catalog import Catalog
+
+        cfg = IndexConfig(
+            merge_factor=2, max_merge_factor=4, min_level_num_docs=10,
+        )
+        idx = str(tmp_path / "crash")
+        build_index(spark, spark.createDataFrame(corpus), idx, cfg, n_splits=4)
+
+        real_publish = Catalog.publish_splits
+
+        def crash_on_replace(self, split_ids, replaced_split_ids=(), **kw):
+            if replaced_split_ids:
+                raise RuntimeError("crash before merge publish")
+            return real_publish(self, split_ids, replaced_split_ids, **kw)
+
+        Catalog.publish_splits = crash_on_replace
+        try:
+            with pytest.raises(RuntimeError):
+                run_merge_pipeline(spark, idx)
+        finally:
+            Catalog.publish_splits = real_publish
+
+        cat = Catalog.load(idx)
+        pub = cat.published_splits()
+        assert len(pub) == 4                    # inputs untouched
+        assert cat.total_docs() == len(corpus)  # no loss
+        staged = [s for s in cat.splits.values() if s.state == "Staged"]
+        assert len(staged) == 1                 # orphan from the crash
+        # search still healthy on the pre-merge splits
+        assert Searcher(spark, idx).search("w00001", k=3).num_hits > 0
+        # grace sweep reaps the orphan, retry completes
+        for s in staged:
+            cat.splits[s.split_id].update_timestamp -= 7200
+        cat._commit()
+        assert staged[0].split_id in gc_deleted_splits(idx, grace_period_secs=3600)
+        assert run_merge_pipeline(spark, idx) >= 1
+        cat = Catalog.load(idx)
+        assert cat.total_docs() == len(corpus)
+        assert len(cat.published_splits()) == 1
+
     def test_gc_removes_replaced_splits(self, merged_index):
         import os
 
