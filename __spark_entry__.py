@@ -62,7 +62,7 @@ def _docs_index(spark: SparkSession, sf_dir: str) -> str:
     from quickwit_spark.operators.build import build_index
 
     tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
-    d = os.path.join(tempfile.gettempdir(), f"qs_entry_idx_{tag}_v3")
+    d = os.path.join(tempfile.gettempdir(), f"qs_entry_idx_{tag}_v4")
     from quickwit_spark.plans.catalog import Catalog
 
     if not Catalog.exists(d):
@@ -251,6 +251,14 @@ def q_dedup_embedding_cosine(spark, sf_dir):
     return embedding_cosine_pairs(_embs(spark, sf_dir), threshold=0.2)
 
 
+def q_dedup_clusters(spark, sf_dir):
+    from quickwit_spark.pipeline.dedup import minhash_lsh_pairs, near_dup_clusters
+
+    docs = _docs(spark, sf_dir)
+    pairs = minhash_lsh_pairs(docs, threshold=0.4)
+    return near_dup_clusters(docs, pairs)
+
+
 def q_ann_cosine_topk(spark, sf_dir):
     from quickwit_spark.pipeline.similarity import cosine_topk
 
@@ -335,6 +343,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_simhash": q_dedup_simhash,
         "dedup_embedding_cosine": q_dedup_embedding_cosine,
+        "dedup_clusters": q_dedup_clusters,
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
         "media_metadata": q_media_metadata,
@@ -686,6 +695,26 @@ votes AS (
 )
 SELECT doc_id, sum(CASE WHEN v > 0 THEN (1::BIGINT << bit) ELSE 0 END)::BIGINT AS simhash
 FROM votes GROUP BY doc_id
+"""
+
+    # connected components over the same LSH-verified pairs via a
+    # recursive CTE: min reachable id per doc
+    pairs_cte = sql["dedup_minhash_lsh"].strip().removeprefix("WITH ")
+    sql["dedup_clusters"] = f"""
+WITH RECURSIVE {pairs_cte.rsplit("SELECT id_a, id_b, jaccard", 1)[0].rstrip()},
+pairs2 AS (
+  SELECT id_a, id_b FROM verified WHERE jaccard >= 0.4
+),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs2
+  UNION SELECT id_b, id_a FROM pairs2
+),
+reach(id, lbl) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.src, r.lbl FROM reach r JOIN edges e ON e.dst = r.id
+)
+SELECT id AS doc_id, min(lbl) AS cluster_id FROM reach GROUP BY id
 """
 
     sql["dedup_embedding_cosine"] = f"""

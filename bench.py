@@ -206,18 +206,21 @@ def main() -> None:
         # host conditions instead of biasing whichever ran during a
         # slow window
         best = {SCALE_CORES_N: 0.0, SCALE_CORES_4N: 0.0}
-        for _ in range(2):
-            for cpus in (SCALE_CORES_N, SCALE_CORES_4N):
-                r = _run_scale_probe(cpus, probe_src, probe_turns)
-                best[cpus] = max(best[cpus], r["turns_per_sec"])
-        eff = best[SCALE_CORES_4N] / (4.0 * best[SCALE_CORES_N])
-        scaling = {
-            "cores_n": SCALE_CORES_N, "cores_4n": SCALE_CORES_4N,
-            "probe_turns": probe_turns * SCALE_PROBE_REPLICATE,
-            "throughput_n": round(best[SCALE_CORES_N], 1),
-            "throughput_4n": round(best[SCALE_CORES_4N], 1),
-            "efficiency": round(eff, 3),
-        }
+        try:
+            for _ in range(2):
+                for cpus in (SCALE_CORES_N, SCALE_CORES_4N):
+                    r = _run_scale_probe(cpus, probe_src, probe_turns)
+                    best[cpus] = max(best[cpus], r["turns_per_sec"])
+            eff = best[SCALE_CORES_4N] / (4.0 * best[SCALE_CORES_N])
+            scaling = {
+                "cores_n": SCALE_CORES_N, "cores_4n": SCALE_CORES_4N,
+                "probe_turns": probe_turns * SCALE_PROBE_REPLICATE,
+                "throughput_n": round(best[SCALE_CORES_N], 1),
+                "throughput_4n": round(best[SCALE_CORES_4N], 1),
+                "efficiency": round(eff, 3),
+            }
+        except Exception as exc:  # probe failure must not eat the bench
+            scaling = {"error": str(exc)[:300]}
 
     result = {
         "metric": "index-build + BM25 search + pipeline ops wall time",

@@ -236,6 +236,53 @@ def simhash_pairs(
     )
 
 
+def near_dup_clusters(
+    ids_df: DataFrame, pairs: DataFrame, id_col: str = "doc_id",
+    max_iters: int = 50,
+) -> DataFrame:
+    """Connected components over near-dup pairs → (id, cluster_id),
+    cluster_id = min id of the component (singletons map to self) —
+    the keeper-selection step of a dedup pipeline.
+
+    Iterative min-label propagation (each round: label ← min(label,
+    neighbors' labels)); rounds ≤ graph diameter, each one shuffle —
+    the standard large-graph CC pattern on Spark. Deterministic."""
+    from pyspark.sql import functions as F
+
+    edges = (
+        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+        .union(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
+        .distinct()
+    )
+    labels = ids_df.select(
+        F.col(id_col).alias("id"), F.col(id_col).alias("lbl")
+    )
+    for _ in range(max_iters):
+        neighbor_min = (
+            edges.join(labels, edges["dst"] == labels["id"])
+            .groupBy("src")
+            .agg(F.min("lbl").alias("nlbl"))
+        )
+        updated = (
+            labels.join(neighbor_min, labels["id"] == neighbor_min["src"], "left")
+            .select(
+                "id",
+                F.least(F.col("lbl"), F.coalesce(F.col("nlbl"), F.col("lbl"))).alias("lbl"),
+            )
+        )
+        updated = updated.localCheckpoint(eager=True)  # cut lineage per round
+        changed = (
+            updated.join(labels.withColumnRenamed("lbl", "old"), "id")
+            .where(F.col("lbl") != F.col("old"))
+            .limit(1)
+            .count()
+        )
+        labels = updated
+        if changed == 0:
+            break
+    return labels.select(F.col("id").alias(id_col), F.col("lbl").alias("cluster_id"))
+
+
 def embedding_cosine_pairs(
     df: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding",
     threshold: float = 0.9,

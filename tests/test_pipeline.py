@@ -65,6 +65,21 @@ def test_ann_lsh_is_subset_of_bruteforce_candidates(spark):
     assert len(lsh) < len(brute)
 
 
+def test_near_dup_clusters_multi_hop(spark):
+    """CC label propagation must traverse chains (a-b, b-c ⇒ one
+    cluster) and leave singletons alone."""
+    from quickwit_spark.pipeline.dedup import near_dup_clusters
+
+    ids = spark.createDataFrame([(i,) for i in range(7)], "doc_id long")
+    pairs = spark.createDataFrame(
+        [(0, 3), (3, 5), (1, 2), (5, 6)], "id_a long, id_b long"
+    )
+    got = {
+        r.doc_id: r.cluster_id for r in near_dup_clusters(ids, pairs).collect()
+    }
+    assert got == {0: 0, 3: 0, 5: 0, 6: 0, 1: 1, 2: 1, 4: 4}
+
+
 def test_multimodal_stub_raises_without_fake():
     from quickwit_spark.pipeline.multimodal import decode_image_batch
 
