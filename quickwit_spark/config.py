@@ -78,6 +78,30 @@ class IndexConfig:
     k1: float = 1.2
     b: float = 0.75
 
+    def validate(self) -> "IndexConfig":
+        """Schema sanity rules mirroring the reference's DocMapper
+        validation (default_mapper.rs:140-230): tag fields must exist
+        and use the raw tokenizer; the default search field, routing
+        field and doc keys must be consistent."""
+        names = {f.name for f in self.fields}
+        if self.default_search_field not in names:
+            raise ValueError(
+                f"default_search_field {self.default_search_field!r} is not an indexed field"
+            )
+        for t in self.tag_fields:
+            if t not in names:
+                raise ValueError(f"tag field {t!r} is not an indexed field")
+            if self.field(t).tokenizer != "raw":
+                # tag values are whole strings (default_mapper.rs:140-165)
+                raise ValueError(f"tag field {t!r} must use the raw tokenizer")
+        if not self.doc_key_fields:
+            raise ValueError("doc_key_fields must not be empty")
+        if not self.routing_field:
+            raise ValueError("routing_field must be set")
+        if self.merge_factor < 2 or self.max_merge_factor < self.merge_factor:
+            raise ValueError("need 2 <= merge_factor <= max_merge_factor")
+        return self
+
     def field(self, name: str) -> FieldConfig:
         for f in self.fields:
             if f.name == name:

@@ -717,6 +717,7 @@ class Searcher:
         (thread pool in-process — same kernel function), or 'auto'.
         """
         ast = parse_query(query, self.config, search_fields)
+        _validate_phrase_fields(ast, self.config)
         splits = prune_splits(
             self.catalog.published_splits(), ast, self.config, start_us, end_us
         )
@@ -773,6 +774,21 @@ class Searcher:
 
         out = sdf.mapInPandas(kernel, schema=HIT_SCHEMA)
         return out.toPandas()
+
+
+def _validate_phrase_fields(ast, config) -> None:
+    """Phrase queries need position-recorded postings — the reference
+    rejects phrase queries on fields indexed without positions
+    (record != 'position'; query build error in query_builder.rs)."""
+    if isinstance(ast, Phrase):
+        if not config.field(ast.field).with_positions:
+            raise ValueError(
+                f"phrase query on field {ast.field!r} which is indexed "
+                f"without positions (record={config.field(ast.field).record!r})"
+            )
+    elif isinstance(ast, Bool):
+        for c in ast.must + ast.should + ast.must_not:
+            _validate_phrase_fields(c, config)
 
 
 def merge_partials(pdf: pd.DataFrame, k, offset, sort_by, aggs) -> SearchResponse:

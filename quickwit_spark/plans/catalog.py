@@ -81,6 +81,7 @@ class Catalog:
 
     @staticmethod
     def create(index_dir: str, config: IndexConfig, source_path: str | None = None) -> "Catalog":
+        config.validate()
         os.makedirs(index_dir, exist_ok=True)
         os.makedirs(os.path.join(index_dir, "splits"), exist_ok=True)
         os.makedirs(os.path.join(index_dir, "lineage"), exist_ok=True)

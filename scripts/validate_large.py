@@ -1,0 +1,85 @@
+"""Large-scale rank-identity validation: engine vs the pure-Python
+oracle on a 200k-turn corpus (100× the unit-test fixtures) across the
+F7 query battery. Run standalone:
+
+    python scripts/validate_large.py [n_turns]
+
+Prints one JSON verdict line; exits non-zero on any mismatch."""
+
+from __future__ import annotations
+
+import json
+import sys
+import tempfile
+import time
+
+
+QUERIES = (
+    ["w00000", "w00001", "w00004", "w00120", "w00400", "w02500", "w09000",
+     "hotterm"]
+    + ["w00000 w00050", "w00001 w00120", "w00120 OR w02500",
+       "w00000 -w00001", "NOT w00000 AND w00050",
+       '"w00000 w00001"~1', '"w00001 w00002"~3',
+       "role:user AND w00003", "tool:python AND w00002",
+       "(w00000 OR w00050) AND (w00001 OR w00120)"]
+)
+
+
+def main() -> int:
+    n_turns = int(sys.argv[1]) if len(sys.argv) > 1 else 200_000
+    sys.path.insert(0, "/root/repo")
+    from quickwit_spark.config import IndexConfig
+    from quickwit_spark.operators.build import build_index
+    from quickwit_spark.operators.search import Searcher
+    from quickwit_spark.oracle import OracleEngine
+    from quickwit_spark.session import get_spark
+    from quickwit_spark.sources.transcripts import generate_transcripts
+
+    t0 = time.time()
+    n_splits = 16
+    cfg = IndexConfig(hot_term_doc_freq=5000, salt_docid_range=2048)
+    pdf = generate_transcripts(n_turns, seed=42, hot_term_frac=0.1)
+    gen_sec = time.time() - t0
+
+    spark = get_spark("validate_large")
+    d = tempfile.mkdtemp(prefix="qs_validate_")
+    t0 = time.time()
+    build_index(spark, spark.createDataFrame(pdf), d + "/idx", cfg, n_splits=n_splits)
+    build_sec = time.time() - t0
+
+    t0 = time.time()
+    oracle = OracleEngine(pdf, cfg, n_splits=n_splits)
+    oracle_sec = time.time() - t0
+
+    se = Searcher(spark, d + "/idx")
+    failures = []
+    checked = 0
+    for q in QUERIES:
+        for k in (1, 10, 100):
+            n_o, hits_o = oracle.search(q, k=k)
+            r = se.search(q, k=k)
+            checked += 1
+            ok = (
+                r.num_hits == n_o
+                and [(h.split_id, h.docid) for h in r.hits]
+                == [(h.split_id, h.docid) for h in hits_o]
+                and all(
+                    abs(a.score - b.score) < 1e-9
+                    for a, b in zip(hits_o, r.hits)
+                )
+            )
+            if not ok:
+                failures.append({"query": q, "k": k, "oracle_hits": n_o,
+                                 "engine_hits": r.num_hits})
+    print(json.dumps({
+        "n_turns": n_turns, "n_splits": n_splits,
+        "queries_checked": checked, "failures": failures,
+        "verdict": "RANK_IDENTICAL" if not failures else "MISMATCH",
+        "gen_sec": round(gen_sec, 1), "build_sec": round(build_sec, 1),
+        "oracle_build_sec": round(oracle_sec, 1),
+    }))
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
