@@ -109,6 +109,23 @@ def q_bm25_phrase(spark, sf_dir):
     return _hits_df(spark, _searcher(spark, sf_dir).search('"table value"', k=20))
 
 
+def q_bm25_offset(spark, sf_dir):
+    """Pagination: offset applied once at the root merge
+    (root.rs:341-356)."""
+    return _hits_df(
+        spark, _searcher(spark, sf_dir).search("vector", k=10, offset=5)
+    )
+
+
+def q_bm25_multifield(spark, sf_dir):
+    """Unqualified term over text+lang (REST search_field param):
+    'en' matches every doc via the raw lang field."""
+    resp = _searcher(spark, sf_dir).search(
+        "en AND vector", k=20, search_fields=["text", "lang"]
+    )
+    return _hits_df(spark, resp)
+
+
 def q_search_num_hits(spark, sf_dir):
     resp = _searcher(spark, sf_dir).search("vector", k=1)
     return spark.createDataFrame([(resp.num_hits,)], "num_hits long")
@@ -326,6 +343,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_disjunction": q_bm25_disjunction,
         "bm25_must_not": q_bm25_must_not,
         "bm25_phrase": q_bm25_phrase,
+        "bm25_offset": q_bm25_offset,
+        "bm25_multifield": q_bm25_multifield,
         "search_num_hits": q_search_num_hits,
         "search_sort_fastfield": q_search_sort_fastfield,
         "search_tag_filter": q_search_tag_filter,
@@ -500,6 +519,56 @@ scored AS (
 SELECT doc_id, round(s, 4) AS score FROM scored
 ORDER BY s DESC, doc_id ASC LIMIT 20
 """
+
+    sql["bm25_offset"] = (
+        _BM25_WITH + "," + _bm25_term_cte("vector", "t1")
+        + """
+SELECT doc_id, round(s, 4) AS score FROM t1
+ORDER BY s DESC, doc_id ASC LIMIT 10 OFFSET 5
+"""
+    )
+
+    # "en AND vector" over search fields (text, lang): each unqualified
+    # term expands to Should(text-term, lang-term); lang is a raw field
+    # (tf=1, doc len = text doc len)
+    sql["bm25_multifield"] = (
+        _BM25_WITH + ","
+        + _bm25_term_cte("en", "ten") + ","
+        + _bm25_term_cte("vector", "tvec")
+        + f"""
+, len_df AS (SELECT count(*) AS df FROM documents WHERE lang = 'en'),
+len_s AS (
+  SELECT d.doc_id,
+    ln(1 + ((SELECT n FROM stats) - (SELECT df FROM len_df) + 0.5)
+           / ((SELECT df FROM len_df) + 0.5))
+    * (1 * ({K1} + 1)) / (1 + {K1} * (1 - {B} + {B} * dl.dl / (SELECT avgdl FROM stats))) AS s
+  FROM documents d JOIN dl ON d.doc_id = dl.doc_id
+  WHERE d.lang = 'en'
+),
+lvec_df AS (SELECT count(*) AS df FROM documents WHERE lang = 'vector'),
+lvec_s AS (
+  SELECT d.doc_id,
+    ln(1 + ((SELECT n FROM stats) - (SELECT df FROM lvec_df) + 0.5)
+           / ((SELECT df FROM lvec_df) + 0.5))
+    * (1 * ({K1} + 1)) / (1 + {K1} * (1 - {B} + {B} * dl.dl / (SELECT avgdl FROM stats))) AS s
+  FROM documents d JOIN dl ON d.doc_id = dl.doc_id
+  WHERE d.lang = 'vector'
+),
+u1 AS (
+  SELECT coalesce(a.doc_id, b.doc_id) AS doc_id,
+         coalesce(a.s, 0) + coalesce(b.s, 0) AS s
+  FROM ten a FULL OUTER JOIN len_s b ON a.doc_id = b.doc_id
+),
+u2 AS (
+  SELECT coalesce(a.doc_id, b.doc_id) AS doc_id,
+         coalesce(a.s, 0) + coalesce(b.s, 0) AS s
+  FROM tvec a FULL OUTER JOIN lvec_s b ON a.doc_id = b.doc_id
+)
+SELECT u1.doc_id, round(u1.s + u2.s, 4) AS score
+FROM u1 JOIN u2 ON u1.doc_id = u2.doc_id
+ORDER BY u1.s + u2.s DESC, u1.doc_id ASC LIMIT 20
+"""
+    )
 
     sql["search_num_hits"] = f"""
 SELECT count(*) AS num_hits FROM documents
