@@ -71,14 +71,56 @@ def main() -> int:
             if not ok:
                 failures.append({"query": q, "k": k, "oracle_hits": n_o,
                                  "engine_hits": r.num_hits})
+    # post-merge phase: hierarchical compaction must preserve the match
+    # sets and every score exactly (tie encoding may differ — split ids
+    # change)
+    from quickwit_spark.operators.merge import run_merge_pipeline
+    from quickwit_spark.plans.catalog import Catalog
+
+    cat = Catalog.load(d + "/idx")
+    cat.config = IndexConfig(
+        hot_term_doc_freq=cfg.hot_term_doc_freq,
+        salt_docid_range=cfg.salt_docid_range,
+        merge_factor=4, max_merge_factor=8, min_level_num_docs=1000,
+    )
+    cat._commit()
+    t0 = time.time()
+    n_merges = run_merge_pipeline(spark, d + "/idx")
+    merge_sec = time.time() - t0
+    se2 = Searcher(spark, d + "/idx")
+    merge_failures = []
+    for q in QUERIES[:10]:
+        n_o, hits_o = oracle.search(q, k=200)
+        r = se2.search(q, k=200)
+        # merge renames splits, so the (split_id, docid) tie encoding
+        # changes: require exact num_hits, exact score SEQUENCE, and
+        # identical doc sets STRICTLY ABOVE the k-th score (equal-score
+        # members at the boundary may legitimately differ)
+        so = [round(h.score, 9) for h in hits_o]
+        sg = [round(h.score, 9) for h in r.hits]
+        ok = n_o == r.num_hits and so == sg
+        if ok and so:
+            thr = so[-1]
+            o_set = {(h.conv_id, h.turn_idx) for h in hits_o if round(h.score, 9) > thr}
+            g_set = {(h.conv_id, h.turn_idx) for h in r.hits if round(h.score, 9) > thr}
+            ok = o_set == g_set
+        if not ok:
+            merge_failures.append({"query": q})
+
     print(json.dumps({
         "n_turns": n_turns, "n_splits": n_splits,
         "queries_checked": checked, "failures": failures,
-        "verdict": "RANK_IDENTICAL" if not failures else "MISMATCH",
+        "n_merges": n_merges,
+        "post_merge_splits": len(Catalog.load(d + "/idx").published_splits()),
+        "merge_failures": merge_failures,
+        "verdict": (
+            "RANK_IDENTICAL" if not failures and not merge_failures else "MISMATCH"
+        ),
         "gen_sec": round(gen_sec, 1), "build_sec": round(build_sec, 1),
         "oracle_build_sec": round(oracle_sec, 1),
+        "merge_sec": round(merge_sec, 1),
     }))
-    return 1 if failures else 0
+    return 1 if failures or merge_failures else 0
 
 
 if __name__ == "__main__":
