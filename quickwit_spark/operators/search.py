@@ -375,7 +375,19 @@ def _eval_split_partial(
     fast_cols = ["doc_len", "ts_us"]
     if sort_by and sort_by not in ("ts", "ts_us") and sort_by not in fast_cols:
         fast_cols.append(sort_by)
+    import pyarrow as pa
+
     fast = pq.read_table(dpath, columns=fast_cols)
+    if sort_by and sort_by in fast.column_names:
+        if not (
+            pa.types.is_integer(fast.column(sort_by).type)
+            or pa.types.is_floating(fast.column(sort_by).type)
+        ):
+            # fast-field sort requires a numeric column (sort_by.rs:95-115:
+            # the reference rejects text sort fields the same way)
+            raise ValueError(
+                f"sort field {sort_by!r} is not a numeric fast field"
+            )
     doc_len = fast.column("doc_len").to_numpy().astype(np.int64)
     ts_us = fast.column("ts_us").to_numpy()
 

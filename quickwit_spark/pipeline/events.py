@@ -41,6 +41,94 @@ def windowed_event_counts(
     )
 
 
+SESSION_STATE_SCHEMA = "session_idx LONG, last_ts_us LONG, n_events LONG, start_us LONG, value_sum DOUBLE"
+SESSION_OUT_SCHEMA = (
+    "user_id LONG, session_idx LONG, n_events LONG, "
+    "session_start_us LONG, session_end_us LONG, value_sum DOUBLE"
+)
+
+
+def sessionize_stream(
+    stream_df: DataFrame, gap_minutes: int = 30, ts_col: str = "ts"
+) -> DataFrame:
+    """Stateful streaming sessionization via ``applyInPandasWithState``
+    keyed by user: state holds the open session (idx, last event time,
+    partial aggregates); a session CLOSES and is emitted when the gap
+    to the next event exceeds ``gap_minutes`` or the state times out
+    after the gap with no new events (ProcessingTimeTimeout). This is
+    the unbounded-stream twin of :func:`sessionize` — the custom
+    stateful operator shape the engine uses for anything the built-in
+    window aggregations can't express.
+
+    Usage::
+
+        out = sessionize_stream(spark.readStream...parquet(dir))
+        out.writeStream.outputMode("append")...
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    gap_us = gap_minutes * 60 * 1_000_000
+
+    def fn(key, pdfs, state: GroupState):
+        import pandas as pd
+
+        (user_id,) = key
+        if state.exists:
+            sess_idx, last_us, n_ev, start_us, vsum = state.get
+        else:
+            # first session per user is 1 — matches the batch
+            # sessionize's cumsum-of-flags numbering
+            sess_idx, last_us, n_ev, start_us, vsum = 1, None, 0, None, 0.0
+        closed = []
+
+        if state.hasTimedOut:
+            if n_ev:
+                closed.append(
+                    (user_id, sess_idx, n_ev, start_us, last_us, round(vsum, 4))
+                )
+            state.remove()
+        else:
+            rows = pd.concat(list(pdfs), ignore_index=True)
+            rows["_us"] = (
+                pd.to_datetime(rows[ts_col])
+                .astype("datetime64[ns]")
+                .astype("int64")
+                // 1000
+            )
+            rows = rows.sort_values(["_us", "event_id"], kind="mergesort")
+            for us, val in zip(rows["_us"], rows["value"]):
+                if last_us is not None and us - last_us > gap_us:
+                    closed.append(
+                        (user_id, sess_idx, n_ev, start_us, last_us, round(vsum, 4))
+                    )
+                    sess_idx += 1
+                    n_ev, start_us, vsum = 0, None, 0.0
+                if start_us is None:
+                    start_us = int(us)
+                n_ev += 1
+                vsum += float(val)
+                last_us = int(us)
+            state.update((sess_idx, last_us, n_ev, start_us, vsum))
+            state.setTimeoutDuration(gap_minutes * 60 * 1000)
+
+        if closed:
+            yield pd.DataFrame(
+                closed,
+                columns=[
+                    "user_id", "session_idx", "n_events",
+                    "session_start_us", "session_end_us", "value_sum",
+                ],
+            )
+
+    return stream_df.groupBy("user_id").applyInPandasWithState(
+        fn,
+        outputStructType=SESSION_OUT_SCHEMA,
+        stateStructType=SESSION_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+    )
+
+
 def sessionize(
     df: DataFrame, gap_minutes: int = 30, ts_col: str = "ts",
     tiebreak_col: str | None = "event_id",

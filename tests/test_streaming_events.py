@@ -10,6 +10,61 @@ import pytest
 from pyspark.sql import functions as F
 
 
+def test_stateful_streaming_sessionize_matches_batch(spark, tmp_path):
+    """applyInPandasWithState sessionizer: sessions closed by the
+    stream (gap observed across micro-batches) must exactly match the
+    batch sessionize result."""
+    from quickwit_spark.pipeline.events import sessionize, sessionize_stream
+
+    from pyspark.sql import functions as F
+
+    full = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    batch = full.where(F.col("user_id") < 40)  # keep the test snappy
+    src = tmp_path / "sess_in"
+    src.mkdir()
+    pdf = batch.toPandas().sort_values("ts")  # time-ordered arrival
+    half = len(pdf) // 2
+    for i, part in enumerate((pdf.iloc[:half], pdf.iloc[half:])):
+        pq.write_table(
+            pa.Table.from_pandas(part, preserve_index=False),
+            str(src / f"p{i}.parquet"), coerce_timestamps="us",
+        )
+
+    stream = (
+        spark.readStream.schema(batch.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    q = (
+        sessionize_stream(stream, gap_minutes=30)
+        .writeStream.format("memory")
+        .queryName("sessions")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("select * from sessions").toPandas()
+    assert len(got) > 0
+
+    want = sessionize(batch, gap_minutes=30).toPandas()
+    want["session_start_us"] = (
+        want["session_start"].astype("datetime64[ns]").astype("int64") // 1000
+    )
+    want["session_end_us"] = (
+        want["session_end"].astype("datetime64[ns]").astype("int64") // 1000
+    )
+    merged = got.merge(
+        want, on=["user_id", "session_idx"], suffixes=("_s", "_b")
+    )
+    # every closed session emitted by the stream matches batch exactly
+    assert len(merged) == len(got)
+    assert (merged["n_events_s"] == merged["n_events_b"]).all()
+    assert (merged["session_start_us_s"] == merged["session_start_us_b"]).all()
+    assert (merged["session_end_us_s"] == merged["session_end_us_b"]).all()
+    assert (abs(merged["value_sum_s"] - merged["value_sum_b"]) < 1e-6).all()
+
+
 def test_streamed_window_counts_match_batch(spark, tmp_path):
     from quickwit_spark.pipeline.events import windowed_event_counts
 
