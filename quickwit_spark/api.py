@@ -119,6 +119,36 @@ class Index:
         sink with .write.csv(...) etc."""
         return stream_fast_field(self.searcher(), query, fast_field, **kwargs)
 
+    def tail(self, n: int = 20) -> SearchResponse:
+        """REST /tail analog: the n most recent docs (match-all sorted
+        by timestamp desc — rest.rs:67-71)."""
+        return self.search("*", k=n, sort_by="-ts")
+
+    def ingest_json_lines(
+        self, path: str, n_splits: int = 8, mode: str = "lenient",
+    ) -> dict:
+        """REST /ingest + _bulk analog: newline-delimited JSON docs →
+        doc mapper → index build. Returns ingest counters
+        (indexer.rs:52-78)."""
+        from quickwit_spark.sources.docmapper import (
+            map_json_docs,
+            read_json_lines,
+            split_valid,
+        )
+
+        mapped = map_json_docs(read_json_lines(self.spark, path), mode=mode)
+        valid, rejected = split_valid(mapped)
+        counters = {
+            r["_error"]: r["count"]
+            for r in rejected.groupBy("_error").count().collect()
+        }
+        cols = ["conv_id", "turn_idx", "role", "text", "tool", "ts"]
+        self.ingest(valid.select(*cols), n_splits=n_splits)
+        return {
+            "num_docs_valid": self.catalog().total_docs(),
+            "rejected": counters,
+        }
+
     # -- maintenance (CLI `index merge` / `index gc`) ---------------------
 
     def merge(self) -> int:

@@ -77,6 +77,36 @@ def test_partitioned_stream_export(index):
     assert (pdf["partition"] >= 0).all()
 
 
+def test_tail(index):
+    r = index.tail(5)
+    ts = [h.ts_us for h in r.hits]
+    assert ts == sorted(ts, reverse=True)
+    assert len(r.hits) == 5
+
+
+def test_ingest_json_lines(spark, tmp_path):
+    import json
+
+    from quickwit_spark.api import Index
+
+    lines = [
+        json.dumps({"conv_id": "c1", "turn_idx": i, "role": "user",
+                    "text": f"json ingest turn {i}", "tool": None,
+                    "ts": "2025-01-01T00:00:00Z"})
+        for i in range(5)
+    ] + ["not json", json.dumps({"conv_id": "c2", "text": "no idx",
+                                 "ts": "2025-01-01T00:00:00Z"})]
+    p = tmp_path / "docs.ndjson"
+    p.write_text("\n".join(lines))
+    idx = Index.create(spark, str(tmp_path / "jidx"))
+    result = idx.ingest_json_lines(str(p), n_splits=2)
+    assert result["num_docs_valid"] == 5
+    assert result["rejected"] == {
+        "parse_error": 1, "missing_field:turn_idx": 1
+    }
+    assert idx.search("ingest", k=10).num_hits == 5
+
+
 def test_gc_grace_period_reaps_stale_staged(index):
     from quickwit_spark.operators.merge import gc_deleted_splits
     from quickwit_spark.plans.catalog import Catalog, SplitMetadata
