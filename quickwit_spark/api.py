@@ -10,7 +10,6 @@ command onto a method here.
 
 from __future__ import annotations
 
-from dataclasses import asdict
 
 from quickwit_spark.config import IndexConfig
 from quickwit_spark.operators.build import build_index

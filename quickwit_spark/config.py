@@ -10,7 +10,7 @@ reference's pinned constants (BASELINE.md §a).
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 
 @dataclass(frozen=True)

@@ -619,6 +619,13 @@ class Searcher:
         self.catalog = Catalog.load(index_dir)
         self.config = self.catalog.config
         self._df_cache: dict[tuple[str, str], int] = {}
+        self._catalog_mtime = self._mtime()
+
+    def _mtime(self) -> float:
+        try:
+            return os.stat(os.path.join(self.index_dir, "catalog.json")).st_mtime
+        except OSError:
+            return 0.0
 
     @property
     def n_docs(self) -> int:
@@ -626,7 +633,16 @@ class Searcher:
 
     def refresh(self) -> None:
         self.catalog = Catalog.load(self.index_dir)
+        self.config = self.catalog.config
         self._df_cache.clear()
+        self._catalog_mtime = self._mtime()
+
+    def _refresh_if_stale(self) -> None:
+        """A merge/ingest/GC republished the catalog since this handle
+        loaded it — old split dirs may be gone; reload (one os.stat per
+        query, the metastore-poll analog)."""
+        if self._mtime() != self._catalog_mtime:
+            self.refresh()
 
     # -- global term stats -------------------------------------------------
 
@@ -728,6 +744,7 @@ class Searcher:
         mode: 'spark' (distributed mapInPandas over splits), 'driver'
         (thread pool in-process — same kernel function), or 'auto'.
         """
+        self._refresh_if_stale()
         ast = parse_query(query, self.config, search_fields)
         _validate_phrase_fields(ast, self.config)
         splits = prune_splits(

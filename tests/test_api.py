@@ -130,6 +130,29 @@ def test_ingest_resume_noop(index, corpus, spark):
     assert after["num_published_splits"] == before["num_published_splits"]
 
 
+def test_stale_searcher_survives_merge_and_gc(spark, corpus, tmp_path):
+    """A Searcher held across merge+GC must auto-refresh instead of
+    failing on deleted split dirs."""
+    from quickwit_spark.api import Index
+    from quickwit_spark.config import IndexConfig
+    from quickwit_spark.operators.search import Searcher
+
+    idx = Index.create(
+        spark, str(tmp_path / "stale"),
+        IndexConfig(merge_factor=2, max_merge_factor=4, min_level_num_docs=10),
+    )
+    idx.ingest(spark.createDataFrame(corpus), n_splits=4)
+    se = Searcher(spark, idx.index_dir)  # held across maintenance
+    before = se.search("w00001", k=5)
+    idx.merge()
+    idx.gc()
+    after = se.search("w00001", k=5)  # auto-refreshed
+    assert after.num_hits == before.num_hits
+    assert [round(h.score, 9) for h in after.hits] == [
+        round(h.score, 9) for h in before.hits
+    ]
+
+
 def test_merge_and_gc_and_lineage(index, corpus):
     assert index.merge() >= 1
     assert index.describe()["num_published_splits"] == 1
