@@ -449,8 +449,12 @@ def build_index(
 
     lineage = []
     ordered = sorted(results, key=lambda r: r.split_ord)
-    for i in range(0, len(ordered), PUBLISH_CHUNK):
-        chunk = ordered[i : i + PUBLISH_CHUNK]
+    # adaptive chunking: at least PUBLISH_CHUNK splits per atomic
+    # commit, at most ~8 commits per run — catalog rewrites are pure
+    # overhead once the run is small relative to the chunk count
+    chunk_size = max(PUBLISH_CHUNK, -(-len(ordered) // 8))
+    for i in range(0, len(ordered), chunk_size):
+        chunk = ordered[i : i + chunk_size]
         metas = []
         for row in chunk:
             meta = json.loads(row.meta)
@@ -469,10 +473,8 @@ def build_index(
             )
             for m in metas
         ]
-        catalog.stage_splits(sms)
-        catalog.publish_splits(
-            [sm.split_id for sm in sms],
-            checkpoint_delta={str(m["split_ord"]): "done" for m in metas},
+        catalog.stage_and_publish(
+            sms, checkpoint_delta={str(m["split_ord"]): "done" for m in metas}
         )
         for sm, m in zip(sms, metas):
             lineage.append(

@@ -137,6 +137,31 @@ class Catalog:
             self.splits[meta.split_id] = meta
         self._commit()
 
+    def stage_and_publish(
+        self,
+        metas: list[SplitMetadata],
+        checkpoint_delta: dict[str, str] | None = None,
+    ) -> None:
+        """Register a batch of freshly built splits as Published with
+        the checkpoint advance in ONE atomic commit — the batch-build
+        fast path (split files are already durable on storage when this
+        runs, so the intermediate Staged commit adds no safety; Staged
+        remains the state for the streaming/merge paths where work
+        continues after staging)."""
+        if checkpoint_delta:
+            for part, pos in checkpoint_delta.items():
+                if pos < self.checkpoint.get(part, ""):
+                    raise ValueError(f"incompatible checkpoint delta for {part}")
+        now = time.time()
+        for meta in metas:
+            meta.state = PUBLISHED
+            meta.create_timestamp = meta.create_timestamp or now
+            meta.update_timestamp = now
+            self.splits[meta.split_id] = meta
+        if checkpoint_delta:
+            self.checkpoint.update(checkpoint_delta)
+        self._commit()
+
     def publish_splits(
         self,
         split_ids: list[str],

@@ -141,7 +141,7 @@ def test_resume_after_partial_publish(spark, corpus, config, tmp_path):
 
     monkey_chunk = build_mod.PUBLISH_CHUNK
     build_mod.PUBLISH_CHUNK = 1  # per-split publishes for this test
-    real_publish = Catalog.publish_splits
+    real_publish = Catalog.stage_and_publish
     calls = {"n": 0}
 
     def failing_publish(self, *a, **kw):
@@ -150,12 +150,12 @@ def test_resume_after_partial_publish(spark, corpus, config, tmp_path):
         calls["n"] += 1
         return real_publish(self, *a, **kw)
 
-    Catalog.publish_splits = failing_publish
+    Catalog.stage_and_publish = failing_publish
     try:
         with pytest.raises(RuntimeError):
             build_index(spark, sdf, idx, config, n_splits=4)
     finally:
-        Catalog.publish_splits = real_publish
+        Catalog.stage_and_publish = real_publish
         build_mod.PUBLISH_CHUNK = monkey_chunk
 
     cat = Catalog.load(idx)
