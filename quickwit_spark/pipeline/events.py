@@ -49,7 +49,8 @@ SESSION_OUT_SCHEMA = (
 
 
 def sessionize_stream(
-    stream_df: DataFrame, gap_minutes: int = 30, ts_col: str = "ts"
+    stream_df: DataFrame, gap_minutes: int = 30, ts_col: str = "ts",
+    expire_open_sessions: bool = True,
 ) -> DataFrame:
     """Stateful streaming sessionization via ``applyInPandasWithState``
     keyed by user: state holds the open session (idx, last event time,
@@ -59,6 +60,13 @@ def sessionize_stream(
     the unbounded-stream twin of :func:`sessionize` — the custom
     stateful operator shape the engine uses for anything the built-in
     window aggregations can't express.
+
+    ``expire_open_sessions`` arms a ProcessingTimeTimeout so idle users'
+    open sessions flush after the gap with no further input — the right
+    setting for continuous streams. For bounded drains
+    (``trigger(availableNow=True)``) pass False: armed timeouts keep
+    the query alive on empty micro-batches until wall-clock reaches the
+    gap, so an availableNow run would spin for gap_minutes.
 
     Usage::
 
@@ -109,7 +117,8 @@ def sessionize_stream(
                 vsum += float(val)
                 last_us = int(us)
             state.update((sess_idx, last_us, n_ev, start_us, vsum))
-            state.setTimeoutDuration(gap_minutes * 60 * 1000)
+            if expire_open_sessions:
+                state.setTimeoutDuration(gap_minutes * 60 * 1000)
 
         if closed:
             yield pd.DataFrame(
@@ -125,7 +134,11 @@ def sessionize_stream(
         outputStructType=SESSION_OUT_SCHEMA,
         stateStructType=SESSION_STATE_SCHEMA,
         outputMode="append",
-        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+        timeoutConf=(
+            GroupStateTimeout.ProcessingTimeTimeout
+            if expire_open_sessions
+            else GroupStateTimeout.NoTimeout
+        ),
     )
 
 

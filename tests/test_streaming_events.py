@@ -36,14 +36,21 @@ def test_stateful_streaming_sessionize_matches_batch(spark, tmp_path):
         .parquet(str(src))
     )
     q = (
-        sessionize_stream(stream, gap_minutes=30)
+        # expire_open_sessions=False: a bounded availableNow drain must
+        # terminate instead of spinning empty batches until the 30-min
+        # timeouts fire
+        sessionize_stream(stream, gap_minutes=30, expire_open_sessions=False)
         .writeStream.format("memory")
         .queryName("sessions")
         .outputMode("append")
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    try:
+        terminated = q.awaitTermination(120)
+    finally:
+        q.stop()
+    assert terminated  # drained and stopped — no timeout spin
     got = spark.sql("select * from sessions").toPandas()
     assert len(got) > 0
 
