@@ -89,6 +89,79 @@ def random_hyperplane_buckets(
     )
 
 
+def write_ann_index(
+    df: DataFrame,
+    path: str,
+    n_planes: int = 6,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> None:
+    """Persist the corpus as an IVF-style index: parquet partitioned by
+    the hyperplane bucket, norms precomputed. A probe then reads ONLY
+    its bucket's partition directory — Catalyst partition pruning, no
+    scan of the other buckets (the 100 TB ANN path; multi-probe = read
+    several partitions)."""
+    b = random_hyperplane_buckets(df, n_planes, id_col, vec_col, seed)
+    from pyspark.sql import functions as F
+
+    (
+        df.join(b, id_col)
+        .withColumn("nrm", F.expr(f"sqrt({DOT.format(a=vec_col, b=vec_col)})"))
+        .write.partitionBy("bucket")
+        .mode("overwrite")
+        .parquet(path)
+    )
+
+
+def ann_index_topk(
+    spark,
+    path: str,
+    queries: DataFrame,
+    k: int = 10,
+    n_planes: int = 6,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> DataFrame:
+    """Probe a persisted ANN index: bucket each query with the same
+    deterministic hyperplanes, then join against the bucket-partitioned
+    corpus — the bucket equijoin lets Catalyst prune every other
+    partition from the scan."""
+    from pyspark.sql import functions as F
+
+    corpus = spark.read.parquet(path)
+    qb = random_hyperplane_buckets(queries, n_planes, id_col, vec_col, seed)
+    q = (
+        _with_norm(queries, id_col, vec_col, "q")
+        .join(qb.withColumnRenamed(id_col, "q_id"), "q_id")
+    )
+    scored = (
+        corpus.join(F.broadcast(q), "bucket")
+        .where(F.col(id_col) != F.col("q_id"))
+        .withColumn(
+            "cosine",
+            F.round(
+                F.expr(DOT.format(a=vec_col, b="q_v")) / (F.col("nrm") * F.col("q_n")),
+                6,
+            ),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(
+        F.col("cosine").desc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            F.col("q_id").alias("query_id"),
+            F.col(id_col).alias("neighbor_id"),
+            "rank",
+            "cosine",
+        )
+    )
+
+
 def lsh_ann_topk(
     corpus: DataFrame,
     queries: DataFrame,

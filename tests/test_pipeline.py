@@ -46,6 +46,37 @@ def test_simhash_close_on_near_identical_text(spark):
     assert {(r.id_a, r.id_b) for r in near} == {(0, 1)}
 
 
+def test_persisted_ann_index_matches_inline_lsh(spark, tmp_path):
+    """The bucket-partitioned on-disk ANN index returns exactly what the
+    inline LSH path returns, and the probe's scan is partition-pruned
+    to the queries' buckets."""
+    from pyspark.sql import functions as F
+
+    from quickwit_spark.pipeline.similarity import (
+        ann_index_topk,
+        lsh_ann_topk,
+        write_ann_index,
+    )
+
+    embs = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = embs.where(F.col("vec_id") < 3)
+    path = str(tmp_path / "ann_idx")
+    write_ann_index(embs, path, n_planes=4)
+
+    got = ann_index_topk(spark, path, q, k=10, n_planes=4).toPandas()
+    want = lsh_ann_topk(embs, q, k=10, n_planes=4).toPandas()
+    key = ["query_id", "rank"]
+    got = got.sort_values(key).reset_index(drop=True)
+    want = want.sort_values(key).reset_index(drop=True)
+    assert got["neighbor_id"].tolist() == want["neighbor_id"].tolist()
+    assert (got["cosine"] == want["cosine"]).all()
+
+    # partition pruning: the corpus scan carries a PartitionFilters
+    # entry on bucket (dynamic via the bucket join)
+    plan = ann_index_topk(spark, path, q, k=10, n_planes=4)._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "bucket" in plan.split("PartitionFilters")[1][:200]
+
+
 def test_ann_lsh_is_subset_of_bruteforce_candidates(spark):
     from pyspark.sql import functions as F
 
