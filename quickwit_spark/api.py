@@ -53,13 +53,17 @@ class Index:
 
     # -- ingest (CLI `index ingest`) -------------------------------------
 
-    def ingest(self, source, n_splits: int = 8) -> "Index":
+    def ingest(self, source, n_splits: int = 8, ingest_id: str | None = None) -> "Index":
         """Batch ingest a DataFrame or parquet path (resumable at split
-        granularity — re-running after a crash skips published work)."""
+        granularity — re-running after a crash skips published work).
+        Each ingest is a checkpoint namespace: retry with the SAME
+        ``ingest_id`` to resume/no-op, append new data with a NEW one
+        (a DataFrame source on an index with completed ingests requires
+        an explicit id — appended data is never silently dropped)."""
         build_index(
             self.spark, source, self.index_dir,
             config=self.catalog().config if Catalog.exists(self.index_dir) else None,
-            n_splits=n_splits, resume=True,
+            n_splits=n_splits, resume=True, ingest_id=ingest_id,
         )
         self._searcher = None
         return self
@@ -141,8 +145,13 @@ class Index:
             r["_error"]: r["count"]
             for r in rejected.groupBy("_error").count().collect()
         }
+        import hashlib
+
         cols = ["conv_id", "turn_idx", "role", "text", "tool", "ts"]
-        self.ingest(valid.select(*cols), n_splits=n_splits)
+        self.ingest(
+            valid.select(*cols), n_splits=n_splits,
+            ingest_id="j" + hashlib.md5(path.encode()).hexdigest()[:10],
+        )
         return {
             "num_docs_valid": self.catalog().total_docs(),
             "rejected": counters,

@@ -364,8 +364,53 @@ def build_split_tables_arrow(tbl, config: IndexConfig):
     return postings, docs, meta
 
 
-def split_id_for_partition(split_ord: int) -> str:
-    return f"split-{split_ord:05d}"
+def split_id_for_partition(ingest_id: str, split_ord: int) -> str:
+    return f"split-{ingest_id}-{split_ord:05d}"
+
+
+def _resolve_ingest_id(catalog: Catalog, source, ingest_id: str | None) -> str:
+    """Pick the checkpoint namespace for this batch build.
+
+    Each batch ingest gets its own checkpoint namespace
+    (``batch/<ingest_id>/<partition>`` keys + a ``batch/<ingest_id>``
+    completion marker) and its own split-id prefix, so a SECOND ingest
+    with new data is never silently swallowed by the first ingest's
+    'done' checkpoints (the reference's SourceCheckpoint is per-source
+    for the same reason — checkpoint.rs:34-105).
+
+    Defaults: a path source derives its id from the path (same path →
+    resume/no-op, new path → append); a DataFrame source resumes the
+    single incomplete namespace if one exists, starts ``b0000`` on a
+    fresh index, and otherwise raises — the caller must say whether
+    this is a retry (same ingest_id) or an append (new ingest_id).
+    """
+    if ingest_id is not None:
+        if "/" in ingest_id:
+            raise ValueError("ingest_id must not contain '/'")
+        return ingest_id
+    if isinstance(source, str):
+        import hashlib
+
+        return "p" + hashlib.md5(os.path.abspath(source).encode()).hexdigest()[:10]
+    namespaces = {
+        k.split("/", 2)[1]
+        for k in catalog.checkpoint
+        if k.startswith("batch/")
+    }
+    complete = {
+        ns for ns in namespaces if catalog.checkpoint.get(f"batch/{ns}") == "complete"
+    }
+    incomplete = sorted(namespaces - complete)
+    if len(incomplete) == 1:
+        return incomplete[0]  # crash-resume of the interrupted ingest
+    if not namespaces:
+        return "b0000"
+    raise ValueError(
+        "this index already has completed batch ingests "
+        f"({sorted(namespaces)}); pass ingest_id=... to build_index/"
+        "Index.ingest — reuse an existing id to (idempotently) retry "
+        "that ingest, or a new id to append new data"
+    )
 
 
 def build_index(
@@ -375,15 +420,17 @@ def build_index(
     config: IndexConfig | None = None,
     n_splits: int = 8,
     resume: bool = True,
+    ingest_id: str | None = None,
 ) -> Catalog:
     """Build (or resume) the index for ``source`` (DataFrame or parquet
     path of transcripts). One Spark job: shuffle by routing hash, build
     each split in a vectorized kernel, then stage+publish per split.
 
     Resume semantics (publisher.rs:140-148 / checkpoint.rs analog):
-    partitions whose checkpoint position is already recorded are
-    filtered out *before* the shuffle, so a re-run after a crash only
-    rebuilds missing splits.
+    partitions whose checkpoint position is already recorded under THIS
+    ingest's namespace are filtered out *before* the shuffle, so a
+    re-run after a crash only rebuilds missing splits, while a new
+    ``ingest_id`` appends a fresh set of splits.
     """
     from pyspark.sql import functions as F
 
@@ -399,9 +446,20 @@ def build_index(
         catalog = Catalog.load(index_dir)
     else:
         catalog = Catalog.create(index_dir, config, source_path)
-    done = {int(p) for p, pos in catalog.checkpoint.items() if pos == "done"}
+    ingest_id = _resolve_ingest_id(catalog, source, ingest_id)
+    marker_key = f"batch/{ingest_id}"
+    if catalog.checkpoint.get(marker_key) == "complete":
+        return catalog  # idempotent retry of a finished ingest
+    done = {
+        int(k.rsplit("/", 1)[1])
+        for k, pos in catalog.checkpoint.items()
+        if k.startswith(marker_key + "/") and pos == "done"
+    }
     todo = [p for p in range(n_splits) if p not in done]
     if not todo:
+        # crashed exactly between the last chunk and nothing else —
+        # just record completion
+        catalog.stage_and_publish([], checkpoint_delta={marker_key: "complete"})
         return catalog
 
     df = df.withColumn(
@@ -416,6 +474,7 @@ def build_index(
 
     index_dir_b = index_dir
     config_dict = config.to_dict()
+    ingest_id_b = ingest_id
 
     def build_group(key, tbl):
         import pyarrow as pa
@@ -428,7 +487,7 @@ def build_index(
         postings, docs, meta = build_split_tables_arrow(
             tbl.drop_columns(["split_ord"]), cfg
         )
-        split_id = split_id_for_partition(split_ord)
+        split_id = split_id_for_partition(ingest_id_b, split_ord)
         split_dir = os.path.join(index_dir_b, "splits", split_id)
         size = write_split(postings, docs, split_dir)
         meta.update(
@@ -473,9 +532,10 @@ def build_index(
             )
             for m in metas
         ]
-        catalog.stage_and_publish(
-            sms, checkpoint_delta={str(m["split_ord"]): "done" for m in metas}
-        )
+        delta = {f"{marker_key}/{m['split_ord']}": "done" for m in metas}
+        if i + chunk_size >= len(ordered):
+            delta[marker_key] = "complete"  # same atomic commit as the last chunk
+        catalog.stage_and_publish(sms, checkpoint_delta=delta)
         for sm, m in zip(sms, metas):
             lineage.append(
                 {

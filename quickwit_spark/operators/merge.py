@@ -271,55 +271,79 @@ def _merge_tags(inputs: list[SplitMetadata], config: IndexConfig) -> dict:
     return tags
 
 
-def execute_merge(
-    spark, catalog: Catalog, inputs: list[SplitMetadata], gen: int
-) -> SplitMetadata:
-    """One merge op = one Spark task (merge_executor.rs:283-347 analog);
-    publish(new, replaced=inputs) is the atomic cutover."""
+def execute_merge_round(
+    spark, catalog: Catalog, ops: list[list[SplitMetadata]]
+) -> list[SplitMetadata]:
+    """Execute one planner round of merge ops as ONE Spark job with one
+    task per op (the reference runs merges concurrently across the merge
+    CPU pools of the cluster's indexers — merge pipeline in
+    indexing_pipeline.rs:233-337; a round's ops are independent, so at
+    10^12 turns a level-0 round of hundreds of ops fans out instead of
+    serializing through the driver).
+
+    Split ids come from the catalog's persisted allocator (globally
+    unique across invocations); the round publishes atomically: one
+    staging commit for all new splits, one publish commit that retires
+    every input (publisher.rs:140-148 analog).
+    """
     config = catalog.config
-    inputs = sorted(inputs, key=lambda s: s.split_id)
-    new_id = f"merge-{gen:04d}-" + "-".join(
-        s.split_id.rsplit("-", 1)[-1] for s in inputs[:4]
-    ) + f"-{len(inputs):02d}"
-    in_dirs = [catalog.split_dir(s.split_id) for s in inputs]
-    out_dir = catalog.split_dir(new_id)
+    ops = [sorted(inputs, key=lambda s: s.split_id) for inputs in ops]
+    new_ids = catalog.alloc_merge_ids(len(ops))
+    rows = [
+        (
+            new_ids[i],
+            json.dumps([catalog.split_dir(s.split_id) for s in ops[i]]),
+            catalog.split_dir(new_ids[i]),
+        )
+        for i in range(len(ops))
+    ]
     cfg_dict = config.to_dict()
 
     def kernel(iterator):
         for pdf in iterator:
-            if len(pdf):
+            for new_id, in_dirs, out_dir in zip(
+                pdf["new_id"], pdf["in_dirs"], pdf["out_dir"]
+            ):
                 t0 = time.time()
-                meta = merge_split_files(in_dirs, out_dir, IndexConfig.from_dict(cfg_dict))
+                meta = merge_split_files(
+                    json.loads(in_dirs), out_dir, IndexConfig.from_dict(cfg_dict)
+                )
                 meta["wall_time_sec"] = time.time() - t0
-                yield pd.DataFrame({"meta": [json.dumps(meta)]})
+                yield pd.DataFrame(
+                    {"new_id": [new_id], "meta": [json.dumps(meta)]}
+                )
 
-    row = (
-        spark.createDataFrame([(1,)], "one int")
-        .coalesce(1)
-        .mapInPandas(kernel, schema="meta string")
-        .collect()
+    sdf = spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, len(rows)),
+        "new_id string, in_dirs string, out_dir string",
     )
-    meta = json.loads(row[0].meta)
-    sm = SplitMetadata(
-        split_id=new_id,
-        num_docs=meta["num_docs"],
-        sum_doc_len=meta["sum_doc_len"],
-        uncompressed_docs_size_in_bytes=sum(
-            s.uncompressed_docs_size_in_bytes for s in inputs
-        ),
-        size_in_bytes=meta["size_in_bytes"],
-        time_range=tuple(meta["time_range"]) if meta["time_range"] else None,
-        term_range=tuple(meta["term_range"]) if meta["term_range"] else None,
-        tags=_merge_tags(inputs, config),
-        num_merge_ops=max(s.num_merge_ops for s in inputs) + 1,
-        source_partitions=sorted(
-            {p for s in inputs for p in s.source_partitions}
-        ),
-    )
-    catalog.stage_split(sm)
-    catalog.publish_splits([new_id], replaced_split_ids=[s.split_id for s in inputs])
-    catalog.append_lineage(
-        [
+    results = {
+        r.new_id: json.loads(r.meta)
+        for r in sdf.mapInPandas(kernel, schema="new_id string, meta string").collect()
+    }
+
+    sms = []
+    lineage = []
+    for new_id, inputs in zip(new_ids, ops):
+        meta = results[new_id]
+        sm = SplitMetadata(
+            split_id=new_id,
+            num_docs=meta["num_docs"],
+            sum_doc_len=meta["sum_doc_len"],
+            uncompressed_docs_size_in_bytes=sum(
+                s.uncompressed_docs_size_in_bytes for s in inputs
+            ),
+            size_in_bytes=meta["size_in_bytes"],
+            time_range=tuple(meta["time_range"]) if meta["time_range"] else None,
+            term_range=tuple(meta["term_range"]) if meta["term_range"] else None,
+            tags=_merge_tags(inputs, config),
+            num_merge_ops=max(s.num_merge_ops for s in inputs) + 1,
+            source_partitions=sorted(
+                {p for s in inputs for p in s.source_partitions}
+            ),
+        )
+        sms.append(sm)
+        lineage.append(
             {
                 "split_id": new_id,
                 "op": "merge",
@@ -331,26 +355,36 @@ def execute_merge(
                 "wall_time_sec": meta["wall_time_sec"],
                 "ts": time.time(),
             }
-        ]
+        )
+    catalog.stage_splits(sms)
+    catalog.publish_splits(
+        new_ids,
+        replaced_split_ids=[s.split_id for op in ops for s in op],
     )
-    return sm
+    catalog.append_lineage(lineage)
+    return sms
+
+
+def execute_merge(
+    spark, catalog: Catalog, inputs: list[SplitMetadata]
+) -> SplitMetadata:
+    """One merge op (merge_executor.rs:283-347 analog) — a one-op round."""
+    return execute_merge_round(spark, catalog, [inputs])[0]
 
 
 def run_merge_pipeline(spark, index_dir: str, max_rounds: int = 100) -> int:
-    """MergePlanner loop (merge_planner.rs:61-81): plan → execute →
-    re-plan until no candidate remains. Returns number of merges run."""
+    """MergePlanner loop (merge_planner.rs:61-81): plan → execute round
+    (all ops in one fanned-out Spark job) → re-plan until no candidate
+    remains. Returns number of merges run."""
     catalog = Catalog.load(index_dir)
     pre_version = catalog.stats_version()
-    gen = 0
     total = 0
     for _ in range(max_rounds):
         ops = plan_merge_operations(catalog.published_splits(), catalog.config)
         if not ops:
             break
-        for inputs in ops:
-            execute_merge(spark, catalog, inputs, gen)
-            gen += 1
-            total += 1
+        execute_merge_round(spark, catalog, ops)
+        total += len(ops)
     if total:
         from quickwit_spark.operators.stats import (
             carry_forward_term_stats,

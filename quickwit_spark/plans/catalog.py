@@ -76,6 +76,10 @@ class Catalog:
         self.splits: dict[str, SplitMetadata] = {}
         self.checkpoint: dict[str, str] = {}  # source partition -> position
         self.source_path: str | None = None
+        # monotonically increasing merge-split id allocator; persisted so
+        # ids never repeat across run_merge_pipeline invocations (a reused
+        # id would silently overwrite a published split's catalog entry)
+        self.merge_seq: int = 0
 
     # -- persistence ------------------------------------------------------
 
@@ -102,6 +106,7 @@ class Catalog:
         }
         cat.checkpoint = d.get("checkpoint", {})
         cat.source_path = d.get("source_path")
+        cat.merge_seq = int(d.get("merge_seq", 0))
         return cat
 
     @staticmethod
@@ -115,6 +120,7 @@ class Catalog:
             "splits": [s.to_dict() for s in self.splits.values()],
             "checkpoint": self.checkpoint,
             "source_path": self.source_path,
+            "merge_seq": self.merge_seq,
         }
         tmp = self.path + f".tmp-{uuid.uuid4().hex}"
         with open(tmp, "w") as f:
@@ -128,8 +134,36 @@ class Catalog:
     def stage_split(self, meta: SplitMetadata) -> None:
         self.stage_splits([meta])
 
+    def alloc_merge_ids(self, n: int) -> list[str]:
+        """Allocate ``n`` globally-unique merge split ids. The bumped
+        counter is committed BEFORE the ids are used, so a crashed merge
+        can never reuse an id (the reference gets this from ULIDs —
+        split_metadata.rs new_split_id; a sequence keeps ids readable
+        and sort-stable here)."""
+        start = self.merge_seq
+        self.merge_seq += n
+        self._commit()
+        return [f"merge-{i:06d}" for i in range(start, start + n)]
+
+    def _check_stageable(self, meta: SplitMetadata, allow_staged: bool) -> None:
+        existing = self.splits.get(meta.split_id)
+        if existing is None:
+            return
+        if allow_staged and existing.state == STAGED:
+            return  # crash-retry of a staged-but-never-published split
+        raise ValueError(
+            f"split id {meta.split_id!r} already exists in state "
+            f"{existing.state!r} — split ids must be unique; staging it "
+            f"again would silently overwrite the existing split"
+        )
+
     def stage_splits(self, metas: list[SplitMetadata]) -> None:
-        """Stage a batch in ONE atomic commit (uploader.rs staging)."""
+        """Stage a batch in ONE atomic commit (uploader.rs staging).
+        Re-staging an id that is Published/MarkedForDeletion raises
+        (id collision = silent data loss); re-staging a Staged id is
+        allowed (crash-retry idempotence)."""
+        for meta in metas:
+            self._check_stageable(meta, allow_staged=True)
         for meta in metas:
             meta.state = STAGED
             meta.create_timestamp = meta.create_timestamp or time.time()
@@ -148,6 +182,8 @@ class Catalog:
         runs, so the intermediate Staged commit adds no safety; Staged
         remains the state for the streaming/merge paths where work
         continues after staging)."""
+        for meta in metas:
+            self._check_stageable(meta, allow_staged=False)
         if checkpoint_delta:
             for part, pos in checkpoint_delta.items():
                 if pos < self.checkpoint.get(part, ""):

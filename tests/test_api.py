@@ -121,13 +121,39 @@ def test_gc_grace_period_reaps_stale_staged(index):
     assert "stale-001" not in Catalog.load(index.index_dir).splits
 
 
-def test_ingest_resume_noop(index, corpus, spark):
-    """Re-ingesting the same source is a checkpointed no-op."""
+def test_ingest_second_batch_requires_ingest_id(index, corpus, spark):
+    """A second DataFrame ingest on an index with a completed batch is
+    ambiguous (retry vs append) — it must raise, not silently no-op
+    (appended data must never be dropped)."""
+    import pytest
+
     before = index.describe()
-    index.ingest(spark.createDataFrame(corpus), n_splits=4)
+    with pytest.raises(ValueError, match="ingest_id"):
+        index.ingest(spark.createDataFrame(corpus), n_splits=4)
+    # same-id retry of the completed ingest IS a checkpointed no-op
+    index.ingest(spark.createDataFrame(corpus), n_splits=4, ingest_id="b0000")
     after = index.describe()
     assert after["num_docs"] == before["num_docs"]
     assert after["num_published_splits"] == before["num_published_splits"]
+
+
+def test_ingest_append_with_new_ingest_id(spark, corpus, tmp_path):
+    """An explicit new ingest_id appends: the new data is indexed and
+    searchable next to the first ingest's splits."""
+    from quickwit_spark.api import Index
+    from quickwit_spark.sources.transcripts import generate_transcripts
+
+    idx = Index.create(spark, str(tmp_path / "append"))
+    idx.ingest(spark.createDataFrame(corpus), n_splits=2)
+    n1 = idx.describe()["num_docs"]
+    extra = generate_transcripts(300, seed=99)
+    extra["conv_id"] = "app-" + extra["conv_id"]
+    idx.ingest(spark.createDataFrame(extra), n_splits=2, ingest_id="b0001")
+    after = idx.describe()
+    assert after["num_docs"] == n1 + len(extra)
+    assert after["num_published_splits"] == 4
+    # both ingests' docs are visible to search
+    assert idx.search("w00001", k=5).num_hits > 0
 
 
 def test_stale_searcher_survives_merge_and_gc(spark, corpus, tmp_path):

@@ -165,8 +165,13 @@ def test_resume_after_partial_publish(spark, corpus, config, tmp_path):
     cat2 = build_index(spark, sdf, idx, config, n_splits=4)
     assert len(cat2.published_splits()) == 4
     assert cat2.total_docs() == len(corpus)
-    # all four checkpoint positions recorded exactly once
-    assert sorted(cat2.checkpoint) == ["0", "1", "2", "3"]
+    # all four checkpoint positions recorded exactly once, plus the
+    # ingest-completion marker (all namespaced under this ingest)
+    assert sorted(cat2.checkpoint) == [
+        "batch/b0000",
+        "batch/b0000/0", "batch/b0000/1", "batch/b0000/2", "batch/b0000/3",
+    ]
+    assert cat2.checkpoint["batch/b0000"] == "complete"
 
 
 def test_crc32_routing_matches_spark(spark):

@@ -259,3 +259,109 @@ class TestMergeExecution:
         assert all(s.state == "Published" for s in cat.splits.values())
         for sid in doomed:
             assert not os.path.exists(cat.split_dir(sid))
+
+
+class TestMergeIdsAndFanout:
+    def test_alloc_merge_ids_unique_across_invocations(self, tmp_path):
+        """Merge split ids must never repeat across run_merge_pipeline
+        invocations — a reused id silently overwrites a published
+        split's catalog entry (streaming-named inputs repeat per batch,
+        so ids derived from input suffixes DO collide)."""
+        from quickwit_spark.plans.catalog import Catalog
+
+        d = str(tmp_path / "alloc")
+        Catalog.create(d, CFG)
+        a = Catalog.load(d).alloc_merge_ids(3)
+        b = Catalog.load(d).alloc_merge_ids(3)  # fresh load = new invocation
+        assert len(set(a) | set(b)) == 6
+        assert Catalog.load(d).merge_seq == 6
+
+    def test_stage_collision_raises(self, tmp_path):
+        """Staging an id that is already Published must raise instead of
+        silently overwriting the catalog entry."""
+        from quickwit_spark.plans.catalog import Catalog, SplitMetadata
+
+        d = str(tmp_path / "coll")
+        cat = Catalog.create(d, CFG)
+        cat.stage_split(SplitMetadata(split_id="s-1", num_docs=10))
+        cat.publish_splits(["s-1"])
+        with pytest.raises(ValueError, match="already exists"):
+            cat.stage_split(SplitMetadata(split_id="s-1", num_docs=99))
+        with pytest.raises(ValueError, match="already exists"):
+            cat.stage_and_publish([SplitMetadata(split_id="s-1", num_docs=99)])
+        # re-staging a Staged id is allowed (crash-retry idempotence)
+        cat.stage_split(SplitMetadata(split_id="s-2", num_docs=5))
+        cat.stage_split(SplitMetadata(split_id="s-2", num_docs=5))
+
+    def test_round_executes_as_one_job(self, spark, tmp_path):
+        """A planner round of 3 independent merge ops (one per level)
+        must fan out as ONE Spark job with one task per op, not one
+        job per op."""
+        from quickwit_spark.operators.build import build_split_tables, write_split
+        from quickwit_spark.operators.merge import run_merge_pipeline
+        from quickwit_spark.plans.catalog import Catalog, SplitMetadata
+        from quickwit_spark.sources.transcripts import generate_transcripts
+
+        import os
+
+        cfg = IndexConfig(merge_factor=3, max_merge_factor=3, min_level_num_docs=10)
+        d = str(tmp_path / "fan")
+        cat = Catalog.create(d, cfg)
+        # three size-separated level groups (x3 gaps so build_split_levels
+        # puts each trio in its own level => 3 ops in ONE planner round);
+        # later slices carry later timestamps, so the small splits sort
+        # most-recent-first as the planner expects
+        sizes = [660, 660, 660, 200, 200, 200, 30, 30, 30]
+        big = generate_transcripts(sum(sizes), seed=23)
+        sms = []
+        lo = 0
+        for i, sz in enumerate(sizes):
+            pdf = big.iloc[lo : lo + sz].reset_index(drop=True)
+            lo += sz
+            postings, docs, meta = build_split_tables(pdf, cfg)
+            sid = f"seed-{i:04d}"
+            size = write_split(postings, docs, os.path.join(d, "splits", sid))
+            sms.append(SplitMetadata(
+                split_id=sid, num_docs=meta["num_docs"],
+                sum_doc_len=meta["sum_doc_len"], size_in_bytes=size,
+                # synthetic disjoint ascending ranges: small splits sort
+                # most-recent-first, keeping each trio in its own level
+                time_range=(1000 * i, 1000 * i + 999),
+                term_range=tuple(meta["term_range"]), tags=meta["tags"],
+            ))
+        cat.stage_and_publish(sms)
+
+        sc = spark.sparkContext
+        sc.setJobGroup("merge-fanout-test", "merge rounds")
+        try:
+            n = run_merge_pipeline(spark, d)
+        finally:
+            sc.setJobGroup(None, None)
+        # round 1 = one op per level (3 ops, ONE job); round 2 merges
+        # the three results (1 op, one job)
+        assert n == 4
+        tracker = sc.statusTracker()
+        jobs = tracker.getJobIdsForGroup("merge-fanout-test")
+        assert len(jobs) == 2, jobs
+        stage_task_counts = sorted(
+            tracker.getStageInfo(sid).numTasks
+            for j in jobs
+            for sid in tracker.getJobInfo(j).stageIds
+        )
+        # round 1's single job ran its 3 ops as 3 parallel tasks
+        assert stage_task_counts == [1, 3], stage_task_counts
+
+        cat = Catalog.load(d)
+        assert cat.total_docs() == sum(sizes)
+        assert len(cat.published_splits()) == 1
+        # lineage records a wall time per merge op
+        import pandas as pd
+
+        lin = pd.concat([
+            pd.read_parquet(os.path.join(d, "lineage", f))
+            for f in os.listdir(os.path.join(d, "lineage"))
+        ])
+        merges = lin[lin["op"] == "merge"]
+        assert len(merges) == 4
+        assert merges["split_id"].nunique() == 4
+        assert (merges["wall_time_sec"] > 0).all()
