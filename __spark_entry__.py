@@ -24,7 +24,12 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 # ---------------------------------------------------------------------------
 
 K1, B = 1.2, 0.75
-TOKS = "regexp_extract_all(lower(text), '[0-9a-z]+')"          # duckdb
+# duckdb tokenization twins: TOKS mirrors the PIPELINE text ops
+# (textstats.TOKEN_PATTERN, uncapped); TOKS40 mirrors the ENGINE's
+# `default` search tokenizer (40-char token cap) and backs every
+# search/BM25 oracle so doc lengths and match sets agree exactly
+TOKS = "regexp_extract_all(lower(text), '[0-9a-z]+')"
+TOKS40 = f"list_filter({TOKS}, t -> length(t) <= 40)"
 _IDX_CACHE: dict[str, str] = {}
 
 
@@ -62,7 +67,7 @@ def _docs_index(spark: SparkSession, sf_dir: str) -> str:
     from quickwit_spark.operators.build import build_index
 
     tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
-    d = os.path.join(tempfile.gettempdir(), f"qs_entry_idx_{tag}_v4")
+    d = os.path.join(tempfile.gettempdir(), f"qs_entry_idx_{tag}_v5")
     from quickwit_spark.plans.catalog import Catalog
 
     if not Catalog.exists(d):
@@ -195,11 +200,17 @@ def q_agg_histogram_nchars(spark, sf_dir):
 
 def q_search_stream_fastfield(spark, sf_dir):
     """Search-stream export: fast-field values of ALL matching docs
-    (search_stream/leaf.rs:72-284 analog) — unordered dump."""
+    (search_stream/leaf.rs:72-284 analog) — genuinely uncapped, through
+    the stream_fast_field operator (partition_by carries doc_id, the
+    PartitionnedFastFieldCollector shape)."""
+    from quickwit_spark.operators.search import stream_fast_field
+
     se = _searcher(spark, sf_dir)
-    resp = se.search("hash", k=10_000)
-    rows = [(int(h.doc["doc_id"]), int(h.doc["n_chars"])) for h in resp.hits]
-    return spark.createDataFrame(rows, "doc_id long, n_chars long")
+    out = stream_fast_field(se, "hash", "n_chars", partition_by="doc_id")
+    return out.select(
+        F.col("partition").cast("long").alias("doc_id"),
+        F.col("value").cast("long").alias("n_chars"),
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -384,7 +395,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # BM25 scaffolding: token table, doc lengths, corpus stats
 _BM25_WITH = f"""
 WITH toks AS (
-  SELECT doc_id, unnest({TOKS}) AS term
+  SELECT doc_id, unnest({TOKS40}) AS term
   FROM documents
 ),
 dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
@@ -495,7 +506,7 @@ ORDER BY t1.s DESC, t1.doc_id ASC LIMIT 20
     # phrase "table value": tf = adjacent-pair count; idf = sum of both
     # terms' idfs (Lucene-style phrase scoring, slop 0)
     sql["bm25_phrase"] = f"""
-WITH lsts AS (SELECT doc_id, {TOKS} AS lst FROM documents),
+WITH lsts AS (SELECT doc_id, {TOKS40} AS lst FROM documents),
 toks AS (SELECT doc_id, unnest(lst) AS term FROM lsts),
 dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
 stats AS (
@@ -572,12 +583,12 @@ ORDER BY u1.s + u2.s DESC, u1.doc_id ASC LIMIT 20
 
     sql["search_num_hits"] = f"""
 SELECT count(*) AS num_hits FROM documents
-WHERE list_contains({TOKS}, 'vector')
+WHERE list_contains({TOKS40}, 'vector')
 """
 
     sql["search_sort_fastfield"] = f"""
 SELECT doc_id, n_chars FROM documents
-WHERE list_contains({TOKS}, 'vector')
+WHERE list_contains({TOKS40}, 'vector')
 ORDER BY n_chars DESC, doc_id ASC LIMIT 20
 """
 
@@ -613,12 +624,12 @@ ORDER BY s DESC, doc_id ASC LIMIT 50
 
     sql["search_stream_fastfield"] = f"""
 SELECT doc_id, n_chars FROM documents
-WHERE list_contains({TOKS}, 'hash')
+WHERE list_contains({TOKS40}, 'hash')
 """
 
     sql["agg_terms_source"] = f"""
 SELECT source, count(*) AS doc_count FROM documents
-WHERE list_contains({TOKS}, 'vector')
+WHERE list_contains({TOKS40}, 'vector')
 GROUP BY source ORDER BY doc_count DESC, source ASC LIMIT 8
 """
 
@@ -626,12 +637,12 @@ GROUP BY source ORDER BY doc_count DESC, source ASC LIMIT 8
 SELECT count(*) AS cnt, sum(n_chars)::DOUBLE AS total,
        min(n_chars)::DOUBLE AS mn, max(n_chars)::DOUBLE AS mx,
        round(avg(n_chars), 4) AS av
-FROM documents WHERE list_contains({TOKS}, 'vector')
+FROM documents WHERE list_contains({TOKS40}, 'vector')
 """
 
     sql["agg_histogram_nchars"] = f"""
 SELECT floor(n_chars / 100.0) * 100.0 AS bucket, count(*) AS doc_count
-FROM documents WHERE list_contains({TOKS}, 'vector')
+FROM documents WHERE list_contains({TOKS40}, 'vector')
 GROUP BY bucket ORDER BY bucket
 """
 

@@ -242,6 +242,13 @@ def tokenize_encode(values: pd.Series, tokenizer: str):
     return lens, codes.astype(np.int64), uniq
 
 
+# Characters whose Python str.lower() is context-sensitive or expanding
+# (U+0130 'İ' → 'i' + combining dot; Greek capital sigma's final form):
+# Arrow's utf8_lower maps them codepoint-wise, so tokens containing them
+# take the exact Python lowercase on a (rare) fallback path.
+_PY_LOWER_SPECIAL = "[İΣ]"
+
+
 def _tokenize_encode_arrow(values):
     import pyarrow as pa
     import pyarrow.compute as pc
@@ -255,9 +262,11 @@ def _tokenize_encode_arrow(values):
     if arr.type != pa.string():
         arr = arr.cast(pa.string())
     n = len(arr)
-    lst = pc.split_pattern_regex(
-        pc.utf8_lower(arr), _ARROW_SPLIT_PATTERN
-    )
+    # mirror the Python reference's order exactly: split the ORIGINAL
+    # text, cap on the pre-lowercase token length, then lowercase each
+    # token (lowercasing first would move token boundaries for chars
+    # whose lowercase adds combining marks, e.g. U+0130)
+    lst = pc.split_pattern_regex(arr, _ARROW_SPLIT_PATTERN)
     lens = (
         pc.fill_null(pc.list_value_length(lst), 0)
         .to_numpy(zero_copy_only=False)
@@ -277,6 +286,17 @@ def _tokenize_encode_arrow(values):
         flat = pc.filter(flat, keep)
     if len(flat) == 0:
         return lens, np.empty(0, np.int64), np.empty(0, dtype=object)
+    lowered = pc.utf8_lower(flat)
+    special = pc.match_substring_regex(flat, _PY_LOWER_SPECIAL)
+    special_np = special.to_numpy(zero_copy_only=False)
+    if special_np.any():
+        low_np = lowered.to_numpy(zero_copy_only=False).astype(object)
+        orig_np = flat.to_numpy(zero_copy_only=False)
+        for i in np.flatnonzero(special_np):
+            low_np[i] = orig_np[i].lower()
+        flat = pa.array(low_np, type=pa.string())
+    else:
+        flat = lowered
     enc = pc.dictionary_encode(flat)
     indices = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
     dictionary = enc.dictionary

@@ -28,13 +28,17 @@ BM25 uses GLOBAL corpus stats: N and avgdl come from the catalog
 tiny first Spark job that reads only the (field, term, df) columns of
 term-pruned splits. ``Searcher`` caches those stats across queries.
 
-Block-max pruning: posting rows carry (max_tf, min_dl) per shard; for
-pure disjunctive / single-term queries the kernel computes each shard's
-BM25 upper bound and skips decoding shards that cannot reach the
-running top-k threshold (tantivy's block-max WAND at shard granularity;
-the reference disables scoring at this rev — collector.rs:318-323 — so
-this is our addition per the north rule). A ``wand=False`` flag forces
-exhaustive evaluation; tests assert result equality.
+Block-max pruning: posting rows carry (max_tf, min_dl, first/last
+docid) per shard; for flat term booleans (single term, conjunction,
+disjunction, each ± must_not) the kernel cuts docid space into
+segments at shard boundaries and processes them document-at-a-time in
+descending score-upper-bound order, skipping decode + scoring work that
+cannot reach the running top-k threshold (tantivy's block-max WAND at
+shard granularity, extended across terms — the reference disables
+scoring at this rev, collector.rs:318-323, so this is our addition per
+the north rule; see ``_wand_bool``). A ``wand=False`` flag forces
+exhaustive evaluation; tests assert result equality over the full
+query battery.
 """
 
 from __future__ import annotations
@@ -166,80 +170,300 @@ def _bm25_scores(tfs, dls, df_global, n_total, avgdl, k1, b):
     return idf * norm
 
 
-def _wand_single_term(
-    split_dir: str, field: str, term: str, doc_len, stats, config, m: int
-) -> tuple[np.ndarray, np.ndarray, int, int]:
-    """Block-max top-m for a single term at shard granularity — the
-    posting-row analog of tantivy's block-max WAND (SURVEY.md §2.6; the
+def _wand_plan(ast):
+    """Returns (must_terms, should_terms, neg_terms) when the query is a
+    flat boolean of Term nodes — the shapes the block-max pruned
+    evaluator handles exactly (single term, conjunction, disjunction,
+    each with optional must_not terms). Anything else (phrases, nested
+    bools, pure-negation) returns None and takes the exhaustive path."""
+    if isinstance(ast, Term):
+        return [ast], [], []
+    if isinstance(ast, Bool):
+        kids = ast.must + ast.should + ast.must_not
+        if not kids or not all(isinstance(c, Term) for c in kids):
+            return None
+        if ast.must and ast.should:
+            return None
+        if not ast.must and not ast.should:
+            return None  # pure must_not evaluates against MatchAll
+        return list(ast.must), list(ast.should), list(ast.must_not)
+    return None
+
+
+class _ShardPostings:
+    """Lazily-decoded posting shards of the query's terms in one split —
+    the decode-on-demand half of the block-max evaluator. Stat columns
+    (df, max_tf, min_dl, first/last_docid) are read up front; doc_ids /
+    tfs blobs are read in one pushdown-filtered scan but only DECODED
+    for shards the evaluator actually visits."""
+
+    def __init__(self, path: str, keys: list[tuple[str, str]]):
+        import pyarrow.parquet as pq
+
+        self._path = path
+        self._pq = pq
+        keyset = set(keys)
+        term_values = sorted({t for _, t in keyset})
+        self._term_values = term_values
+        tbl = pq.read_table(
+            path,
+            columns=["field", "term", "shard", "df", "max_tf", "min_dl",
+                     "first_docid", "last_docid"],
+            filters=[("term", "in", term_values)],
+        )
+        fields = tbl.column("field").to_pylist()
+        terms = tbl.column("term").to_pylist()
+        cols = {
+            c: tbl.column(c).to_numpy()
+            for c in ("shard", "df", "max_tf", "min_dl", "first_docid", "last_docid")
+        }
+        by_key: dict[tuple[str, str], list[int]] = {}
+        for i in range(len(fields)):
+            key = (fields[i], terms[i])
+            if key in keyset:
+                by_key.setdefault(key, []).append(i)
+        self.stats: dict[tuple[str, str], dict] = {}
+        for key, idxs in by_key.items():
+            idxs = np.asarray(idxs)
+            order = np.argsort(cols["first_docid"][idxs], kind="stable")
+            idxs = idxs[order]
+            self.stats[key] = {
+                "shard": cols["shard"][idxs],
+                "df": cols["df"][idxs],
+                "max_tf": cols["max_tf"][idxs],
+                "min_dl": cols["min_dl"][idxs],
+                "first": cols["first_docid"][idxs],
+                "last": cols["last_docid"][idxs],
+            }
+        self._blob_row: dict[tuple[str, str, int], int] | None = None
+        self._blob_tbl = None
+        self._doc_cache: dict[tuple[str, str, int], np.ndarray] = {}
+        self._tf_cache: dict[tuple[str, str, int], np.ndarray] = {}
+
+    def _blobs(self):
+        if self._blob_tbl is None:
+            self._blob_tbl = self._pq.read_table(
+                self._path,
+                columns=["field", "term", "shard", "doc_ids", "tfs"],
+                filters=[("term", "in", self._term_values)],
+            )
+            self._blob_row = {
+                (f, t, int(s)): i
+                for i, (f, t, s) in enumerate(
+                    zip(
+                        self._blob_tbl.column("field").to_pylist(),
+                        self._blob_tbl.column("term").to_pylist(),
+                        self._blob_tbl.column("shard").to_pylist(),
+                    )
+                )
+            }
+        return self._blob_tbl, self._blob_row
+
+    def docids(self, field: str, term: str, shard: int) -> np.ndarray:
+        key = (field, term, shard)
+        got = self._doc_cache.get(key)
+        if got is None:
+            tbl, rowmap = self._blobs()
+            blob = tbl.column("doc_ids")[rowmap[key]].as_py()
+            got = delta_decode(blob).astype(np.int64)
+            self._doc_cache[key] = got
+        return got
+
+    def tfs(self, field: str, term: str, shard: int) -> np.ndarray:
+        key = (field, term, shard)
+        got = self._tf_cache.get(key)
+        if got is None:
+            tbl, rowmap = self._blobs()
+            blob = tbl.column("tfs")[rowmap[key]].as_py()
+            got = decode_varint(blob).astype(np.int64)
+            self._tf_cache[key] = got
+        return got
+
+    @property
+    def n_docid_decoded(self) -> int:
+        return len(self._doc_cache)
+
+    @property
+    def n_tf_decoded(self) -> int:
+        return len(self._tf_cache)
+
+
+def _wand_bool(
+    split_dir: str, must, should, neg, doc_len, stats, config, m: int
+) -> tuple[np.ndarray, np.ndarray, int, dict]:
+    """Block-max pruned top-m for flat term booleans at shard
+    granularity — the posting-row analog of tantivy's block-max WAND
+    extended document-at-a-time across terms (SURVEY.md §2.6; the
     reference disables scoring at this rev, collector.rs:318-323, so
-    pruning is our north-rule addition).
+    pruning is our north-rule addition; semantics mirror tantivy's
+    ``Weight::for_each_pruning``).
 
-    Every posting row (shard) stores (df, max_tf, min_dl); its BM25
-    upper bound is score(max_tf, min_dl). Shards are visited in
-    descending upper-bound order and SKIPPED — never decoded, never
-    scored — once their bound falls strictly below the current m-th
-    best score (sound: bounds are visited in descending order, so no
-    later shard can beat theta; ties at theta are scored because the
-    skip is strict). num_hits stays exact (Σ shard dfs; shards of one
-    term hold disjoint docs). Returns
-    (ids, scores, num_hits, shards_skipped).
+    Docid space is cut into SEGMENTS at the query terms' shard
+    boundaries, so term coverage is constant within a segment. Each
+    segment's score upper bound is the sum of the covering shards'
+    BM25(max_tf, min_dl) bounds.
+
+    * conjunction: segments where any must term has NO covering shard
+      cannot contain a match — they are skipped entirely (no docid
+      decode, no count work). This is the hot∧rare win: the hot term's
+      shards outside the rare term's docid ranges are never touched.
+    * disjunction: the exact num_hits (union cardinality) forces a
+      docid decode of every covering shard, but tf decode + scoring are
+      skipped for segments whose bound falls strictly below the running
+      m-th best score (visited in descending-bound order → sound).
+    * single positive term without negation: num_hits = Σ shard dfs
+      (shards are disjoint), so even docid decode is skipped for
+      pruned shards.
+
+    Scores are EXACT (identical to the exhaustive evaluator): pruning
+    only ever skips work that cannot change the top-m. Returns
+    (ids, scores, num_hits, skip_stats).
     """
-    import pyarrow.parquet as pq
-
     path = os.path.join(split_dir, POSTINGS_FILE)
-    stat_tbl = pq.read_table(
-        path,
-        columns=["field", "term", "shard", "df", "max_tf", "min_dl"],
-        filters=[("term", "=", term), ("field", "=", field)],
-    )
-    n_shards = len(stat_tbl)
-    empty = (np.empty(0, np.int64), np.empty(0, np.float64))
-    if n_shards == 0:
-        return (*empty, 0, 0)
-    shards = stat_tbl.column("shard").to_numpy()
-    dfs = stat_tbl.column("df").to_numpy()
-    max_tfs = stat_tbl.column("max_tf").to_numpy()
-    min_dls = stat_tbl.column("min_dl").to_numpy()
-    num_hits = int(dfs.sum())
-    df_global = stats["df"].get((field, term), 0)
+    mode = "must" if must else "should"
+    pos = [(t.field, t.value) for t in (must or should)]
+    negk = [(t.field, t.value) for t in neg]
+    sp = _ShardPostings(path, pos + negk)
     k1, b = config.k1, config.b
-    ubs = _bm25_scores(
-        max_tfs, min_dls.astype(np.float64), df_global,
-        stats["N"], stats["avgdl"], k1, b,
-    )
-    order = np.argsort(-ubs, kind="stable")
+    N, avgdl = stats["N"], stats["avgdl"]
+    empty = (np.empty(0, np.int64), np.empty(0, np.float64))
 
+    if mode == "must" and any(key not in sp.stats for key in pos):
+        return (*empty, 0, {"shards": 0, "docid_decoded": 0, "tf_decoded": 0})
+    pos = [key for key in pos if key in sp.stats]
+    if not pos:
+        return (*empty, 0, {"shards": 0, "docid_decoded": 0, "tf_decoded": 0})
+
+    # per-term shard arrays + per-shard upper bounds
+    term_arrs = []
+    n_pos_shards = 0
+    for key in pos:
+        st = sp.stats[key]
+        df_g = stats["df"].get(key, 0)
+        ub = _bm25_scores(
+            st["max_tf"], st["min_dl"].astype(np.float64), df_g, N, avgdl, k1, b
+        )
+        term_arrs.append((key, st["first"], st["last"], ub, df_g))
+        n_pos_shards += st["first"].size
+
+    # segment boundaries at positive shard edges
+    bounds = np.unique(
+        np.concatenate(
+            [a[1] for a in term_arrs] + [a[2] + 1 for a in term_arrs]
+        )
+    )
+    seg_lo = bounds[:-1]
+    seg_hi = bounds[1:]
+    n_seg = seg_lo.size
+
+    covers = np.full((len(pos), n_seg), -1, dtype=np.int64)
+    ub_seg = np.zeros(n_seg, dtype=np.float64)
+    cov_any = np.zeros(n_seg, dtype=bool)
+    cov_all = np.ones(n_seg, dtype=bool)
+    for i, (key, firsts, lasts, ub, _dfg) in enumerate(term_arrs):
+        k = np.searchsorted(firsts, seg_lo, side="right") - 1
+        cov = (k >= 0) & (lasts[np.maximum(k, 0)] >= seg_lo)
+        covers[i] = np.where(cov, k, -1)
+        ub_seg += np.where(cov, ub[np.maximum(k, 0)], 0.0)
+        cov_any |= cov
+        cov_all &= cov
+    active = cov_all if mode == "must" else cov_any
+    active_idx = np.flatnonzero(active)
+
+    def neg_exclude(ids: np.ndarray, lo: int, hi: int) -> np.ndarray:
+        for key in negk:
+            st = sp.stats.get(key)
+            if st is None or ids.size == 0:
+                continue
+            # neg shards overlapping [lo, hi)
+            j0 = np.searchsorted(st["last"], lo, side="left")
+            j1 = np.searchsorted(st["first"], hi - 1, side="right")
+            for j in range(j0, j1):
+                dec = sp.docids(key[0], key[1], int(st["shard"][j]))
+                ids = ids[~np.isin(ids, dec, assume_unique=True)]
+        return ids
+
+    def seg_candidates(s: int) -> np.ndarray:
+        lo, hi = int(seg_lo[s]), int(seg_hi[s])
+        ids = None
+        for i, (key, _f, _l, _u, _d) in enumerate(term_arrs):
+            k = int(covers[i][s])
+            if k < 0:
+                if mode == "must":
+                    return np.empty(0, np.int64)
+                continue
+            dec = sp.docids(key[0], key[1], int(sp.stats[key]["shard"][k]))
+            sl = dec[np.searchsorted(dec, lo) : np.searchsorted(dec, hi)]
+            if ids is None:
+                ids = sl
+            elif mode == "must":
+                ids = np.intersect1d(ids, sl, assume_unique=True)
+            else:
+                ids = np.union1d(ids, sl)
+            if mode == "must" and ids.size == 0:
+                return ids
+        return neg_exclude(ids if ids is not None else np.empty(0, np.int64), lo, hi)
+
+    # ---- exact num_hits ------------------------------------------------
+    cand_cache: dict[int, np.ndarray] = {}
+    single_uncounted = mode == "must" and len(pos) == 1 and not negk
+    if single_uncounted:
+        num_hits = int(sp.stats[pos[0]]["df"].sum())
+    else:
+        num_hits = 0
+        for s in active_idx:
+            ids = seg_candidates(int(s))
+            cand_cache[int(s)] = ids
+            num_hits += ids.size
+
+    # ---- UB-ordered pruned scoring ------------------------------------
+    order = active_idx[np.argsort(-ub_seg[active_idx], kind="stable")]
     best_ids = np.empty(0, np.int64)
     best_scores = np.empty(0, np.float64)
     theta = -math.inf
-    scored = 0
-    blob_tbl = None
-    for oi in order:
-        ub = ubs[oi]
-        if best_ids.size >= m and ub < theta:
-            break
-        if blob_tbl is None:
-            blob_tbl = pq.read_table(
-                path,
-                columns=["shard", "doc_ids", "tfs"],
-                filters=[("term", "=", term), ("field", "=", field)],
-            )
-            by_shard = {
-                s: i for i, s in enumerate(blob_tbl.column("shard").to_pylist())
-            }
-        i = by_shard[int(shards[oi])]
-        ids = delta_decode(blob_tbl.column("doc_ids")[i].as_py()).astype(np.int64)
-        tfs = decode_varint(blob_tbl.column("tfs")[i].as_py()).astype(np.int64)
-        scores = _bm25_scores(
-            tfs, doc_len[ids], df_global, stats["N"], stats["avgdl"], k1, b
-        )
+    for s in order:
+        s = int(s)
+        if best_ids.size >= m and ub_seg[s] < theta:
+            break  # sound: bounds visited in descending order
+        ids = cand_cache.get(s)
+        if ids is None:
+            ids = seg_candidates(s)
+        if ids.size == 0:
+            continue
+        lo, hi = int(seg_lo[s]), int(seg_hi[s])
+        scores = np.zeros(ids.size, dtype=np.float64)
+        for i, (key, _f, _l, _u, df_g) in enumerate(term_arrs):
+            k = int(covers[i][s])
+            if k < 0:
+                continue
+            dec = sp.docids(key[0], key[1], int(sp.stats[key]["shard"][k]))
+            tf = sp.tfs(key[0], key[1], int(sp.stats[key]["shard"][k]))
+            a_, b_ = np.searchsorted(dec, lo), np.searchsorted(dec, hi)
+            sl_ids, sl_tf = dec[a_:b_], tf[a_:b_]
+            if mode == "must":
+                idx = np.searchsorted(sl_ids, ids)
+                scores += _bm25_scores(
+                    sl_tf[idx], doc_len[ids], df_g, N, avgdl, k1, b
+                )
+            else:
+                common, ci, si = np.intersect1d(
+                    ids, sl_ids, assume_unique=True, return_indices=True
+                )
+                if common.size:
+                    scores[ci] += _bm25_scores(
+                        sl_tf[si], doc_len[common], df_g, N, avgdl, k1, b
+                    )
         best_ids = np.concatenate([best_ids, ids])
         best_scores = np.concatenate([best_scores, scores])
         best_ids, best_scores = _top_m(best_ids, best_scores, m)
-        scored += 1
         if best_ids.size >= m:
             theta = best_scores[-1]
-    return best_ids, best_scores, num_hits, n_shards - scored
+    skips = {
+        "shards": n_pos_shards,
+        "docid_decoded": sp.n_docid_decoded,
+        "tf_decoded": sp.n_tf_decoded,
+    }
+    return best_ids, best_scores, num_hits, skips
 
 
 class _SplitEval:
@@ -391,11 +615,11 @@ def _eval_split_partial(
     doc_len = fast.column("doc_len").to_numpy().astype(np.int64)
     ts_us = fast.column("ts_us").to_numpy()
 
-    # block-max WAND fast path: single-term relevance top-k with no
-    # residual filters — prune shards by score upper bound
+    # block-max WAND fast path: flat term-boolean relevance top-k with
+    # no residual filters — prune segments by score upper bound
+    wplan = _wand_plan(ast) if wand else None
     use_wand = (
-        wand
-        and isinstance(ast, Term)
+        wplan is not None
         and sort_by is None
         and not aggs
         and start_us is None
@@ -403,9 +627,10 @@ def _eval_split_partial(
         and m > 0
     )
     if use_wand:
-        ids, scores, num_hits, _skipped = _wand_single_term(
-            split_dir, ast.field, ast.value, doc_len.astype(np.float64),
-            stats, config, m,
+        w_must, w_should, w_neg = wplan
+        ids, scores, num_hits, _skips = _wand_bool(
+            split_dir, w_must, w_should, w_neg,
+            doc_len.astype(np.float64), stats, config, m,
         )
         return _partial_rows_from_topk(
             split_id, dpath, ids, scores, scores, num_hits, ts_us
@@ -544,6 +769,16 @@ def _partial_agg(
     rows = []
     if kind == "terms":
         ser = pd.Series(vals)
+        # shard_size analog: fail fast IN THE LEAF on high-cardinality
+        # terms aggs — without this cap every split ships its full
+        # per-split cardinality through the root merge before the root
+        # cap (collector.rs:273) gets a chance to reject the query
+        n_buckets = ser.nunique(dropna=True)
+        if n_buckets > AGGREGATION_BUCKET_LIMIT:
+            raise ValueError(
+                f"aggregation bucket limit exceeded in split: {n_buckets} "
+                f"> {AGGREGATION_BUCKET_LIMIT} distinct terms keys"
+            )
         stats_field = params.get("stats_field")
         if stats_field is not None:
             sv = pd.Series(extra_cols[stats_field]).astype(float)
@@ -905,7 +1140,7 @@ def _final_agg(kind: str, params: dict, sub: pd.DataFrame):
     if kind == "histogram":
         merged = sub.groupby("agg_key")["agg_count"].sum()
         buckets = sorted(
-            ((float(eval(key)), int(cnt)) for key, cnt in merged.items())
+            ((float(key), int(cnt)) for key, cnt in merged.items())
         )
         return {
             "buckets": [{"key": key, "doc_count": cnt} for key, cnt in buckets]

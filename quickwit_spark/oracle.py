@@ -29,6 +29,7 @@ import pandas as pd
 
 from quickwit_spark.config import IndexConfig
 from quickwit_spark.functions.phrase import phrase_freq
+from quickwit_spark.operators.build import split_id_for_partition
 from quickwit_spark.functions.tokenize import TOKENIZERS
 from quickwit_spark.plans.query import (
     Bool,
@@ -208,7 +209,7 @@ class OracleEngine:
             )
             hits = [
                 OracleHit(
-                    f"split-{key[0]:05d}",
+                    split_id_for_partition("b0000", key[0]),
                     key[1],
                     float(keyfn(key)),
                     self.doc_meta[key]["conv_id"],
@@ -222,7 +223,7 @@ class OracleEngine:
         )
         hits = [
             OracleHit(
-                f"split-{key[0]:05d}",
+                split_id_for_partition("b0000", key[0]),
                 key[1],
                 score,
                 self.doc_meta[key]["conv_id"],

@@ -109,12 +109,19 @@ def minhash_signatures(
 def minhash_lsh_pairs(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
     num_perm: int = 12, band_size: int = 3, k: int = 3,
-    threshold: float = 0.5,
+    threshold: float = 0.5, max_bucket: int | None = 1000,
 ) -> DataFrame:
     """MinHash+LSH near-dup pairs: band the signature (num_perm/band_size
     bands, bucket = md5 of the band's slice in perm order), join docs
     sharing any band bucket, then verify EXACT n-gram Jaccard on
     candidates and keep pairs ≥ threshold.
+
+    ``max_bucket`` (DEFAULT ON — the quadratic-blowup guard) drops band
+    buckets with more than that many members from candidate generation:
+    a degenerate bucket (e.g. millions of near-empty docs hashing
+    identically) otherwise goes O(|bucket|²) in the self-join. Standard
+    frequent-bucket suppression — such content is exact-dup territory
+    (``exact_dedup``), not MinHash territory; pass None to disable.
 
     Returns (id_a, id_b, jaccard) with id_a < id_b, rounded to 6."""
     n_bands = num_perm // band_size
@@ -131,6 +138,13 @@ def minhash_lsh_pairs(
             )
         ).alias("bb"),
     ).select(id_col, F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    if max_bucket is not None:
+        keep = (
+            bands.groupBy("band", "bucket").count()
+            .where(F.col("count") <= max_bucket)
+            .select("band", "bucket")
+        )
+        bands = bands.join(keep, ["band", "bucket"])
     a = bands.select(F.col(id_col).alias("id_a"), "band", "bucket")
     b = bands.select(F.col(id_col).alias("id_b"), "band", "bucket")
     cand = (
@@ -166,12 +180,20 @@ def _verify_jaccard(df, cand, id_col, text_col, k, threshold):
 
 def ngram_jaccard_pairs(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
-    k: int = 3, threshold: float = 0.5, max_shingle_df: int | None = None,
+    k: int = 3, threshold: float = 0.5, max_shingle_df: int | None = 1000,
 ) -> DataFrame:
     """All-pairs n-gram Jaccard ≥ threshold via a shingle inverted
-    self-join (exact — candidate pairs must share ≥1 shingle, which any
-    pair with jaccard>0 does). ``max_shingle_df`` suppresses frequent
-    shingles during candidate generation at scale."""
+    self-join (exact when ``max_shingle_df=None`` — candidate pairs must
+    share ≥1 shingle, which any pair with jaccard>0 does).
+
+    ``max_shingle_df`` (DEFAULT ON — the quadratic-blowup guard)
+    suppresses shingles whose doc-freq exceeds the cap during candidate
+    GENERATION: one boilerplate shingle shared by millions of docs
+    otherwise explodes the self-join O(df²). Verification still runs on
+    FULL shingle sets, so a surviving candidate's jaccard is exact; a
+    pair is only missed if it shares nothing but suppressed
+    (ubiquitous, hence uninformative) shingles. Pass None for the
+    exhaustive exact variant."""
     sh = df.select(
         F.col(id_col), F.explode(F.expr(_shingles(text_col, k))).alias("shingle")
     )

@@ -41,6 +41,71 @@ def windowed_event_counts(
     )
 
 
+def _session_update(key, pdfs, state, gap_minutes, ts_col, expire_open_sessions):
+    """Per-user state transition of the streaming sessionizer (module
+    level so the timeout path is unit-testable without a running
+    stream). State tuple: (session_idx, last_ts_us, n_events, start_us,
+    value_sum)."""
+    import pandas as pd
+
+    gap_us = gap_minutes * 60 * 1_000_000
+    (user_id,) = key
+    if state.exists:
+        sess_idx, last_us, n_ev, start_us, vsum = state.get
+    else:
+        # first session per user is 1 — matches the batch
+        # sessionize's cumsum-of-flags numbering
+        sess_idx, last_us, n_ev, start_us, vsum = 1, None, 0, None, 0.0
+    closed = []
+
+    if state.hasTimedOut:
+        if n_ev:
+            closed.append(
+                (user_id, sess_idx, n_ev, start_us, last_us, round(vsum, 4))
+            )
+            # keep the per-user session counter so later sessions never
+            # reuse an already-emitted (user_id, session_idx) key —
+            # numbering stays identical to the batch sessionize; the
+            # tiny counter state persists (no new timeout armed: it
+            # re-arms on the user's next event)
+            state.update((sess_idx + 1, None, 0, None, 0.0))
+        else:
+            state.remove()
+    else:
+        rows = pd.concat(list(pdfs), ignore_index=True)
+        rows["_us"] = (
+            pd.to_datetime(rows[ts_col])
+            .astype("datetime64[ns]")
+            .astype("int64")
+            // 1000
+        )
+        rows = rows.sort_values(["_us", "event_id"], kind="mergesort")
+        for us, val in zip(rows["_us"], rows["value"]):
+            if last_us is not None and us - last_us > gap_us:
+                closed.append(
+                    (user_id, sess_idx, n_ev, start_us, last_us, round(vsum, 4))
+                )
+                sess_idx += 1
+                n_ev, start_us, vsum = 0, None, 0.0
+            if start_us is None:
+                start_us = int(us)
+            n_ev += 1
+            vsum += float(val)
+            last_us = int(us)
+        state.update((sess_idx, last_us, n_ev, start_us, vsum))
+        if expire_open_sessions:
+            state.setTimeoutDuration(gap_minutes * 60 * 1000)
+
+    if closed:
+        yield pd.DataFrame(
+            closed,
+            columns=[
+                "user_id", "session_idx", "n_events",
+                "session_start_us", "session_end_us", "value_sum",
+            ],
+        )
+
+
 SESSION_STATE_SCHEMA = "session_idx LONG, last_ts_us LONG, n_events LONG, start_us LONG, value_sum DOUBLE"
 SESSION_OUT_SCHEMA = (
     "user_id LONG, session_idx LONG, n_events LONG, "
@@ -75,59 +140,10 @@ def sessionize_stream(
     """
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
-    gap_us = gap_minutes * 60 * 1_000_000
-
     def fn(key, pdfs, state: GroupState):
-        import pandas as pd
-
-        (user_id,) = key
-        if state.exists:
-            sess_idx, last_us, n_ev, start_us, vsum = state.get
-        else:
-            # first session per user is 1 — matches the batch
-            # sessionize's cumsum-of-flags numbering
-            sess_idx, last_us, n_ev, start_us, vsum = 1, None, 0, None, 0.0
-        closed = []
-
-        if state.hasTimedOut:
-            if n_ev:
-                closed.append(
-                    (user_id, sess_idx, n_ev, start_us, last_us, round(vsum, 4))
-                )
-            state.remove()
-        else:
-            rows = pd.concat(list(pdfs), ignore_index=True)
-            rows["_us"] = (
-                pd.to_datetime(rows[ts_col])
-                .astype("datetime64[ns]")
-                .astype("int64")
-                // 1000
-            )
-            rows = rows.sort_values(["_us", "event_id"], kind="mergesort")
-            for us, val in zip(rows["_us"], rows["value"]):
-                if last_us is not None and us - last_us > gap_us:
-                    closed.append(
-                        (user_id, sess_idx, n_ev, start_us, last_us, round(vsum, 4))
-                    )
-                    sess_idx += 1
-                    n_ev, start_us, vsum = 0, None, 0.0
-                if start_us is None:
-                    start_us = int(us)
-                n_ev += 1
-                vsum += float(val)
-                last_us = int(us)
-            state.update((sess_idx, last_us, n_ev, start_us, vsum))
-            if expire_open_sessions:
-                state.setTimeoutDuration(gap_minutes * 60 * 1000)
-
-        if closed:
-            yield pd.DataFrame(
-                closed,
-                columns=[
-                    "user_id", "session_idx", "n_events",
-                    "session_start_us", "session_end_us", "value_sum",
-                ],
-            )
+        yield from _session_update(
+            key, pdfs, state, gap_minutes, ts_col, expire_open_sessions
+        )
 
     return stream_df.groupBy("user_id").applyInPandasWithState(
         fn,

@@ -135,3 +135,56 @@ def test_media_metadata_schema_and_partitions(spark, docs):
     pdf = meta.toPandas()
     assert (pdf[pdf["kind"] == "image"]["width"] > 0).all()
     assert (pdf[pdf["kind"] != "image"]["width"] == 0).all()
+
+
+def test_minhash_lsh_degenerate_bucket_capped(spark):
+    """A degenerate corpus (1200 identical docs) must complete with
+    bounded candidate counts: the default max_bucket guard drops the
+    single huge band bucket (identical content is exact_dedup's job),
+    while small dup groups under the cap are still found."""
+    from quickwit_spark.pipeline.dedup import exact_dedup, minhash_lsh_pairs
+
+    n = 1200
+    rows = [(i, "the exact same boilerplate text repeated verbatim here")
+            for i in range(n)]
+    rows += [(n + i, f"a genuinely unique document number {i} talking about "
+                     f"different things entirely {i}") for i in range(5)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = minhash_lsh_pairs(df, threshold=0.4).count()
+    # without the cap this would be ~719k pairs; the degenerate bucket
+    # is suppressed wholesale
+    assert pairs == 0
+    # the identical docs are exactly what exact_dedup reports
+    ex = exact_dedup(df).where("is_dup").count()
+    assert ex == n - 1
+
+    # dup groups UNDER the cap are unaffected
+    small = spark.createDataFrame(
+        [(i, "shared content words alpha beta gamma delta") for i in range(6)]
+        + [(100 + i, f"unrelated text {i} zeta eta theta iota {i}") for i in range(4)],
+        "doc_id long, text string",
+    )
+    assert minhash_lsh_pairs(small, threshold=0.4).count() == 15  # C(6,2)
+
+
+def test_ngram_jaccard_frequent_shingle_capped(spark):
+    """ngram_jaccard_pairs' default max_shingle_df bounds the inverted
+    self-join: 1200 identical docs generate no candidates, while pairs
+    sharing informative (sub-cap) shingles are exact."""
+    from quickwit_spark.pipeline.dedup import ngram_jaccard_pairs
+
+    n = 1200
+    rows = [(i, "the exact same boilerplate text repeated verbatim here")
+            for i in range(n)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    assert ngram_jaccard_pairs(df, threshold=0.4).count() == 0
+
+    small = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon"),
+         (2, "alpha beta gamma delta zeta"),
+         (3, "completely different words here now")],
+        "doc_id long, text string",
+    )
+    got = {(r.id_a, r.id_b) for r in
+           ngram_jaccard_pairs(small, threshold=0.3).collect()}
+    assert got == {(1, 2)}

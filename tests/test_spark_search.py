@@ -65,25 +65,30 @@ class TestWand:
         build_index(spark, spark.createDataFrame(corpus), d, cfg, n_splits=4)
         return d
 
-    def test_wand_equals_exhaustive(self, spark, sharded_index, oracle):
+    def test_wand_equals_exhaustive_full_battery(self, spark, sharded_index):
+        """wand=True must be result-identical to wand=False over the
+        whole F7 query battery (head/torso/tail terms, AND/OR/NOT,
+        field-scoped, phrases, nested bools) — pruning may only skip
+        work, never change the answer."""
         from quickwit_spark.operators.search import Searcher
+        from tests.test_f7_battery import QUERIES
 
         se = Searcher(spark, sharded_index)
-        for q in ["hotterm", "w00001", "w00042"]:
+        for q in QUERIES:
             a = se.search(q, k=10, wand=True)
             b = se.search(q, k=10, wand=False)
-            assert a.num_hits == b.num_hits
+            assert a.num_hits == b.num_hits, q
             assert [(h.split_id, h.docid, h.score) for h in a.hits] == [
                 (h.split_id, h.docid, h.score) for h in b.hits
-            ]
+            ], q
 
-    def test_wand_actually_skips_shards(self, spark, sharded_index):
+    @staticmethod
+    def _split_env(sharded_index, terms):
         import numpy as np
         import pyarrow.parquet as pq
 
-        from quickwit_spark.operators.search import _wand_single_term
+        from quickwit_spark.operators.stats import lookup_term_stats
         from quickwit_spark.plans.catalog import Catalog
-        from quickwit_spark.plans.query import parse_query, query_terms
 
         cat = Catalog.load(sharded_index)
         split = cat.published_splits()[0]
@@ -92,28 +97,118 @@ class TestWand:
             pq.read_table(sd + "/docs.parquet", columns=["doc_len"])
             .column("doc_len").to_numpy().astype(np.float64)
         )
-        # global stats straight from the catalog + stats file
-        from quickwit_spark.operators.stats import lookup_term_stats
-
-        df = lookup_term_stats(cat, {("text", "hotterm")})
         stats = {
             "N": cat.total_docs(),
             "avgdl": cat.total_doc_len() / cat.total_docs(),
-            "df": df,
+            "df": lookup_term_stats(cat, set(terms)),
         }
-        ids, scores, num_hits, skipped = _wand_single_term(
-            sd, "text", "hotterm", doc_len, stats, cat.config, 5
+        return cat, sd, doc_len, stats
+
+    def test_wand_single_term_skips_all_decode(self, spark, sharded_index):
+        """Single hot term: pruned shards are never docid- OR tf-decoded
+        (num_hits needs no decode — shard dfs are disjoint)."""
+        import numpy as np
+
+        from quickwit_spark.operators.search import _wand_bool
+        from quickwit_spark.plans.query import Term
+
+        cat, sd, doc_len, stats = self._split_env(
+            sharded_index, [("text", "hotterm")]
         )
-        assert skipped > 0          # pruning engaged
-        assert len(ids) == 5
-        assert num_hits > 5
+        t = Term("text", "hotterm")
+        ids, scores, num_hits, sk = _wand_bool(
+            sd, [t], [], [], doc_len, stats, cat.config, 5
+        )
+        assert sk["shards"] > 2
+        assert sk["tf_decoded"] < sk["shards"]      # pruning engaged
+        assert sk["docid_decoded"] < sk["shards"]   # count needed no decode
+        assert len(ids) == 5 and num_hits > 5
         # exhaustive check within the split
-        ids_all, scores_all, n_all, _ = _wand_single_term(
-            sd, "text", "hotterm", doc_len, stats, cat.config, 10_000
+        ids_all, scores_all, n_all, _ = _wand_bool(
+            sd, [t], [], [], doc_len, stats, cat.config, 10_000
         )
         assert n_all == num_hits == len(ids_all)
         order = np.lexsort((ids_all, -scores_all))
         np.testing.assert_array_equal(ids, ids_all[order][:5])
+
+    def test_wand_conjunction_skips_hot_shards(self, spark, sharded_index):
+        """rare AND hot: the hot term's shards outside the rare term's
+        docid ranges are segments that cannot match the conjunction —
+        they are skipped without any decode."""
+        from quickwit_spark.operators.search import _wand_bool
+        from quickwit_spark.plans.query import Term
+
+        import pyarrow.parquet as pq
+
+        from quickwit_spark.plans.catalog import Catalog
+
+        # pick a text term with df==1 in this split: its single-doc
+        # docid range leaves most hot shards uncovered
+        cat0 = Catalog.load(sharded_index)
+        sd0 = cat0.split_dir(cat0.published_splits()[0].split_id)
+        posts = pq.read_table(
+            sd0 + "/postings.parquet", columns=["field", "term", "df"]
+        ).to_pandas()
+        rare = posts[(posts["field"] == "text") & (posts["df"] == 1)
+                     ].iloc[0]["term"]
+        keys = [("text", "hotterm"), ("text", rare)]
+        cat, sd, doc_len, stats = self._split_env(sharded_index, keys)
+        musts = [Term(f, v) for f, v in keys]
+        ids, scores, num_hits, sk = _wand_bool(
+            sd, musts, [], [], doc_len, stats, cat.config, 5
+        )
+        assert sk["shards"] > 3
+        # the rare term spans few docid ranges: most hot shards skipped
+        assert sk["docid_decoded"] < sk["shards"]
+
+    def test_wand_disjunction_prunes_scoring(self, tmp_path):
+        """Disjunction with small k: exact union count forces docid
+        decode of every shard, but tf decode + scoring are pruned for
+        segments whose bound cannot beat theta. Uses a skewed corpus
+        (a few high-tf short docs, many low-tf long docs) so the strong
+        shard provably dominates."""
+        from quickwit_spark.config import FieldConfig, IndexConfig
+        from quickwit_spark.functions.tokenize import tokenize_default
+        from quickwit_spark.operators.build import build_split_tables, write_split
+        from quickwit_spark.operators.search import _wand_bool
+        from quickwit_spark.plans.query import Term
+        from quickwit_spark.sources.transcripts import fixture_corpus
+
+        import numpy as np
+
+        strong = [("common common common",)] * 8
+        weak = [
+            ("common " + " ".join(f"x{j:03d}w{i:03d}" for j in range(30)),)
+            for i in range(92)
+        ]
+        pdf = fixture_corpus(strong + weak)
+        cfg = IndexConfig(hot_term_doc_freq=10, salt_docid_range=8)
+        postings, docs, meta = build_split_tables(pdf, cfg)
+        sd = str(tmp_path / "skew")
+        write_split(postings, docs, sd)
+        doc_len = docs["doc_len"].to_numpy().astype(np.float64)
+        df_common = sum("common" in tokenize_default(t) for t in pdf["text"])
+        stats = {
+            "N": meta["num_docs"],
+            "avgdl": meta["sum_doc_len"] / meta["num_docs"],
+            "df": {("text", "common"): df_common, ("text", "x000w000"): 1},
+        }
+        shoulds = [Term("text", "common"), Term("text", "x000w000")]
+        ids, scores, num_hits, sk = _wand_bool(
+            sd, [], shoulds, [], doc_len, stats, cfg, 3
+        )
+        assert num_hits == 100
+        assert len(ids) == 3
+        assert sk["docid_decoded"] == sk["shards"]  # exact union count
+        assert sk["tf_decoded"] < sk["shards"]      # scoring pruned
+        # exact equality with the unpruned evaluation
+        ids_all, scores_all, n_all, _ = _wand_bool(
+            sd, [], shoulds, [], doc_len, stats, cfg, 10_000
+        )
+        assert n_all == 100
+        order = np.lexsort((ids_all, -scores_all))
+        np.testing.assert_array_equal(ids, ids_all[order][:3])
+        np.testing.assert_allclose(scores, scores_all[order][:3])
 
 
 def test_deep_k(oracle, searcher):
@@ -293,3 +388,23 @@ class TestAggregations:
         buckets = resp.aggs["len_rng"]["buckets"]
         assert len(buckets) == 3
         assert sum(b["doc_count"] for b in buckets) == resp.num_hits
+
+
+def test_terms_agg_bucket_cap_fails_fast_in_leaf():
+    """A terms agg with more distinct keys than the bucket limit must
+    raise in the LEAF kernel (shard_size analog) instead of shipping
+    unbounded partials to the root."""
+    import numpy as np
+    import pytest
+
+    from quickwit_spark.operators.search import (
+        AGGREGATION_BUCKET_LIMIT,
+        _partial_agg,
+    )
+
+    vals = np.arange(AGGREGATION_BUCKET_LIMIT + 1).astype(str)
+    with pytest.raises(ValueError, match="bucket limit exceeded in split"):
+        _partial_agg("terms", {"field": "x"}, vals)
+    # at the limit it still works
+    ok = _partial_agg("terms", {"field": "x"}, vals[:1000])
+    assert len(ok) == 1000

@@ -119,3 +119,73 @@ def test_streamed_window_counts_match_batch(spark, tmp_path):
     assert (merged["n_events_s"] == merged["n_events_b"]).all()
     assert (merged["value_sum_s"] == merged["value_sum_b"]).all()
     assert len(got) >= len(want) * 0.8  # only trailing windows still open
+
+
+class _FakeState:
+    """Minimal GroupState stand-in for driving _session_update."""
+
+    def __init__(self):
+        self._v = None
+        self.hasTimedOut = False
+        self._timeout_armed = False
+
+    @property
+    def exists(self):
+        return self._v is not None
+
+    @property
+    def get(self):
+        return self._v
+
+    def update(self, v):
+        self._v = tuple(v)
+
+    def remove(self):
+        self._v = None
+
+    def setTimeoutDuration(self, ms):
+        self._timeout_armed = True
+
+
+def test_session_idx_survives_timeout_flush():
+    """A session flushed by the processing-time timeout must NOT reset
+    the user's session counter — the next session continues numbering,
+    so emitted (user_id, session_idx) keys stay unique."""
+    import pandas as pd
+
+    from quickwit_spark.pipeline.events import _session_update
+
+    def batch(ts_s, values):
+        return [pd.DataFrame({
+            "event_id": range(len(ts_s)),
+            "ts": pd.to_datetime([t * 1_000_000_000 for t in ts_s]),
+            "value": values,
+        })]
+
+    st_ = _FakeState()
+    out1 = list(_session_update((7,), batch([100, 200], [1.0, 2.0]),
+                                st_, 30, "ts", True))
+    assert out1 == [] and st_._timeout_armed  # open session, timeout armed
+
+    # timeout fires with no new events: session 1 flushed, counter kept
+    st_.hasTimedOut = True
+    out2 = pd.concat(list(_session_update((7,), [], st_, 30, "ts", True)))
+    assert out2["session_idx"].tolist() == [1]
+    assert out2["n_events"].tolist() == [2]
+    assert st_.exists and st_.get[0] == 2  # counter advanced, kept
+
+    # later events open session 2 and a further gap closes it as 2 (not 1)
+    st_.hasTimedOut = False
+    gap = 40 * 60
+    list(_session_update((7,), batch([10_000], [5.0]), st_, 30, "ts", True))
+    out3 = pd.concat(list(_session_update(
+        (7,), batch([10_000 + gap], [6.0]), st_, 30, "ts", True)))
+    assert out3["session_idx"].tolist() == [2]
+    assert st_.get[0] == 3
+
+    # a timeout on an EMPTY open session just drops the state
+    st2 = _FakeState()
+    st2.update((5, None, 0, None, 0.0))
+    st2.hasTimedOut = True
+    assert list(_session_update((7,), [], st2, 30, "ts", True)) == []
+    assert not st2.exists

@@ -50,8 +50,22 @@ def test_unicode():
     )
 
 
+def test_context_sensitive_lowercase_parity():
+    """Python str.lower() is context-sensitive/expanding for U+0130 'İ'
+    (→ 'i' + combining dot, which is a split char pre-lowercase) and
+    final sigma — the Arrow path must match it exactly (the locked
+    order is split → cap → lowercase per token)."""
+    assert_parity(
+        [
+            "İ", "İstanbul VE İZMİR", "ΑΣ ΣΑ Σ", "ΟΔΥΣΣΕΥΣ",
+            "İ" * 41, "mixİcase", "ẞ ß Ⅷ ǅungla",
+        ]
+    )
+
+
 TEXT_ALPHABET = st.sampled_from(
-    list("abc XYZ 09,._-!?'\"\n\t") + ["é", "ü", "日", "語", "😀", "ж", "λ", "ß"]
+    list("abc XYZ 09,._-!?'\"\n\t")
+    + ["é", "ü", "日", "語", "😀", "ж", "λ", "ß", "İ", "Σ", "ẞ", "̇"]
 )
 
 
