@@ -212,8 +212,13 @@ def build_split_tables(pdf: pd.DataFrame, config: IndexConfig):
     }
     term_range = None
     tags: dict[str, list | None] = {}
+    tag_has_null: dict[str, bool] = {}
     for f in config.fields:
         f_lens, f_codes, f_uniq = field_tokens[f.name]
+        if f.name in config.tag_fields:
+            # presence marker: some doc contributed NO tag token
+            # (null / empty / dropped) — keeps must_not pruning sound
+            tag_has_null[f.name] = bool((f_lens == 0).any())
         cols = _field_posting_columns(
             f_lens,
             f_codes,
@@ -257,6 +262,7 @@ def build_split_tables(pdf: pd.DataFrame, config: IndexConfig):
         "time_range": (int(ts_us.min()), int(ts_us.max())) if n else None,
         "term_range": term_range,
         "tags": tags,
+        "tag_has_null": tag_has_null,
     }
     return postings, docs, meta
 
@@ -316,8 +322,11 @@ def build_split_tables_arrow(tbl, config: IndexConfig):
     }
     term_range = None
     tags: dict[str, list | None] = {}
+    tag_has_null: dict[str, bool] = {}
     for f in config.fields:
         f_lens, f_codes, f_uniq = field_tokens[f.name]
+        if f.name in config.tag_fields:
+            tag_has_null[f.name] = bool((f_lens == 0).any())
         cols = _field_posting_columns(
             f_lens, f_codes, f_uniq, doc_len, f.name, f.with_positions,
             config.hot_term_doc_freq, config.salt_docid_range,
@@ -360,6 +369,7 @@ def build_split_tables_arrow(tbl, config: IndexConfig):
         ),
         "term_range": term_range,
         "tags": tags,
+        "tag_has_null": tag_has_null,
     }
     return postings, docs, meta
 
@@ -528,6 +538,7 @@ def build_index(
                 time_range=tuple(m["time_range"]) if m["time_range"] else None,
                 term_range=tuple(m["term_range"]) if m["term_range"] else None,
                 tags=m["tags"],
+                tag_has_null=m.get("tag_has_null", {}),
                 source_partitions=[m["split_ord"]],
             )
             for m in metas

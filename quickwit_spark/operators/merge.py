@@ -255,8 +255,13 @@ def merge_split_files(
 # driver loop
 # ---------------------------------------------------------------------------
 
-def _merge_tags(inputs: list[SplitMetadata], config: IndexConfig) -> dict:
+def _merge_tags(
+    inputs: list[SplitMetadata], config: IndexConfig
+) -> tuple[dict, dict]:
+    """Union of input tag value sets + OR of the has-null presence
+    markers (missing marker reads as True — sound)."""
     tags: dict = {}
+    has_null: dict = {}
     for field in config.tag_fields:
         vals: set | None = set()
         for s in inputs:
@@ -268,7 +273,10 @@ def _merge_tags(inputs: list[SplitMetadata], config: IndexConfig) -> dict:
         if vals is not None and len(vals) > config.max_tag_values:
             vals = None
         tags[field] = sorted(vals) if vals is not None else None
-    return tags
+        has_null[field] = any(
+            (s.tag_has_null or {}).get(field, True) for s in inputs
+        )
+    return tags, has_null
 
 
 def execute_merge_round(
@@ -326,6 +334,7 @@ def execute_merge_round(
     lineage = []
     for new_id, inputs in zip(new_ids, ops):
         meta = results[new_id]
+        m_tags, m_has_null = _merge_tags(inputs, config)
         sm = SplitMetadata(
             split_id=new_id,
             num_docs=meta["num_docs"],
@@ -336,7 +345,8 @@ def execute_merge_round(
             size_in_bytes=meta["size_in_bytes"],
             time_range=tuple(meta["time_range"]) if meta["time_range"] else None,
             term_range=tuple(meta["term_range"]) if meta["term_range"] else None,
-            tags=_merge_tags(inputs, config),
+            tags=m_tags,
+            tag_has_null=m_has_null,
             num_merge_ops=max(s.num_merge_ops for s in inputs) + 1,
             source_partitions=sorted(
                 {p for s in inputs for p in s.source_partitions}

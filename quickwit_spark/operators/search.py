@@ -843,6 +843,25 @@ def _partial_agg(
 # driver side
 # ---------------------------------------------------------------------------
 
+def _df_candidate_splits(splits, missing, default_field):
+    """Splits that can contribute a non-zero doc-freq for any of the
+    ``missing`` (field, term) pairs: non-default-field terms have no
+    recorded range (keep all splits); default-field terms prune on the
+    split's (min, max) term range."""
+    if any(f != default_field for f, _ in missing):
+        return splits
+    terms = [t for f, t in missing]
+    out = []
+    for s in splits:
+        if s.term_range is None:
+            out.append(s)
+            continue
+        lo, hi = s.term_range
+        if any(lo <= t <= hi for t in terms):
+            out.append(s)
+    return out
+
+
 class Searcher:
     """Warm search handle over one index: caches catalog, global stats,
     and per-term global doc-freqs across queries (the root's metastore +
@@ -893,9 +912,13 @@ class Searcher:
                 self._df_cache.update(found)
                 return {t: self._df_cache[t] for t in terms}
         if missing:
-            splits = self.catalog.published_splits()
-            # term-range pruning is sound for df too: a pruned split has
-            # zero occurrences of the term
+            # term-range pruning is sound for df too: a split whose
+            # default-field term range excludes EVERY missing term has
+            # zero occurrences of them
+            splits = _df_candidate_splits(
+                self.catalog.published_splits(), missing,
+                self.config.default_search_field,
+            )
             rows = [
                 (s.split_id, self.catalog.split_dir(s.split_id))
                 for s in splits

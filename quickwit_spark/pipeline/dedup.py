@@ -239,19 +239,50 @@ def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> Da
 
 def simhash_pairs(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
-    max_hamming: int = 6, prefix_bits: int = 12,
+    max_hamming: int = 6, prefix_bits: int = 12, n_rotations: int = 1,
 ) -> DataFrame:
     """SimHash near-dup pairs: bucket by the top ``prefix_bits`` of the
-    fingerprint (one rotation; multi-table rotations are the standard
-    extension), join within buckets, keep Hamming distance ≤ cap."""
-    sh = simhash(df, id_col, text_col).withColumn(
-        "bucket", F.shiftright("simhash", SIMHASH_BITS - prefix_bits)
+    fingerprint, join within buckets, keep Hamming distance ≤ cap.
+
+    ``n_rotations`` is the standard multi-table extension: rotation r
+    buckets on the prefix of the fingerprint rotated left by
+    ``r * 60/n_rotations`` bits and candidates are unioned across
+    rotations — a pair whose differing bits all fall inside one
+    rotation's prefix window is still caught by another, so recall
+    rises monotonically with n_rotations at linearly more (still
+    bucket-bounded) join work."""
+    mask = (1 << SIMHASH_BITS) - 1
+    n_rot = max(n_rotations, 1)
+    step = SIMHASH_BITS // n_rot
+    sh = simhash(df, id_col, text_col)
+    rot_buckets = [
+        (
+            f"shiftright((shiftleft(simhash, {r * step}) & {mask}L)"
+            f" | shiftright(simhash, {SIMHASH_BITS - r * step}),"
+            f" {SIMHASH_BITS - prefix_bits})"
+            if r else
+            f"shiftright(simhash, {SIMHASH_BITS - prefix_bits})"
+        )
+        for r in range(n_rot)
+    ]
+    buckets = ", ".join(
+        f"named_struct('rot', {r}, 'bucket', {e})"
+        for r, e in enumerate(rot_buckets)
     )
-    a = sh.select(F.col(id_col).alias("id_a"), F.col("simhash").alias("sh_a"), "bucket")
-    b = sh.select(F.col(id_col).alias("id_b"), F.col("simhash").alias("sh_b"), "bucket")
+    sb = sh.select(
+        F.col(id_col), F.col("simhash"),
+        F.explode(F.expr(f"array({buckets})")).alias("rb"),
+    ).select(
+        id_col, "simhash",
+        F.col("rb.rot").alias("rot"), F.col("rb.bucket").alias("bucket"),
+    )
+    a = sb.select(F.col(id_col).alias("id_a"), F.col("simhash").alias("sh_a"), "rot", "bucket")
+    b = sb.select(F.col(id_col).alias("id_b"), F.col("simhash").alias("sh_b"), "rot", "bucket")
     return (
-        a.join(b, "bucket")
+        a.join(b, ["rot", "bucket"])
         .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sh_a", "sh_b")
+        .distinct()  # a pair may collide under several rotations
         .withColumn("hamming", F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))))
         .where(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")

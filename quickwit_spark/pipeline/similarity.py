@@ -63,6 +63,19 @@ def cosine_topk(
     )
 
 
+def _proj_expr(vec_col: str, seed: int) -> str:
+    """Projection of ``vec_col`` onto plane {p}'s deterministic ±1
+    normal (md5-derived — reproducible across engines with no RNG
+    state); format with p=plane index."""
+    dim_expr = f"size({vec_col})"
+    # component d of plane p: +1 if md5-hash of (seed:p:d) is even else -1
+    return (
+        f"aggregate(zip_with({vec_col}, sequence(0, {dim_expr} - 1),"
+        f" (x, d) -> cast(x as double) * (conv(substring(md5(concat('{seed}:', '{{p}}', ':', cast(d as string))), 1, 15), 16, 10) % 2 * 2 - 1)),"
+        f" 0D, (s, v) -> s + v)"
+    )
+
+
 def random_hyperplane_buckets(
     df: DataFrame,
     n_planes: int = 8,
@@ -74,18 +87,53 @@ def random_hyperplane_buckets(
     deterministic pseudo-random ±1 vector derived from md5(seed,p,dim)
     — reproducible across engines and runs with no RNG state. Bucket =
     the n-plane sign bit string."""
-    dim_expr = f"size({vec_col})"
-    # component d of plane p: +1 if md5-hash of (seed:p:d) is even else -1
-    proj = (
-        f"aggregate(zip_with({vec_col}, sequence(0, {dim_expr} - 1),"
-        f" (x, d) -> cast(x as double) * (conv(substring(md5(concat('{seed}:', '{{p}}', ':', cast(d as string))), 1, 15), 16, 10) % 2 * 2 - 1)),"
-        f" 0D, (s, v) -> s + v)"
-    )
+    proj = _proj_expr(vec_col, seed)
     bits = ", ".join(
         f"if({proj.format(p=p)} > 0, '1', '0')" for p in range(n_planes)
     )
     return df.select(
         F.col(id_col), F.expr(f"concat({bits})").alias("bucket")
+    )
+
+
+def probe_buckets(
+    df: DataFrame,
+    n_planes: int = 8,
+    n_probes: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> DataFrame:
+    """Multi-probe LSH buckets per query vector (one row per probe):
+    the base sign bucket plus the ``n_probes - 1`` single-bit flips
+    with the smallest |projection| margin — the planes the vector is
+    closest to, hence the neighboring buckets most likely to hold true
+    neighbors. Classic multi-probe LSH: recall grows with n_probes at
+    probe cost n_probes × one-bucket scan, with NO index rebuild."""
+    proj = _proj_expr(vec_col, seed)
+    projs = F.array(*[F.expr(proj.format(p=p)) for p in range(n_planes)])
+    bits = ", ".join(
+        f"if(projs[{p}] > 0, '1', '0')" for p in range(n_planes)
+    )
+    w = df.select(F.col(id_col), projs.alias("projs")).withColumn(
+        "bucket", F.expr(f"concat({bits})")
+    )
+    if n_probes <= 1:
+        return w.select(id_col, "bucket")
+    flip = (
+        # planes ranked by |projection| asc; flip bit s.i of the base
+        # bucket for the (n_probes - 1) narrowest margins
+        f"transform(slice(array_sort(transform(sequence(0, {n_planes - 1}),"
+        f" i -> named_struct('m', abs(projs[i]), 'i', i))), 1, {n_probes - 1}),"
+        f" s -> concat(substring(bucket, 1, s.i),"
+        f"            if(substring(bucket, s.i + 1, 1) = '1', '0', '1'),"
+        f"            substring(bucket, s.i + 2, {n_planes})))"
+    )
+    return w.select(
+        F.col(id_col),
+        F.explode(
+            F.expr(f"array_union(array(bucket), {flip})")
+        ).alias("bucket"),
     )
 
 
@@ -123,15 +171,19 @@ def ann_index_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     seed: int = 42,
+    n_probes: int = 1,
 ) -> DataFrame:
     """Probe a persisted ANN index: bucket each query with the same
     deterministic hyperplanes, then join against the bucket-partitioned
     corpus — the bucket equijoin lets Catalyst prune every other
-    partition from the scan."""
+    partition from the scan. ``n_probes > 1`` also visits the
+    lowest-margin neighboring buckets (multi-probe LSH): recall rises
+    at the cost of reading n_probes partitions per query, still never
+    a full scan."""
     from pyspark.sql import functions as F
 
     corpus = spark.read.parquet(path)
-    qb = random_hyperplane_buckets(queries, n_planes, id_col, vec_col, seed)
+    qb = probe_buckets(queries, n_planes, n_probes, id_col, vec_col, seed)
     q = (
         _with_norm(queries, id_col, vec_col, "q")
         .join(qb.withColumnRenamed(id_col, "q_id"), "q_id")

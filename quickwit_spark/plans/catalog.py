@@ -43,6 +43,10 @@ class SplitMetadata:
     time_range: tuple | None = None       # (min_epoch_us, max_epoch_us) inclusive
     term_range: tuple | None = None       # (min_term, max_term) on the default field
     tags: dict = field(default_factory=dict)  # tag field -> sorted values or None=overflow
+    # tag field -> True when some doc has NO value for it (null/empty/
+    # dropped token) — the presence-marker (`field!`) analog that keeps
+    # must_not tag pruning sound; missing key reads as True (sound)
+    tag_has_null: dict = field(default_factory=dict)
     num_merge_ops: int = 0
     create_timestamp: float = 0.0
     update_timestamp: float = 0.0
@@ -67,7 +71,17 @@ class SplitMetadata:
 class Catalog:
     """File-backed catalog with atomic rename commits (the reference's
     FileBackedMetastore analog; a production deployment would put this
-    in an Iceberg table / PostgreSQL as the reference does)."""
+    in an Iceberg table / PostgreSQL as the reference does).
+
+    Backend swap surface: ``create`` / ``load`` / ``_commit`` are the
+    only persistence points — every mutation funnels through the
+    transaction-shaped methods (stage_splits / stage_and_publish /
+    publish_splits / delete_splits), each exactly one ``_commit``. An
+    Iceberg/Postgres backend reimplements those three against a table
+    (commit = one transaction) and inherits the whole state machine;
+    commits are already batched (adaptive chunking in build, one
+    staging + one publish commit per merge round), so commit count —
+    not split count — is the unit of metastore load."""
 
     def __init__(self, index_dir: str):
         self.index_dir = index_dir

@@ -36,6 +36,21 @@ class TagPred:
 
 
 @dataclass(frozen=True)
+class NotTagPred:
+    """must_not on a tag field (tag_pruning.rs negate_ast → Tag with
+    ``is_present: false``). The reference prunes whenever the value tag
+    is present; with nullable tag fields that is unsound (a null-valued
+    doc matches the negation but contributes no tag), so here the split
+    additionally records whether the field had nulls
+    (``tag_has_null``) — the presence-marker ``field!`` analog — and
+    pruning only fires when the split's value set is exactly {value}
+    with no nulls: every doc provably fails the negation."""
+
+    field: str
+    value: str
+
+
+@dataclass(frozen=True)
 class AndPred:
     children: tuple
 
@@ -68,8 +83,12 @@ def extract_tag_pred(ast: QueryAst, tag_fields: tuple[str, ...]):
             extract_tag_pred(c, tag_fields)
             for c in ast.must
         ]
+        # must_not on a bare tag-field term prunes via NotTagPred
+        # (collect_tag_filters_for_clause Occur::MustNot → negate_ast)
+        for c in ast.must_not:
+            if isinstance(c, Term) and c.field in tag_fields:
+                children.append(NotTagPred(c.field, c.value))
         children = [c for c in children if c is not UNINFORMATIVE]
-        # must_not cannot prune (absence of a tag value is not recorded)
         if not children:
             return UNINFORMATIVE
         if len(children) == 1:
@@ -83,12 +102,23 @@ def eval_tag_pred(pred, split: SplitMetadata) -> bool:
         return True
     if isinstance(pred, TagPred):
         if pred.field not in split.tags:
-            return True  # split predates the tag field — keep (sound)
+            return True  # split predates the tag field — keep (sound);
+            # the reference's ¬field! disjunct (tag_pruning.rs:218-240)
         values = split.tags[pred.field]
         if values is None:
             # field overflowed the 1000-value cap (packager.rs:36-43)
             return True
         return pred.value in values
+    if isinstance(pred, NotTagPred):
+        if pred.field not in split.tags:
+            return True
+        values = split.tags[pred.field]
+        if values is None:
+            return True
+        has_null = (split.tag_has_null or {}).get(pred.field, True)
+        # prunable only when EVERY doc in the split carries exactly the
+        # negated value (single recorded value, no nulls)
+        return not (values == [pred.value] and not has_null)
     if isinstance(pred, AndPred):
         return all(eval_tag_pred(c, split) for c in pred.children)
     if isinstance(pred, OrPred):

@@ -27,19 +27,95 @@ Round-trip: ``doc_to_json`` rebuilds the user-facing JSON
 
 from __future__ import annotations
 
+from dataclasses import dataclass, field as dc_field
+
 from pyspark.sql import DataFrame, functions as F
 from pyspark.sql import types as T
 
-TRANSCRIPT_SCHEMA = T.StructType(
-    [
-        T.StructField("conv_id", T.StringType()),
-        T.StructField("turn_idx", T.IntegerType()),
-        T.StructField("role", T.StringType()),
-        T.StructField("text", T.StringType()),
-        T.StructField("tool", T.StringType()),
-        T.StructField("ts", T.StringType()),  # raw; coerced below
-    ]
+
+# --- generic mapping tree (field_mapping_entry.rs:250-299 analog) ----------
+
+@dataclass(frozen=True)
+class FieldMapping:
+    """One mapped leaf/node of the document tree.
+
+    type: 'text' | 'i32' | 'i64' | 'f64' | 'bool' | 'datetime'
+          | 'bytes' (base64 in the JSON, binary column out —
+            field_mapping_entry.rs BytesOptions)
+          | 'json'  (kept as a raw JSON string column)
+          | 'object' (nested struct; children in ``fields`` —
+            mapping_tree.rs:302-345)
+          | 'array<T>' for any scalar T above.
+    ``required`` marks fields whose absence rejects the doc
+    (missing_field counters, indexer.rs:52-78).
+    """
+
+    name: str
+    type: str = "text"
+    required: bool = False
+    fields: tuple = ()  # sub-mappings for type == 'object'
+
+
+@dataclass(frozen=True)
+class DocMapping:
+    """Ordered field mappings + datetime handling for one source —
+    the DocMapper schema the JSON mapper is built from (the reference's
+    doc_mapping index-config section, default_mapper.rs:64-84)."""
+
+    fields: tuple = ()
+    ts_field: str | None = None  # coerced through the datetime parser
+
+
+_SCALAR_TYPES = {
+    "text": T.StringType(),
+    "i32": T.IntegerType(),
+    "i64": T.LongType(),
+    "f64": T.DoubleType(),
+    "bool": T.BooleanType(),
+    # parsed from the raw string post-hoc (multi-format coalesce):
+    "datetime": T.StringType(),
+    # base64 in the JSON; decoded to binary post-parse:
+    "bytes": T.StringType(),
+    "json": T.StringType(),
+}
+
+
+def _spark_type(fm: FieldMapping) -> T.DataType:
+    t = fm.type
+    if t == "object":
+        return T.StructType([_schema_field(c) for c in fm.fields])
+    if t.startswith("array<") and t.endswith(">"):
+        inner = t[6:-1]
+        if inner not in _SCALAR_TYPES:
+            raise ValueError(f"unsupported array element type {inner!r}")
+        return T.ArrayType(_SCALAR_TYPES[inner])
+    if t in _SCALAR_TYPES:
+        return _SCALAR_TYPES[t]
+    raise ValueError(f"unsupported field type {t!r} for {fm.name!r}")
+
+
+def _schema_field(fm: FieldMapping) -> T.StructField:
+    return T.StructField(fm.name, _spark_type(fm))
+
+
+def mapping_schema(mapping: DocMapping) -> T.StructType:
+    """The from_json schema for a mapping tree."""
+    return T.StructType([_schema_field(f) for f in mapping.fields])
+
+
+TRANSCRIPT_MAPPING = DocMapping(
+    fields=(
+        FieldMapping("conv_id", "text", required=True),
+        FieldMapping("turn_idx", "i32", required=True),
+        FieldMapping("role", "text"),
+        FieldMapping("text", "text", required=True),
+        FieldMapping("tool", "text"),
+        FieldMapping("ts", "datetime"),
+    ),
+    ts_field="ts",
 )
+
+TRANSCRIPT_SCHEMA = mapping_schema(TRANSCRIPT_MAPPING)
 
 # rfc3339 / iso8601 / strftime patterns, tried in order
 # (quickwit-doc-mapper/src/default_doc_mapper/date_time_type.rs:39-60).
@@ -76,8 +152,28 @@ def _ts_expr(col, formats=DEFAULT_TS_FORMATS, precision: str | None = None):
     return F.coalesce(*attempts, numeric)
 
 
-def map_json_docs(
+def _output_col(fm: FieldMapping, ts_formats, ts_precision):
+    """Top-level output column with type coercion: datetime through the
+    multi-format parser, bytes through base64 decode (including
+    array<...> variants). Nested (object) datetime/bytes leaves stay as
+    parsed strings — coerce them downstream if needed."""
+    col = F.col(f"_doc.{fm.name}")
+    if fm.type == "datetime":
+        return _ts_expr(col, ts_formats, ts_precision).alias(fm.name)
+    if fm.type == "bytes":
+        return F.unbase64(col).alias(fm.name)
+    if fm.type == "array<datetime>":
+        return F.transform(
+            col, lambda c: _ts_expr(c, ts_formats, ts_precision)
+        ).alias(fm.name)
+    if fm.type == "array<bytes>":
+        return F.transform(col, F.unbase64).alias(fm.name)
+    return col.alias(fm.name)
+
+
+def map_docs(
     df_raw: DataFrame,
+    mapping: DocMapping,
     mode: str = "lenient",
     store_source: bool = False,
     ts_formats=DEFAULT_TS_FORMATS,
@@ -85,14 +181,17 @@ def map_json_docs(
     value_col: str = "value",
 ) -> DataFrame:
     """Map a DataFrame of raw JSON lines (column ``value``) into typed
-    transcript rows + ``_error``/``_dynamic``/``_source`` columns."""
+    rows of ``mapping``'s tree + ``_error``/``_dynamic``/``_source``
+    columns — the generic DocMapper (default_mapper.rs:441-475 +
+    mapping_tree.rs:361-393) as ONE declarative Catalyst plan."""
     if mode not in ("lenient", "strict", "dynamic"):
         raise ValueError(f"unknown mapping mode {mode!r}")
+    schema = mapping_schema(mapping)
     raw = F.col(value_col)
-    parsed = F.from_json(raw, TRANSCRIPT_SCHEMA)
-    # full parse into a map to detect unmapped fields
+    parsed = F.from_json(raw, schema)
+    # full parse into a map to detect unmapped top-level fields
     asmap = F.from_json(raw, T.MapType(T.StringType(), T.StringType()))
-    known = F.array(*[F.lit(f.name) for f in TRANSCRIPT_SCHEMA.fields])
+    known = F.array(*[F.lit(f.name) for f in schema.fields])
     extra_keys = F.array_except(F.map_keys(asmap), known)
 
     out = df_raw.select(
@@ -101,12 +200,13 @@ def map_json_docs(
         asmap.alias("_map"),
         extra_keys.alias("_extra"),
     )
-    err = (
-        F.when(F.col("_map").isNull(), F.lit("parse_error"))
-        .when(F.col("_doc.conv_id").isNull(), F.lit("missing_field:conv_id"))
-        .when(F.col("_doc.turn_idx").isNull(), F.lit("missing_field:turn_idx"))
-        .when(F.col("_doc.text").isNull(), F.lit("missing_field:text"))
-    )
+    err = F.when(F.col("_map").isNull(), F.lit("parse_error"))
+    for fm in mapping.fields:
+        if fm.required:
+            err = err.when(
+                F.col(f"_doc.{fm.name}").isNull(),
+                F.lit(f"missing_field:{fm.name}"),
+            )
     if mode == "strict":
         err = F.coalesce(
             err,
@@ -117,14 +217,9 @@ def map_json_docs(
         )
     out = out.withColumn("_error", err)
     cols = [
-        F.col("_doc.conv_id").alias("conv_id"),
-        F.col("_doc.turn_idx").alias("turn_idx"),
-        F.col("_doc.role").alias("role"),
-        F.col("_doc.text").alias("text"),
-        F.col("_doc.tool").alias("tool"),
-        _ts_expr(F.col("_doc.ts"), ts_formats, ts_precision).alias("ts"),
-        F.col("_error"),
+        _output_col(fm, ts_formats, ts_precision) for fm in mapping.fields
     ]
+    cols.append(F.col("_error"))
     if mode == "dynamic":
         cols.append(
             F.when(
@@ -141,6 +236,21 @@ def map_json_docs(
     return out.select(*cols)
 
 
+def map_json_docs(
+    df_raw: DataFrame,
+    mode: str = "lenient",
+    store_source: bool = False,
+    ts_formats=DEFAULT_TS_FORMATS,
+    ts_precision: str | None = None,
+    value_col: str = "value",
+) -> DataFrame:
+    """Transcript-schema convenience wrapper over :func:`map_docs`."""
+    return map_docs(
+        df_raw, TRANSCRIPT_MAPPING, mode, store_source,
+        ts_formats, ts_precision, value_col,
+    )
+
+
 def split_valid(mapped: DataFrame) -> tuple[DataFrame, DataFrame]:
     """(valid docs ready to index, rejected docs with _error) — the
     Indexer's valid/parse_error/missing_field counters come from
@@ -150,21 +260,25 @@ def split_valid(mapped: DataFrame) -> tuple[DataFrame, DataFrame]:
     return valid, rejected
 
 
-def doc_to_json(df: DataFrame) -> DataFrame:
-    """Inverse projection: typed rows → user-facing JSON (rfc3339 ts)
-    under column ``json`` (default_mapper.rs:477-495)."""
-    return df.select(
-        F.to_json(
-            F.struct(
-                F.col("conv_id"),
-                F.col("turn_idx"),
-                F.col("role"),
-                F.col("text"),
-                F.col("tool"),
-                F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX").alias("ts"),
+def doc_to_json(df: DataFrame, mapping: DocMapping = TRANSCRIPT_MAPPING) -> DataFrame:
+    """Inverse projection: typed rows → user-facing JSON (rfc3339
+    datetimes, base64 bytes) under column ``json``
+    (default_mapper.rs:477-495)."""
+    entries = []
+    for fm in mapping.fields:
+        if fm.type == "datetime":
+            entries.append(
+                F.date_format(fm.name, "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX").alias(fm.name)
             )
-        ).alias("json")
-    )
+        elif fm.type == "bytes":
+            entries.append(F.base64(F.col(fm.name)).alias(fm.name))
+        elif fm.type == "array<bytes>":
+            entries.append(
+                F.transform(F.col(fm.name), F.base64).alias(fm.name)
+            )
+        else:
+            entries.append(F.col(fm.name))
+    return df.select(F.to_json(F.struct(*entries)).alias("json"))
 
 
 def read_json_lines(spark, path: str) -> DataFrame:

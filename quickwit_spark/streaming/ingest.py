@@ -107,6 +107,7 @@ def ingest_batch(
             time_range=tuple(meta["time_range"]) if meta["time_range"] else None,
             term_range=tuple(meta["term_range"]) if meta["term_range"] else None,
             tags=meta["tags"],
+            tag_has_null=meta.get("tag_has_null", {}),
             source_partitions=[meta["split_ord"]],
         )
         catalog.stage_split(sm)

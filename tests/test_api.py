@@ -191,3 +191,52 @@ def test_merge_and_gc_and_lineage(index, corpus):
     # per-split lineage carries bytes + wall time (north rule)
     assert (lin["size_in_bytes"] > 0).all()
     assert (lin["wall_time_sec"] >= 0).all()
+
+
+def test_catalog_scales_to_10k_splits(tmp_path):
+    """10k-split catalog: adaptive chunked publishing keeps the number
+    of atomic commits bounded (<=9 for any split count), and load /
+    stats-version stay fast. (The production swap for truly huge
+    catalogs is the Iceberg/Postgres backend — Catalog.create/load/
+    _commit are the override surface; see plans/catalog.py.)"""
+    import time
+
+    from quickwit_spark.config import IndexConfig
+    from quickwit_spark.operators.build import PUBLISH_CHUNK
+    from quickwit_spark.plans.catalog import Catalog, SplitMetadata
+
+    d = str(tmp_path / "big")
+    cat = Catalog.create(d, IndexConfig())
+    commits = {"n": 0}
+    real_commit = Catalog._commit
+
+    def counting_commit(self):
+        commits["n"] += 1
+        return real_commit(self)
+
+    metas = [
+        SplitMetadata(
+            split_id=f"s-{i:05d}", num_docs=10, sum_doc_len=100,
+            time_range=(i, i + 1), term_range=("a", "z"),
+        )
+        for i in range(10_000)
+    ]
+    Catalog._commit = counting_commit
+    try:
+        chunk = max(PUBLISH_CHUNK, -(-len(metas) // 8))
+        t0 = time.time()
+        for i in range(0, len(metas), chunk):
+            cat.stage_and_publish(metas[i : i + chunk])
+        publish_sec = time.time() - t0
+    finally:
+        Catalog._commit = real_commit
+    assert commits["n"] <= 9          # adaptive chunking bounds commits
+    assert publish_sec < 30
+
+    t0 = time.time()
+    cat2 = Catalog.load(d)
+    load_sec = time.time() - t0
+    assert len(cat2.published_splits()) == 10_000
+    assert load_sec < 5
+    assert cat2.stats_version()       # version hash over 10k ids is fast
+    assert cat2.total_docs() == 100_000

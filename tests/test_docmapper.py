@@ -100,3 +100,137 @@ def test_mapped_docs_are_indexable(spark, raw_df, tmp_path):
     r = Searcher(spark, idx).search("hello", k=5)
     assert r.num_hits == 1
     assert r.hits[0].text == "hello world"
+
+
+class TestGenericDocMapping:
+    """map_docs over a NON-transcript schema: the mapping-tree analog
+    (field_mapping_entry.rs:250-299, mapping_tree.rs:302-345) — typed
+    leaves incl. bytes (base64) and nested objects, all three modes."""
+
+    MAPPING = None  # built in _mapping to avoid import at collection
+
+    @staticmethod
+    def _mapping():
+        from quickwit_spark.sources.docmapper import DocMapping, FieldMapping
+
+        return DocMapping(
+            fields=(
+                FieldMapping("sku", "text", required=True),
+                FieldMapping("qty", "i64"),
+                FieldMapping("price", "f64"),
+                FieldMapping("active", "bool"),
+                FieldMapping("payload", "bytes"),
+                FieldMapping("meta", "object", fields=(
+                    FieldMapping("vendor", "text"),
+                    FieldMapping("rating", "f64"),
+                )),
+                FieldMapping("labels", "array<text>"),
+                FieldMapping("created", "datetime", required=True),
+            ),
+            ts_field="created",
+        )
+
+    @staticmethod
+    def _lines(spark, docs):
+        import json
+
+        return spark.createDataFrame(
+            [(json.dumps(d),) for d in docs], "value string"
+        )
+
+    def test_typed_leaves_and_nested_object(self, spark):
+        import base64
+
+        from quickwit_spark.sources.docmapper import map_docs, split_valid
+
+        payload = base64.b64encode(b"\x00\x01binary!").decode()
+        docs = [{
+            "sku": "A-1", "qty": 3, "price": 9.5, "active": True,
+            "payload": payload,
+            "meta": {"vendor": "acme", "rating": 4.5},
+            "labels": ["new", "sale"],
+            "created": "2025-06-01T12:00:00Z",
+        }]
+        mapped = map_docs(self._lines(spark, docs), self._mapping())
+        valid, rejected = split_valid(mapped)
+        assert rejected.count() == 0
+        row = valid.collect()[0]
+        assert row.sku == "A-1" and row.qty == 3 and row.price == 9.5
+        assert row.active is True
+        assert bytes(row.payload) == b"\x00\x01binary!"
+        assert row.meta.vendor == "acme" and row.meta.rating == 4.5
+        assert row.labels == ["new", "sale"]
+        assert row.created.year == 2025 and row.created.month == 6
+        # schema is typed, not stringly
+        t = dict(valid.dtypes)
+        assert t["qty"] == "bigint" and t["price"] == "double"
+        assert t["payload"] == "binary" and t["labels"] == "array<string>"
+        assert t["meta"].startswith("struct<vendor:string,rating:double")
+
+    def test_modes_and_required(self, spark):
+        from quickwit_spark.sources.docmapper import map_docs, split_valid
+
+        docs = [
+            {"sku": "A", "created": "2025-01-01 00:00:00"},
+            {"qty": 1, "created": "2025-01-01 00:00:00"},      # no sku
+            {"sku": "B", "created": "2025-01-01 00:00:00", "rogue": 1},
+        ]
+        m = self._mapping()
+        # lenient: unknown field dropped silently
+        valid, rejected = split_valid(map_docs(self._lines(spark, docs), m))
+        assert valid.count() == 2
+        assert [r._error for r in rejected.collect()] == ["missing_field:sku"]
+        # strict: unknown field rejects the doc
+        valid_s, rej_s = split_valid(
+            map_docs(self._lines(spark, docs), m, mode="strict")
+        )
+        assert valid_s.count() == 1
+        errs = sorted(r._error for r in rej_s.collect())
+        assert errs == ["missing_field:sku", "no_such_field:rogue"]
+        # dynamic: unknown field captured in _dynamic
+        valid_d, _ = split_valid(
+            map_docs(self._lines(spark, docs), m, mode="dynamic")
+        )
+        dyn = {r.sku: r._dynamic for r in valid_d.collect()}
+        assert dyn["A"] is None
+        assert '"rogue"' in dyn["B"]
+
+    def test_bytes_round_trip(self, spark):
+        import base64
+        import json
+
+        from quickwit_spark.sources.docmapper import (
+            doc_to_json,
+            map_docs,
+            split_valid,
+        )
+
+        payload = base64.b64encode(b"roundtrip-bytes-\xff\x00").decode()
+        docs = [{
+            "sku": "RT", "qty": 1, "price": 1.0, "active": False,
+            "payload": payload, "meta": {"vendor": "v", "rating": 1.0},
+            "labels": [], "created": "2025-03-03T03:03:03Z",
+        }]
+        m = self._mapping()
+        valid, _ = split_valid(map_docs(self._lines(spark, docs), m))
+        out = json.loads(doc_to_json(valid.drop("_error") if "_error" in valid.columns else valid, m).collect()[0].json)
+        assert out["payload"] == payload
+        assert out["sku"] == "RT"
+        assert out["created"].startswith("2025-03-03T03:03:03")
+
+    def test_transcript_wrapper_unchanged(self, spark):
+        """map_json_docs remains the transcript instance of the generic
+        mapper (same columns, same coercions)."""
+        import json
+
+        from quickwit_spark.sources.docmapper import map_json_docs
+
+        line = json.dumps({
+            "conv_id": "c", "turn_idx": 0, "role": "user",
+            "text": "hi", "tool": None, "ts": "2025-01-01T00:00:00Z",
+        })
+        df = map_json_docs(spark.createDataFrame([(line,)], "value string"))
+        assert df.columns == [
+            "conv_id", "turn_idx", "role", "text", "tool", "ts", "_error"
+        ]
+        assert dict(df.dtypes)["turn_idx"] == "int"

@@ -165,6 +165,77 @@ class TestF5TagPruning:
         ast = parse_query(query, CFG)
         assert len(prune_splits(self._splits(), ast, CFG)) == n_selected
 
+    @pytest.mark.parametrize(
+        "query,n_selected",
+        [
+            # s-paul is all-paul with no nulls: a must_not on paul
+            # prunes it (the reference's negated `field!`/value tag,
+            # tag_pruning.rs:218-240; split counts mirror
+            # quickwit-search/src/tests.rs:435-497)
+            ("w00001 -tool:paul", 2),
+            ("w00001 -tool:adrien", 3),   # s-adrien has nulls — kept
+            ("w00001 -tool:francois", 3),
+            ("-tool:paul", 2),
+            # positive (kills s-paul) + negative (s-mixed has two
+            # values so it survives the negation)
+            ("tool:adrien -tool:paul", 2),
+        ],
+    )
+    def test_pruner_must_not_presence(self, query, n_selected):
+        """must_not tag pruning fires only when the split provably
+        holds nothing but the negated value (single tag value AND no
+        null/missing values — tag_has_null False)."""
+        from quickwit_spark.plans.catalog import SplitMetadata
+        from quickwit_spark.plans.pruning import prune_splits
+        from quickwit_spark.plans.query import parse_query
+
+        splits = [
+            SplitMetadata(
+                "s-paul", state="Published",
+                tags={"tool": ["paul"]}, tag_has_null={"tool": False},
+            ),
+            SplitMetadata(
+                "s-adrien", state="Published",
+                tags={"tool": ["adrien"]}, tag_has_null={"tool": True},
+            ),
+            SplitMetadata(
+                "s-mixed", state="Published",
+                tags={"tool": ["adrien", "paul"]},
+                tag_has_null={"tool": False},
+            ),
+        ]
+        ast = parse_query(query, CFG)
+        assert len(prune_splits(splits, ast, CFG)) == n_selected
+
+    def test_must_not_pruning_end_to_end(self, spark, tmp_path):
+        """Engine results with the pruner active equal the oracle when a
+        split is pruned by a must_not tag predicate."""
+        from quickwit_spark.operators.build import build_index
+        from quickwit_spark.operators.search import Searcher
+        from quickwit_spark.oracle import OracleEngine
+        from quickwit_spark.plans.pruning import prune_splits
+        from quickwit_spark.plans.query import parse_query
+
+        # routing: all sed-docs in convs hashing to one partition is not
+        # guaranteed, so use n_splits=1 per tool via routing on conv_id
+        # with handpicked conv ids is brittle — instead: two ingests
+        # give per-ingest splits with distinct tool populations
+        rows_sed = [(f"seddoc {i} w00001", "user", "sed") for i in range(30)]
+        rows_git = [(f"gitdoc {i} w00001", "user", "git") for i in range(30)]
+        pdf_sed = fixture_corpus(rows_sed, start_conv=91_000_000)
+        pdf_git = fixture_corpus(rows_git, start_conv=92_000_000)
+        d = str(tmp_path / "negidx")
+        build_index(spark, spark.createDataFrame(pdf_sed), d, CFG, n_splits=1)
+        build_index(spark, spark.createDataFrame(pdf_git), d, CFG,
+                    n_splits=1, ingest_id="b0001")
+        se = Searcher(spark, d)
+        ast = parse_query("w00001 -tool:sed", CFG)
+        kept = prune_splits(se.catalog.published_splits(), ast, CFG)
+        assert len(kept) == 1  # the all-sed split is pruned
+        r = se.search("w00001 -tool:sed", k=50)
+        assert r.num_hits == 30
+        assert all(h.doc["tool"] == "git" for h in r.hits)
+
 
 class TestF6Aggregations:
     @pytest.fixture(scope="class")

@@ -408,3 +408,39 @@ def test_terms_agg_bucket_cap_fails_fast_in_leaf():
     # at the limit it still works
     ok = _partial_agg("terms", {"field": "x"}, vals[:1000])
     assert len(ok) == 1000
+
+
+def test_global_df_cold_path_term_range_pruned(spark, index_dir, searcher):
+    """With the term-stats file absent, the distributed df aggregation
+    must term-range-prune splits and still return the correct global
+    doc freqs (cache parity with the stats-file fast path)."""
+    import os
+    import shutil
+
+    from quickwit_spark.operators.search import Searcher, _df_candidate_splits
+    from quickwit_spark.plans.catalog import SplitMetadata
+
+    # unit: a split whose range excludes the term is dropped
+    s_in = SplitMetadata("a", term_range=("aaa", "mmm"))
+    s_out = SplitMetadata("b", term_range=("nnn", "zzz"))
+    got = _df_candidate_splits([s_in, s_out], {("text", "ccc")}, "text")
+    assert [s.split_id for s in got] == ["a"]
+    # non-default-field terms cannot prune
+    got = _df_candidate_splits([s_in, s_out], {("tool", "ccc")}, "text")
+    assert len(got) == 2
+
+    # e2e: warm df via the fast path, then hide the stats file and
+    # compare the cold (pruned, distributed) aggregation
+    terms = {("text", "w00001"), ("text", "w00400"), ("tool", "git")}
+    warm = Searcher(spark, index_dir)
+    want = warm._global_df(terms)
+    stats_dir = os.path.join(index_dir, "term_stats")
+    bak = stats_dir + ".bak"
+    shutil.move(stats_dir, bak)
+    try:
+        cold = Searcher(spark, index_dir)
+        got = cold._global_df(terms)
+    finally:
+        shutil.move(bak, stats_dir)
+    assert got == want
+    assert want[("text", "w00001")] > 0
