@@ -41,6 +41,9 @@ def _documents_config():
             FieldConfig("text", tokenizer="default", record="position"),
             FieldConfig("lang", tokenizer="raw", record="basic"),
             FieldConfig("source", tokenizer="raw", record="basic"),
+            # json mapping-tree field synthesized from (lang, n_chars):
+            # exercises dotted-path term resolution
+            FieldConfig("props", tokenizer="json", record="basic"),
         ),
         default_search_field="text",
         timestamp_field="ts",
@@ -53,9 +56,13 @@ def _documents_config():
 def _documents_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
     # synthesized deterministic timestamp (the engine indexes by time)
+    # + a json column for the mapping-tree json field
     return df.withColumn(
         "ts",
         F.expr("timestamp'2025-01-01 00:00:00' + make_interval(0,0,0,0,0,0,doc_id)"),
+    ).withColumn(
+        "props",
+        F.to_json(F.struct(F.col("lang"), F.col("n_chars").alias("nc"))),
     )
 
 
@@ -67,7 +74,7 @@ def _docs_index(spark: SparkSession, sf_dir: str) -> str:
     from quickwit_spark.operators.build import build_index
 
     tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
-    d = os.path.join(tempfile.gettempdir(), f"qs_entry_idx_{tag}_v5")
+    d = os.path.join(tempfile.gettempdir(), f"qs_entry_idx_{tag}_v6")
     from quickwit_spark.plans.catalog import Catalog
 
     if not Catalog.exists(d):
@@ -128,6 +135,14 @@ def q_bm25_multifield(spark, sf_dir):
     resp = _searcher(spark, sf_dir).search(
         "en AND vector", k=20, search_fields=["text", "lang"]
     )
+    return _hits_df(spark, resp)
+
+
+def q_bm25_json_path(spark, sf_dir):
+    """Dotted-path term on the json mapping-tree field
+    (doc_mapper.rs:189-217 resolution): props.lang:en scores as a
+    tf=1 path-scoped term in the conjunction."""
+    resp = _searcher(spark, sf_dir).search("props.lang:en AND vector", k=20)
     return _hits_df(spark, resp)
 
 
@@ -356,6 +371,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_phrase": q_bm25_phrase,
         "bm25_offset": q_bm25_offset,
         "bm25_multifield": q_bm25_multifield,
+        "bm25_json_path": q_bm25_json_path,
         "search_num_hits": q_search_num_hits,
         "search_sort_fastfield": q_search_sort_fastfield,
         "search_tag_filter": q_search_tag_filter,
@@ -578,6 +594,24 @@ u2 AS (
 SELECT u1.doc_id, round(u1.s + u2.s, 4) AS score
 FROM u1 JOIN u2 ON u1.doc_id = u2.doc_id
 ORDER BY u1.s + u2.s DESC, u1.doc_id ASC LIMIT 20
+"""
+    )
+
+    sql["bm25_json_path"] = (
+        _BM25_WITH + "," + _bm25_term_cte("vector", "t1")
+        + f"""
+, jdf AS (SELECT count(*) AS df FROM documents WHERE lang = 'en'),
+js AS (
+  SELECT d.doc_id,
+    ln(1 + ((SELECT n FROM stats) - (SELECT df FROM jdf) + 0.5)
+           / ((SELECT df FROM jdf) + 0.5))
+    * (1 * ({K1} + 1)) / (1 + {K1} * (1 - {B} + {B} * dl.dl / (SELECT avgdl FROM stats))) AS s
+  FROM documents d JOIN dl ON d.doc_id = dl.doc_id
+  WHERE d.lang = 'en'
+)
+SELECT t1.doc_id, round(t1.s + js.s, 4) AS score
+FROM t1 JOIN js ON t1.doc_id = js.doc_id
+ORDER BY t1.s + js.s DESC, t1.doc_id ASC LIMIT 20
 """
     )
 

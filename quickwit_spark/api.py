@@ -122,6 +122,20 @@ class Index:
         sink with .write.csv(...) etc."""
         return stream_fast_field(self.searcher(), query, fast_field, **kwargs)
 
+    def search_stream_rowbinary(
+        self, query: str, fast_field: str, out_dir: str,
+        value_type: str = "i64", **kwargs,
+    ) -> list:
+        """REST /search/stream with output_format=click_house_row_binary
+        (search_stream/leaf.rs:120-284): fixed-width little-endian
+        values written as part files straight from the leaf tasks."""
+        from quickwit_spark.operators.search import (
+            write_stream_clickhouse_rowbinary,
+        )
+
+        df = self.search_stream(query, fast_field, **kwargs)
+        return write_stream_clickhouse_rowbinary(df, out_dir, value_type)
+
     def tail(self, n: int = 20) -> SearchResponse:
         """REST /tail analog: the n most recent docs (match-all sorted
         by timestamp desc — rest.rs:67-71)."""

@@ -94,6 +94,12 @@ class IndexConfig:
             if self.field(t).tokenizer != "raw":
                 # tag values are whole strings (default_mapper.rs:140-165)
                 raise ValueError(f"tag field {t!r} must use the raw tokenizer")
+        for f in self.fields:
+            if f.tokenizer == "json" and f.record == "position":
+                # json leaves carry no positional structure across paths
+                raise ValueError(
+                    f"json field {f.name!r} cannot record positions"
+                )
         if not self.doc_key_fields:
             raise ValueError("doc_key_fields must not be empty")
         if not self.routing_field:

@@ -183,10 +183,94 @@ def tokenize_en_stem(text: str | None) -> list[str]:
     return [porter_stem(t) for t in tokenize_default(text)]
 
 
+# ---------------------------------------------------------------------------
+# JSON field tokenizer — the mapping-tree `json` type
+# (quickwit-doc-mapper/src/default_doc_mapper/mapping_tree.rs json leaves;
+# query resolution doc_mapper.rs:189-217). A JSON document flattens to
+# path-scoped tokens ``"<dotted.path>\x1f<token>"``: string leaves run
+# through the default tokenizer (one token each), numbers/bools get ONE
+# canonical token, nulls are skipped, and array elements index at their
+# parent path (the reference flattens arrays transparently). Unlike the
+# reference we UNIFY the string and numeric representations of a value
+# (canonical "5" for both 5 and "5"); the query side expands a
+# ``field.path:value`` term over both interpretations, so match sets
+# agree with the reference's typed-term OR expansion.
+# ---------------------------------------------------------------------------
+
+JSON_PATH_SEP = "\x1f"
+
+
+def canonical_json_number(v) -> str:
+    if isinstance(v, bool):
+        return "true" if v else "false"
+    if isinstance(v, int):
+        return str(v)
+    f = float(v)
+    return str(int(f)) if f.is_integer() else repr(f)
+
+
+def tokenize_json(text: str | None) -> list[str]:
+    """Flatten a JSON doc into path-scoped tokens (doc order)."""
+    if not text:
+        return []
+    import json as _json
+
+    try:
+        obj = _json.loads(text)
+    except (ValueError, TypeError):
+        return []
+    out: list[str] = []
+
+    def walk(prefix: str, v) -> None:
+        if v is None:
+            return
+        if isinstance(v, dict):
+            for k, sub in v.items():
+                walk(f"{prefix}.{k}" if prefix else k, sub)
+        elif isinstance(v, list):
+            for sub in v:
+                walk(prefix, sub)
+        elif isinstance(v, str):
+            for t in tokenize_default(v):
+                out.append(f"{prefix}{JSON_PATH_SEP}{t}")
+        else:  # bool | int | float
+            out.append(f"{prefix}{JSON_PATH_SEP}{canonical_json_number(v)}")
+
+    walk("", obj)
+    return out
+
+
+def json_query_tokens(path: str, value: str) -> tuple[list[str], str | None]:
+    """Expand a ``field.path:value`` query literal into its candidate
+    index tokens (typed-term OR expansion, doc_mapper.rs:189-217):
+    returns ``(string_tokens, numeric_token_or_None)`` — the
+    default-tokenized string interpretation (a conjunction when
+    multi-token; json fields record no positions, so no phrase) and
+    the canonical numeric/bool token when the literal parses as one."""
+    import json as _json
+
+    toks = []
+    for t in tokenize_default(value):
+        ft = f"{path}{JSON_PATH_SEP}{t}"
+        if ft not in toks:
+            toks.append(ft)
+    try:
+        num = _json.loads(value)
+    except (ValueError, TypeError):
+        num = None
+    numeric = None
+    if isinstance(num, (bool, int, float)):
+        c = f"{path}{JSON_PATH_SEP}{canonical_json_number(num)}"
+        if [c] != toks:
+            numeric = c
+    return toks, numeric
+
+
 TOKENIZERS = {
     "default": tokenize_default,
     "raw": tokenize_raw,
     "en_stem": tokenize_en_stem,
+    "json": tokenize_json,
 }
 
 

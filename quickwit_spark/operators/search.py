@@ -1281,3 +1281,39 @@ def stream_fast_field(
                 yield pd.DataFrame(out)
 
     return sdf.mapInPandas(kernel, schema=schema)
+
+
+def write_stream_clickhouse_rowbinary(
+    stream_df, out_dir: str, value_type: str = "i64"
+) -> list[str]:
+    """Sink a search-stream DataFrame's ``value`` column as ClickHouse
+    RowBinary part files (quickwit-search/src/search_stream/leaf.rs:120-284
+    OutputFormat::ClickHouseRowBinary): fixed-width little-endian
+    values, no header/delimiters — `cat parts | clickhouse-client
+    --query 'INSERT ... FORMAT RowBinary'`. One file per task, written
+    from the workers (no driver collect). Returns the part paths."""
+    import pandas as pd
+
+    dtype = {"i64": "<i8", "u64": "<u8", "f64": "<f8"}[value_type]
+    os.makedirs(out_dir, exist_ok=True)
+
+    def kernel(iterator):
+        import uuid
+
+        n = 0
+        path = os.path.join(out_dir, f"part-{uuid.uuid4().hex}.bin")
+        with open(path, "wb") as f:
+            for pdf in iterator:
+                vals = pdf["value"].to_numpy()
+                f.write(np.ascontiguousarray(vals.astype(dtype)).tobytes())
+                n += len(pdf)
+        if n == 0:
+            os.unlink(path)
+            path = None
+        yield pd.DataFrame({"path": [path], "n": [n]})
+
+    rows = (
+        stream_df.select("value").mapInPandas(kernel, schema="path string, n long")
+        .collect()
+    )
+    return [r.path for r in rows if r.path is not None]

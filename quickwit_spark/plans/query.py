@@ -101,7 +101,7 @@ def _lex(q: str) -> list[tuple[str, object]]:
 
 
 class _Parser:
-    def __init__(self, tokens: list, default_fields, tokenize):
+    def __init__(self, tokens: list, default_fields, resolve):
         self.toks = tokens
         self.i = 0
         # unqualified terms search ALL default fields (the REST
@@ -111,7 +111,9 @@ class _Parser:
         self.default_fields = (
             [default_fields] if isinstance(default_fields, str) else list(default_fields)
         )
-        self.tokenize = tokenize
+        # resolve(field, text, slop) -> query node | None (no tokens);
+        # handles field-aware tokenization incl. json dotted paths
+        self.resolve = resolve
 
     def _default_expand(self, make_node):
         nodes = []
@@ -185,12 +187,7 @@ class _Parser:
             fld, value = val
 
             def make_term(field):
-                toks = self.tokenize(field, value)
-                if len(toks) == 0:
-                    return None
-                if len(toks) == 1:
-                    return Term(field, toks[0])
-                return Phrase(field, tuple(toks), 0)
+                return self.resolve(field, value, None)
 
             if fld is not None:
                 return make_term(fld) or MatchAll()
@@ -199,12 +196,7 @@ class _Parser:
             fld, text, slop = val
 
             def make_phrase(field):
-                toks = self.tokenize(field, text)
-                if len(toks) == 0:
-                    return None
-                if len(toks) == 1:
-                    return Term(field, toks[0])
-                return Phrase(field, tuple(toks), slop)
+                return self.resolve(field, text, slop)
 
             if fld is not None:
                 return make_phrase(fld) or MatchAll()
@@ -214,17 +206,47 @@ class _Parser:
 
 def parse_query(q: str, config, search_fields=None) -> QueryAst:
     """Parse ``q`` against an :class:`IndexConfig` (field-aware
-    tokenization: raw fields keep the value verbatim).
+    tokenization: raw fields keep the value verbatim; dotted paths on a
+    json-tokenizer field resolve to path-scoped terms with typed-term
+    OR expansion — quickwit-doc-mapper/src/doc_mapper.rs:189-217,
+    query_builder.rs:29-65).
     ``search_fields`` overrides the default field(s) for unqualified
     terms (REST ``search_field`` param)."""
-    from quickwit_spark.functions.tokenize import TOKENIZERS
+    from quickwit_spark.functions.tokenize import TOKENIZERS, json_query_tokens
 
-    def tok(fld: str, value: str) -> list[str]:
+    def resolve(fld: str, text: str, slop):
         try:
-            tokenizer = config.field(fld).tokenizer
+            fcfg = config.field(fld)
         except KeyError:
-            raise QueryParseError(f"field {fld!r} is not indexed")
-        return TOKENIZERS[tokenizer](value)
+            root, dot, path = fld.partition(".")
+            rcfg = None
+            if dot and path:
+                try:
+                    rcfg = config.field(root)
+                except KeyError:
+                    rcfg = None
+            if rcfg is None or rcfg.tokenizer != "json":
+                raise QueryParseError(f"field {fld!r} is not indexed")
+            # json path term: string interpretation (conjunction when
+            # multi-token — json fields record no positions, slop is
+            # ignored) OR'd with the canonical numeric interpretation
+            toks, numeric = json_query_tokens(path, text)
+            nodes = []
+            if len(toks) == 1:
+                nodes.append(Term(root, toks[0]))
+            elif toks:
+                nodes.append(Bool(must=tuple(Term(root, t) for t in toks)))
+            if numeric is not None:
+                nodes.append(Term(root, numeric))
+            if not nodes:
+                return None
+            return nodes[0] if len(nodes) == 1 else Bool(should=tuple(nodes))
+        toks = TOKENIZERS[fcfg.tokenizer](text)
+        if len(toks) == 0:
+            return None
+        if len(toks) == 1:
+            return Term(fld, toks[0])
+        return Phrase(fld, tuple(toks), slop or 0)
 
     q = q.strip()
     if not q or q == "*":
@@ -233,7 +255,7 @@ def parse_query(q: str, config, search_fields=None) -> QueryAst:
     if not tokens:
         return MatchAll()
     fields = search_fields or config.default_search_field
-    return _Parser(tokens, fields, tok).parse()
+    return _Parser(tokens, fields, resolve).parse()
 
 
 def query_terms(ast: QueryAst) -> set[tuple[str, str]]:

@@ -149,7 +149,15 @@ def _ts_expr(col, formats=DEFAULT_TS_FORMATS, precision: str | None = None):
     numeric = F.when(
         col.rlike(r"^\d+$"), F.timestamp_micros(micros.cast("long"))
     )
-    return F.coalesce(*attempts, numeric)
+    # rfc2822 ("Tue, 1 Jul 2003 10:52:37 +0200"): Spark's non-legacy
+    # parser has no day-name pattern, so strip the "EEE, " prefix and
+    # reuse the "d MMM yyyy HH:mm:ss Z" format (date_time_type.rs
+    # Rfc2822 — the reference parses it natively)
+    rfc2822 = F.try_to_timestamp(
+        F.regexp_replace(col, r"^[A-Za-z]{3},\s*", ""),
+        F.lit("d MMM yyyy HH:mm:ss Z"),
+    )
+    return F.coalesce(*attempts, rfc2822, numeric)
 
 
 def _output_col(fm: FieldMapping, ts_formats, ts_precision):

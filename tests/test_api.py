@@ -240,3 +240,22 @@ def test_catalog_scales_to_10k_splits(tmp_path):
     assert load_sec < 5
     assert cat2.stats_version()       # version hash over 10k ids is fast
     assert cat2.total_docs() == 100_000
+
+
+def test_search_stream_clickhouse_rowbinary(index):
+    """RowBinary export: concatenated part files decode to exactly the
+    stream's values (little-endian i64, no header)."""
+    import numpy as np
+
+    paths = index.search_stream_rowbinary(
+        "w00002", "doc_len", str(index.index_dir) + "/../rb_out"
+    )
+    assert paths
+    blob = b"".join(open(p, "rb").read() for p in paths)
+    got = np.frombuffer(blob, dtype="<i8")
+    want = np.sort(
+        index.search_stream("w00002", "doc_len")
+        .toPandas()["value"].to_numpy().astype("<i8")
+    )
+    assert np.array_equal(np.sort(got), want)
+    assert len(got) == index.search("w00002", k=1).num_hits

@@ -234,3 +234,26 @@ class TestGenericDocMapping:
             "conv_id", "turn_idx", "role", "text", "tool", "ts", "_error"
         ]
         assert dict(df.dtypes)["turn_idx"] == "int"
+
+
+def test_rfc2822_datetime_parse(spark):
+    """rfc2822 inputs (day-name prefix) parse via the strip+format
+    fallback (date_time_type.rs Rfc2822 analog)."""
+    import json
+
+    from quickwit_spark.sources.docmapper import map_json_docs, split_valid
+
+    lines = [
+        json.dumps({"conv_id": "c", "turn_idx": 0, "role": "user",
+                    "text": "hi", "tool": None, "ts": ts})
+        for ts in ("Tue, 1 Jul 2003 10:52:37 +0200",
+                   "Sun, 22 Jun 2025 23:59:59 -0700",
+                   "2025-01-01T00:00:00Z")
+    ]
+    df = spark.createDataFrame([(l,) for l in lines], "value string")
+    valid, rejected = split_valid(map_json_docs(df))
+    assert rejected.count() == 0
+    got = sorted(str(r.ts) for r in valid.collect())
+    # 10:52:37+02:00 == 08:52:37 UTC (session pinned to UTC)
+    assert got[0].startswith("2003-07-01 08:52:37")
+    assert got[2].startswith("2025-06-23 06:59:59")

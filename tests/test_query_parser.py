@@ -108,3 +108,117 @@ def test_positive_required_terms():
     assert positive_required_terms(ast) == set()  # top-level OR: nothing required
     ast2 = parse_query("a b -c", CFG)
     assert positive_required_terms(ast2) == {("text", "a"), ("text", "b")}
+
+
+class TestJsonPathQueries:
+    """field.path:value resolution against a json-tokenizer field
+    (doc_mapper.rs:189-217 typed-term OR expansion analog)."""
+
+    @staticmethod
+    def _cfg():
+        from quickwit_spark.config import FieldConfig, IndexConfig
+
+        return IndexConfig(
+            fields=(
+                FieldConfig("text", "default", "position"),
+                FieldConfig("tool", "raw", "basic"),
+                FieldConfig("props", "json", "basic"),
+            ),
+            tag_fields=("tool",),
+        )
+
+    def test_json_tokenizer_flattens_paths(self):
+        from quickwit_spark.functions.tokenize import JSON_PATH_SEP, tokenize_json
+
+        toks = tokenize_json(
+            '{"user": {"name": "Bob Smith", "age": 42}, '
+            '"tags": ["a", "b"], "pi": 3.5, "ok": true, "none": null}'
+        )
+        S = JSON_PATH_SEP
+        assert toks == [
+            f"user.name{S}bob", f"user.name{S}smith", f"user.age{S}42",
+            f"tags{S}a", f"tags{S}b", f"pi{S}3.5", f"ok{S}true",
+        ]
+        # numeric unification: 5 and 5.0 and "5" land on the same token
+        assert tokenize_json('{"x": 5.0}') == tokenize_json('{"x": 5}')
+        assert tokenize_json('{"x": "5"}') == tokenize_json('{"x": 5}')
+
+    def test_path_term_resolution(self):
+        from quickwit_spark.functions.tokenize import JSON_PATH_SEP as S
+        from quickwit_spark.plans.query import Bool, Term, parse_query
+
+        cfg = self._cfg()
+        ast = parse_query("props.user.name:bob", cfg)
+        assert ast == Term("props", f"user.name{S}bob")
+        # numeric literal expands over string + canonical number (same
+        # token after unification -> single term)
+        ast = parse_query("props.user.age:42", cfg)
+        assert ast == Term("props", f"user.age{S}42")
+        # float literal: string interp is a 2-token conjunction, OR'd
+        # with the canonical numeric token
+        ast = parse_query("props.pi:3.5", cfg)
+        assert isinstance(ast, Bool) and len(ast.should) == 2
+        assert Term("props", f"pi{S}3.5") in ast.should
+        # unknown root still errors
+        import pytest
+
+        from quickwit_spark.plans.query import QueryParseError
+
+        with pytest.raises(QueryParseError, match="not indexed"):
+            parse_query("nope.user:bob", cfg)
+
+    def test_json_field_end_to_end_vs_oracle(self, spark, tmp_path):
+        """Engine rank-identity with the oracle over a json field
+        (oracle indexes through the same tokenizer registry but
+        evaluates independently)."""
+        from quickwit_spark.operators.build import build_index
+        from quickwit_spark.operators.search import Searcher
+        from quickwit_spark.oracle import OracleEngine
+        from quickwit_spark.sources.transcripts import fixture_corpus
+
+        rows = [
+            (f"doc number {i} common", "user", None) for i in range(30)
+        ]
+        pdf = fixture_corpus(rows)
+        langs = ["en", "fr", "de"]
+        pdf["props"] = [
+            f'{{"lang": "{langs[i % 3]}", "score": {i % 5}, '
+            f'"meta": {{"src": "s{i % 2}"}}}}'
+            for i in range(len(pdf))
+        ]
+        cfg = self._cfg()
+        d = str(tmp_path / "jsonidx")
+        build_index(spark, spark.createDataFrame(pdf), d, cfg, n_splits=2)
+        se = Searcher(spark, d)
+        oracle = OracleEngine(pdf, cfg, n_splits=2)
+        for q, want_hits in [
+            ("props.lang:en", 10),
+            ("props.score:3 AND common", 6),
+            ("props.meta.src:s1 AND props.lang:fr", None),
+            ("common -props.lang:de", 20),
+        ]:
+            n_o, hits_o = oracle.search(q, k=10)
+            r = se.search(q, k=10)
+            assert r.num_hits == n_o
+            if want_hits is not None:
+                assert n_o == want_hits
+            assert [(h.split_id, h.docid) for h in r.hits] == [
+                (h.split_id, h.docid) for h in hits_o
+            ]
+            for a, b in zip(hits_o, r.hits):
+                assert abs(a.score - b.score) < 1e-9
+
+    def test_json_field_rejects_positions(self):
+        import pytest
+
+        from quickwit_spark.config import FieldConfig, IndexConfig
+
+        cfg = IndexConfig(
+            fields=(
+                FieldConfig("text", "default", "freq"),
+                FieldConfig("props", "json", "position"),
+            ),
+            tag_fields=(),
+        )
+        with pytest.raises(ValueError, match="positions"):
+            cfg.validate()
