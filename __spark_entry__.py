@@ -288,6 +288,16 @@ def q_dedup_simhash(spark, sf_dir):
     return simhash(_docs(spark, sf_dir))
 
 
+def q_dedup_simhash_pairs(spark, sf_dir):
+    """Multi-rotation SimHash near-dup pairs (2 rotation tables,
+    8-bit prefix buckets, hamming <= 24)."""
+    from quickwit_spark.pipeline.dedup import simhash_pairs
+
+    return simhash_pairs(
+        _docs(spark, sf_dir), max_hamming=24, prefix_bits=8, n_rotations=2
+    )
+
+
 def q_dedup_embedding_cosine(spark, sf_dir):
     from quickwit_spark.pipeline.dedup import embedding_cosine_pairs
 
@@ -388,6 +398,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_simhash": q_dedup_simhash,
+        "dedup_simhash_pairs": q_dedup_simhash_pairs,
         "dedup_embedding_cosine": q_dedup_embedding_cosine,
         "dedup_clusters": q_dedup_clusters,
         "ann_cosine_topk": q_ann_cosine_topk,
@@ -809,6 +820,33 @@ votes AS (
 )
 SELECT doc_id, sum(CASE WHEN v > 0 THEN (1::BIGINT << bit) ELSE 0 END)::BIGINT AS simhash
 FROM votes GROUP BY doc_id
+"""
+
+    # multi-rotation simhash pairs: rotation r buckets on the 4-bit
+    # prefix of the fingerprint rotated left by r*30; union, hamming cap
+    sql["dedup_simhash_pairs"] = f"""
+WITH toks AS (SELECT doc_id, unnest({TOKS}) AS term FROM documents),
+th AS (SELECT doc_id, {h15.format(x='term')} AS h FROM toks),
+votes AS (
+  SELECT doc_id, b.bit,
+         sum(((h >> b.bit) & 1) * 2 - 1) AS v
+  FROM th, (SELECT unnest(generate_series(0, 59)) AS bit) b
+  GROUP BY doc_id, b.bit
+),
+sh AS (
+  SELECT doc_id, sum(CASE WHEN v > 0 THEN (1::BIGINT << bit) ELSE 0 END)::BIGINT AS simhash
+  FROM votes GROUP BY doc_id
+),
+sb AS (
+  SELECT doc_id, simhash, r.rot,
+    CASE WHEN r.rot = 0 THEN simhash >> 52
+         ELSE (((simhash & 1073741823) << 30) | (simhash >> 30)) >> 52 END AS bucket
+  FROM sh, (SELECT unnest(generate_series(0, 1)) AS rot) r
+)
+SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+       bit_count(xor(a.simhash, b.simhash))::BIGINT AS hamming
+FROM sb a JOIN sb b ON a.rot = b.rot AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 24
 """
 
     # connected components over the same LSH-verified pairs via a

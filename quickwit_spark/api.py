@@ -171,6 +171,51 @@ class Index:
             "rejected": counters,
         }
 
+    def ingest_bulk(
+        self, path: str, n_splits: int = 8, mode: str = "lenient",
+    ) -> dict:
+        """ES-compatible `_bulk` shim (quickwit-serve elastic-compat
+        `/_elastic/_bulk`): NDJSON of alternating action lines
+        (`{"index": {...}}` / `{"create": {...}}`) and document lines.
+        Action lines are recognized and dropped declaratively (a line
+        whose only top-level key is an action verb), documents flow
+        through the ordinary mapper → build path."""
+        from pyspark.sql import functions as F
+
+        from quickwit_spark.sources.docmapper import (
+            map_json_docs,
+            read_json_lines,
+            split_valid,
+        )
+
+        raw = read_json_lines(self.spark, path)
+        # an action line parses as a single-key map whose key is an
+        # action verb and whose value is an object (not a scalar)
+        asmap = F.from_json(F.col("value"), "map<string,string>")
+        is_action = (
+            F.size(F.map_keys(asmap)) == 1
+        ) & F.element_at(F.map_keys(asmap), 1).isin(
+            "index", "create", "update", "delete"
+        )
+        docs = raw.where(~F.coalesce(is_action, F.lit(False)))
+        mapped = map_json_docs(docs, mode=mode)
+        valid, rejected = split_valid(mapped)
+        counters = {
+            r["_error"]: r["count"]
+            for r in rejected.groupBy("_error").count().collect()
+        }
+        import hashlib
+
+        cols = ["conv_id", "turn_idx", "role", "text", "tool", "ts"]
+        self.ingest(
+            valid.select(*cols), n_splits=n_splits,
+            ingest_id="bk" + hashlib.md5(path.encode()).hexdigest()[:10],
+        )
+        return {
+            "num_docs_valid": self.catalog().total_docs(),
+            "rejected": counters,
+        }
+
     # -- maintenance (CLI `index merge` / `index gc`) ---------------------
 
     def merge(self) -> int:

@@ -74,6 +74,11 @@ class IndexConfig:
     max_merge_factor: int = 12
     min_level_num_docs: int = 100_000
 
+    # demux knobs (merge_policy.rs demux gate; index_config.rs:110-112)
+    demux_enabled: bool = False
+    demux_factor: int = 6
+    demux_field: str | None = None
+
     # BM25 (Lucene/tantivy constants)
     k1: float = 1.2
     b: float = 0.75
@@ -137,6 +142,9 @@ class IndexConfig:
             "merge_factor": self.merge_factor,
             "max_merge_factor": self.max_merge_factor,
             "min_level_num_docs": self.min_level_num_docs,
+            "demux_enabled": self.demux_enabled,
+            "demux_factor": self.demux_factor,
+            "demux_field": self.demux_field,
             "k1": self.k1,
             "b": self.b,
         }
@@ -161,6 +169,9 @@ class IndexConfig:
             merge_factor=d["merge_factor"],
             max_merge_factor=d["max_merge_factor"],
             min_level_num_docs=d["min_level_num_docs"],
+            demux_enabled=d.get("demux_enabled", False),
+            demux_factor=d.get("demux_factor", 6),
+            demux_field=d.get("demux_field"),
             k1=d["k1"],
             b=d["b"],
         )

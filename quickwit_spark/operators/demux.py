@@ -59,14 +59,18 @@ def demux_splits(
     catalog: Catalog,
     split_ids: list[str],
     demux_field: str | None = None,
-    demux_factor: int = 6,
-    gen: int = 0,
+    demux_factor: int | None = None,
 ) -> list[SplitMetadata]:
-    """Rewrite ``split_ids`` into per-tenant splits; atomic cutover."""
+    """Rewrite ``split_ids`` into per-tenant splits; atomic cutover.
+    Output split ids come from the catalog's persisted allocator
+    (globally unique across invocations)."""
     from pyspark.sql import functions as F
 
     config = catalog.config
-    demux_field = demux_field or (config.tag_fields[0] if config.tag_fields else None)
+    demux_factor = demux_factor or config.demux_factor
+    demux_field = demux_field or config.demux_field or (
+        config.tag_fields[0] if config.tag_fields else None
+    )
     if demux_field is None:
         raise ValueError("no demux field configured")
     inputs = [catalog.splits[s] for s in sorted(split_ids)]
@@ -86,6 +90,8 @@ def demux_splits(
         for r in docs.groupBy(key.alias("k")).count().collect()
     ]
     bins = next_fit_pack(counts, demux_factor)
+    n_bins = max(bins.values()) + 1 if bins else 0
+    bin_ids = catalog.alloc_split_ids(n_bins, prefix="demux")
     mapping = F.create_map(
         *[x for kv in bins.items() for x in (F.lit(kv[0]), F.lit(kv[1]))]
     )
@@ -93,7 +99,7 @@ def demux_splits(
 
     index_dir_b = catalog.index_dir
     config_dict = config.to_dict()
-    gen_b = gen
+    bin_ids_b = bin_ids
 
     def build_group(bkey, tbl):
         import pyarrow as pa
@@ -104,7 +110,7 @@ def demux_splits(
         postings, dtbl, meta = build_split_tables_arrow(
             tbl.drop_columns(["demux_bin"]), cfg
         )
-        split_id = f"demux-{gen_b:04d}-{bin_ord:02d}"
+        split_id = bin_ids_b[bin_ord]
         size = write_split(
             postings, dtbl, os.path.join(index_dir_b, "splits", split_id)
         )

@@ -382,10 +382,29 @@ def execute_merge(
     return execute_merge_round(spark, catalog, [inputs])[0]
 
 
+def plan_demux_operation(
+    splits: list["SplitMetadata"], config: IndexConfig
+) -> list["SplitMetadata"]:
+    """Demux candidates when ``demux_enabled``: mature (>= docs target)
+    splits never touched by merge/demux (num_merge_ops == 0), at most
+    ``max_merge_factor`` per op — the reference gates demux behind
+    `demux_enabled` and runs it on mature co-tenant splits
+    (merge_policy.rs demux planning; merge_executor.rs:349-500)."""
+    if not config.demux_enabled:
+        return []
+    cands = [
+        s for s in splits
+        if s.num_merge_ops == 0 and s.num_docs >= config.split_num_docs_target
+    ]
+    return sorted(cands, key=lambda s: s.split_id)[: config.max_merge_factor]
+
+
 def run_merge_pipeline(spark, index_dir: str, max_rounds: int = 100) -> int:
     """MergePlanner loop (merge_planner.rs:61-81): plan → execute round
     (all ops in one fanned-out Spark job) → re-plan until no candidate
-    remains. Returns number of merges run."""
+    remains; when ``demux_enabled``, mature un-demuxed splits are then
+    demuxed into per-tenant splits. Returns number of maintenance ops
+    run."""
     catalog = Catalog.load(index_dir)
     pre_version = catalog.stats_version()
     total = 0
@@ -395,6 +414,14 @@ def run_merge_pipeline(spark, index_dir: str, max_rounds: int = 100) -> int:
             break
         execute_merge_round(spark, catalog, ops)
         total += len(ops)
+    demux_inputs = plan_demux_operation(
+        catalog.published_splits(), catalog.config
+    )
+    if demux_inputs:
+        from quickwit_spark.operators.demux import demux_splits
+
+        demux_splits(spark, catalog, [s.split_id for s in demux_inputs])
+        total += 1
     if total:
         from quickwit_spark.operators.stats import (
             carry_forward_term_stats,

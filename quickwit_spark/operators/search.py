@@ -171,23 +171,47 @@ def _bm25_scores(tfs, dls, df_global, n_total, avgdl, k1, b):
 
 
 def _wand_plan(ast):
-    """Returns (must_terms, should_terms, neg_terms) when the query is a
-    flat boolean of Term nodes — the shapes the block-max pruned
-    evaluator handles exactly (single term, conjunction, disjunction,
-    each with optional must_not terms). Anything else (phrases, nested
-    bools, pure-negation) returns None and takes the exhaustive path."""
+    """Normalize a prunable query into ``(groups, neg_terms)`` where
+    every group is a list of Terms and the query means "every group has
+    >=1 matching member, scores sum over all matching members, minus
+    the negated terms". Covers: single term (1 group of 1),
+    conjunction (n groups of 1), disjunction (1 group of n),
+    conjunction of disjunction-groups — e.g. the multifield expansion
+    ``(text:en OR lang:en) AND (text:v OR lang:v)`` — and any of these
+    with must_not terms. Anything else (phrases, deeper nesting,
+    pure-negation) returns None and takes the exhaustive path."""
+
+    def term_group(node):
+        if isinstance(node, Term):
+            return [node]
+        if (
+            isinstance(node, Bool)
+            and node.should
+            and not node.must
+            and not node.must_not
+            and all(isinstance(c, Term) for c in node.should)
+        ):
+            return list(node.should)
+        return None
+
     if isinstance(ast, Term):
-        return [ast], [], []
-    if isinstance(ast, Bool):
-        kids = ast.must + ast.should + ast.must_not
-        if not kids or not all(isinstance(c, Term) for c in kids):
+        return [[ast]], []
+    if not isinstance(ast, Bool):
+        return None
+    if not all(isinstance(c, Term) for c in ast.must_not):
+        return None
+    negs = list(ast.must_not)
+    if ast.must and not ast.should:
+        groups = [term_group(c) for c in ast.must]
+        if any(g is None for g in groups):
             return None
-        if ast.must and ast.should:
+        return groups, negs
+    if ast.should and not ast.must:
+        g = term_group(Bool(should=ast.should))
+        if g is None:
             return None
-        if not ast.must and not ast.should:
-            return None  # pure must_not evaluates against MatchAll
-        return list(ast.must), list(ast.should), list(ast.must_not)
-    return None
+        return [g], negs
+    return None  # pure must_not (MatchAll base) or mixed must+should
 
 
 class _ShardPostings:
@@ -289,7 +313,7 @@ class _ShardPostings:
 
 
 def _wand_bool(
-    split_dir: str, must, should, neg, doc_len, stats, config, m: int
+    split_dir: str, groups, neg, doc_len, stats, config, m: int
 ) -> tuple[np.ndarray, np.ndarray, int, dict]:
     """Block-max pruned top-m for flat term booleans at shard
     granularity — the posting-row analog of tantivy's block-max WAND
@@ -298,19 +322,22 @@ def _wand_bool(
     pruning is our north-rule addition; semantics mirror tantivy's
     ``Weight::for_each_pruning``).
 
-    Docid space is cut into SEGMENTS at the query terms' shard
-    boundaries, so term coverage is constant within a segment. Each
-    segment's score upper bound is the sum of the covering shards'
-    BM25(max_tf, min_dl) bounds.
+    The query is the normal form from :func:`_wand_plan`: a conjunction
+    of GROUPS (each group = a disjunction of terms; score = sum over
+    matching members) minus negated terms. Docid space is cut into
+    SEGMENTS at the query terms' shard boundaries, so term coverage is
+    constant within a segment. Each segment's score upper bound is the
+    sum of the covering shards' BM25(max_tf, min_dl) bounds.
 
-    * conjunction: segments where any must term has NO covering shard
-      cannot contain a match — they are skipped entirely (no docid
+    * conjunction: segments where some group has NO covering member
+      shard cannot contain a match — skipped entirely (no docid
       decode, no count work). This is the hot∧rare win: the hot term's
       shards outside the rare term's docid ranges are never touched.
-    * disjunction: the exact num_hits (union cardinality) forces a
-      docid decode of every covering shard, but tf decode + scoring are
-      skipped for segments whose bound falls strictly below the running
-      m-th best score (visited in descending-bound order → sound).
+    * disjunction (one group): the exact num_hits (union cardinality)
+      forces a docid decode of every covering shard, but tf decode +
+      scoring are skipped for segments whose bound falls strictly
+      below the running m-th best score (descending-bound order →
+      sound).
     * single positive term without negation: num_hits = Σ shard dfs
       (shards are disjoint), so even docid decode is skipped for
       pruned shards.
@@ -320,31 +347,37 @@ def _wand_bool(
     (ids, scores, num_hits, skip_stats).
     """
     path = os.path.join(split_dir, POSTINGS_FILE)
-    mode = "must" if must else "should"
-    pos = [(t.field, t.value) for t in (must or should)]
+    group_keys = [[(t.field, t.value) for t in g] for g in groups]
     negk = [(t.field, t.value) for t in neg]
-    sp = _ShardPostings(path, pos + negk)
+    all_pos = [key for g in group_keys for key in g]
+    sp = _ShardPostings(path, all_pos + negk)
     k1, b = config.k1, config.b
     N, avgdl = stats["N"], stats["avgdl"]
     empty = (np.empty(0, np.int64), np.empty(0, np.float64))
+    no_work = {"shards": 0, "docid_decoded": 0, "tf_decoded": 0}
 
-    if mode == "must" and any(key not in sp.stats for key in pos):
-        return (*empty, 0, {"shards": 0, "docid_decoded": 0, "tf_decoded": 0})
-    pos = [key for key in pos if key in sp.stats]
-    if not pos:
-        return (*empty, 0, {"shards": 0, "docid_decoded": 0, "tf_decoded": 0})
+    # drop members absent from this split; a group with no present
+    # member empties the whole conjunction
+    group_keys = [[k for k in g if k in sp.stats] for g in group_keys]
+    if any(not g for g in group_keys):
+        return (*empty, 0, no_work)
 
-    # per-term shard arrays + per-shard upper bounds
+    # flat member arrays + per-shard upper bounds; group_of[i] maps a
+    # member back to its group
     term_arrs = []
+    group_of: list[int] = []
     n_pos_shards = 0
-    for key in pos:
-        st = sp.stats[key]
-        df_g = stats["df"].get(key, 0)
-        ub = _bm25_scores(
-            st["max_tf"], st["min_dl"].astype(np.float64), df_g, N, avgdl, k1, b
-        )
-        term_arrs.append((key, st["first"], st["last"], ub, df_g))
-        n_pos_shards += st["first"].size
+    for gi, g in enumerate(group_keys):
+        for key in g:
+            st = sp.stats[key]
+            df_g = stats["df"].get(key, 0)
+            ub = _bm25_scores(
+                st["max_tf"], st["min_dl"].astype(np.float64), df_g,
+                N, avgdl, k1, b,
+            )
+            term_arrs.append((key, st["first"], st["last"], ub, df_g))
+            group_of.append(gi)
+            n_pos_shards += st["first"].size
 
     # segment boundaries at positive shard edges
     bounds = np.unique(
@@ -355,19 +388,18 @@ def _wand_bool(
     seg_lo = bounds[:-1]
     seg_hi = bounds[1:]
     n_seg = seg_lo.size
+    n_groups = len(group_keys)
 
-    covers = np.full((len(pos), n_seg), -1, dtype=np.int64)
+    covers = np.full((len(term_arrs), n_seg), -1, dtype=np.int64)
     ub_seg = np.zeros(n_seg, dtype=np.float64)
-    cov_any = np.zeros(n_seg, dtype=bool)
-    cov_all = np.ones(n_seg, dtype=bool)
+    g_cov = np.zeros((n_groups, n_seg), dtype=bool)
     for i, (key, firsts, lasts, ub, _dfg) in enumerate(term_arrs):
         k = np.searchsorted(firsts, seg_lo, side="right") - 1
         cov = (k >= 0) & (lasts[np.maximum(k, 0)] >= seg_lo)
         covers[i] = np.where(cov, k, -1)
         ub_seg += np.where(cov, ub[np.maximum(k, 0)], 0.0)
-        cov_any |= cov
-        cov_all &= cov
-    active = cov_all if mode == "must" else cov_any
+        g_cov[group_of[i]] |= cov
+    active = g_cov.all(axis=0)
     active_idx = np.flatnonzero(active)
 
     def neg_exclude(ids: np.ndarray, lo: int, hi: int) -> np.ndarray:
@@ -383,32 +415,47 @@ def _wand_bool(
                 ids = ids[~np.isin(ids, dec, assume_unique=True)]
         return ids
 
+    def member_slice(i: int, s: int):
+        """Member i's decoded (docids, tfs|None placeholder) slice
+        within segment s, or None when not covering."""
+        k = int(covers[i][s])
+        if k < 0:
+            return None
+        key = term_arrs[i][0]
+        dec = sp.docids(key[0], key[1], int(sp.stats[key]["shard"][k]))
+        lo, hi = int(seg_lo[s]), int(seg_hi[s])
+        a_, b_ = np.searchsorted(dec, lo), np.searchsorted(dec, hi)
+        return dec[a_:b_], (key, k, a_, b_)
+
     def seg_candidates(s: int) -> np.ndarray:
         lo, hi = int(seg_lo[s]), int(seg_hi[s])
         ids = None
-        for i, (key, _f, _l, _u, _d) in enumerate(term_arrs):
-            k = int(covers[i][s])
-            if k < 0:
-                if mode == "must":
-                    return np.empty(0, np.int64)
-                continue
-            dec = sp.docids(key[0], key[1], int(sp.stats[key]["shard"][k]))
-            sl = dec[np.searchsorted(dec, lo) : np.searchsorted(dec, hi)]
-            if ids is None:
-                ids = sl
-            elif mode == "must":
-                ids = np.intersect1d(ids, sl, assume_unique=True)
-            else:
-                ids = np.union1d(ids, sl)
-            if mode == "must" and ids.size == 0:
+        for gi in range(n_groups):
+            g_ids = None
+            for i in range(len(term_arrs)):
+                if group_of[i] != gi:
+                    continue
+                got = member_slice(i, s)
+                if got is None:
+                    continue
+                sl = got[0]
+                g_ids = sl if g_ids is None else np.union1d(g_ids, sl)
+            if g_ids is None:
+                return np.empty(0, np.int64)
+            ids = g_ids if ids is None else np.intersect1d(
+                ids, g_ids, assume_unique=True
+            )
+            if ids.size == 0:
                 return ids
         return neg_exclude(ids if ids is not None else np.empty(0, np.int64), lo, hi)
 
     # ---- exact num_hits ------------------------------------------------
     cand_cache: dict[int, np.ndarray] = {}
-    single_uncounted = mode == "must" and len(pos) == 1 and not negk
+    single_uncounted = (
+        n_groups == 1 and len(group_keys[0]) == 1 and not negk
+    )
     if single_uncounted:
-        num_hits = int(sp.stats[pos[0]]["df"].sum())
+        num_hits = int(sp.stats[group_keys[0][0]]["df"].sum())
     else:
         num_hits = 0
         for s in active_idx:
@@ -430,29 +477,40 @@ def _wand_bool(
             ids = seg_candidates(s)
         if ids.size == 0:
             continue
-        lo, hi = int(seg_lo[s]), int(seg_hi[s])
+        # per-group partial sums added group-by-group: the SAME float
+        # association as the exhaustive evaluator (Bool.must sums its
+        # children's score arrays), so scores are bit-identical
         scores = np.zeros(ids.size, dtype=np.float64)
-        for i, (key, _f, _l, _u, df_g) in enumerate(term_arrs):
-            k = int(covers[i][s])
-            if k < 0:
-                continue
-            dec = sp.docids(key[0], key[1], int(sp.stats[key]["shard"][k]))
-            tf = sp.tfs(key[0], key[1], int(sp.stats[key]["shard"][k]))
-            a_, b_ = np.searchsorted(dec, lo), np.searchsorted(dec, hi)
-            sl_ids, sl_tf = dec[a_:b_], tf[a_:b_]
-            if mode == "must":
-                idx = np.searchsorted(sl_ids, ids)
-                scores += _bm25_scores(
-                    sl_tf[idx], doc_len[ids], df_g, N, avgdl, k1, b
-                )
-            else:
-                common, ci, si = np.intersect1d(
-                    ids, sl_ids, assume_unique=True, return_indices=True
-                )
-                if common.size:
-                    scores[ci] += _bm25_scores(
-                        sl_tf[si], doc_len[common], df_g, N, avgdl, k1, b
+        for gi in range(n_groups):
+            single = len(group_keys[gi]) == 1
+            g_scores = scores if single else np.zeros(ids.size, dtype=np.float64)
+            for i in range(len(term_arrs)):
+                if group_of[i] != gi:
+                    continue
+                got = member_slice(i, s)
+                if got is None:
+                    continue
+                sl_ids, (key, k, a_, b_) = got
+                tf = sp.tfs(key[0], key[1], int(sp.stats[key]["shard"][k]))
+                sl_tf = tf[a_:b_]
+                df_g = term_arrs[i][4]
+                if single:
+                    # candidates ⊆ the member's slice (candidates were
+                    # intersected with this very slice)
+                    idx = np.searchsorted(sl_ids, ids)
+                    g_scores += _bm25_scores(
+                        sl_tf[idx], doc_len[ids], df_g, N, avgdl, k1, b
                     )
+                else:
+                    common, ci, si = np.intersect1d(
+                        ids, sl_ids, assume_unique=True, return_indices=True
+                    )
+                    if common.size:
+                        g_scores[ci] += _bm25_scores(
+                            sl_tf[si], doc_len[common], df_g, N, avgdl, k1, b
+                        )
+            if not single:
+                scores += g_scores
         best_ids = np.concatenate([best_ids, ids])
         best_scores = np.concatenate([best_scores, scores])
         best_ids, best_scores = _top_m(best_ids, best_scores, m)
@@ -627,9 +685,9 @@ def _eval_split_partial(
         and m > 0
     )
     if use_wand:
-        w_must, w_should, w_neg = wplan
+        w_groups, w_neg = wplan
         ids, scores, num_hits, _skips = _wand_bool(
-            split_dir, w_must, w_should, w_neg,
+            split_dir, w_groups, w_neg,
             doc_len.astype(np.float64), stats, config, m,
         )
         return _partial_rows_from_topk(

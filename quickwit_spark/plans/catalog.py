@@ -148,16 +148,19 @@ class Catalog:
     def stage_split(self, meta: SplitMetadata) -> None:
         self.stage_splits([meta])
 
-    def alloc_merge_ids(self, n: int) -> list[str]:
-        """Allocate ``n`` globally-unique merge split ids. The bumped
-        counter is committed BEFORE the ids are used, so a crashed merge
-        can never reuse an id (the reference gets this from ULIDs —
-        split_metadata.rs new_split_id; a sequence keeps ids readable
-        and sort-stable here)."""
+    def alloc_split_ids(self, n: int, prefix: str = "merge") -> list[str]:
+        """Allocate ``n`` globally-unique maintenance split ids (merge /
+        demux). The bumped counter is committed BEFORE the ids are used,
+        so a crashed op can never reuse an id (the reference gets this
+        from ULIDs — split_metadata.rs new_split_id; a shared sequence
+        keeps ids readable and sort-stable here)."""
         start = self.merge_seq
         self.merge_seq += n
         self._commit()
-        return [f"merge-{i:06d}" for i in range(start, start + n)]
+        return [f"{prefix}-{i:06d}" for i in range(start, start + n)]
+
+    def alloc_merge_ids(self, n: int) -> list[str]:
+        return self.alloc_split_ids(n, "merge")
 
     def _check_stageable(self, meta: SplitMetadata, allow_staged: bool) -> None:
         existing = self.splits.get(meta.split_id)

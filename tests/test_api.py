@@ -259,3 +259,27 @@ def test_search_stream_clickhouse_rowbinary(index):
     )
     assert np.array_equal(np.sort(got), want)
     assert len(got) == index.search("w00002", k=1).num_hits
+
+
+def test_ingest_bulk_es_shim(spark, tmp_path):
+    """ES _bulk NDJSON (action line + doc line pairs) ingests the docs
+    and ignores the action lines."""
+    import json
+
+    from quickwit_spark.api import Index
+
+    lines = []
+    for i in range(4):
+        lines.append(json.dumps({"index": {"_index": "t", "_id": str(i)}}))
+        lines.append(json.dumps({
+            "conv_id": "bk", "turn_idx": i, "role": "user",
+            "text": f"bulk ingest doc {i}", "tool": None,
+            "ts": "2025-01-01T00:00:00Z",
+        }))
+    p = tmp_path / "bulk.ndjson"
+    p.write_text("\n".join(lines))
+    idx = Index.create(spark, str(tmp_path / "bidx"))
+    result = idx.ingest_bulk(str(p), n_splits=2)
+    assert result["num_docs_valid"] == 4
+    assert result["rejected"] == {}
+    assert idx.search("bulk", k=10).num_hits == 4

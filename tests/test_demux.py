@@ -99,3 +99,48 @@ def test_demuxed_splits_not_demuxable_again(spark, demuxed):
     cat = Catalog.load(d)
     with pytest.raises(ValueError):
         demux_splits(spark, cat, [new[0].split_id], demux_field="tool")
+
+
+def test_demux_enabled_runs_from_planner_loop(spark, corpus, tmp_path):
+    """With demux_enabled, run_merge_pipeline demuxes mature un-demuxed
+    splits into per-tenant splits (the reference's demux gate); doc
+    conservation + tenant-narrowed tags + search results preserved."""
+    from quickwit_spark.config import IndexConfig
+    from quickwit_spark.operators.build import build_index
+    from quickwit_spark.operators.merge import run_merge_pipeline
+    from quickwit_spark.operators.search import Searcher
+    from quickwit_spark.oracle import OracleEngine
+    from quickwit_spark.plans.catalog import Catalog
+
+    cfg = IndexConfig(
+        hot_term_doc_freq=200, salt_docid_range=64,
+        split_num_docs_target=100,  # built splits are mature
+        demux_enabled=True, demux_factor=3, demux_field="tool",
+    )
+    d = str(tmp_path / "demuxauto")
+    build_index(spark, spark.createDataFrame(corpus), d, cfg, n_splits=4)
+    n = run_merge_pipeline(spark, d)
+    assert n >= 1
+    cat = Catalog.load(d)
+    pub = cat.published_splits()
+    assert len(pub) == 3                      # demux_factor bins
+    assert all(s.split_id.startswith("demux-") for s in pub)
+    assert cat.total_docs() == len(corpus)
+    # tenant isolation: each output covers a narrow tool-value set
+    sizes = [len(s.tags["tool"] or []) for s in pub]
+    all_tools = len({t for s in pub for t in (s.tags["tool"] or [])})
+    assert max(sizes) < all_tools
+    # results invariant under the re-layout (tie-aware comparison)
+    oracle = OracleEngine(corpus, cfg, n_splits=4)
+    se = Searcher(spark, d)
+    for q in ["w00001", "hotterm", "tool:git AND w00002"]:
+        n_o, hits_o = oracle.search(q, k=15)
+        r = se.search(q, k=15)
+        assert r.num_hits == n_o
+        assert sorted(
+            (h.conv_id, h.turn_idx, round(h.score, 9)) for h in r.hits
+        ) == sorted(
+            (h.conv_id, h.turn_idx, round(h.score, 9)) for h in hits_o
+        )
+    # idempotent: a second pipeline run finds nothing to do
+    assert run_merge_pipeline(spark, d) == 0

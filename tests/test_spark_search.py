@@ -117,7 +117,7 @@ class TestWand:
         )
         t = Term("text", "hotterm")
         ids, scores, num_hits, sk = _wand_bool(
-            sd, [t], [], [], doc_len, stats, cat.config, 5
+            sd, [[t]], [], doc_len, stats, cat.config, 5
         )
         assert sk["shards"] > 2
         assert sk["tf_decoded"] < sk["shards"]      # pruning engaged
@@ -125,7 +125,7 @@ class TestWand:
         assert len(ids) == 5 and num_hits > 5
         # exhaustive check within the split
         ids_all, scores_all, n_all, _ = _wand_bool(
-            sd, [t], [], [], doc_len, stats, cat.config, 10_000
+            sd, [[t]], [], doc_len, stats, cat.config, 10_000
         )
         assert n_all == num_hits == len(ids_all)
         order = np.lexsort((ids_all, -scores_all))
@@ -155,7 +155,7 @@ class TestWand:
         cat, sd, doc_len, stats = self._split_env(sharded_index, keys)
         musts = [Term(f, v) for f, v in keys]
         ids, scores, num_hits, sk = _wand_bool(
-            sd, musts, [], [], doc_len, stats, cat.config, 5
+            sd, [[t] for t in musts], [], doc_len, stats, cat.config, 5
         )
         assert sk["shards"] > 3
         # the rare term spans few docid ranges: most hot shards skipped
@@ -195,7 +195,7 @@ class TestWand:
         }
         shoulds = [Term("text", "common"), Term("text", "x000w000")]
         ids, scores, num_hits, sk = _wand_bool(
-            sd, [], shoulds, [], doc_len, stats, cfg, 3
+            sd, [shoulds], [], doc_len, stats, cfg, 3
         )
         assert num_hits == 100
         assert len(ids) == 3
@@ -203,7 +203,7 @@ class TestWand:
         assert sk["tf_decoded"] < sk["shards"]      # scoring pruned
         # exact equality with the unpruned evaluation
         ids_all, scores_all, n_all, _ = _wand_bool(
-            sd, [], shoulds, [], doc_len, stats, cfg, 10_000
+            sd, [shoulds], [], doc_len, stats, cfg, 10_000
         )
         assert n_all == 100
         order = np.lexsort((ids_all, -scores_all))
@@ -444,3 +444,38 @@ def test_global_df_cold_path_term_range_pruned(spark, index_dir, searcher):
         shutil.move(bak, stats_dir)
     assert got == want
     assert want[("text", "w00001")] > 0
+
+
+def test_wand_plan_covers_nested_should_groups(searcher):
+    """Conjunctions of term-disjunction groups (incl. the multifield
+    expansion) are WAND-able; phrases and deeper nesting fall back."""
+    from quickwit_spark.operators.search import _wand_plan
+    from quickwit_spark.plans.query import parse_query
+
+    cfg = searcher.config
+    plan = _wand_plan(parse_query("(w00000 OR w00050) AND (w00001 OR w00120)", cfg))
+    assert plan is not None
+    groups, negs = plan
+    assert [len(g) for g in groups] == [2, 2] and negs == []
+    # multifield expansion: (text:en OR role:en) AND (text:w1 OR role:w1)
+    plan = _wand_plan(
+        parse_query("en AND w00001", cfg, search_fields=["text", "role"])
+    )
+    assert plan is not None and [len(g) for g in plan[0]] == [2, 2]
+    # phrases fall back
+    assert _wand_plan(parse_query('"w00001 w00002"', cfg)) is None
+
+
+def test_wand_equals_exhaustive_multifield(searcher):
+    for q, fields in [
+        ("en AND w00001", ["text", "role"]),
+        ("assistant OR w00050", ["text", "role"]),
+        ("(w00000 OR w00050) AND (w00001 OR w00120) -w00004", None),
+    ]:
+        kw = {"search_fields": fields} if fields else {}
+        a = searcher.search(q, k=10, wand=True, **kw)
+        b = searcher.search(q, k=10, wand=False, **kw)
+        assert a.num_hits == b.num_hits, q
+        assert [(h.split_id, h.docid, h.score) for h in a.hits] == [
+            (h.split_id, h.docid, h.score) for h in b.hits
+        ], q
