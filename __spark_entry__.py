@@ -86,6 +86,32 @@ def _docs_index(spark: SparkSession, sf_dir: str) -> str:
     return d
 
 
+def _docs_index_merged(spark: SparkSession, sf_dir: str) -> str:
+    """A second index over the same documents, built as 4 small splits
+    then fully MERGED by the planner loop — gate-verifies that search
+    results are invariant under hierarchical merging."""
+    key = sf_dir + "#merged"
+    if key in _IDX_CACHE:
+        return _IDX_CACHE[key]
+    import dataclasses
+
+    from quickwit_spark.operators.build import build_index
+    from quickwit_spark.operators.merge import run_merge_pipeline
+    from quickwit_spark.plans.catalog import Catalog
+
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    d = os.path.join(tempfile.gettempdir(), f"qs_entry_idxm_{tag}_v1")
+    if not Catalog.exists(d):
+        cfg = dataclasses.replace(
+            _documents_config(),
+            merge_factor=2, max_merge_factor=4, min_level_num_docs=10,
+        )
+        build_index(spark, _documents_df(spark, sf_dir), d, cfg, n_splits=4)
+        run_merge_pipeline(spark, d)
+    _IDX_CACHE[key] = d
+    return d
+
+
 def _searcher(spark, sf_dir):
     from quickwit_spark.operators.search import Searcher
 
@@ -144,6 +170,66 @@ def q_bm25_json_path(spark, sf_dir):
     tf=1 path-scoped term in the conjunction."""
     resp = _searcher(spark, sf_dir).search("props.lang:en AND vector", k=20)
     return _hits_df(spark, resp)
+
+
+def q_bm25_after_merge(spark, sf_dir):
+    """Same query as bm25_topk but over the fully-merged index: scores
+    and ranks are invariant under the merge pipeline (global stats
+    unchanged; byte-splice executor), so the oracle is identical."""
+    from quickwit_spark.operators.search import Searcher
+
+    se = Searcher(spark, _docs_index_merged(spark, sf_dir))
+    return _hits_df(spark, se.search("vector", k=20))
+
+
+def q_docmapper_typed(spark, sf_dir):
+    """Generic DocMapping over a synthesized JSON feed of the documents
+    table: typed leaves (i64/f64), base64 bytes, nested object, and a
+    datetime — mapped by map_docs and projected back to comparable
+    scalars (mapping_tree.rs:302-345 analog in one Catalyst plan)."""
+    from quickwit_spark.sources.docmapper import (
+        DocMapping,
+        FieldMapping,
+        map_docs,
+        split_valid,
+    )
+
+    lines = _docs(spark, sf_dir).select(
+        F.to_json(
+            F.struct(
+                F.col("doc_id"),
+                F.col("lang"),
+                F.base64(F.encode(F.col("text").substr(1, 16), "utf-8")).alias("payload"),
+                F.struct(
+                    F.col("source").alias("vendor"),
+                    (F.col("n_chars") * 1.0).alias("rating"),
+                ).alias("meta"),
+                F.lit("2025-01-01T00:00:00Z").alias("created"),
+            )
+        ).alias("value")
+    )
+    mapping = DocMapping(
+        fields=(
+            FieldMapping("doc_id", "i64", required=True),
+            FieldMapping("lang", "text"),
+            FieldMapping("payload", "bytes"),
+            FieldMapping("meta", "object", fields=(
+                FieldMapping("vendor", "text"),
+                FieldMapping("rating", "f64"),
+            )),
+            FieldMapping("created", "datetime", required=True),
+        ),
+        ts_field="created",
+    )
+    valid, _rejected = split_valid(map_docs(lines, mapping))
+    return valid.select(
+        F.col("doc_id"),
+        F.col("lang"),
+        F.length(F.col("payload")).alias("payload_len"),
+        F.col("meta.vendor").alias("vendor"),
+        F.round(F.col("meta.rating"), 1).alias("rating"),
+        F.unix_timestamp(F.col("created")).alias("created_s"),
+    )
 
 
 def q_search_num_hits(spark, sf_dir):
@@ -382,6 +468,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_offset": q_bm25_offset,
         "bm25_multifield": q_bm25_multifield,
         "bm25_json_path": q_bm25_json_path,
+        "bm25_after_merge": q_bm25_after_merge,
+        "docmapper_typed": q_docmapper_typed,
         "search_num_hits": q_search_num_hits,
         "search_sort_fastfield": q_search_sort_fastfield,
         "search_tag_filter": q_search_tag_filter,
@@ -492,6 +580,17 @@ def oracle_sql() -> dict[str, str]:
     sql: dict[str, str] = {}
 
     sql["bm25_topk"] = _bm25_single("vector")
+    # merge invariance: the fully-merged index answers identically
+    sql["bm25_after_merge"] = _bm25_single("vector")
+
+    sql["docmapper_typed"] = """
+SELECT doc_id, lang,
+       octet_length(encode(substr(text, 1, 16)))::BIGINT AS payload_len,
+       source AS vendor,
+       round(n_chars * 1.0, 1) AS rating,
+       1735689600::BIGINT AS created_s
+FROM documents
+"""
 
     sql["bm25_boolean"] = (
         _BM25_WITH + ","

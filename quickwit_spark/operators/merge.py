@@ -180,51 +180,77 @@ def merge_split_files(
     starts = np.flatnonzero(group_start)
     bounds = np.append(starts, n)
 
-    out = {
-        k: []
-        for k in (
-            "field", "term", "shard", "df", "max_tf", "min_dl",
-            "first_docid", "last_docid", "doc_ids", "tfs", "positions",
-        )
-    }
+    # ---- pass 1 (light python): chunk boundaries + shard ordinals ------
+    # greedily pack consecutive rows of each (field, term) group up to
+    # ~salt_docid_range docs per output row
     pack_cap = max(config.salt_docid_range, 1)
+    chunk_start: list[int] = []
+    chunk_shard: list[int] = []
+    dfs_l = dfs.tolist()  # python ints: ~3x faster inner loop than numpy scalars
     for g in range(starts.size):
         s, e = bounds[g], bounds[g + 1]
         shard_ord = 0
         i = s
         while i < e:
-            # greedily pack consecutive rows up to ~salt_docid_range docs
             j = i
             cum = 0
-            while j < e and (j == i or cum + dfs[j] <= pack_cap):
-                cum += dfs[j]
+            while j < e and (j == i or cum + dfs_l[j] <= pack_cap):
+                cum += dfs_l[j]
                 j += 1
-            # head row: absolute docid (already offset); subsequent rows:
-            # head becomes a delta from the previous row's tail
-            parts = [replace_first_varint(doc_blobs[i], int(firsts[i]))]
-            for r in range(i + 1, j):
-                parts.append(
-                    replace_first_varint(
-                        doc_blobs[r], int(firsts[r] - lasts[r - 1])
-                    )
-                )
-            out["field"].append(fields[s])
-            out["term"].append(terms[s])
-            out["shard"].append(shard_ord)
-            out["df"].append(int(dfs[i:j].sum()))
-            out["max_tf"].append(int(max_tfs[i:j].max()))
-            out["min_dl"].append(int(min_dls[i:j].min()))
-            out["first_docid"].append(int(firsts[i]))
-            out["last_docid"].append(int(lasts[j - 1]))
-            out["doc_ids"].append(b"".join(parts))
-            out["tfs"].append(b"".join(tf_blobs[i:j]))
-            out["positions"].append(
-                None if pos_blobs[i] is None else b"".join(pos_blobs[i:j])
-            )
+            chunk_start.append(i)
+            chunk_shard.append(shard_ord)
             shard_ord += 1
             i = j
+    cs = np.asarray(chunk_start, dtype=np.int64)
 
-    postings = pd.DataFrame(out)
+    # ---- pass 2 (vectorized): per-chunk stats via reduceat -------------
+    # chunks tile the row range in order, so reduceat over the chunk
+    # starts aggregates each chunk exactly
+    if cs.size:
+        ce = np.append(cs[1:], n)
+        out_df = np.add.reduceat(dfs, cs)
+        out_max_tf = np.maximum.reduceat(max_tfs, cs)
+        out_min_dl = np.minimum.reduceat(min_dls, cs)
+    else:
+        ce = cs
+        out_df = out_max_tf = out_min_dl = np.empty(0, np.int64)
+
+    # ---- pass 3 (python, unavoidable per-blob byte work): splice heads -
+    # head row keeps its absolute (already offset) docid; subsequent
+    # rows' heads become deltas from the previous row's tail
+    firsts_l = firsts.tolist()
+    lasts_l = lasts.tolist()
+    doc_out: list[bytes] = []
+    tf_out: list[bytes] = []
+    pos_out: list[bytes | None] = []
+    for c in range(cs.size):
+        i, j = int(cs[c]), int(ce[c])
+        parts = [replace_first_varint(doc_blobs[i], firsts_l[i])]
+        for r in range(i + 1, j):
+            parts.append(
+                replace_first_varint(doc_blobs[r], firsts_l[r] - lasts_l[r - 1])
+            )
+        doc_out.append(b"".join(parts))
+        tf_out.append(b"".join(tf_blobs[i:j]))
+        pos_out.append(
+            None if pos_blobs[i] is None else b"".join(pos_blobs[i:j])
+        )
+
+    postings = pd.DataFrame(
+        {
+            "field": fields[cs],
+            "term": terms[cs],
+            "shard": np.asarray(chunk_shard, dtype=np.int64),
+            "df": out_df.astype(np.int64),
+            "max_tf": out_max_tf.astype(np.int64),
+            "min_dl": out_min_dl.astype(np.int64),
+            "first_docid": firsts[cs],
+            "last_docid": lasts[ce - 1],
+            "doc_ids": doc_out,
+            "tfs": tf_out,
+            "positions": pos_out,
+        }
+    )
     pq.write_table(
         pa.Table.from_pandas(postings, preserve_index=False),
         os.path.join(out_dir, POSTINGS_FILE),
