@@ -1,0 +1,74 @@
+"""Stats-pruned point reads over the split Parquet files.
+
+pyarrow's ``pq.read_table(filters=[("col", "in", values)])`` does NOT
+prune row groups for ``in`` predicates (measured: a 10-docid fetch on a
+1M-doc store read the whole file — 365 ms — and got SLOWER with smaller
+row groups; an ``=`` predicate pruned fine). Since the warmup-read
+discipline (leaf.rs:295-315 analog: read only the query's posting rows
+/ the top-k's doc rows) is the core of per-query latency, this module
+selects row groups MANUALLY from the parquet footer statistics and
+applies the residual ``is_in`` mask in memory — 365 ms → 37 ms on the
+same fetch, and it keeps improving as row groups shrink.
+
+Sound for any column with footer min/max stats; groups without stats
+are always read. Used with the sorted layouts the build emits
+(postings sorted by (field, term, shard); doc stores sorted by docid),
+where a point read touches O(1) row groups.
+"""
+
+from __future__ import annotations
+
+from bisect import bisect_left
+
+
+def read_pruned(path_or_file, columns, key_col: str, values):
+    """Read ``columns`` of the rows where ``key_col`` ∈ ``values``,
+    touching only row groups whose [min, max] stats can contain one of
+    the values. ``values`` must be non-empty; returns a pyarrow Table
+    (the residual mask is exact). ``path_or_file`` may be a path or an
+    open ``pq.ParquetFile`` (pass the latter to amortize footer parsing
+    across reads of the same file)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    pf = (
+        path_or_file
+        if isinstance(path_or_file, pq.ParquetFile)
+        else pq.ParquetFile(path_or_file)
+    )
+    md = pf.metadata
+    key_idx = md.schema.to_arrow_schema().get_field_index(key_col)
+    vals = sorted(set(values))
+    groups = []
+    for g in range(md.num_row_groups):
+        st = md.row_group(g).column(key_idx).statistics
+        if st is None or not st.has_min_max:
+            groups.append(g)  # no stats — must read (sound)
+            continue
+        lo, hi = st.min, st.max
+        i = bisect_left(vals, lo)
+        if i < len(vals) and vals[i] <= hi:
+            groups.append(g)
+    read_cols = list(columns) if columns is not None else None
+    if read_cols is not None and key_col not in read_cols:
+        read_cols = read_cols + [key_col]
+    if not groups:
+        schema = pf.schema_arrow
+        fields = [
+            schema.field(c) for c in (read_cols or schema.names)
+        ]
+        empty = pa.table(
+            {f.name: pa.array([], type=f.type) for f in fields}
+        )
+    else:
+        empty = None
+    if empty is not None:
+        tbl = empty
+    else:
+        tbl = pf.read_row_groups(groups, columns=read_cols)
+        mask = pc.is_in(tbl.column(key_col), value_set=pa.array(vals))
+        tbl = tbl.filter(mask)
+    if columns is not None and key_col not in columns:
+        tbl = tbl.drop_columns([key_col])
+    return tbl

@@ -281,12 +281,15 @@ def write_split(postings: pd.DataFrame, docs, split_dir: str) -> int:
         pa.Table.from_pandas(postings, preserve_index=False),
         ppath,
         compression="zstd",
-        # small row groups keep term-filtered reads tight
-        row_group_size=16384,
+        # small row groups keep stats-pruned term point reads tight
+        # (functions/parquet_io.read_pruned touches O(1) groups)
+        row_group_size=2048,
     )
     if not isinstance(docs, pa.Table):
         docs = pa.Table.from_pandas(docs, preserve_index=False)
-    pq.write_table(docs, dpath, compression="zstd", row_group_size=65536)
+    # 8k-doc groups: fetch_docs decompresses ~8k rows per hit group
+    # instead of 65k, at a still-tiny footer overhead
+    pq.write_table(docs, dpath, compression="zstd", row_group_size=8192)
     return os.path.getsize(ppath) + os.path.getsize(dpath)
 
 

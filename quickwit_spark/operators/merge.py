@@ -145,7 +145,7 @@ def merge_split_files(
     os.makedirs(out_dir, exist_ok=True)
     pq.write_table(
         docs, os.path.join(out_dir, DOCS_FILE),
-        compression="zstd", row_group_size=65536,
+        compression="zstd", row_group_size=8192,
     )
 
     # --- postings: sort-merge rows, splice varint heads ------------------
@@ -255,7 +255,7 @@ def merge_split_files(
         pa.Table.from_pandas(postings, preserve_index=False),
         os.path.join(out_dir, POSTINGS_FILE),
         compression="zstd",
-        row_group_size=16384,
+        row_group_size=2048,
     )
 
     size = sum(

@@ -126,11 +126,11 @@ def _read_postings(split_dir: str, terms: set[tuple[str, str]]):
     Returns {(field, term): (docids, tfs, positions_concat|None)} with
     shards concatenated in docid order.
     """
-    import pyarrow.parquet as pq
+    from quickwit_spark.functions.parquet_io import read_pruned
 
     path = os.path.join(split_dir, POSTINGS_FILE)
     term_values = sorted({t for _, t in terms})
-    tbl = pq.read_table(path, filters=[("term", "in", term_values)])
+    tbl = read_pruned(path, None, "term", term_values)
     out: dict[tuple[str, str], tuple] = {}
     fields = tbl.column("field").to_pylist()
     tvals = tbl.column("term").to_pylist()
@@ -224,16 +224,17 @@ class _ShardPostings:
     def __init__(self, path: str, keys: list[tuple[str, str]]):
         import pyarrow.parquet as pq
 
-        self._path = path
-        self._pq = pq
+        from quickwit_spark.functions.parquet_io import read_pruned
+
+        self._pf = pq.ParquetFile(path)
         keyset = set(keys)
         term_values = sorted({t for _, t in keyset})
         self._term_values = term_values
-        tbl = pq.read_table(
-            path,
-            columns=["field", "term", "shard", "df", "max_tf", "min_dl",
-                     "first_docid", "last_docid"],
-            filters=[("term", "in", term_values)],
+        tbl = read_pruned(
+            self._pf,
+            ["field", "term", "shard", "df", "max_tf", "min_dl",
+             "first_docid", "last_docid"],
+            "term", term_values,
         )
         fields = tbl.column("field").to_pylist()
         terms = tbl.column("term").to_pylist()
@@ -266,10 +267,12 @@ class _ShardPostings:
 
     def _blobs(self):
         if self._blob_tbl is None:
-            self._blob_tbl = self._pq.read_table(
-                self._path,
-                columns=["field", "term", "shard", "doc_ids", "tfs"],
-                filters=[("term", "in", self._term_values)],
+            from quickwit_spark.functions.parquet_io import read_pruned
+
+            self._blob_tbl = read_pruned(
+                self._pf,
+                ["field", "term", "shard", "doc_ids", "tfs"],
+                "term", self._term_values,
             )
             self._blob_row = {
                 (f, t, int(s)): i
@@ -783,11 +786,12 @@ def _hit_rows(
     base = {c: None for c in _HIT_COLS}
     if len(top_ids) == 0:
         return []
+    from quickwit_spark.functions.parquet_io import read_pruned
+
     schema_cols = pq.read_schema(dpath).names
     fetch_cols = [c for c in schema_cols if c not in ("ts_us", "doc_len")]
-    doc_tbl = pq.read_table(
-        dpath, columns=fetch_cols,
-        filters=[("docid", "in", [int(d) for d in top_ids])],
+    doc_tbl = read_pruned(
+        dpath, fetch_cols, "docid", [int(d) for d in top_ids]
     )
     dmap = {rec["docid"]: rec for rec in doc_tbl.to_pylist()}
     rows = []
@@ -987,15 +991,15 @@ class Searcher:
                 sdf = sdf.repartition(min(len(rows), 64))
 
                 def read_dfs(iterator):
-                    import pyarrow.parquet as pq
+                    from quickwit_spark.functions.parquet_io import read_pruned
 
                     for pdf in iterator:
                         out = []
                         for path in pdf["path"]:
-                            t = pq.read_table(
+                            t = read_pruned(
                                 os.path.join(path, POSTINGS_FILE),
-                                columns=["field", "term", "df"],
-                                filters=[("term", "in", term_values)],
+                                ["field", "term", "df"],
+                                "term", term_values,
                             )
                             out.append(t.to_pandas())
                         if out:

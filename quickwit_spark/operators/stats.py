@@ -106,7 +106,7 @@ def _write_stats(agg: pd.DataFrame, out_path: str) -> str:
     tmp = out_path + ".tmp"
     pq.write_table(
         pa.Table.from_pandas(agg, preserve_index=False), tmp,
-        compression="zstd", row_group_size=65536,
+        compression="zstd", row_group_size=32768,
     )
     os.replace(tmp, out_path)
     return out_path
@@ -138,10 +138,10 @@ def lookup_term_stats(
     path = catalog.term_stats_path()
     if not os.path.exists(path):
         return None
-    import pyarrow.parquet as pq
+    from quickwit_spark.functions.parquet_io import read_pruned
 
     term_values = sorted({t for _, t in terms})
-    tbl = pq.read_table(path, filters=[("term", "in", term_values)])
+    tbl = read_pruned(path, None, "term", term_values)
     found: dict[tuple[str, str], int] = {}
     for f, t, df in zip(
         tbl.column("field").to_pylist(),

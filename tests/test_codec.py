@@ -70,3 +70,56 @@ def test_positions_roundtrip_property(doclists):
     pos = np.array([p for dl in doclists for p in dl], dtype=np.uint64)
     counts = np.array([len(dl) for dl in doclists])
     assert np.array_equal(decode_positions(encode_positions(pos, counts), counts), pos)
+
+
+class TestReadPruned:
+    """functions/parquet_io.read_pruned: stats-pruned point reads must
+    be value-identical to a full-scan filter, touch only matching row
+    groups, and handle no-stats / no-match / key-not-in-columns."""
+
+    @staticmethod
+    def _write(tmp_path, n=10_000, rg=512):
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        t = pa.table({
+            "k": np.arange(n, dtype=np.int64),
+            "term": [f"t{i // 7:05d}" for i in range(n)],
+            "v": np.arange(n, dtype=np.int64) * 3,
+        })
+        p = str(tmp_path / "t.parquet")
+        pq.write_table(t, p, row_group_size=rg)
+        return p
+
+    def test_int_key_equivalence(self, tmp_path):
+        import pyarrow.compute as pc
+        import pyarrow.parquet as pq
+
+        from quickwit_spark.functions.parquet_io import read_pruned
+
+        p = self._write(tmp_path)
+        ids = [0, 511, 512, 4999, 9999, 12345]  # incl. out-of-range
+        got = read_pruned(p, ["v"], "k", ids)
+        full = pq.read_table(p)
+        import pyarrow as pa
+
+        want = full.filter(pc.is_in(full.column("k"), value_set=pa.array(ids)))
+        assert got.column("v").to_pylist() == want.column("v").to_pylist()
+        assert got.column_names == ["v"]  # key col dropped when not asked
+
+    def test_string_key_and_group_pruning(self, tmp_path):
+        import pyarrow.parquet as pq
+
+        from quickwit_spark.functions.parquet_io import read_pruned
+
+        p = self._write(tmp_path)
+        got = read_pruned(p, None, "term", ["t00001", "t01000"])
+        assert sorted(set(got.column("term").to_pylist())) == ["t00001", "t01000"]
+        assert len(got) == 14
+        # no match -> empty table with the right schema
+        empty = read_pruned(p, ["k", "v"], "term", ["zzz"])
+        assert len(empty) == 0 and empty.column_names == ["k", "v"]
+        # sanity: pruning actually skips groups (read fewer rows than file)
+        pf = pq.ParquetFile(p)
+        assert pf.metadata.num_row_groups > 10
