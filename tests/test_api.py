@@ -283,3 +283,93 @@ def test_ingest_bulk_es_shim(spark, tmp_path):
     assert result["num_docs_valid"] == 4
     assert result["rejected"] == {}
     assert idx.search("bulk", k=10).num_hits == 4
+
+
+def test_http_rest_server(index, corpus):
+    """A real HTTP listener over the Index facade: /search (REST param
+    names), /search/stream, /tail, /describe respond with the
+    reference's shapes (rest_handler.rs:83-166)."""
+    import json
+    import urllib.request
+
+    from quickwit_spark.serve import serve
+
+    srv, _t = serve({"transcripts": index})
+    port = srv.server_address[1]
+    base = f"http://127.0.0.1:{port}/api/v1/transcripts"
+    try:
+        def get(path):
+            with urllib.request.urlopen(base + path, timeout=60) as r:
+                return r.status, r.read().decode()
+
+        code, body = get("/search?query=w00001&max_hits=3")
+        assert code == 200
+        payload = json.loads(body)
+        assert payload["num_hits"] > 0 and len(payload["hits"]) == 3
+        assert {"score", "document", "split_id", "doc_id"} <= set(payload["hits"][0])
+
+        # sort DSL + offset params
+        code, body = get("/search?query=w00002&max_hits=2&sort_by_field=-ts")
+        ts = [h["document"]["ts"] for h in json.loads(body)["hits"]]
+        assert ts == sorted(ts, reverse=True)
+
+        code, body = get("/search/stream?query=w00002&fast_field=doc_len")
+        vals = [json.loads(l)["value"] for l in body.splitlines() if l]
+        assert len(vals) == index.search("w00002", k=1).num_hits
+
+        code, body = get("/tail?num_hits=4")
+        assert len(json.loads(body)["hits"]) == 4
+
+        code, body = get("/describe")
+        assert json.loads(body)["num_docs"] == len(corpus)
+
+        # unknown index / bad query → 4xx JSON errors
+        import urllib.error
+
+        try:
+            urllib.request.urlopen(
+                f"http://127.0.0.1:{port}/api/v1/nope/search?query=x", timeout=30
+            )
+            raise AssertionError("expected 404")
+        except urllib.error.HTTPError as e:
+            assert e.code == 404
+        try:
+            urllib.request.urlopen(base + "/search?query=x&max_hits=99999", timeout=30)
+            raise AssertionError("expected 400")
+        except urllib.error.HTTPError as e:
+            assert e.code == 400
+    finally:
+        srv.shutdown()
+
+
+def test_http_rest_ingest(spark, tmp_path):
+    """POST /ingest: NDJSON body -> mapped, indexed, searchable."""
+    import json
+    import urllib.request
+
+    from quickwit_spark.api import Index
+    from quickwit_spark.serve import serve
+
+    idx = Index.create(spark, str(tmp_path / "http_ingest"))
+    srv, _t = serve({"ing": idx})
+    port = srv.server_address[1]
+    try:
+        lines = "\n".join(
+            json.dumps({"conv_id": "h", "turn_idx": i, "role": "user",
+                        "text": f"http ingested doc {i}", "tool": None,
+                        "ts": "2025-01-01T00:00:00Z"})
+            for i in range(4)
+        ).encode()
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/api/v1/ing/ingest", data=lines,
+            method="POST", headers={"content-type": "application/x-ndjson"},
+        )
+        with urllib.request.urlopen(req, timeout=120) as r:
+            out = json.loads(r.read().decode())
+        assert out["num_docs_valid"] == 4
+        with urllib.request.urlopen(
+            f"http://127.0.0.1:{port}/api/v1/ing/search?query=http", timeout=60
+        ) as r:
+            assert json.loads(r.read().decode())["num_hits"] == 4
+    finally:
+        srv.shutdown()
