@@ -479,3 +479,45 @@ def test_wand_equals_exhaustive_multifield(searcher):
         assert [(h.split_id, h.docid, h.score) for h in a.hits] == [
             (h.split_id, h.docid, h.score) for h in b.hits
         ], q
+
+
+def test_wand_equals_exhaustive_randomized(searcher):
+    """Randomized flat/nested boolean queries over head/torso/tail
+    vocabulary: wand=True must equal wand=False on every draw (seeded —
+    deterministic across runs)."""
+    import random
+
+    rng = random.Random(1234)
+    vocab = (
+        [f"w{i:05d}" for i in range(5)]
+        + [f"w{i:05d}" for i in range(50, 500, 37)]
+        + [f"w{i:05d}" for i in range(1500, 9000, 611)]
+        + ["hotterm"]
+    )
+
+    def rand_query():
+        shape = rng.choice(["term", "conj", "disj", "mixed", "neg", "nested"])
+        pick = lambda n: rng.sample(vocab, n)  # noqa: E731
+        if shape == "term":
+            return pick(1)[0]
+        if shape == "conj":
+            return " AND ".join(pick(rng.randint(2, 3)))
+        if shape == "disj":
+            return " OR ".join(pick(rng.randint(2, 3)))
+        if shape == "neg":
+            a, b = pick(2)
+            return f"{a} -{b}"
+        if shape == "mixed":
+            a, b, c = pick(3)
+            return f"{a} AND {b} -{c}"
+        a, b, c, d = pick(4)
+        return f"({a} OR {b}) AND ({c} OR {d})"
+
+    for _ in range(40):
+        q = rand_query()
+        a = searcher.search(q, k=8, wand=True)
+        b = searcher.search(q, k=8, wand=False)
+        assert a.num_hits == b.num_hits, q
+        assert [(h.split_id, h.docid, h.score) for h in a.hits] == [
+            (h.split_id, h.docid, h.score) for h in b.hits
+        ], q

@@ -131,3 +131,54 @@ def test_file_stream_available_now_resume(spark, tmp_path):
 
     oracle = OracleEngine(full.reset_index(drop=True), CFG, n_splits=2)
     _match_set(Searcher(spark, idx), oracle, "w00001")
+
+
+def test_non_file_streaming_source_drives_ingest(spark, tmp_path):
+    """A NON-file Structured Streaming source (rate-micro-batch — the
+    same readStream contract Kafka/Kinesis use) drives the identical
+    foreachBatch ingest path: rows are transformed to the transcript
+    shape in-stream and land as searchable splits with exactly-once
+    batch checkpoints."""
+    from pyspark.sql import functions as F
+
+    from quickwit_spark.operators.search import Searcher
+    from quickwit_spark.plans.catalog import Catalog
+    from quickwit_spark.streaming.ingest import start_stream_build
+
+    stream = (
+        spark.readStream.format("rate-micro-batch")
+        .option("rowsPerBatch", 200)
+        .option("numPartitions", 2)
+        .option("startTimestamp", 1735689600000)
+        .load()
+        .select(
+            F.concat(F.lit("rate-"), (F.col("value") / 8).cast("long").cast("string")).alias("conv_id"),
+            (F.col("value") % 8).cast("int").alias("turn_idx"),
+            F.lit("user").alias("role"),
+            F.concat(F.lit("streamed doc w"), F.col("value").cast("string")).alias("text"),
+            F.lit(None).cast("string").alias("tool"),
+            F.col("timestamp").alias("ts"),
+        )
+    )
+    idx_dir = str(tmp_path / "rate_idx")
+    q = start_stream_build(
+        spark, stream, idx_dir, str(tmp_path / "ckpt"), n_splits=2,
+        trigger={"processingTime": "1 second"},
+    )
+    try:
+        import time
+
+        deadline = time.time() + 90
+        while time.time() < deadline:
+            if Catalog.exists(idx_dir) and Catalog.load(idx_dir).total_docs() >= 400:
+                break
+            time.sleep(2)
+    finally:
+        q.stop()
+    cat = Catalog.load(idx_dir)
+    assert cat.total_docs() >= 400  # >= 2 published micro-batches
+    # exactly-once: batch checkpoint keys recorded once per batch
+    batches = [k for k in cat.checkpoint if k.startswith("stream/")]
+    assert len(batches) >= 2
+    se = Searcher(spark, idx_dir)
+    assert se.search("streamed", k=5).num_hits == cat.total_docs()
