@@ -190,12 +190,14 @@ class Index:
 
         raw = read_json_lines(self.spark, path)
         # an action line parses as a single-key map whose key is an
-        # action verb and whose value is an object (not a scalar)
+        # action verb and whose value is an OBJECT (a doc that happens
+        # to have one scalar field named "index" is still a doc)
         asmap = F.from_json(F.col("value"), "map<string,string>")
+        only_key = F.element_at(F.map_keys(asmap), 1)
         is_action = (
-            F.size(F.map_keys(asmap)) == 1
-        ) & F.element_at(F.map_keys(asmap), 1).isin(
-            "index", "create", "update", "delete"
+            (F.size(F.map_keys(asmap)) == 1)
+            & only_key.isin("index", "create", "update", "delete")
+            & F.element_at(asmap, only_key).rlike(r"^\s*\{")
         )
         docs = raw.where(~F.coalesce(is_action, F.lit(False)))
         mapped = map_json_docs(docs, mode=mode)

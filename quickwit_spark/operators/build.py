@@ -381,6 +381,21 @@ def split_id_for_partition(ingest_id: str, split_ord: int) -> str:
     return f"split-{ingest_id}-{split_ord:05d}"
 
 
+def _migrate_legacy_checkpoint(catalog: Catalog) -> None:
+    """Indexes written before per-ingest namespacing recorded bare
+    ``"<partition>": "done"`` checkpoint keys. Fold them into the
+    ``batch/b0000/<partition>`` namespace (no completion marker — the
+    next resume re-derives it), so a resume on a pre-upgrade index
+    keeps skipping its published partitions instead of silently
+    rebuilding and double-publishing every document."""
+    legacy = [k for k in catalog.checkpoint if k.isdigit()]
+    if not legacy:
+        return
+    for k in legacy:
+        catalog.checkpoint[f"batch/b0000/{k}"] = catalog.checkpoint.pop(k)
+    catalog._commit()
+
+
 def _resolve_ingest_id(catalog: Catalog, source, ingest_id: str | None) -> str:
     """Pick the checkpoint namespace for this batch build.
 
@@ -457,6 +472,7 @@ def build_index(
 
     if resume and Catalog.exists(index_dir):
         catalog = Catalog.load(index_dir)
+        _migrate_legacy_checkpoint(catalog)
     else:
         catalog = Catalog.create(index_dir, config, source_path)
     ingest_id = _resolve_ingest_id(catalog, source, ingest_id)

@@ -373,3 +373,27 @@ def test_http_rest_ingest(spark, tmp_path):
             assert json.loads(r.read().decode())["num_hits"] == 4
     finally:
         srv.shutdown()
+
+
+def test_ingest_bulk_scalar_index_field_is_a_doc(spark, tmp_path):
+    """A doc line with a single scalar field named 'index' is NOT an
+    action line — it must flow to the mapper (and be rejected there
+    with a mapping error, not silently dropped)."""
+    import json
+
+    from quickwit_spark.api import Index
+
+    lines = [
+        json.dumps({"index": {"_index": "t"}}),          # real action line
+        json.dumps({"conv_id": "b", "turn_idx": 0, "role": "user",
+                    "text": "bulk scalar case", "tool": None,
+                    "ts": "2025-01-01T00:00:00Z"}),
+        json.dumps({"index": "just a scalar"}),          # a (bad) DOC
+    ]
+    p = tmp_path / "bulk2.ndjson"
+    p.write_text("\n".join(lines))
+    idx = Index.create(spark, str(tmp_path / "b2idx"))
+    result = idx.ingest_bulk(str(p), n_splits=2)
+    assert result["num_docs_valid"] == 1
+    # the scalar-'index' line reached the mapper and was REJECTED
+    assert result["rejected"] == {"missing_field:conv_id": 1}

@@ -192,3 +192,31 @@ def test_crc32_routing_matches_spark(spark):
     }
     for cid in ids:
         assert got[cid] == zlib.crc32(cid.encode("utf-8")) % 8
+
+
+def test_legacy_checkpoint_resume_no_duplication(spark, corpus, config, tmp_path):
+    """An index whose checkpoint predates per-ingest namespacing (bare
+    '<partition>': 'done' keys) must resume as a no-op, NOT rebuild and
+    double-publish every document."""
+    from quickwit_spark.operators.build import build_index
+    from quickwit_spark.plans.catalog import Catalog
+
+    idx = str(tmp_path / "legacy")
+    sdf = spark.createDataFrame(corpus)
+    build_index(spark, sdf, idx, config, n_splits=4)
+    # rewrite the checkpoint into the PRE-upgrade format
+    cat = Catalog.load(idx)
+    cat.checkpoint = {
+        k.rsplit("/", 1)[1]: v
+        for k, v in cat.checkpoint.items()
+        if k.count("/") == 2
+    }
+    cat._commit()
+
+    cat2 = build_index(spark, sdf, idx, config, n_splits=4)  # resume
+    assert cat2.total_docs() == len(corpus)          # no duplication
+    assert len(cat2.published_splits()) == 4
+    assert cat2.checkpoint.get("batch/b0000") == "complete"
+    assert sorted(k for k in cat2.checkpoint if k.count("/") == 2) == [
+        f"batch/b0000/{i}" for i in range(4)
+    ]
