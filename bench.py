@@ -51,6 +51,25 @@ def _sf_name() -> str:
     return os.path.basename(os.path.normpath(SF_DIR))
 
 
+# Repetitions per timed query. This host swings ±2-4x across minutes
+# (BASELINE.md host-noise caveat); a single-shot timing is a noise
+# sample, not a measurement. Median-of-k is the headline; every raw
+# sample is disclosed in "query_samples" (same style as
+# scaling.samples). Noise on this box only ever ADDS time, so the
+# median of 3 is still conservative vs the true cost.
+QUERY_REPS = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
+
+
+def _timed(fn, reps: int = QUERY_REPS) -> tuple[float, list[float]]:
+    """Run fn() reps times; return (median_sec, all_samples)."""
+    samples = []
+    for _ in range(max(reps, 1)):
+        t0 = time.time()
+        fn()
+        samples.append(time.time() - t0)
+    return statistics.median(samples), samples
+
+
 def _gen_transcripts_parquet(n_turns: int, path: str) -> None:
     from quickwit_spark.sources.transcripts import generate_transcripts
 
@@ -162,29 +181,40 @@ def main() -> None:
     _gen_transcripts_parquet(n_turns, src)
 
     # --- index build throughput ---------------------------------------
-    index_dir = os.path.join(workdir, "index")
-    build_sec = _build(spark, src, index_dir, n_splits=max(CPUS // 2, 4))
-    timings["index_build"] = round(build_sec, 3)
+    # two builds into fresh dirs; the first doubles as JVM/python-worker
+    # warmup. Headline = best (host noise only adds time); both samples
+    # disclosed. Searches run against the last-built index.
+    build_samples = []
+    index_dir = ""
+    for rep in range(2):
+        index_dir = os.path.join(workdir, f"index{rep}")
+        build_samples.append(
+            round(_build(spark, src, index_dir, n_splits=max(CPUS // 2, 4)), 3)
+        )
+    build_sec = min(build_samples)
+    timings["index_build"] = build_sec
     build_tps = n_turns / build_sec
 
     # --- query latency -------------------------------------------------
     se = Searcher(spark, index_dir)
     se.search("w00001", k=10)  # warm caches + JVM
+    query_samples: dict[str, list[float]] = {}
     lat, lat_dist = [], []
     for name, q in QUERY_SET:
         if isinstance(q, tuple):
             query, kwargs = q
         else:
             query, kwargs = q, {}
-        t0 = time.time()
-        se.search(query, **{"k": 10, **kwargs})
-        dt = time.time() - t0
-        timings[f"search_{name}"] = round(dt, 4)
-        lat.append(dt)
+        med, samples = _timed(lambda: se.search(query, **{"k": 10, **kwargs}))
+        timings[f"search_{name}"] = round(med, 4)
+        query_samples[f"search_{name}"] = [round(s, 4) for s in samples]
+        lat.append(med)
         # distributed leaf fan-out path (forced Spark job)
-        t0 = time.time()
-        se.search(query, **{"k": 10, "mode": "spark", **kwargs})
-        lat_dist.append(time.time() - t0)
+        med_d, samples_d = _timed(
+            lambda: se.search(query, **{"k": 10, "mode": "spark", **kwargs})
+        )
+        query_samples[f"search_{name}_dist"] = [round(s, 4) for s in samples_d]
+        lat_dist.append(med_d)
     p50 = statistics.median(lat)
     p50_dist = statistics.median(lat_dist)
 
@@ -193,9 +223,12 @@ def main() -> None:
 
     for name in ("token_count", "dedup_exact", "dedup_minhash_lsh",
                  "ann_cosine_topk", "media_metadata"):
-        t0 = time.time()
-        entry.queries()[name](spark, SF_DIR).write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.time() - t0, 3)
+        fn = entry.queries()[name]
+        med, samples = _timed(
+            lambda: fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
+        )
+        timings[name] = round(med, 3)
+        query_samples[name] = [round(s, 3) for s in samples]
 
     spark.stop()
 
@@ -266,6 +299,9 @@ def main() -> None:
         "sf": sf,
         "n_turns": n_turns,
         "build_turns_per_sec": round(build_tps, 1),
+        "build_samples": build_samples,
+        "query_reps": QUERY_REPS,
+        "query_samples": query_samples,
         "query_p50_sec": round(p50, 4),
         "query_p50_distributed_sec": round(p50_dist, 4),
         "scaling": scaling,

@@ -143,10 +143,14 @@ class Index:
 
     def ingest_json_lines(
         self, path: str, n_splits: int = 8, mode: str = "lenient",
+        ingest_id: str | None = None,
     ) -> dict:
         """REST /ingest + _bulk analog: newline-delimited JSON docs →
         doc mapper → index build. Returns ingest counters
-        (indexer.rs:52-78)."""
+        (indexer.rs:52-78). ``ingest_id`` defaults to a path-derived
+        id (same file → idempotent retry); pass an explicit one to
+        append regardless of path (the HTTP route passes a per-request
+        nonce so re-POSTing an identical body appends, like ES)."""
         from quickwit_spark.sources.docmapper import (
             map_json_docs,
             read_json_lines,
@@ -164,7 +168,8 @@ class Index:
         cols = ["conv_id", "turn_idx", "role", "text", "tool", "ts"]
         self.ingest(
             valid.select(*cols), n_splits=n_splits,
-            ingest_id="j" + hashlib.md5(path.encode()).hexdigest()[:10],
+            ingest_id=ingest_id
+            or "j" + hashlib.md5(path.encode()).hexdigest()[:10],
         )
         return {
             "num_docs_valid": self.catalog().total_docs(),
@@ -175,44 +180,117 @@ class Index:
         self, path: str, n_splits: int = 8, mode: str = "lenient",
     ) -> dict:
         """ES-compatible `_bulk` shim (quickwit-serve elastic-compat
-        `/_elastic/_bulk`): NDJSON of alternating action lines
-        (`{"index": {...}}` / `{"create": {...}}`) and document lines.
-        Action lines are recognized and dropped declaratively (a line
-        whose only top-level key is an action verb), documents flow
-        through the ordinary mapper → build path."""
-        from pyspark.sql import functions as F
+        `/_elastic/_bulk`): NDJSON of action lines (`{"index": {...}}`
+        / `{"create": {...}}` / `{"update": {...}}` / `{"delete":
+        {...}}`) each followed by a payload line (except `delete`).
 
-        from quickwit_spark.sources.docmapper import (
-            map_json_docs,
-            read_json_lines,
-            split_valid,
-        )
+        Pairing is POSITIONAL, like ES itself: a document sitting in
+        payload position is ingested even if its only top-level field
+        is named `index`; an `update` action's `{"doc": ...}` payload
+        is dropped and counted under ``unsupported_action:update``
+        (this engine has no partial updates), as is a `delete` action —
+        neither pollutes the mapper's rejected counters. Implemented as
+        a two-pass partition state handoff over the line RDD (the
+        classifier is a 3-state machine: expect-action /
+        expect-doc-payload / expect-dropped-payload; pass 1 summarizes
+        each partition's transition for every possible entry state,
+        the driver composes them, pass 2 classifies with the known
+        entry states) — sequential semantics without a single-partition
+        bottleneck. This is the ES-compat edge, not the bulk-data path;
+        batch/streaming ingest is the 100 TB route."""
+        import hashlib
+        import json as _json
+        import re
 
-        raw = read_json_lines(self.spark, path)
-        # an action line parses as a single-key map whose key is an
-        # action verb and whose value is an OBJECT (a doc that happens
-        # to have one scalar field named "index" is still a doc)
-        asmap = F.from_json(F.col("value"), "map<string,string>")
-        only_key = F.element_at(F.map_keys(asmap), 1)
-        is_action = (
-            (F.size(F.map_keys(asmap)) == 1)
-            & only_key.isin("index", "create", "update", "delete")
-            & F.element_at(asmap, only_key).rlike(r"^\s*\{")
+        from quickwit_spark.sources.docmapper import map_json_docs, split_valid
+
+        ACTION_RE = re.compile(r'\s*\{\s*"(index|create|update|delete)"\s*:')
+        EXPECT_ACTION, EXPECT_DOC, EXPECT_DROP = 0, 1, 2
+
+        def action_kind(line: str):
+            """The action verb if `line` is an ES action line (single
+            top-level key ∈ verbs with an OBJECT value), else None."""
+            if not ACTION_RE.match(line):
+                return None
+            try:
+                obj = _json.loads(line)
+            except ValueError:
+                return None
+            if isinstance(obj, dict) and len(obj) == 1:
+                ((k, v),) = obj.items()
+                if k in ("index", "create", "update", "delete") and isinstance(v, dict):
+                    return k
+            return None
+
+        def trans(state: int, k) -> int:
+            if state != EXPECT_ACTION:
+                return EXPECT_ACTION
+            if k in ("index", "create"):
+                return EXPECT_DOC
+            if k == "update":
+                return EXPECT_DROP
+            return EXPECT_ACTION  # delete (no payload) or a bare doc
+
+        raw = self.spark.read.text(path)
+
+        def summarize(_idx, it):
+            ends = [EXPECT_ACTION, EXPECT_DOC, EXPECT_DROP]
+            for row in it:
+                k = action_kind(row.value)
+                ends = [trans(s, k) for s in ends]
+            yield ends
+
+        part_ends = raw.rdd.mapPartitionsWithIndex(summarize).collect()
+        starts, s = [], EXPECT_ACTION
+        for ends in part_ends:
+            starts.append(s)
+            s = ends[s]
+        starts_b = self.spark.sparkContext.broadcast(starts)
+
+        def classify(idx, it):
+            state = starts_b.value[idx]
+            for row in it:
+                line = row.value
+                if state == EXPECT_DOC:
+                    state = EXPECT_ACTION
+                    yield ("doc", line)
+                elif state == EXPECT_DROP:
+                    state = EXPECT_ACTION
+                    yield ("unsupported_action:update", None)
+                else:
+                    k = action_kind(line)
+                    if k in ("index", "create"):
+                        state = EXPECT_DOC
+                    elif k == "update":
+                        state = EXPECT_DROP
+                    elif k == "delete":
+                        yield ("unsupported_action:delete", None)
+                    else:
+                        yield ("doc", line)
+
+        classified = raw.rdd.mapPartitionsWithIndex(classify).persist()
+        counters = {
+            k: int(v)
+            for k, v in classified.filter(lambda t: t[0] != "doc")
+            .map(lambda t: t[0])
+            .countByValue()
+            .items()
+        }
+        docs = self.spark.createDataFrame(
+            classified.filter(lambda t: t[0] == "doc").map(lambda t: (t[1],)),
+            schema="value string",
         )
-        docs = raw.where(~F.coalesce(is_action, F.lit(False)))
         mapped = map_json_docs(docs, mode=mode)
         valid, rejected = split_valid(mapped)
-        counters = {
-            r["_error"]: r["count"]
-            for r in rejected.groupBy("_error").count().collect()
-        }
-        import hashlib
+        for r in rejected.groupBy("_error").count().collect():
+            counters[r["_error"]] = counters.get(r["_error"], 0) + r["count"]
 
         cols = ["conv_id", "turn_idx", "role", "text", "tool", "ts"]
         self.ingest(
             valid.select(*cols), n_splits=n_splits,
             ingest_id="bk" + hashlib.md5(path.encode()).hexdigest()[:10],
         )
+        classified.unpersist()
         return {
             "num_docs_valid": self.catalog().total_docs(),
             "rejected": counters,

@@ -419,7 +419,31 @@ def _resolve_ingest_id(catalog: Catalog, source, ingest_id: str | None) -> str:
     if isinstance(source, str):
         import hashlib
 
-        return "p" + hashlib.md5(os.path.abspath(source).encode()).hexdigest()[:10]
+        path_ns = (
+            "p" + hashlib.md5(os.path.abspath(source).encode()).hexdigest()[:10]
+        )
+        if any(
+            k == f"batch/{path_ns}" or k.startswith(f"batch/{path_ns}/")
+            for k in catalog.checkpoint
+        ):
+            return path_ns  # this path already has its own namespace
+        # pre-namespacing indexes recorded bare '<partition>' checkpoint
+        # keys that _migrate_legacy_checkpoint folds into 'b0000'; when
+        # THIS index was created from the SAME source path and has a
+        # b0000 namespace, that namespace IS the legacy build — resume
+        # it (no-op once complete) instead of hashing the path into a
+        # fresh empty namespace and double-publishing every document.
+        sp = catalog.source_path
+        if (
+            sp is not None
+            and os.path.abspath(sp) == os.path.abspath(source)
+            and any(
+                k == "batch/b0000" or k.startswith("batch/b0000/")
+                for k in catalog.checkpoint
+            )
+        ):
+            return "b0000"
+        return path_ns
     namespaces = {
         k.split("/", 2)[1]
         for k in catalog.checkpoint

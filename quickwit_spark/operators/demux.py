@@ -139,6 +139,10 @@ def demux_splits(
             time_range=tuple(m["time_range"]) if m["time_range"] else None,
             term_range=tuple(m["term_range"]) if m["term_range"] else None,
             tags=m["tags"],
+            # propagate presence info like build/stream/merge do — a
+            # missing key reads as True and permanently disables
+            # NotTagPred must_not pruning on the demuxed splits
+            tag_has_null=m.get("tag_has_null", {}),
             num_merge_ops=max(s.num_merge_ops for s in inputs) + 1,
             source_partitions=sorted(
                 {p for s in inputs for p in s.source_partitions}

@@ -32,6 +32,10 @@ from quickwit_spark.api import Index
 
 _ROUTE = re.compile(r"^/api/v1/(?P<index>[\w.-]+)/(?P<verb>search/stream|search|ingest|tail|describe)$")
 
+# flush threshold for chunked /search/stream responses (module-level so
+# tests can shrink it to force multi-chunk bodies)
+STREAM_CHUNK_BYTES = 64 * 1024
+
 
 def _search_kwargs(q: dict) -> dict:
     """Translate rest_handler.rs query params to Index.search kwargs."""
@@ -53,12 +57,17 @@ def _search_kwargs(q: dict) -> dict:
 
 class _Handler(BaseHTTPRequestHandler):
     server_version = "quickwit-spark-serve/0.1"
+    protocol_version = "HTTP/1.1"  # chunked transfer for /search/stream
 
     # injected by serve(): {index_name: Index}
     indexes: dict[str, Index] = {}
 
     def log_message(self, *a):  # keep pytest output clean
         pass
+
+    def _write_chunk(self, data: bytes) -> None:
+        """One HTTP/1.1 chunked-transfer frame."""
+        self.wfile.write(f"{len(data):x}\r\n".encode() + data + b"\r\n")
 
     def _json(self, code: int, payload) -> None:
         body = json.dumps(payload).encode()
@@ -92,15 +101,29 @@ class _Handler(BaseHTTPRequestHandler):
             elif verb == "search/stream":
                 query = q.get("query", ["*"])[0]
                 fast_field = q["fast_field"][0]
-                rows = idx.search_stream(query, fast_field).collect()
-                body = "\n".join(
-                    json.dumps({"value": r_.value}) for r_ in rows
-                ).encode()
+                # stream the export: toLocalIterator pulls one Spark
+                # partition at a time into the driver, and chunked
+                # transfer forwards it — driver memory stays bounded by
+                # one partition + one chunk, never the whole result
+                # (the old .collect() + single body string OOMed the
+                # driver at real export sizes)
+                it = idx.search_stream(query, fast_field).toLocalIterator()
                 self.send_response(200)
                 self.send_header("content-type", "application/x-ndjson")
-                self.send_header("content-length", str(len(body)))
+                self.send_header("transfer-encoding", "chunked")
                 self.end_headers()
-                self.wfile.write(body)
+                buf: list[bytes] = []
+                size = 0
+                for row in it:
+                    piece = (json.dumps({"value": row.value}) + "\n").encode()
+                    buf.append(piece)
+                    size += len(piece)
+                    if size >= STREAM_CHUNK_BYTES:
+                        self._write_chunk(b"".join(buf))
+                        buf, size = [], 0
+                if buf:
+                    self._write_chunk(b"".join(buf))
+                self.wfile.write(b"0\r\n\r\n")  # chunked terminator
             elif verb == "tail":
                 n = int(q.get("num_hits", ["20"])[0])
                 resp = idx.tail(n)
@@ -125,22 +148,33 @@ class _Handler(BaseHTTPRequestHandler):
             return
         length = int(self.headers.get("content-length", "0"))
         body = self.rfile.read(length).decode()
-        import hashlib
         import os
         import tempfile
+        import uuid
 
-        # spool the NDJSON body to a file and reuse the bulk path
-        tmp = os.path.join(
-            tempfile.gettempdir(),
-            f"qs_ingest_{hashlib.md5(body.encode()).hexdigest()[:12]}.ndjson",
+        # spool the NDJSON body to a file and reuse the bulk path.
+        # The ingest id is a per-request nonce (honoring an optional
+        # idempotency key header): ES bulk semantics APPEND on re-POST
+        # of an identical body — deriving the id from the body hash
+        # made that a silent no-op that still reported counters.
+        nonce = self.headers.get(
+            "x-idempotency-key", uuid.uuid4().hex[:12]
         )
-        with open(tmp, "w") as f:
-            f.write(body)
+        fd, tmp = tempfile.mkstemp(prefix="qs_ingest_", suffix=".ndjson")
         try:
-            result = idx.ingest_json_lines(tmp, n_splits=2)
+            with os.fdopen(fd, "w") as f:
+                f.write(body)
+            result = idx.ingest_json_lines(
+                tmp, n_splits=2, ingest_id=f"r{nonce}"
+            )
             self._json(200, result)
         except (ValueError, KeyError) as exc:
             self._json(400, {"error": str(exc)})
+        finally:
+            try:
+                os.unlink(tmp)
+            except OSError:
+                pass
 
 
 def serve(indexes: dict[str, Index], port: int = 0):

@@ -345,14 +345,18 @@ def test_http_rest_server(index, corpus):
 def test_http_rest_ingest(spark, tmp_path):
     """POST /ingest: NDJSON body -> mapped, indexed, searchable."""
     import json
+    import os
     import urllib.request
 
     from quickwit_spark.api import Index
     from quickwit_spark.serve import serve
 
+    import time
+
     idx = Index.create(spark, str(tmp_path / "http_ingest"))
     srv, _t = serve({"ing": idx})
     port = srv.server_address[1]
+    pre_ingest_time = time.time() - 1
     try:
         lines = "\n".join(
             json.dumps({"conv_id": "h", "turn_idx": i, "role": "user",
@@ -371,7 +375,54 @@ def test_http_rest_ingest(spark, tmp_path):
             f"http://127.0.0.1:{port}/api/v1/ing/search?query=http", timeout=60
         ) as r:
             assert json.loads(r.read().decode())["num_hits"] == 4
+        # re-POSTing the IDENTICAL body must APPEND (ES bulk semantics),
+        # not silently no-op behind a body-hash ingest id
+        req2 = urllib.request.Request(
+            f"http://127.0.0.1:{port}/api/v1/ing/ingest", data=lines,
+            method="POST", headers={"content-type": "application/x-ndjson"},
+        )
+        with urllib.request.urlopen(req2, timeout=120) as r:
+            out2 = json.loads(r.read().decode())
+        assert out2["num_docs_valid"] == 8
+        # spool files are cleaned up (no NEW leftovers from these posts)
+        import glob
+        import tempfile
+
+        leftover = glob.glob(
+            os.path.join(tempfile.gettempdir(), "qs_ingest_*.ndjson")
+        )
+        assert not [p for p in leftover
+                    if os.path.getmtime(p) > pre_ingest_time]
     finally:
+        srv.shutdown()
+
+
+def test_http_stream_is_chunked(index):
+    """/search/stream streams via chunked transfer — a response larger
+    than one flush threshold arrives complete and well-formed (and the
+    driver never held the whole body as one string)."""
+    import json
+    import urllib.request
+
+    from quickwit_spark import serve as serve_mod
+    from quickwit_spark.serve import serve
+
+    old = serve_mod.STREAM_CHUNK_BYTES
+    serve_mod.STREAM_CHUNK_BYTES = 256  # force many chunks
+    srv, _t = serve({"transcripts": index})
+    port = srv.server_address[1]
+    try:
+        url = (f"http://127.0.0.1:{port}/api/v1/transcripts/search/stream"
+               "?query=w00002&fast_field=doc_len")
+        with urllib.request.urlopen(url, timeout=120) as r:
+            assert r.headers.get("transfer-encoding") == "chunked"
+            assert r.headers.get("content-length") is None
+            body = r.read().decode()
+        vals = [json.loads(l)["value"] for l in body.splitlines() if l]
+        assert len(vals) == index.search("w00002", k=1).num_hits
+        assert len(body) > 256  # actually spanned multiple chunks
+    finally:
+        serve_mod.STREAM_CHUNK_BYTES = old
         srv.shutdown()
 
 
@@ -397,3 +448,46 @@ def test_ingest_bulk_scalar_index_field_is_a_doc(spark, tmp_path):
     assert result["num_docs_valid"] == 1
     # the scalar-'index' line reached the mapper and was REJECTED
     assert result["rejected"] == {"missing_field:conv_id": 1}
+
+
+def test_ingest_bulk_positional_pairing(spark, tmp_path):
+    """ES bulk semantics are positional: (a) an `update` action's
+    `{"doc": ...}` payload is dropped + counted (not fed to the mapper
+    as a bad doc), (b) a `delete` action (no payload) is counted and
+    the NEXT action line still parses as an action, (c) a real document
+    in payload position is ingested even when its only top-level field
+    is named `index` with an object value."""
+    import json
+
+    from quickwit_spark.api import Index
+
+    def doc(i, text):
+        return json.dumps({"conv_id": "pp", "turn_idx": i, "role": "user",
+                           "text": text, "tool": None,
+                           "ts": "2025-01-01T00:00:00Z"})
+
+    lines = [
+        json.dumps({"index": {"_id": "0"}}),
+        doc(0, "positional zero"),
+        json.dumps({"update": {"_id": "0"}}),
+        json.dumps({"doc": {"text": "partial update payload"}}),  # dropped
+        json.dumps({"delete": {"_id": "0"}}),                      # no payload
+        json.dumps({"create": {"_id": "1"}}),
+        # a DOC whose only field is named "index" (object value) — in
+        # payload position it is still a document... but it lacks the
+        # required fields, so the mapper rejects it (NOT silently drops)
+        json.dumps({"index": {"nested": "object doc"}}),
+        json.dumps({"index": {"_id": "2"}}),
+        doc(2, "positional two"),
+    ]
+    p = tmp_path / "bulk3.ndjson"
+    p.write_text("\n".join(lines))
+    idx = Index.create(spark, str(tmp_path / "b3idx"))
+    result = idx.ingest_bulk(str(p), n_splits=2)
+    assert result["num_docs_valid"] == 2
+    assert result["rejected"] == {
+        "unsupported_action:update": 1,
+        "unsupported_action:delete": 1,
+        "missing_field:conv_id": 1,
+    }
+    assert idx.search("positional", k=10).num_hits == 2

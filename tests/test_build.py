@@ -220,3 +220,42 @@ def test_legacy_checkpoint_resume_no_duplication(spark, corpus, config, tmp_path
     assert sorted(k for k in cat2.checkpoint if k.count("/") == 2) == [
         f"batch/b0000/{i}" for i in range(4)
     ]
+
+
+def test_legacy_checkpoint_resume_path_source(spark, corpus, config, tmp_path):
+    """Path-source variant: a pre-upgrade index built from a parquet
+    PATH must also resume as a no-op on re-run with the same path —
+    the path-derived namespace must not shadow the migrated b0000
+    namespace and rebuild everything."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from quickwit_spark.operators.build import build_index
+    from quickwit_spark.plans.catalog import Catalog
+
+    src = str(tmp_path / "src.parquet")
+    pq.write_table(
+        pa.Table.from_pandas(corpus, preserve_index=False), src,
+        coerce_timestamps="us",
+    )
+    idx = str(tmp_path / "legacy_path")
+    build_index(spark, src, idx, config, n_splits=4)
+    # rewrite the checkpoint into the PRE-upgrade format (bare digits)
+    cat = Catalog.load(idx)
+    cat.checkpoint = {
+        k.rsplit("/", 1)[1]: v
+        for k, v in cat.checkpoint.items()
+        if k.count("/") == 2
+    }
+    cat._commit()
+
+    cat2 = build_index(spark, src, idx, config, n_splits=4)  # resume
+    assert cat2.total_docs() == len(corpus)          # no duplication
+    assert len(cat2.published_splits()) == 4
+    assert cat2.checkpoint.get("batch/b0000") == "complete"
+
+    # and a THIRD run (now with the completion marker present) must
+    # stay a no-op rather than fall back to the empty path namespace
+    cat3 = build_index(spark, src, idx, config, n_splits=4)
+    assert cat3.total_docs() == len(corpus)
+    assert len(cat3.published_splits()) == 4

@@ -61,6 +61,11 @@ def test_doc_conservation_and_tags(demuxed, corpus):
         for v in s.tags["tool"] or []:
             seen.setdefault(v, []).append(s.split_id)
     assert all(len(splits) == 1 for splits in seen.values())
+    # presence info must survive demux (a missing key reads as True
+    # and would permanently disable must_not pruning on these splits)
+    assert all("tool" in (s.tag_has_null or {}) for s in pub)
+    # the null-tool tenant lands in one bin; the others must say False
+    assert sum(not s.tag_has_null["tool"] for s in pub) >= 1
 
 
 def test_search_results_survive_demux(spark, demuxed, oracle):
