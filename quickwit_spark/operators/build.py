@@ -391,9 +391,10 @@ def _migrate_legacy_checkpoint(catalog: Catalog) -> None:
     legacy = [k for k in catalog.checkpoint if k.isdigit()]
     if not legacy:
         return
+    new = dict(catalog.checkpoint)
     for k in legacy:
-        catalog.checkpoint[f"batch/b0000/{k}"] = catalog.checkpoint.pop(k)
-    catalog._commit()
+        new[f"batch/b0000/{k}"] = new.pop(k)
+    catalog.replace_checkpoint(new)
 
 
 def _resolve_ingest_id(catalog: Catalog, source, ingest_id: str | None) -> str:

@@ -31,6 +31,14 @@ STAGED = "Staged"
 PUBLISHED = "Published"
 MARKED_FOR_DELETION = "MarkedForDeletion"
 
+# Catalog schema version (quickwit-metastore/src/backward_compatibility_tests/
+# analog: the reference freezes one serialized fixture per file-format
+# version and tests that current code loads every old one). Version 1 =
+# any catalog written before the field existed; bump this and extend
+# ``Catalog._migrate`` (plus a frozen fixture in tests/fixtures/) on any
+# schema change.
+CATALOG_VERSION = 2
+
 
 @dataclass
 class SplitMetadata:
@@ -76,12 +84,16 @@ class Catalog:
     Backend swap surface: ``create`` / ``load`` / ``_commit`` are the
     only persistence points — every mutation funnels through the
     transaction-shaped methods (stage_splits / stage_and_publish /
-    publish_splits / delete_splits), each exactly one ``_commit``. An
-    Iceberg/Postgres backend reimplements those three against a table
-    (commit = one transaction) and inherits the whole state machine;
-    commits are already batched (adaptive chunking in build, one
-    staging + one publish commit per merge round), so commit count —
-    not split count — is the unit of metastore load."""
+    publish_splits / delete_splits), each exactly one ``_commit``, and
+    records WHAT it touched in the dirty sets (``_dirty_splits`` /
+    ``_deleted_split_ids`` / ``_dirty_checkpoint`` /
+    ``_removed_checkpoint`` / ``_dirty_meta``) so a row-oriented
+    backend can commit O(splits touched), not O(total splits).
+    :class:`SqliteCatalog` (the sandbox stand-in for the reference's
+    PostgreSQL metastore —
+    quickwit-metastore/src/metastore/postgresql_metastore.rs) does
+    exactly that; this JSON backend rewrites the whole file per commit
+    and is the small-index default."""
 
     def __init__(self, index_dir: str):
         self.index_dir = index_dir
@@ -94,26 +106,50 @@ class Catalog:
         # ids never repeat across run_merge_pipeline invocations (a reused
         # id would silently overwrite a published split's catalog entry)
         self.merge_seq: int = 0
+        # delta tracking for row-oriented backends (JSON ignores these)
+        self._dirty_splits: set[str] = set()
+        self._deleted_split_ids: set[str] = set()
+        self._dirty_checkpoint: set[str] = set()
+        self._removed_checkpoint: set[str] = set()
+        self._dirty_meta: bool = False
 
     # -- persistence ------------------------------------------------------
 
     @staticmethod
-    def create(index_dir: str, config: IndexConfig, source_path: str | None = None) -> "Catalog":
+    def create(
+        index_dir: str,
+        config: IndexConfig,
+        source_path: str | None = None,
+        backend: str | None = None,
+    ) -> "Catalog":
+        """Create a fresh catalog. ``backend`` ∈ {"json", "sqlite"};
+        defaults to $QUICKWIT_SPARK_CATALOG or "json". The reference
+        ships file-backed and PostgreSQL metastores behind one trait —
+        same shape here."""
+        backend = backend or os.environ.get("QUICKWIT_SPARK_CATALOG", "json")
+        if backend not in ("json", "sqlite"):
+            raise ValueError(f"unknown catalog backend {backend!r}")
         config.validate()
         os.makedirs(index_dir, exist_ok=True)
         os.makedirs(os.path.join(index_dir, "splits"), exist_ok=True)
         os.makedirs(os.path.join(index_dir, "lineage"), exist_ok=True)
-        cat = Catalog(index_dir)
+        cat = SqliteCatalog(index_dir) if backend == "sqlite" else Catalog(index_dir)
         cat.config = config
         cat.source_path = source_path
+        cat._dirty_meta = True
         cat._commit()
         return cat
 
     @staticmethod
     def load(index_dir: str) -> "Catalog":
+        """Load whichever backend lives at ``index_dir`` (a catalog.db
+        takes precedence — an index has exactly one backend)."""
+        if os.path.exists(os.path.join(index_dir, SqliteCatalog.DB_FILE)):
+            return SqliteCatalog._load(index_dir)
         cat = Catalog(index_dir)
         with open(cat.path) as f:
             d = json.load(f)
+        d = Catalog._migrate(d)
         cat.config = IndexConfig.from_dict(d["config"])
         cat.splits = {
             s["split_id"]: SplitMetadata.from_dict(s) for s in d["splits"]
@@ -124,12 +160,35 @@ class Catalog:
         return cat
 
     @staticmethod
+    def _migrate(d: dict) -> dict:
+        """Upgrade an old on-disk payload to CATALOG_VERSION in memory
+        (persisted on the next commit). v1 = pre-version catalogs: same
+        fields minus "version"; nothing to rewrite."""
+        v = int(d.get("version", 1))
+        if v > CATALOG_VERSION:
+            raise ValueError(
+                f"catalog version {v} is newer than this library "
+                f"(supports ≤ {CATALOG_VERSION}) — upgrade quickwit_spark"
+            )
+        return d
+
+    @staticmethod
     def exists(index_dir: str) -> bool:
-        return os.path.exists(os.path.join(index_dir, "catalog.json"))
+        return os.path.exists(
+            os.path.join(index_dir, "catalog.json")
+        ) or os.path.exists(os.path.join(index_dir, SqliteCatalog.DB_FILE))
+
+    def _clear_dirty(self) -> None:
+        self._dirty_splits.clear()
+        self._deleted_split_ids.clear()
+        self._dirty_checkpoint.clear()
+        self._removed_checkpoint.clear()
+        self._dirty_meta = False
 
     def _commit(self) -> None:
         """Atomic write: temp file + rename (publisher.rs:140-148 analog)."""
         payload = {
+            "version": CATALOG_VERSION,
             "config": self.config.to_dict(),
             "splits": [s.to_dict() for s in self.splits.values()],
             "checkpoint": self.checkpoint,
@@ -142,6 +201,15 @@ class Catalog:
             f.flush()
             os.fsync(f.fileno())
         os.replace(tmp, self.path)
+        self._clear_dirty()
+
+    def replace_checkpoint(self, new: dict) -> None:
+        """Swap the whole checkpoint map in one commit (used by the
+        legacy-format migration; prefer checkpoint deltas elsewhere)."""
+        self._removed_checkpoint.update(set(self.checkpoint) - set(new))
+        self._dirty_checkpoint.update(new)
+        self.checkpoint = dict(new)
+        self._commit()
 
     # -- state machine ----------------------------------------------------
 
@@ -156,6 +224,7 @@ class Catalog:
         keeps ids readable and sort-stable here)."""
         start = self.merge_seq
         self.merge_seq += n
+        self._dirty_meta = True
         self._commit()
         return [f"{prefix}-{i:06d}" for i in range(start, start + n)]
 
@@ -186,6 +255,7 @@ class Catalog:
             meta.create_timestamp = meta.create_timestamp or time.time()
             meta.update_timestamp = time.time()
             self.splits[meta.split_id] = meta
+            self._dirty_splits.add(meta.split_id)
         self._commit()
 
     def stage_and_publish(
@@ -211,8 +281,10 @@ class Catalog:
             meta.create_timestamp = meta.create_timestamp or now
             meta.update_timestamp = now
             self.splits[meta.split_id] = meta
+            self._dirty_splits.add(meta.split_id)
         if checkpoint_delta:
             self.checkpoint.update(checkpoint_delta)
+            self._dirty_checkpoint.update(checkpoint_delta)
         self._commit()
 
     def publish_splits(
@@ -237,16 +309,20 @@ class Catalog:
                 raise ValueError(f"cannot publish split {sid} in state {meta.state}")
             meta.state = PUBLISHED
             meta.update_timestamp = time.time()
+            self._dirty_splits.add(sid)
         for sid in replaced_split_ids:
             self.splits[sid].state = MARKED_FOR_DELETION
             self.splits[sid].update_timestamp = time.time()
+            self._dirty_splits.add(sid)
         if checkpoint_delta:
             self.checkpoint.update(checkpoint_delta)
+            self._dirty_checkpoint.update(checkpoint_delta)
         self._commit()
 
     def mark_for_deletion(self, split_ids: list[str]) -> None:
         for sid in split_ids:
             self.splits[sid].state = MARKED_FOR_DELETION
+            self._dirty_splits.add(sid)
         self._commit()
 
     def delete_splits(self, split_ids: list[str]) -> None:
@@ -261,6 +337,8 @@ class Catalog:
                 raise ValueError(f"split {sid} is {meta.state}, not deletable")
             shutil.rmtree(self.split_dir(sid), ignore_errors=True)
             del self.splits[sid]
+            self._deleted_split_ids.add(sid)
+            self._dirty_splits.discard(sid)
         self._commit()
 
     # -- queries over the catalog ------------------------------------------
@@ -318,3 +396,135 @@ class Catalog:
             self.index_dir, "lineage", f"lineage-{uuid.uuid4().hex}.parquet"
         )
         df.to_parquet(out, index=False)
+
+
+class SqliteCatalog(Catalog):
+    """Row-oriented catalog backend — the sandbox stand-in for the
+    reference's PostgreSQL metastore
+    (quickwit-metastore/src/metastore/postgresql_metastore.rs: one row
+    per split, transactional publish, `index_metadata` side table).
+
+    Commits are O(splits touched): every state transition upserts /
+    deletes exactly the rows the mutator marked dirty inside ONE
+    transaction, so publishing a 16-split chunk into a 100k-split index
+    writes 16 rows + a few checkpoint rows — not a 100 MB JSON rewrite.
+    ``alloc_split_ids`` bumps one `meta` row. This is the backend a
+    100×-scale deployment starts from (swap sqlite3 for a Postgres
+    driver; the SQL is deliberately vanilla).
+
+    Single-writer by design, like the JSON backend: all commits happen
+    on the Spark driver (kernels only write split FILES). WAL mode +
+    synchronous=FULL gives rename-level durability per commit.
+    """
+
+    DB_FILE = "catalog.db"
+
+    def __init__(self, index_dir: str):
+        super().__init__(index_dir)
+        self.path = os.path.join(index_dir, self.DB_FILE)
+        self._conn = None
+
+    # -- connection / schema ----------------------------------------------
+
+    def _db(self):
+        import sqlite3
+
+        if self._conn is None:
+            conn = sqlite3.connect(self.path)
+            conn.execute("PRAGMA journal_mode=WAL")
+            conn.execute("PRAGMA synchronous=FULL")
+            conn.executescript(
+                """
+                CREATE TABLE IF NOT EXISTS meta (
+                    key TEXT PRIMARY KEY, value TEXT NOT NULL);
+                CREATE TABLE IF NOT EXISTS splits (
+                    split_id TEXT PRIMARY KEY,
+                    state TEXT NOT NULL,
+                    json TEXT NOT NULL);
+                CREATE TABLE IF NOT EXISTS checkpoint (
+                    key TEXT PRIMARY KEY, pos TEXT NOT NULL);
+                CREATE INDEX IF NOT EXISTS splits_state ON splits(state);
+                """
+            )
+            self._conn = conn
+        return self._conn
+
+    @staticmethod
+    def _load(index_dir: str) -> "SqliteCatalog":
+        cat = SqliteCatalog(index_dir)
+        db = cat._db()
+        meta = dict(db.execute("SELECT key, value FROM meta"))
+        v = int(meta.get("version", "1"))
+        if v > CATALOG_VERSION:
+            raise ValueError(
+                f"catalog version {v} is newer than this library "
+                f"(supports ≤ {CATALOG_VERSION}) — upgrade quickwit_spark"
+            )
+        cat.config = IndexConfig.from_dict(json.loads(meta["config"]))
+        sp = meta.get("source_path")
+        cat.source_path = json.loads(sp) if sp is not None else None
+        cat.merge_seq = int(meta.get("merge_seq", "0"))
+        cat.splits = {
+            sid: SplitMetadata.from_dict(json.loads(blob))
+            for sid, blob in db.execute("SELECT split_id, json FROM splits")
+        }
+        cat.checkpoint = dict(db.execute("SELECT key, pos FROM checkpoint"))
+        return cat
+
+    # -- O(delta) commit -----------------------------------------------------
+
+    def _commit(self) -> None:
+        db = self._db()
+        dirty_splits = self._dirty_splits
+        deleted = self._deleted_split_ids
+        dirty_ckpt = self._dirty_checkpoint
+        removed_ckpt = self._removed_checkpoint
+        if not (
+            dirty_splits or deleted or dirty_ckpt or removed_ckpt or self._dirty_meta
+        ):
+            # safety net for callers that mutated state out-of-band
+            # (test hooks): fall back to a full upsert
+            dirty_splits = set(self.splits)
+            dirty_ckpt = set(self.checkpoint)
+            self._dirty_meta = True
+        with db:  # one transaction == one atomic publish
+            if self._dirty_meta:
+                db.executemany(
+                    "INSERT INTO meta(key, value) VALUES(?, ?) "
+                    "ON CONFLICT(key) DO UPDATE SET value=excluded.value",
+                    [
+                        ("version", str(CATALOG_VERSION)),
+                        ("config", json.dumps(self.config.to_dict())),
+                        ("source_path", json.dumps(self.source_path)),
+                        ("merge_seq", str(self.merge_seq)),
+                    ],
+                )
+            if dirty_splits:
+                db.executemany(
+                    "INSERT INTO splits(split_id, state, json) VALUES(?, ?, ?) "
+                    "ON CONFLICT(split_id) DO UPDATE SET "
+                    "state=excluded.state, json=excluded.json",
+                    [
+                        (sid, self.splits[sid].state,
+                         json.dumps(self.splits[sid].to_dict()))
+                        for sid in dirty_splits
+                        if sid in self.splits
+                    ],
+                )
+            if deleted:
+                db.executemany(
+                    "DELETE FROM splits WHERE split_id=?", [(s,) for s in deleted]
+                )
+            if dirty_ckpt:
+                db.executemany(
+                    "INSERT INTO checkpoint(key, pos) VALUES(?, ?) "
+                    "ON CONFLICT(key) DO UPDATE SET pos=excluded.pos",
+                    [(k, self.checkpoint[k]) for k in dirty_ckpt
+                     if k in self.checkpoint],
+                )
+            if removed_ckpt:
+                db.executemany(
+                    "DELETE FROM checkpoint WHERE key=?",
+                    [(k,) for k in removed_ckpt],
+                )
+        self._clear_dirty()

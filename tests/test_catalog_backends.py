@@ -1,0 +1,224 @@
+"""Catalog backend tests: the SQLite metastore (PostgreSQL stand-in —
+quickwit-metastore/src/metastore/postgresql_metastore.rs), O(delta)
+commit cost, backend dispatch, and schema-version backward
+compatibility (quickwit-metastore/src/backward_compatibility_tests/
+analog: frozen fixtures per format version)."""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+
+import pytest
+
+from quickwit_spark.config import IndexConfig
+from quickwit_spark.plans.catalog import (
+    CATALOG_VERSION,
+    MARKED_FOR_DELETION,
+    PUBLISHED,
+    STAGED,
+    Catalog,
+    SplitMetadata,
+    SqliteCatalog,
+)
+
+FIXTURES = os.path.join(os.path.dirname(__file__), "fixtures")
+
+
+def _sm(sid: str, n: int = 10) -> SplitMetadata:
+    return SplitMetadata(
+        split_id=sid, num_docs=n, sum_doc_len=n * 7,
+        time_range=(0, 1000), term_range=("a", "z"),
+        tags={"tool": ["bash"]}, tag_has_null={"tool": False},
+    )
+
+
+class TestSqliteStateMachine:
+    """The full split lifecycle against the row backend — same
+    semantics the JSON suites assert, persisted per-row."""
+
+    def test_create_load_roundtrip(self, tmp_path):
+        d = str(tmp_path / "idx")
+        cat = Catalog.create(d, IndexConfig(), source_path="/x.parquet",
+                             backend="sqlite")
+        assert isinstance(cat, SqliteCatalog)
+        assert Catalog.exists(d)
+        cat.stage_and_publish([_sm("s-0"), _sm("s-1")],
+                              checkpoint_delta={"batch/b0000/0": "done"})
+        got = Catalog.load(d)
+        assert isinstance(got, SqliteCatalog)  # dispatch by catalog.db
+        assert got.source_path == "/x.parquet"
+        assert {s.split_id for s in got.published_splits()} == {"s-0", "s-1"}
+        assert got.checkpoint == {"batch/b0000/0": "done"}
+        assert got.splits["s-0"].tags == {"tool": ["bash"]}
+        assert got.splits["s-0"].tag_has_null == {"tool": False}
+        assert got.splits["s-0"].time_range == (0, 1000)
+
+    def test_stage_publish_replace_delete(self, tmp_path):
+        d = str(tmp_path / "idx")
+        cat = Catalog.create(d, IndexConfig(), backend="sqlite")
+        cat.stage_and_publish([_sm("a"), _sm("b")])
+        cat.stage_splits([_sm("m")])
+        assert Catalog.load(d).splits["m"].state == STAGED
+        cat.publish_splits(["m"], replaced_split_ids=["a", "b"])
+        got = Catalog.load(d)
+        assert got.splits["m"].state == PUBLISHED
+        assert got.splits["a"].state == MARKED_FOR_DELETION
+        cat.delete_splits(["a", "b"])
+        got = Catalog.load(d)
+        assert set(got.splits) == {"m"}
+
+    def test_id_collision_raises(self, tmp_path):
+        cat = Catalog.create(str(tmp_path / "i"), IndexConfig(), backend="sqlite")
+        cat.stage_and_publish([_sm("dup")])
+        with pytest.raises(ValueError, match="already exists"):
+            cat.stage_splits([_sm("dup")])
+
+    def test_backwards_checkpoint_rejected(self, tmp_path):
+        cat = Catalog.create(str(tmp_path / "i"), IndexConfig(), backend="sqlite")
+        cat.stage_and_publish([_sm("a")], checkpoint_delta={"p": "5"})
+        with pytest.raises(ValueError, match="incompatible"):
+            cat.stage_and_publish([_sm("b")], checkpoint_delta={"p": "3"})
+
+    def test_alloc_ids_survive_reload(self, tmp_path):
+        d = str(tmp_path / "i")
+        cat = Catalog.create(d, IndexConfig(), backend="sqlite")
+        first = cat.alloc_merge_ids(3)
+        second = Catalog.load(d).alloc_merge_ids(2)
+        assert len(set(first) | set(second)) == 5  # no reuse across loads
+
+    def test_replace_checkpoint(self, tmp_path):
+        d = str(tmp_path / "i")
+        cat = Catalog.create(d, IndexConfig(), backend="sqlite")
+        cat.stage_and_publish([_sm("a")], checkpoint_delta={"0": "done", "1": "done"})
+        cat.replace_checkpoint({"batch/b0000/0": "done"})
+        assert Catalog.load(d).checkpoint == {"batch/b0000/0": "done"}
+
+    def test_unknown_backend_rejected(self, tmp_path):
+        with pytest.raises(ValueError, match="unknown catalog backend"):
+            Catalog.create(str(tmp_path / "i"), IndexConfig(), backend="etcd")
+
+
+def test_sqlite_commit_cost_is_o_delta(tmp_path):
+    """Publishing a 16-split chunk into a catalog that already holds
+    100k splits must write O(16) rows, not O(100k) — measured with
+    sqlite's total_changes counter (deterministic, no wall-clock
+    flakiness). This is the property the JSON backend lacks (it
+    rewrites every split's metadata per commit, which is why it caps
+    out at ~10k splits)."""
+    d = str(tmp_path / "big")
+    cat = Catalog.create(d, IndexConfig(), backend="sqlite")
+    total = 100_000
+    batch = 10_000
+    for i in range(0, total, batch):
+        cat.stage_and_publish([_sm(f"s-{j:06d}") for j in range(i, i + batch)])
+    db = cat._db()
+    before = db.total_changes
+    cat.stage_and_publish(
+        [_sm(f"t-{j}") for j in range(16)],
+        checkpoint_delta={"batch/bX/0": "done"},
+    )
+    written = db.total_changes - before
+    assert written <= 16 + 1 + 4  # splits + checkpoint + meta slack
+    # and a fresh load still sees everything
+    got = Catalog.load(d)
+    assert len(got.splits) == total + 16
+
+
+def test_json_backend_unchanged_default(tmp_path):
+    d = str(tmp_path / "idx")
+    cat = Catalog.create(d, IndexConfig())
+    assert type(cat) is Catalog
+    assert os.path.exists(os.path.join(d, "catalog.json"))
+    cat.stage_and_publish([_sm("a")])
+    got = Catalog.load(d)
+    assert type(got) is Catalog
+    assert got.splits["a"].state == PUBLISHED
+
+
+class TestBackwardCompatibility:
+    """Frozen-fixture loads per catalog format version."""
+
+    def _load_fixture(self, name: str, tmp_path) -> Catalog:
+        d = str(tmp_path / name)
+        os.makedirs(d)
+        shutil.copy(
+            os.path.join(FIXTURES, name, "catalog.json"),
+            os.path.join(d, "catalog.json"),
+        )
+        return Catalog.load(d)
+
+    @pytest.mark.parametrize("name", ["catalog_v1", "catalog_v2"])
+    def test_old_catalog_loads(self, name, tmp_path):
+        cat = self._load_fixture(name, tmp_path)
+        assert len(cat.published_splits()) == 2
+        assert cat.total_docs() == 300
+        assert cat.checkpoint.get("batch/b0000") == "complete"
+        assert cat.config is not None
+        # a commit after load writes the CURRENT version
+        cat._commit()
+        with open(cat.path) as f:
+            assert json.load(f)["version"] == CATALOG_VERSION
+
+    def test_future_version_rejected(self, tmp_path):
+        d = str(tmp_path / "future")
+        os.makedirs(d)
+        with open(os.path.join(FIXTURES, "catalog_v2", "catalog.json")) as f:
+            payload = json.load(f)
+        payload["version"] = CATALOG_VERSION + 1
+        with open(os.path.join(d, "catalog.json"), "w") as f:
+            json.dump(payload, f)
+        with pytest.raises(ValueError, match="newer than this library"):
+            Catalog.load(d)
+
+
+def test_sqlite_e2e_build_search_merge_gc(spark, corpus, config, oracle,
+                                          tmp_path, monkeypatch):
+    """Full engine e2e on the row backend: build → resume no-op →
+    search parity vs the oracle → merge rounds → gc — every catalog
+    transaction the engine issues, against sqlite."""
+    from quickwit_spark.operators.build import build_index
+    from quickwit_spark.operators.merge import gc_deleted_splits, run_merge_pipeline
+    from quickwit_spark.operators.search import Searcher
+
+    import dataclasses
+
+    monkeypatch.setenv("QUICKWIT_SPARK_CATALOG", "sqlite")
+    # low merge factor so the merge round later collapses the 4 built
+    # splits (search semantics are unaffected)
+    config = dataclasses.replace(
+        config, merge_factor=2, max_merge_factor=4, min_level_num_docs=10,
+    )
+    d = str(tmp_path / "idx")
+    sdf = spark.createDataFrame(corpus)
+    cat = build_index(spark, sdf, d, config, n_splits=4)
+    assert isinstance(cat, SqliteCatalog)
+    assert cat.total_docs() == len(corpus)
+    # idempotent retry of the completed ingest (same ingest_id)
+    cat2 = build_index(spark, sdf, d, config, n_splits=4, ingest_id="b0000")
+    assert cat2.total_docs() == len(corpus)
+
+    se = Searcher(spark, d)
+    for q in ["w00001", "hotterm", '"w00001 w00002"~2', "w00004 -w00001",
+              "role:assistant AND w00002"]:
+        n_o, hits_o = oracle.search(q, k=20)
+        r = se.search(q, k=20)
+        assert r.num_hits == n_o
+        assert sorted((h.conv_id, h.turn_idx, round(h.score, 9)) for h in r.hits) \
+            == sorted((h.conv_id, h.turn_idx, round(h.score, 9)) for h in hits_o)
+
+    # merge everything into one split, then gc
+    assert run_merge_pipeline(spark, d) >= 1
+    reaped = gc_deleted_splits(d, grace_period_secs=0)
+    assert reaped
+    cat = Catalog.load(d)
+    assert cat.total_docs() == len(corpus)
+    assert all(s.state == PUBLISHED for s in cat.splits.values())
+    # post-merge search still oracle-identical
+    se2 = Searcher(spark, d)
+    n_o, hits_o = oracle.search("w00002", k=10)
+    r = se2.search("w00002", k=10)
+    assert r.num_hits == n_o
+    assert sorted((h.conv_id, h.turn_idx, round(h.score, 9)) for h in r.hits) \
+        == sorted((h.conv_id, h.turn_idx, round(h.score, 9)) for h in hits_o)
