@@ -46,9 +46,9 @@ class Index:
         return Index(spark, index_dir)
 
     def delete(self) -> None:
-        import shutil
+        from quickwit_spark.functions import fs as fsio
 
-        shutil.rmtree(self.index_dir, ignore_errors=True)
+        fsio.rmtree(self.index_dir)
         self._searcher = None
 
     # -- ingest (CLI `index ingest`) -------------------------------------
@@ -329,8 +329,8 @@ class Index:
     def lineage(self):
         """The per-split lineage/metrics table (north rule) as a
         DataFrame."""
-        import os
+        from quickwit_spark.functions import fs as fsio
 
         return self.spark.read.parquet(
-            os.path.join(self.index_dir, "lineage")
+            fsio.spark_read_path(fsio.join(self.index_dir, "lineage"))
         )

@@ -32,10 +32,12 @@ def read_pruned(path_or_file, columns, key_col: str, values):
     import pyarrow.compute as pc
     import pyarrow.parquet as pq
 
+    from quickwit_spark.functions import fs as fsio
+
     pf = (
         path_or_file
         if isinstance(path_or_file, pq.ParquetFile)
-        else pq.ParquetFile(path_or_file)
+        else fsio.parquet_file(path_or_file)
     )
     md = pf.metadata
     key_idx = md.schema.to_arrow_schema().get_field_index(key_col)

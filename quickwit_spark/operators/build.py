@@ -270,14 +270,16 @@ def build_split_tables(pdf: pd.DataFrame, config: IndexConfig):
 def write_split(postings: pd.DataFrame, docs, split_dir: str) -> int:
     """Write a split's two Parquet files (zstd, like the reference's doc
     store — index_config.rs:172-178); returns total bytes. ``docs`` may
-    be a pandas DataFrame or a pyarrow Table."""
+    be a pandas DataFrame or a pyarrow Table. ``split_dir`` may be any
+    pyarrow-supported URI (functions/fs) — the storage-trait analog."""
     import pyarrow as pa
-    import pyarrow.parquet as pq
 
-    os.makedirs(split_dir, exist_ok=True)
-    ppath = os.path.join(split_dir, POSTINGS_FILE)
-    dpath = os.path.join(split_dir, DOCS_FILE)
-    pq.write_table(
+    from quickwit_spark.functions import fs as fsio
+
+    fsio.makedirs(split_dir)
+    ppath = fsio.join(split_dir, POSTINGS_FILE)
+    dpath = fsio.join(split_dir, DOCS_FILE)
+    fsio.write_table(
         pa.Table.from_pandas(postings, preserve_index=False),
         ppath,
         compression="zstd",
@@ -289,8 +291,8 @@ def write_split(postings: pd.DataFrame, docs, split_dir: str) -> int:
         docs = pa.Table.from_pandas(docs, preserve_index=False)
     # 8k-doc groups: fetch_docs decompresses ~8k rows per hit group
     # instead of 65k, at a still-tiny footer overhead
-    pq.write_table(docs, dpath, compression="zstd", row_group_size=8192)
-    return os.path.getsize(ppath) + os.path.getsize(dpath)
+    fsio.write_table(docs, dpath, compression="zstd", row_group_size=8192)
+    return fsio.getsize(ppath) + fsio.getsize(dpath)
 
 
 def build_split_tables_arrow(tbl, config: IndexConfig):
@@ -542,7 +544,9 @@ def build_index(
             tbl.drop_columns(["split_ord"]), cfg
         )
         split_id = split_id_for_partition(ingest_id_b, split_ord)
-        split_dir = os.path.join(index_dir_b, "splits", split_id)
+        from quickwit_spark.functions import fs as fsio
+
+        split_dir = fsio.join(index_dir_b, "splits", split_id)
         size = write_split(postings, docs, split_dir)
         meta.update(
             split_id=split_id,

@@ -24,6 +24,7 @@ import os
 import time
 
 from quickwit_spark.config import IndexConfig
+from quickwit_spark.functions import fs as fsio
 from quickwit_spark.operators.build import (
     DOCS_FILE,
     build_split_tables_arrow,
@@ -79,7 +80,8 @@ def demux_splits(
             # already-demuxed splits are mature for demux
             raise ValueError(f"split {s.split_id} already demuxed/merged")
     paths = [
-        os.path.join(catalog.split_dir(s.split_id), DOCS_FILE) for s in inputs
+        fsio.spark_read_path(fsio.join(catalog.split_dir(s.split_id), DOCS_FILE))
+        for s in inputs
     ]
     docs = spark.read.parquet(*paths).drop("docid", "ts_us", "doc_len")
 
@@ -112,7 +114,7 @@ def demux_splits(
         )
         split_id = bin_ids_b[bin_ord]
         size = write_split(
-            postings, dtbl, os.path.join(index_dir_b, "splits", split_id)
+            postings, dtbl, fsio.join(index_dir_b, "splits", split_id)
         )
         meta.update(
             split_id=split_id, bin=bin_ord, size_in_bytes=size,

@@ -46,6 +46,7 @@ import numpy as np
 import pandas as pd
 
 from quickwit_spark.config import IndexConfig
+from quickwit_spark.functions import fs as fsio
 from quickwit_spark.functions.codec import replace_first_varint
 from quickwit_spark.operators.build import DOCS_FILE, POSTINGS_FILE
 from quickwit_spark.plans.catalog import Catalog, SplitMetadata
@@ -125,7 +126,6 @@ def merge_split_files(
     ``out_dir``. Inputs must be given in the docid-concatenation order
     (sorted by split_id). Returns the new split's metadata dict."""
     import pyarrow as pa
-    import pyarrow.parquet as pq
 
     from quickwit_spark.operators.build import limit_worker_threads
 
@@ -135,23 +135,23 @@ def merge_split_files(
     offsets = []
     off = 0
     for d in split_dirs:
-        t = pq.read_table(os.path.join(d, DOCS_FILE))
+        t = fsio.read_table(fsio.join(d, DOCS_FILE))
         offsets.append(off)
         docid = t.column("docid").to_numpy() + off
         t = t.set_column(0, "docid", pa.array(docid, type=pa.int64()))
         doc_tables.append(t)
         off += len(t)
     docs = pa.concat_tables(doc_tables)
-    os.makedirs(out_dir, exist_ok=True)
-    pq.write_table(
-        docs, os.path.join(out_dir, DOCS_FILE),
+    fsio.makedirs(out_dir)
+    fsio.write_table(
+        docs, fsio.join(out_dir, DOCS_FILE),
         compression="zstd", row_group_size=8192,
     )
 
     # --- postings: sort-merge rows, splice varint heads ------------------
     frames = []
     for i, d in enumerate(split_dirs):
-        f = pq.read_table(os.path.join(d, POSTINGS_FILE)).to_pandas()
+        f = fsio.read_table(fsio.join(d, POSTINGS_FILE)).to_pandas()
         f["src"] = i
         f["first_docid"] += offsets[i]
         f["last_docid"] += offsets[i]
@@ -251,15 +251,15 @@ def merge_split_files(
             "positions": pos_out,
         }
     )
-    pq.write_table(
+    fsio.write_table(
         pa.Table.from_pandas(postings, preserve_index=False),
-        os.path.join(out_dir, POSTINGS_FILE),
+        fsio.join(out_dir, POSTINGS_FILE),
         compression="zstd",
         row_group_size=2048,
     )
 
     size = sum(
-        os.path.getsize(os.path.join(out_dir, f))
+        fsio.getsize(fsio.join(out_dir, f))
         for f in (POSTINGS_FILE, DOCS_FILE)
     )
     ts_us = docs.column("ts_us").to_numpy()

@@ -51,6 +51,7 @@ import numpy as np
 import pandas as pd
 
 from quickwit_spark.config import IndexConfig
+from quickwit_spark.functions import fs as fsio
 from quickwit_spark.functions.codec import decode_positions, decode_varint, delta_decode
 from quickwit_spark.functions.phrase import phrase_freq_bulk
 from quickwit_spark.operators.build import DOCS_FILE, POSTINGS_FILE
@@ -128,7 +129,7 @@ def _read_postings(split_dir: str, terms: set[tuple[str, str]]):
     """
     from quickwit_spark.functions.parquet_io import read_pruned
 
-    path = os.path.join(split_dir, POSTINGS_FILE)
+    path = fsio.join(split_dir, POSTINGS_FILE)
     term_values = sorted({t for _, t in terms})
     tbl = read_pruned(path, None, "term", term_values)
     out: dict[tuple[str, str], tuple] = {}
@@ -226,7 +227,7 @@ class _ShardPostings:
 
         from quickwit_spark.functions.parquet_io import read_pruned
 
-        self._pf = pq.ParquetFile(path)
+        self._pf = fsio.parquet_file(path)
         keyset = set(keys)
         term_values = sorted({t for _, t in keyset})
         self._term_values = term_values
@@ -349,7 +350,7 @@ def _wand_bool(
     only ever skips work that cannot change the top-m. Returns
     (ids, scores, num_hits, skip_stats).
     """
-    path = os.path.join(split_dir, POSTINGS_FILE)
+    path = fsio.join(split_dir, POSTINGS_FILE)
     group_keys = [[(t.field, t.value) for t in g] for g in groups]
     negk = [(t.field, t.value) for t in neg]
     all_pos = [key for g in group_keys for key in g]
@@ -656,13 +657,13 @@ def _eval_split_partial(
     from quickwit_spark.operators.build import limit_worker_threads
 
     limit_worker_threads()
-    dpath = os.path.join(split_dir, DOCS_FILE)
+    dpath = fsio.join(split_dir, DOCS_FILE)
     fast_cols = ["doc_len", "ts_us"]
     if sort_by and sort_by not in ("ts", "ts_us") and sort_by not in fast_cols:
         fast_cols.append(sort_by)
     import pyarrow as pa
 
-    fast = pq.read_table(dpath, columns=fast_cols)
+    fast = fsio.read_table(dpath, columns=fast_cols)
     if sort_by and sort_by in fast.column_names:
         if not (
             pa.types.is_integer(fast.column(sort_by).type)
@@ -753,7 +754,7 @@ def _eval_split_partial(
             elif c == "doc_len":
                 col_arrays[c] = doc_len
             else:
-                col_arrays[c] = pq.read_table(dpath, columns=[c]).column(c).to_numpy(
+                col_arrays[c] = fsio.read_table(dpath, columns=[c]).column(c).to_numpy(
                     zero_copy_only=False
                 )
         for name, spec in aggs.items():
@@ -781,14 +782,12 @@ def _hit_rows(
     — grouped, docid-filtered doc-store read) → hit rows."""
     import json as _json
 
-    import pyarrow.parquet as pq
-
     base = {c: None for c in _HIT_COLS}
     if len(top_ids) == 0:
         return []
     from quickwit_spark.functions.parquet_io import read_pruned
 
-    schema_cols = pq.read_schema(dpath).names
+    schema_cols = fsio.parquet_file(dpath).schema_arrow.names
     fetch_cols = [c for c in schema_cols if c not in ("ts_us", "doc_len")]
     doc_tbl = read_pruned(
         dpath, fetch_cols, "docid", [int(d) for d in top_ids]
@@ -937,11 +936,9 @@ class Searcher:
         self._df_cache: dict[tuple[str, str], int] = {}
         self._catalog_mtime = self._mtime()
 
-    def _mtime(self) -> float:
-        try:
-            return os.stat(os.path.join(self.index_dir, "catalog.json")).st_mtime
-        except OSError:
-            return 0.0
+    def _mtime(self):
+        # backend-aware commit token (JSON mtime / sqlite WAL state)
+        return Catalog.state_token(self.index_dir)
 
     @property
     def n_docs(self) -> int:
@@ -997,7 +994,7 @@ class Searcher:
                         out = []
                         for path in pdf["path"]:
                             t = read_pruned(
-                                os.path.join(path, POSTINGS_FILE),
+                                fsio.join(path, POSTINGS_FILE),
                                 ["field", "term", "df"],
                                 "term", term_values,
                             )
@@ -1302,13 +1299,13 @@ def stream_fast_field(
 
         for pdf in iterator:
             for split_id, path in zip(pdf["split_id"], pdf["path"]):
-                dpath = os.path.join(path, DOCS_FILE)
+                dpath = fsio.join(path, DOCS_FILE)
                 cols = ["doc_len", "ts_us"]
                 if fast_field not in cols:
                     cols.append(fast_field)
                 if partition_by and partition_by not in cols:
                     cols.append(partition_by)
-                fast = pq.read_table(dpath, columns=cols)
+                fast = fsio.read_table(dpath, columns=cols)
                 doc_len = fast.column("doc_len").to_numpy().astype(np.int64)
                 ts_us = fast.column("ts_us").to_numpy()
                 terms = query_terms(ast)
@@ -1357,20 +1354,20 @@ def write_stream_clickhouse_rowbinary(
     import pandas as pd
 
     dtype = {"i64": "<i8", "u64": "<u8", "f64": "<f8"}[value_type]
-    os.makedirs(out_dir, exist_ok=True)
+    fsio.makedirs(out_dir)
 
     def kernel(iterator):
         import uuid
 
         n = 0
-        path = os.path.join(out_dir, f"part-{uuid.uuid4().hex}.bin")
-        with open(path, "wb") as f:
+        path = fsio.join(out_dir, f"part-{uuid.uuid4().hex}.bin")
+        with fsio.open_output(path) as f:
             for pdf in iterator:
                 vals = pdf["value"].to_numpy()
                 f.write(np.ascontiguousarray(vals.astype(dtype)).tobytes())
                 n += len(pdf)
         if n == 0:
-            os.unlink(path)
+            fsio.delete(path)
             path = None
         yield pd.DataFrame({"path": [path], "n": [n]})
 

@@ -22,6 +22,7 @@ import os
 
 import pandas as pd
 
+from quickwit_spark.functions import fs as fsio
 from quickwit_spark.operators.build import POSTINGS_FILE
 from quickwit_spark.plans.catalog import Catalog
 
@@ -37,7 +38,7 @@ def refresh_term_stats(spark, catalog: Catalog) -> str | None:
     reads + one pandas groupby — no Spark job on the build's critical
     path); large ones run the distributed aggregation."""
     out_path = catalog.term_stats_path()
-    if os.path.exists(out_path):
+    if fsio.exists(out_path):
         return out_path
     splits = catalog.published_splits()
     if not splits:
@@ -51,8 +52,8 @@ def refresh_term_stats(spark, catalog: Catalog) -> str | None:
         import pyarrow as pa
 
         def read_one(s):
-            return pq.read_table(
-                os.path.join(catalog.split_dir(s.split_id), POSTINGS_FILE),
+            return fsio.read_table(
+                fsio.join(catalog.split_dir(s.split_id), POSTINGS_FILE),
                 columns=["field", "term", "df"],
             )
 
@@ -79,8 +80,8 @@ def refresh_term_stats(spark, catalog: Catalog) -> str | None:
         for pdf in iterator:
             out = []
             for path in pdf["path"]:
-                t = pq.read_table(
-                    os.path.join(path, POSTINGS_FILE),
+                t = fsio.read_table(
+                    fsio.join(path, POSTINGS_FILE),
                     columns=["field", "term", "df"],
                 )
                 out.append(t.to_pandas())
@@ -100,15 +101,18 @@ def refresh_term_stats(spark, catalog: Catalog) -> str | None:
 
 def _write_stats(agg: pd.DataFrame, out_path: str) -> str:
     import pyarrow as pa
-    import pyarrow.parquet as pq
 
-    os.makedirs(os.path.dirname(out_path), exist_ok=True)
-    tmp = out_path + ".tmp"
-    pq.write_table(
-        pa.Table.from_pandas(agg, preserve_index=False), tmp,
-        compression="zstd", row_group_size=32768,
-    )
-    os.replace(tmp, out_path)
+    fsio.makedirs(fsio.dirname(out_path))
+    tbl = pa.Table.from_pandas(agg, preserve_index=False)
+    if fsio.is_local(out_path):
+        # local: write-then-rename so readers never see a torn file
+        local = fsio.strip_local(out_path)
+        tmp = local + ".tmp"
+        fsio.write_table(tbl, tmp, compression="zstd", row_group_size=32768)
+        os.replace(tmp, local)
+    else:
+        # object stores: a PUT is atomic at the object level
+        fsio.write_table(tbl, out_path, compression="zstd", row_group_size=32768)
     return out_path
 
 
@@ -116,17 +120,19 @@ def carry_forward_term_stats(catalog: Catalog, old_version: str) -> bool:
     """Merges don't change global doc-freqs (Σ df is invariant under
     split concatenation), so the stats file survives a merge round
     verbatim — just republish it under the new version name."""
-    old_path = os.path.join(
+    old_path = fsio.join(
         catalog.index_dir, "term_stats", f"stats-{old_version}.parquet"
     )
     new_path = catalog.term_stats_path()
-    if os.path.exists(new_path) or not os.path.exists(old_path):
-        return os.path.exists(new_path)
-    import shutil
-
-    tmp = new_path + ".tmp"
-    shutil.copyfile(old_path, tmp)
-    os.replace(tmp, new_path)
+    if fsio.exists(new_path) or not fsio.exists(old_path):
+        return fsio.exists(new_path)
+    if fsio.is_local(new_path):
+        local = fsio.strip_local(new_path)
+        tmp = local + ".tmp"
+        fsio.copy_file(old_path, tmp)
+        os.replace(tmp, local)
+    else:
+        fsio.copy_file(old_path, new_path)
     return True
 
 
@@ -136,7 +142,7 @@ def lookup_term_stats(
     """Driver-side pushdown point read of global dfs; None if the stats
     file for the current published set doesn't exist."""
     path = catalog.term_stats_path()
-    if not os.path.exists(path):
+    if not fsio.exists(path):
         return None
     from quickwit_spark.functions.parquet_io import read_pruned
 

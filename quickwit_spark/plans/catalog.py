@@ -26,6 +26,8 @@ import uuid
 from dataclasses import asdict, dataclass, field
 
 from quickwit_spark.config import IndexConfig
+from quickwit_spark.functions import fs as fsio
+
 
 STAGED = "Staged"
 PUBLISHED = "Published"
@@ -97,7 +99,7 @@ class Catalog:
 
     def __init__(self, index_dir: str):
         self.index_dir = index_dir
-        self.path = os.path.join(index_dir, "catalog.json")
+        self.path = fsio.join(index_dir, "catalog.json")
         self.config: IndexConfig | None = None
         self.splits: dict[str, SplitMetadata] = {}
         self.checkpoint: dict[str, str] = {}  # source partition -> position
@@ -129,10 +131,16 @@ class Catalog:
         backend = backend or os.environ.get("QUICKWIT_SPARK_CATALOG", "json")
         if backend not in ("json", "sqlite"):
             raise ValueError(f"unknown catalog backend {backend!r}")
+        if backend == "sqlite" and not fsio.is_local(index_dir):
+            raise ValueError(
+                "the sqlite catalog backend requires a local index_dir "
+                f"(got {index_dir!r}); at object-store scale use the JSON "
+                "backend or a DB-server metastore"
+            )
         config.validate()
-        os.makedirs(index_dir, exist_ok=True)
-        os.makedirs(os.path.join(index_dir, "splits"), exist_ok=True)
-        os.makedirs(os.path.join(index_dir, "lineage"), exist_ok=True)
+        fsio.resolve_fs(index_dir)  # reject unknown schemes before any I/O
+        fsio.makedirs(fsio.join(index_dir, "splits"))
+        fsio.makedirs(fsio.join(index_dir, "lineage"))
         cat = SqliteCatalog(index_dir) if backend == "sqlite" else Catalog(index_dir)
         cat.config = config
         cat.source_path = source_path
@@ -144,11 +152,12 @@ class Catalog:
     def load(index_dir: str) -> "Catalog":
         """Load whichever backend lives at ``index_dir`` (a catalog.db
         takes precedence — an index has exactly one backend)."""
-        if os.path.exists(os.path.join(index_dir, SqliteCatalog.DB_FILE)):
+        if fsio.is_local(index_dir) and os.path.exists(
+            os.path.join(fsio.strip_local(index_dir), SqliteCatalog.DB_FILE)
+        ):
             return SqliteCatalog._load(index_dir)
         cat = Catalog(index_dir)
-        with open(cat.path) as f:
-            d = json.load(f)
+        d = json.loads(fsio.read_bytes(cat.path))
         d = Catalog._migrate(d)
         cat.config = IndexConfig.from_dict(d["config"])
         cat.splits = {
@@ -174,9 +183,29 @@ class Catalog:
 
     @staticmethod
     def exists(index_dir: str) -> bool:
-        return os.path.exists(
-            os.path.join(index_dir, "catalog.json")
-        ) or os.path.exists(os.path.join(index_dir, SqliteCatalog.DB_FILE))
+        if fsio.exists(fsio.join(index_dir, "catalog.json")):
+            return True
+        return fsio.is_local(index_dir) and os.path.exists(
+            os.path.join(fsio.strip_local(index_dir), SqliteCatalog.DB_FILE)
+        )
+
+    @staticmethod
+    def state_token(index_dir: str) -> tuple:
+        """A cheap token that changes on every commit, whichever backend
+        (JSON rewrite → file mtime/size; sqlite WAL → the -wal file
+        moves even when catalog.db doesn't). Searchers poll this to
+        detect a republish (the metastore-poll analog)."""
+        tok = [fsio.mtime_ns(fsio.join(index_dir, "catalog.json"))]
+        if fsio.is_local(index_dir):
+            base = fsio.strip_local(index_dir)
+            for f in (SqliteCatalog.DB_FILE, SqliteCatalog.DB_FILE + "-wal"):
+                p = os.path.join(base, f)
+                try:
+                    st = os.stat(p)
+                    tok.append((st.st_mtime_ns, st.st_size))
+                except OSError:
+                    tok.append(0)
+        return tuple(tok)
 
     def _clear_dirty(self) -> None:
         self._dirty_splits.clear()
@@ -186,7 +215,10 @@ class Catalog:
         self._dirty_meta = False
 
     def _commit(self) -> None:
-        """Atomic write: temp file + rename (publisher.rs:140-148 analog)."""
+        """Atomic write. Local: temp file + fsync + rename
+        (publisher.rs:140-148 analog). Object stores: one PUT — object
+        writes are already all-or-nothing at the object level (the
+        reference's S3 file-backed metastore commits the same way)."""
         payload = {
             "version": CATALOG_VERSION,
             "config": self.config.to_dict(),
@@ -195,12 +227,17 @@ class Catalog:
             "source_path": self.source_path,
             "merge_seq": self.merge_seq,
         }
-        tmp = self.path + f".tmp-{uuid.uuid4().hex}"
-        with open(tmp, "w") as f:
-            json.dump(payload, f, indent=1, sort_keys=True)
-            f.flush()
-            os.fsync(f.fileno())
-        os.replace(tmp, self.path)
+        body = json.dumps(payload, indent=1, sort_keys=True)
+        if fsio.is_local(self.path):
+            local = fsio.strip_local(self.path)
+            tmp = local + f".tmp-{uuid.uuid4().hex}"
+            with open(tmp, "w") as f:
+                f.write(body)
+                f.flush()
+                os.fsync(f.fileno())
+            os.replace(tmp, local)
+        else:
+            fsio.write_bytes(self.path, body.encode())
         self._clear_dirty()
 
     def replace_checkpoint(self, new: dict) -> None:
@@ -327,15 +364,13 @@ class Catalog:
 
     def delete_splits(self, split_ids: list[str]) -> None:
         """GC: physically removable only once marked (garbage_collection.rs)."""
-        import shutil
-
         for sid in split_ids:
             meta = self.splits.get(sid)
             if meta is None:
                 continue
             if meta.state not in (MARKED_FOR_DELETION, STAGED):
                 raise ValueError(f"split {sid} is {meta.state}, not deletable")
-            shutil.rmtree(self.split_dir(sid), ignore_errors=True)
+            fsio.rmtree(self.split_dir(sid))
             del self.splits[sid]
             self._deleted_split_ids.add(sid)
             self._dirty_splits.discard(sid)
@@ -350,7 +385,7 @@ class Catalog:
         )
 
     def split_dir(self, split_id: str) -> str:
-        return os.path.join(self.index_dir, "splits", split_id)
+        return fsio.join(self.index_dir, "splits", split_id)
 
     def stats_version(self) -> str:
         """Deterministic version tag of the published split set — names
@@ -361,7 +396,7 @@ class Catalog:
         return hashlib.md5(ids.encode()).hexdigest()[:16]
 
     def term_stats_path(self) -> str:
-        return os.path.join(
+        return fsio.join(
             self.index_dir, "term_stats", f"stats-{self.stats_version()}.parquet"
         )
 
@@ -392,10 +427,12 @@ class Catalog:
             df[c] = df[c].astype("string")
         for c in ("wall_time_sec", "ts"):
             df[c] = df[c].astype("float64")
-        out = os.path.join(
+        import pyarrow as pa
+
+        out = fsio.join(
             self.index_dir, "lineage", f"lineage-{uuid.uuid4().hex}.parquet"
         )
-        df.to_parquet(out, index=False)
+        fsio.write_table(pa.Table.from_pandas(df, preserve_index=False), out)
 
 
 class SqliteCatalog(Catalog):
@@ -421,7 +458,10 @@ class SqliteCatalog(Catalog):
 
     def __init__(self, index_dir: str):
         super().__init__(index_dir)
-        self.path = os.path.join(index_dir, self.DB_FILE)
+        # sqlite needs a REAL local file even when index_dir is a
+        # local-backed URI (file:// / mock://); split I/O still routes
+        # through the filesystem layer via split_dir()
+        self.path = os.path.join(fsio.strip_local(index_dir), self.DB_FILE)
         self._conn = None
 
     # -- connection / schema ----------------------------------------------

@@ -33,6 +33,7 @@ import time
 import pandas as pd
 
 from quickwit_spark.config import IndexConfig
+from quickwit_spark.functions import fs as fsio
 from quickwit_spark.operators.build import build_split_tables, write_split
 from quickwit_spark.plans.catalog import Catalog, SplitMetadata
 
@@ -80,7 +81,7 @@ def ingest_batch(
         )
         split_id = f"stream-{batch_key_b}-{split_ord:04d}"
         size = write_split(
-            postings, docs, os.path.join(index_dir_b, "splits", split_id)
+            postings, docs, fsio.join(index_dir_b, "splits", split_id)
         )
         meta.update(
             split_id=split_id, split_ord=split_ord, size_in_bytes=size,
