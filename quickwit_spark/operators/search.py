@@ -29,9 +29,10 @@ tiny first Spark job that reads only the (field, term, df) columns of
 term-pruned splits. ``Searcher`` caches those stats across queries.
 
 Block-max pruning: posting rows carry (max_tf, min_dl, first/last
-docid) per shard; for flat term booleans (single term, conjunction,
-disjunction, each ± must_not) the kernel cuts docid space into
-segments at shard boundaries and processes them document-at-a-time in
+docid) per shard; for flat term/phrase booleans (single term or
+phrase, conjunction, disjunction, each ± must_not) the kernel cuts
+docid space into segments at shard boundaries and processes them
+document-at-a-time in
 descending score-upper-bound order, skipping decode + scoring work that
 cannot reach the running top-k threshold (tantivy's block-max WAND at
 shard granularity, extended across terms — the reference disables
@@ -173,29 +174,34 @@ def _bm25_scores(tfs, dls, df_global, n_total, avgdl, k1, b):
 
 def _wand_plan(ast):
     """Normalize a prunable query into ``(groups, neg_terms)`` where
-    every group is a list of Terms and the query means "every group has
-    >=1 matching member, scores sum over all matching members, minus
-    the negated terms". Covers: single term (1 group of 1),
-    conjunction (n groups of 1), disjunction (1 group of n),
-    conjunction of disjunction-groups — e.g. the multifield expansion
-    ``(text:en OR lang:en) AND (text:v OR lang:v)`` — and any of these
-    with must_not terms. Anything else (phrases, deeper nesting,
-    pure-negation) returns None and takes the exhaustive path."""
+    every group is a list of members (Term or Phrase) and the query
+    means "every group has >=1 matching member, scores sum over all
+    matching members, minus the negated terms". Covers: single
+    term/phrase (1 group of 1), conjunction (n groups of 1),
+    disjunction (1 group of n), conjunction of disjunction-groups —
+    e.g. the multifield expansion ``(text:en OR lang:en) AND
+    (text:v OR lang:v)`` — and any of these with must_not terms.
+    Phrase members prune two-phase: segments are bounded by the member
+    tokens' shard stats (phrase freq ≤ min token tf, so score ≤
+    Σtoken-idf × norm(min max_tf, max min_dl)) and positions are only
+    decoded for shards whose token docid-intersection is non-empty.
+    Anything else (deeper nesting, phrase must_not, pure-negation)
+    returns None and takes the exhaustive path."""
 
     def term_group(node):
-        if isinstance(node, Term):
+        if isinstance(node, (Term, Phrase)):
             return [node]
         if (
             isinstance(node, Bool)
             and node.should
             and not node.must
             and not node.must_not
-            and all(isinstance(c, Term) for c in node.should)
+            and all(isinstance(c, (Term, Phrase)) for c in node.should)
         ):
             return list(node.should)
         return None
 
-    if isinstance(ast, Term):
+    if isinstance(ast, (Term, Phrase)):
         return [[ast]], []
     if not isinstance(ast, Bool):
         return None
@@ -263,8 +269,11 @@ class _ShardPostings:
             }
         self._blob_row: dict[tuple[str, str, int], int] | None = None
         self._blob_tbl = None
+        self._pos_row: dict[tuple[str, str, int], int] | None = None
+        self._pos_tbl = None
         self._doc_cache: dict[tuple[str, str, int], np.ndarray] = {}
         self._tf_cache: dict[tuple[str, str, int], np.ndarray] = {}
+        self._pos_cache: dict[tuple[str, str, int], np.ndarray | None] = {}
 
     def _blobs(self):
         if self._blob_tbl is None:
@@ -307,6 +316,42 @@ class _ShardPostings:
             self._tf_cache[key] = got
         return got
 
+    def positions(self, field: str, term: str, shard: int):
+        """Decoded positions for one shard, or None when the field has
+        no positions. Read from a SEPARATE pushdown scan so term-only
+        queries never touch the (large) position blobs."""
+        key = (field, term, shard)
+        if key in self._pos_cache:
+            return self._pos_cache[key]
+        if self._pos_tbl is None:
+            from quickwit_spark.functions.parquet_io import read_pruned
+
+            self._pos_tbl = read_pruned(
+                self._pf,
+                ["field", "term", "shard", "positions"],
+                "term", self._term_values,
+            )
+            self._pos_row = {
+                (f, t, int(s)): i
+                for i, (f, t, s) in enumerate(
+                    zip(
+                        self._pos_tbl.column("field").to_pylist(),
+                        self._pos_tbl.column("term").to_pylist(),
+                        self._pos_tbl.column("shard").to_pylist(),
+                    )
+                )
+            }
+        blob = self._pos_tbl.column("positions")[self._pos_row[key]].as_py()
+        got = (
+            None
+            if blob is None
+            else decode_positions(blob, self.tfs(field, term, shard)).astype(
+                np.int64
+            )
+        )
+        self._pos_cache[key] = got
+        return got
+
     @property
     def n_docid_decoded(self) -> int:
         return len(self._doc_cache)
@@ -314,6 +359,10 @@ class _ShardPostings:
     @property
     def n_tf_decoded(self) -> int:
         return len(self._tf_cache)
+
+    @property
+    def n_pos_decoded(self) -> int:
+        return len(self._pos_cache)
 
 
 def _wand_bool(
@@ -351,58 +400,103 @@ def _wand_bool(
     (ids, scores, num_hits, skip_stats).
     """
     path = fsio.join(split_dir, POSTINGS_FILE)
-    group_keys = [[(t.field, t.value) for t in g] for g in groups]
     negk = [(t.field, t.value) for t in neg]
-    all_pos = [key for g in group_keys for key in g]
+
+    def _minfo(node):
+        if isinstance(node, Term):
+            return ("term", [(node.field, node.value)], 0)
+        return ("phrase", [(node.field, tok) for tok in node.tokens], node.slop)
+
+    member_info = [[_minfo(n) for n in g] for g in groups]
+    all_pos = [k for g in member_info for (_, keys, _) in g for k in keys]
     sp = _ShardPostings(path, all_pos + negk)
     k1, b = config.k1, config.b
     N, avgdl = stats["N"], stats["avgdl"]
     empty = (np.empty(0, np.int64), np.empty(0, np.float64))
-    no_work = {"shards": 0, "docid_decoded": 0, "tf_decoded": 0}
+    no_work = {"shards": 0, "docid_decoded": 0, "tf_decoded": 0,
+               "pos_decoded": 0}
 
-    # drop members absent from this split; a group with no present
-    # member empties the whole conjunction
-    group_keys = [[k for k in g if k in sp.stats] for g in group_keys]
-    if any(not g for g in group_keys):
+    # drop members with any absent key (a phrase missing a token matches
+    # nothing); a group with no present member empties the conjunction
+    member_info = [
+        [mi for mi in g if all(k in sp.stats for k in mi[1])]
+        for g in member_info
+    ]
+    if any(not g for g in member_info):
         return (*empty, 0, no_work)
 
-    # flat member arrays + per-shard upper bounds; group_of[i] maps a
-    # member back to its group
-    term_arrs = []
-    group_of: list[int] = []
-    n_pos_shards = 0
-    for gi, g in enumerate(group_keys):
-        for key in g:
-            st = sp.stats[key]
-            df_g = stats["df"].get(key, 0)
-            ub = _bm25_scores(
-                st["max_tf"], st["min_dl"].astype(np.float64), df_g,
-                N, avgdl, k1, b,
-            )
-            term_arrs.append((key, st["first"], st["last"], ub, df_g))
-            group_of.append(gi)
-            n_pos_shards += st["first"].size
+    def _idf(key):
+        df_g = stats["df"].get(key, 0)
+        return math.log(1.0 + (N - df_g + 0.5) / (df_g + 0.5))
 
-    # segment boundaries at positive shard edges
-    bounds = np.unique(
-        np.concatenate(
-            [a[1] for a in term_arrs] + [a[2] + 1 for a in term_arrs]
-        )
-    )
+    # flat member list; memb[i] carries group, kind, keys, per-token
+    # shard indices and coverage per segment
+    memb: list[dict] = []
+    n_pos_shards = 0
+    for gi, g in enumerate(member_info):
+        for kind, keys, slop in g:
+            m_ = {"g": gi, "kind": kind, "keys": keys, "slop": slop}
+            if kind == "term":
+                m_["df"] = stats["df"].get(keys[0], 0)
+            else:
+                # exhaustive-evaluator association: sum() of per-token
+                # idfs in token order (see _SplitEval Phrase branch)
+                m_["idf_sum"] = sum(_idf(k) for k in keys)
+            memb.append(m_)
+            n_pos_shards += sum(sp.stats[k]["first"].size for k in keys)
+
+    # segment boundaries at every member token's shard edges, so term
+    # coverage is constant within a segment
+    edges = []
+    for m_ in memb:
+        for k in m_["keys"]:
+            st = sp.stats[k]
+            edges.append(st["first"])
+            edges.append(st["last"] + 1)
+    bounds = np.unique(np.concatenate(edges))
     seg_lo = bounds[:-1]
     seg_hi = bounds[1:]
     n_seg = seg_lo.size
-    n_groups = len(group_keys)
+    n_groups = len(member_info)
 
-    covers = np.full((len(term_arrs), n_seg), -1, dtype=np.int64)
+    # per-member coverage + segment score upper bounds. A phrase
+    # occurrence needs every token present in the doc, so
+    # freq ≤ min token tf and candidate dl ≥ max token-shard min_dl:
+    # UB = Σtoken-idf × norm(min max_tf, max min_dl) — ≥ any real
+    # phrase score in the segment (norm ↑ in freq, ↓ in dl)
     ub_seg = np.zeros(n_seg, dtype=np.float64)
     g_cov = np.zeros((n_groups, n_seg), dtype=bool)
-    for i, (key, firsts, lasts, ub, _dfg) in enumerate(term_arrs):
-        k = np.searchsorted(firsts, seg_lo, side="right") - 1
-        cov = (k >= 0) & (lasts[np.maximum(k, 0)] >= seg_lo)
-        covers[i] = np.where(cov, k, -1)
-        ub_seg += np.where(cov, ub[np.maximum(k, 0)], 0.0)
-        g_cov[group_of[i]] |= cov
+    for m_ in memb:
+        tok_k = []
+        cov = np.ones(n_seg, dtype=bool)
+        for key in m_["keys"]:
+            st = sp.stats[key]
+            kk = np.searchsorted(st["first"], seg_lo, side="right") - 1
+            cov &= (kk >= 0) & (st["last"][np.maximum(kk, 0)] >= seg_lo)
+            tok_k.append(np.maximum(kk, 0))
+        m_["cov"] = cov
+        m_["tok_k"] = tok_k
+        if m_["kind"] == "term":
+            st = sp.stats[m_["keys"][0]]
+            kk = tok_k[0]
+            ub = _bm25_scores(
+                st["max_tf"][kk], st["min_dl"][kk].astype(np.float64),
+                m_["df"], N, avgdl, k1, b,
+            )
+        else:
+            f_ub = dl_lb = None
+            for key, kk in zip(m_["keys"], tok_k):
+                st = sp.stats[key]
+                mt = st["max_tf"][kk].astype(np.float64)
+                md = st["min_dl"][kk].astype(np.float64)
+                f_ub = mt if f_ub is None else np.minimum(f_ub, mt)
+                dl_lb = md if dl_lb is None else np.maximum(dl_lb, md)
+            norm = f_ub * (k1 + 1.0) / (
+                f_ub + k1 * (1.0 - b + b * dl_lb / avgdl)
+            )
+            ub = m_["idf_sum"] * norm
+        ub_seg += np.where(cov, ub, 0.0)
+        g_cov[m_["g"]] |= cov
     active = g_cov.all(axis=0)
     active_idx = np.flatnonzero(active)
 
@@ -419,30 +513,82 @@ def _wand_bool(
                 ids = ids[~np.isin(ids, dec, assume_unique=True)]
         return ids
 
-    def member_slice(i: int, s: int):
-        """Member i's decoded (docids, tfs|None placeholder) slice
-        within segment s, or None when not covering."""
-        k = int(covers[i][s])
-        if k < 0:
-            return None
-        key = term_arrs[i][0]
-        dec = sp.docids(key[0], key[1], int(sp.stats[key]["shard"][k]))
-        lo, hi = int(seg_lo[s]), int(seg_hi[s])
+    def _term_slice(m_, s: int, lo: int, hi: int, with_tf: bool):
+        key = m_["keys"][0]
+        shard = int(sp.stats[key]["shard"][m_["tok_k"][0][s]])
+        dec = sp.docids(key[0], key[1], shard)
         a_, b_ = np.searchsorted(dec, lo), np.searchsorted(dec, hi)
-        return dec[a_:b_], (key, k, a_, b_)
+        if not with_tf:
+            return dec[a_:b_], None
+        return dec[a_:b_], sp.tfs(key[0], key[1], shard)[a_:b_]
+
+    def _phrase_seg(m_, s: int, lo: int, hi: int):
+        """(matching docids, phrase freqs) of one phrase member within
+        segment s — positions decoded ONLY here, i.e. only for shards
+        whose token docid-intersection is non-empty."""
+        toks = []
+        cand = None
+        for key, kk in zip(m_["keys"], m_["tok_k"]):
+            shard = int(sp.stats[key]["shard"][kk[s]])
+            dec = sp.docids(key[0], key[1], shard)
+            a_, b_ = np.searchsorted(dec, lo), np.searchsorted(dec, hi)
+            sl = dec[a_:b_]
+            cand = sl if cand is None else np.intersect1d(
+                cand, sl, assume_unique=True
+            )
+            if cand.size == 0:
+                return empty
+            toks.append((key, shard, dec))
+        token_positions = []
+        for key, shard, dec in toks:
+            tfs = sp.tfs(key[0], key[1], shard)
+            pos = sp.positions(key[0], key[1], shard)
+            if pos is None:
+                return empty  # field without positions: phrase matches nothing
+            starts = np.concatenate(([0], np.cumsum(tfs)[:-1]))
+            idx = np.searchsorted(dec, cand)
+            seg_starts = starts[idx]
+            seg_lens = tfs[idx]
+            total = int(seg_lens.sum())
+            inner = np.arange(total, dtype=np.int64) - np.repeat(
+                np.concatenate(([0], np.cumsum(seg_lens)[:-1])), seg_lens
+            )
+            gathered = pos[np.repeat(seg_starts, seg_lens) + inner]
+            token_positions.append((seg_lens, gathered))
+        freqs = phrase_freq_bulk(token_positions, m_["slop"]).astype(
+            np.float64
+        )
+        mask = freqs > 0
+        return cand[mask], freqs[mask]
+
+    pcache: dict[tuple[int, int], tuple] = {}
+
+    def member_ids(mi: int, s: int):
+        """Matching docids of member mi within segment s; None when the
+        member has no covering shard there."""
+        m_ = memb[mi]
+        if not m_["cov"][s]:
+            return None
+        lo, hi = int(seg_lo[s]), int(seg_hi[s])
+        if m_["kind"] == "term":
+            return _term_slice(m_, s, lo, hi, with_tf=False)[0]
+        got = pcache.get((mi, s))
+        if got is None:
+            got = _phrase_seg(m_, s, lo, hi)
+            pcache[(mi, s)] = got
+        return got[0]
 
     def seg_candidates(s: int) -> np.ndarray:
         lo, hi = int(seg_lo[s]), int(seg_hi[s])
         ids = None
         for gi in range(n_groups):
             g_ids = None
-            for i in range(len(term_arrs)):
-                if group_of[i] != gi:
+            for mi in range(len(memb)):
+                if memb[mi]["g"] != gi:
                     continue
-                got = member_slice(i, s)
-                if got is None:
+                sl = member_ids(mi, s)
+                if sl is None:
                     continue
-                sl = got[0]
                 g_ids = sl if g_ids is None else np.union1d(g_ids, sl)
             if g_ids is None:
                 return np.empty(0, np.int64)
@@ -456,10 +602,11 @@ def _wand_bool(
     # ---- exact num_hits ------------------------------------------------
     cand_cache: dict[int, np.ndarray] = {}
     single_uncounted = (
-        n_groups == 1 and len(group_keys[0]) == 1 and not negk
+        n_groups == 1 and len(memb) == 1
+        and memb[0]["kind"] == "term" and not negk
     )
     if single_uncounted:
-        num_hits = int(sp.stats[group_keys[0][0]]["df"].sum())
+        num_hits = int(sp.stats[memb[0]["keys"][0]]["df"].sum())
     else:
         num_hits = 0
         for s in active_idx:
@@ -481,38 +628,59 @@ def _wand_bool(
             ids = seg_candidates(s)
         if ids.size == 0:
             continue
+        lo, hi = int(seg_lo[s]), int(seg_hi[s])
         # per-group partial sums added group-by-group: the SAME float
         # association as the exhaustive evaluator (Bool.must sums its
         # children's score arrays), so scores are bit-identical
         scores = np.zeros(ids.size, dtype=np.float64)
         for gi in range(n_groups):
-            single = len(group_keys[gi]) == 1
+            g_members = [mi for mi in range(len(memb)) if memb[mi]["g"] == gi]
+            single = len(g_members) == 1
             g_scores = scores if single else np.zeros(ids.size, dtype=np.float64)
-            for i in range(len(term_arrs)):
-                if group_of[i] != gi:
+            for mi in g_members:
+                m_ = memb[mi]
+                sl_ids = member_ids(mi, s)
+                if sl_ids is None:
                     continue
-                got = member_slice(i, s)
-                if got is None:
-                    continue
-                sl_ids, (key, k, a_, b_) = got
-                tf = sp.tfs(key[0], key[1], int(sp.stats[key]["shard"][k]))
-                sl_tf = tf[a_:b_]
-                df_g = term_arrs[i][4]
-                if single:
-                    # candidates ⊆ the member's slice (candidates were
-                    # intersected with this very slice)
-                    idx = np.searchsorted(sl_ids, ids)
-                    g_scores += _bm25_scores(
-                        sl_tf[idx], doc_len[ids], df_g, N, avgdl, k1, b
-                    )
-                else:
-                    common, ci, si = np.intersect1d(
-                        ids, sl_ids, assume_unique=True, return_indices=True
-                    )
-                    if common.size:
-                        g_scores[ci] += _bm25_scores(
-                            sl_tf[si], doc_len[common], df_g, N, avgdl, k1, b
+                if m_["kind"] == "term":
+                    _, sl_tf = _term_slice(m_, s, lo, hi, with_tf=True)
+                    if single:
+                        # candidates ⊆ the member's slice (candidates
+                        # were intersected with this very slice)
+                        idx = np.searchsorted(sl_ids, ids)
+                        g_scores += _bm25_scores(
+                            sl_tf[idx], doc_len[ids], m_["df"], N, avgdl, k1, b
                         )
+                    else:
+                        common, ci, si = np.intersect1d(
+                            ids, sl_ids, assume_unique=True, return_indices=True
+                        )
+                        if common.size:
+                            g_scores[ci] += _bm25_scores(
+                                sl_tf[si], doc_len[common], m_["df"],
+                                N, avgdl, k1, b,
+                            )
+                else:
+                    p_ids, p_freqs = pcache[(mi, s)]
+                    if single:
+                        idx = np.searchsorted(p_ids, ids)
+                        fr = p_freqs[idx]
+                        dls = doc_len[ids]
+                        norm = fr * (k1 + 1.0) / (
+                            fr + k1 * (1.0 - b + b * dls / avgdl)
+                        )
+                        g_scores += m_["idf_sum"] * norm
+                    else:
+                        common, ci, si = np.intersect1d(
+                            ids, p_ids, assume_unique=True, return_indices=True
+                        )
+                        if common.size:
+                            fr = p_freqs[si]
+                            dls = doc_len[common]
+                            norm = fr * (k1 + 1.0) / (
+                                fr + k1 * (1.0 - b + b * dls / avgdl)
+                            )
+                            g_scores[ci] += m_["idf_sum"] * norm
             if not single:
                 scores += g_scores
         best_ids = np.concatenate([best_ids, ids])
@@ -524,6 +692,7 @@ def _wand_bool(
         "shards": n_pos_shards,
         "docid_decoded": sp.n_docid_decoded,
         "tf_decoded": sp.n_tf_decoded,
+        "pos_decoded": sp.n_pos_decoded,
     }
     return best_ids, best_scores, num_hits, skips
 

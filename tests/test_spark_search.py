@@ -210,6 +210,52 @@ class TestWand:
         np.testing.assert_array_equal(ids, ids_all[order][:3])
         np.testing.assert_allclose(scores, scores_all[order][:3])
 
+    def test_wand_phrase_conjunction_skips_positions(self, tmp_path):
+        """rare AND "common common": segments outside the rare term's
+        single-doc range can't match the conjunction, so the hot phrase
+        tokens' position blobs there are never decoded (the two-phase
+        phrase-pruning win — a hot phrase used to decode ALL blobs)."""
+        import numpy as np
+
+        from quickwit_spark.config import IndexConfig
+        from quickwit_spark.functions.tokenize import tokenize_default
+        from quickwit_spark.operators.build import build_split_tables, write_split
+        from quickwit_spark.operators.search import _wand_bool
+        from quickwit_spark.plans.query import Phrase, Term
+        from quickwit_spark.sources.transcripts import fixture_corpus
+
+        docs = [("common common rareone",)] + [
+            (f"common common filler{i:03d}",) for i in range(99)
+        ]
+        pdf = fixture_corpus(docs)
+        cfg = IndexConfig(hot_term_doc_freq=10, salt_docid_range=8)
+        postings, dstore, meta = build_split_tables(pdf, cfg)
+        sd = str(tmp_path / "phrase")
+        write_split(postings, dstore, sd)
+        doc_len = dstore["doc_len"].to_numpy().astype(np.float64)
+        df_common = sum(
+            "common" in tokenize_default(t) for t in pdf["text"]
+        )
+        stats = {
+            "N": meta["num_docs"],
+            "avgdl": meta["sum_doc_len"] / meta["num_docs"],
+            "df": {("text", "common"): df_common, ("text", "rareone"): 1},
+        }
+        ph = Phrase("text", ("common", "common"))
+        rare = Term("text", "rareone")
+        ids, scores, num_hits, sk = _wand_bool(
+            sd, [[rare], [ph]], [], doc_len, stats, cfg, 5
+        )
+        assert num_hits == 1 and len(ids) == 1
+        assert sk["shards"] > 10           # the hot token is sharded
+        assert sk["pos_decoded"] <= 2      # only the rare doc's shard
+        # and the phrase alone (all segments active) is still exact
+        ids_all, scores_all, n_all, sk_all = _wand_bool(
+            sd, [[ph]], [], doc_len, stats, cfg, 10_000
+        )
+        assert n_all == 100 == len(ids_all)
+        assert sk_all["pos_decoded"] >= 10  # honest: unpruned = decode all
+
 
 def test_deep_k(oracle, searcher):
     assert_rank_identical(
@@ -447,8 +493,8 @@ def test_global_df_cold_path_term_range_pruned(spark, index_dir, searcher):
 
 
 def test_wand_plan_covers_nested_should_groups(searcher):
-    """Conjunctions of term-disjunction groups (incl. the multifield
-    expansion) are WAND-able; phrases and deeper nesting fall back."""
+    """Conjunctions of term/phrase-disjunction groups (incl. the
+    multifield expansion) are WAND-able; deeper nesting falls back."""
     from quickwit_spark.operators.search import _wand_plan
     from quickwit_spark.plans.query import parse_query
 
@@ -462,8 +508,12 @@ def test_wand_plan_covers_nested_should_groups(searcher):
         parse_query("en AND w00001", cfg, search_fields=["text", "role"])
     )
     assert plan is not None and [len(g) for g in plan[0]] == [2, 2]
-    # phrases fall back
-    assert _wand_plan(parse_query('"w00001 w00002"', cfg)) is None
+    # phrases are WAND-able members (two-phase pruning); deeper
+    # nesting still falls back
+    plan = _wand_plan(parse_query('"w00001 w00002"', cfg))
+    assert plan is not None and [len(g) for g in plan[0]] == [1]
+    plan = _wand_plan(parse_query('w00000 AND "w00001 w00002"', cfg))
+    assert plan is not None and [len(g) for g in plan[0]] == [1, 1]
 
 
 def test_wand_equals_exhaustive_multifield(searcher):
