@@ -326,6 +326,28 @@ class Index:
     def list_splits(self) -> list[dict]:
         return [s.to_dict() for s in self.catalog().splits.values()]
 
+    def extract_split(self, split_id: str, target_dir: str) -> list[str]:
+        """CLI ``split extract`` analog (quickwit-cli/src/split.rs:152):
+        copy one split's files out of the index (any storage scheme on
+        either side) for offline inspection. Returns the written paths."""
+        from pyarrow.fs import FileSelector
+
+        from quickwit_spark.functions import fs as fsio
+
+        cat = self.catalog()
+        if split_id not in cat.splits:
+            raise ValueError(f"no split {split_id!r} in {self.index_dir}")
+        src_dir = cat.split_dir(split_id)
+        fsio.makedirs(target_dir)
+        out = []
+        src_fs, src_base = fsio.resolve_fs(src_dir)
+        for info in src_fs.get_file_info(FileSelector(src_base)):
+            name = info.path.rsplit("/", 1)[-1]
+            dst = fsio.join(target_dir, name)
+            fsio.write_bytes(dst, fsio.read_bytes(fsio.join(src_dir, name)))
+            out.append(dst)
+        return out
+
     def lineage(self):
         """The per-split lineage/metrics table (north rule) as a
         DataFrame."""

@@ -153,6 +153,34 @@ class TestMockE2E:
         assert _doc_key(after) == _doc_key(before)
         assert _hits_key(after) == _hits_key(local_twin.search(q, k=20))
 
+    def test_extract_split(self, mock_index, tmp_path):
+        sid = mock_index.list_splits()[0]["split_id"]
+        out = mock_index.extract_split(sid, str(tmp_path / "ex"))
+        names = sorted(p.rsplit("/", 1)[-1] for p in out)
+        assert names == ["docs.parquet", "postings.parquet"]
+        assert all(os.path.getsize(p) > 0 for p in out)
+        with pytest.raises(ValueError, match="no split"):
+            mock_index.extract_split("nope", str(tmp_path / "ex2"))
+
+    def test_demux_on_mock(self, spark, corpus, mock_backing):
+        from quickwit_spark.operators.demux import demux_splits
+        from quickwit_spark.plans.catalog import Catalog
+
+        d = "mock://" + os.path.join(mock_backing, "demux")
+        idx = Index.create(spark, d, IndexConfig(
+            hot_term_doc_freq=200, salt_docid_range=64, tag_fields=["tool"],
+        ))
+        idx.ingest(spark.createDataFrame(corpus[:400]), n_splits=2,
+                   ingest_id="dm")
+        cat = Catalog.load(d)
+        sids = [s.split_id for s in cat.published_splits()]
+        new = demux_splits(spark, cat, sids, demux_field="tool",
+                           demux_factor=3)
+        assert new and sum(s.num_docs for s in new) == 400
+        assert all(s.tag_has_null is not None for s in new)
+        n = idx.search("w00001", k=5).num_hits
+        assert n == idx.search("w00001", k=5, wand=False).num_hits
+
     def test_delete_through_fs(self, spark, corpus, mock_backing):
         d = "mock://" + os.path.join(mock_backing, "todelete")
         idx = Index.create(spark, d, _cfg())
