@@ -33,6 +33,23 @@ STAGED = "Staged"
 PUBLISHED = "Published"
 MARKED_FOR_DELETION = "MarkedForDeletion"
 
+
+def _atomic_write_text(path: str, body: str) -> None:
+    """Atomic publish of a small control file. Local: temp + fsync +
+    rename (publisher.rs:140-148 analog). Object stores: one PUT —
+    object writes are already all-or-nothing at the object level (the
+    reference's S3 file-backed metastore commits the same way)."""
+    if fsio.is_local(path):
+        local = fsio.strip_local(path)
+        tmp = local + f".tmp-{uuid.uuid4().hex}"
+        with open(tmp, "w") as f:
+            f.write(body)
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp, local)
+    else:
+        fsio.write_bytes(path, body.encode())
+
 # Catalog schema version (quickwit-metastore/src/backward_compatibility_tests/
 # analog: the reference freezes one serialized fixture per file-format
 # version and tests that current code loads every old one). Version 1 =
@@ -93,9 +110,11 @@ class Catalog:
     backend can commit O(splits touched), not O(total splits).
     :class:`SqliteCatalog` (the sandbox stand-in for the reference's
     PostgreSQL metastore —
-    quickwit-metastore/src/metastore/postgresql_metastore.rs) does
-    exactly that; this JSON backend rewrites the whole file per commit
-    and is the small-index default."""
+    quickwit-metastore/src/metastore/postgresql_metastore.rs) and
+    :class:`ManifestCatalog` (Iceberg-manifest-style append log, the
+    object-store default) both do exactly that; this JSON backend
+    rewrites the whole file per commit and is the small-local-index
+    default."""
 
     def __init__(self, index_dir: str):
         self.index_dir = index_dir
@@ -124,24 +143,34 @@ class Catalog:
         source_path: str | None = None,
         backend: str | None = None,
     ) -> "Catalog":
-        """Create a fresh catalog. ``backend`` ∈ {"json", "sqlite"};
-        defaults to $QUICKWIT_SPARK_CATALOG or "json". The reference
-        ships file-backed and PostgreSQL metastores behind one trait —
-        same shape here."""
-        backend = backend or os.environ.get("QUICKWIT_SPARK_CATALOG", "json")
-        if backend not in ("json", "sqlite"):
+        """Create a fresh catalog. ``backend`` ∈ {"json", "sqlite",
+        "manifest"}; defaults to $QUICKWIT_SPARK_CATALOG, else "json"
+        locally / "manifest" on object stores. The reference ships
+        file-backed and PostgreSQL metastores behind one trait — same
+        shape here."""
+        backend = backend or os.environ.get("QUICKWIT_SPARK_CATALOG") or (
+            # object stores default to the append-log backend: the JSON
+            # backend's full-rewrite commit is O(total splits) of PUT
+            # bytes, the manifest log is O(delta)
+            "json" if fsio.is_local(index_dir) else "manifest"
+        )
+        if backend not in ("json", "sqlite", "manifest"):
             raise ValueError(f"unknown catalog backend {backend!r}")
         if backend == "sqlite" and not fsio.is_local(index_dir):
             raise ValueError(
                 "the sqlite catalog backend requires a local index_dir "
-                f"(got {index_dir!r}); at object-store scale use the JSON "
-                "backend or a DB-server metastore"
+                f"(got {index_dir!r}); at object-store scale use the "
+                "manifest backend or a DB-server metastore"
             )
         config.validate()
         fsio.resolve_fs(index_dir)  # reject unknown schemes before any I/O
         fsio.makedirs(fsio.join(index_dir, "splits"))
         fsio.makedirs(fsio.join(index_dir, "lineage"))
-        cat = SqliteCatalog(index_dir) if backend == "sqlite" else Catalog(index_dir)
+        cat = {
+            "sqlite": SqliteCatalog,
+            "manifest": ManifestCatalog,
+            "json": Catalog,
+        }[backend](index_dir)
         cat.config = config
         cat.source_path = source_path
         cat._dirty_meta = True
@@ -150,8 +179,10 @@ class Catalog:
 
     @staticmethod
     def load(index_dir: str) -> "Catalog":
-        """Load whichever backend lives at ``index_dir`` (a catalog.db
-        takes precedence — an index has exactly one backend)."""
+        """Load whichever backend lives at ``index_dir`` (an index has
+        exactly one backend: manifest head > catalog.db > catalog.json)."""
+        if fsio.exists(ManifestCatalog._head_path(index_dir)):
+            return ManifestCatalog._load(index_dir)
         if fsio.is_local(index_dir) and os.path.exists(
             os.path.join(fsio.strip_local(index_dir), SqliteCatalog.DB_FILE)
         ):
@@ -185,6 +216,8 @@ class Catalog:
     def exists(index_dir: str) -> bool:
         if fsio.exists(fsio.join(index_dir, "catalog.json")):
             return True
+        if fsio.exists(ManifestCatalog._head_path(index_dir)):
+            return True
         return fsio.is_local(index_dir) and os.path.exists(
             os.path.join(fsio.strip_local(index_dir), SqliteCatalog.DB_FILE)
         )
@@ -195,7 +228,10 @@ class Catalog:
         (JSON rewrite → file mtime/size; sqlite WAL → the -wal file
         moves even when catalog.db doesn't). Searchers poll this to
         detect a republish (the metastore-poll analog)."""
-        tok = [fsio.mtime_ns(fsio.join(index_dir, "catalog.json"))]
+        tok = [
+            fsio.mtime_ns(fsio.join(index_dir, "catalog.json")),
+            fsio.mtime_ns(ManifestCatalog._head_path(index_dir)),
+        ]
         if fsio.is_local(index_dir):
             base = fsio.strip_local(index_dir)
             for f in (SqliteCatalog.DB_FILE, SqliteCatalog.DB_FILE + "-wal"):
@@ -227,17 +263,7 @@ class Catalog:
             "source_path": self.source_path,
             "merge_seq": self.merge_seq,
         }
-        body = json.dumps(payload, indent=1, sort_keys=True)
-        if fsio.is_local(self.path):
-            local = fsio.strip_local(self.path)
-            tmp = local + f".tmp-{uuid.uuid4().hex}"
-            with open(tmp, "w") as f:
-                f.write(body)
-                f.flush()
-                os.fsync(f.fileno())
-            os.replace(tmp, local)
-        else:
-            fsio.write_bytes(self.path, body.encode())
+        _atomic_write_text(self.path, json.dumps(payload, indent=1, sort_keys=True))
         self._clear_dirty()
 
     def replace_checkpoint(self, new: dict) -> None:
@@ -567,4 +593,168 @@ class SqliteCatalog(Catalog):
                     "DELETE FROM checkpoint WHERE key=?",
                     [(k,) for k in removed_ckpt],
                 )
+        self._clear_dirty()
+
+
+class ManifestCatalog(Catalog):
+    """Append-log catalog backend for object storage — the
+    Iceberg-manifest-style answer to the JSON backend's O(total splits)
+    rewrite per commit, for deployments without a DB server (the
+    reference's file-backed metastore has the same full-rewrite cost;
+    its production answer is PostgreSQL — here the log keeps even the
+    pure-object-store path O(delta)).
+
+    Layout under ``<index_dir>/manifests/``::
+
+        head.json                  {"version", "seq", "manifests": [...]}
+        m-<seq:08d>-<uuid8>.json   immutable delta or snapshot
+
+    A commit PUTs ONE immutable manifest holding exactly the delta the
+    mutator marked dirty (splits upserted/deleted, checkpoint keys
+    set/removed, meta when changed), then atomically swaps head.json to
+    list it — O(delta) manifest bytes + O(#manifests) head names per
+    commit, never O(total splits). Loading replays the listed manifests
+    in order. Every ``COMPACT_AFTER`` commits the next commit writes a
+    full snapshot instead and resets the list; superseded manifests are
+    deleted AFTER the head swap, and a reader that raced the compaction
+    (listed manifest already deleted) retries from the new head.
+
+    Single-writer by design like the other backends: all commits happen
+    on the Spark driver (kernels only write split files)."""
+
+    DIR = "manifests"
+    HEAD = "head.json"
+    COMPACT_AFTER = 64
+
+    def __init__(self, index_dir: str):
+        super().__init__(index_dir)
+        self.path = self._head_path(index_dir)
+        self._seq = 0
+        self._manifests: list[str] = []
+
+    @staticmethod
+    def _head_path(index_dir: str) -> str:
+        return fsio.join(index_dir, ManifestCatalog.DIR, ManifestCatalog.HEAD)
+
+    def _manifest_path(self, name: str) -> str:
+        return fsio.join(self.index_dir, self.DIR, name)
+
+    # -- load ----------------------------------------------------------------
+
+    @staticmethod
+    def _load(index_dir: str) -> "ManifestCatalog":
+        last_err: Exception | None = None
+        for _ in range(3):  # retry a compaction race (manifest vanished)
+            cat = ManifestCatalog(index_dir)
+            head = json.loads(fsio.read_bytes(cat.path))
+            v = int(head.get("version", 1))
+            if v > CATALOG_VERSION:
+                raise ValueError(
+                    f"catalog version {v} is newer than this library "
+                    f"(supports ≤ {CATALOG_VERSION}) — upgrade quickwit_spark"
+                )
+            cat._seq = int(head["seq"])
+            cat._manifests = list(head["manifests"])
+            try:
+                for name in cat._manifests:
+                    cat._apply(json.loads(fsio.read_bytes(cat._manifest_path(name))))
+            except FileNotFoundError as exc:
+                last_err = exc
+                continue
+            return cat
+        raise RuntimeError(
+            f"manifest log at {index_dir} kept changing under the reader"
+        ) from last_err
+
+    def _apply(self, p: dict) -> None:
+        if p["kind"] == "snapshot":
+            self.splits = {
+                s["split_id"]: SplitMetadata.from_dict(s) for s in p["splits"]
+            }
+            self.checkpoint = dict(p["checkpoint"])
+            self._apply_meta(p["meta"])
+            return
+        if p.get("meta") is not None:
+            self._apply_meta(p["meta"])
+        for s in p["splits_upserted"]:
+            self.splits[s["split_id"]] = SplitMetadata.from_dict(s)
+        for sid in p["splits_deleted"]:
+            self.splits.pop(sid, None)
+        self.checkpoint.update(p["checkpoint_set"])
+        for k in p["checkpoint_removed"]:
+            self.checkpoint.pop(k, None)
+
+    def _apply_meta(self, meta: dict) -> None:
+        self.config = IndexConfig.from_dict(meta["config"])
+        self.source_path = meta.get("source_path")
+        self.merge_seq = int(meta.get("merge_seq", 0))
+
+    # -- O(delta) commit -----------------------------------------------------
+
+    def _meta_payload(self) -> dict:
+        return {
+            "config": self.config.to_dict(),
+            "source_path": self.source_path,
+            "merge_seq": self.merge_seq,
+        }
+
+    def _commit(self) -> None:
+        dirty_splits = self._dirty_splits
+        deleted = self._deleted_split_ids
+        dirty_ckpt = self._dirty_checkpoint
+        removed_ckpt = self._removed_checkpoint
+        dirty_meta = self._dirty_meta
+        if not (dirty_splits or deleted or dirty_ckpt or removed_ckpt or dirty_meta):
+            # safety net for callers that mutated state out-of-band
+            # (test hooks): full upsert
+            dirty_splits = set(self.splits)
+            dirty_ckpt = set(self.checkpoint)
+            dirty_meta = True
+        self._seq += 1
+        name = f"m-{self._seq:08d}-{uuid.uuid4().hex[:8]}.json"
+        compact = len(self._manifests) >= self.COMPACT_AFTER
+        if compact:
+            payload = {
+                "kind": "snapshot",
+                "meta": self._meta_payload(),
+                "splits": [s.to_dict() for s in self.splits.values()],
+                "checkpoint": self.checkpoint,
+            }
+            new_list = [name]
+            superseded = list(self._manifests)
+        else:
+            payload = {
+                "kind": "delta",
+                "meta": self._meta_payload() if dirty_meta else None,
+                "splits_upserted": [
+                    self.splits[sid].to_dict()
+                    for sid in sorted(dirty_splits)
+                    if sid in self.splits
+                ],
+                "splits_deleted": sorted(deleted),
+                "checkpoint_set": {
+                    k: self.checkpoint[k]
+                    for k in sorted(dirty_ckpt)
+                    if k in self.checkpoint
+                },
+                "checkpoint_removed": sorted(removed_ckpt),
+            }
+            new_list = self._manifests + [name]
+            superseded = []
+        fsio.makedirs(fsio.join(self.index_dir, self.DIR))
+        fsio.write_bytes(
+            self._manifest_path(name), json.dumps(payload, sort_keys=True).encode()
+        )
+        head = {
+            "version": CATALOG_VERSION,
+            "seq": self._seq,
+            "manifests": new_list,
+        }
+        _atomic_write_text(self.path, json.dumps(head))  # the commit point
+        self._manifests = new_list
+        for old in superseded:  # safe: no head references them anymore
+            try:
+                fsio.delete(self._manifest_path(old))
+            except FileNotFoundError:
+                pass
         self._clear_dirty()

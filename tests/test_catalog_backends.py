@@ -19,6 +19,7 @@ from quickwit_spark.plans.catalog import (
     PUBLISHED,
     STAGED,
     Catalog,
+    ManifestCatalog,
     SplitMetadata,
     SqliteCatalog,
 )
@@ -219,6 +220,169 @@ def test_sqlite_e2e_build_search_merge_gc(spark, corpus, config, oracle,
     se2 = Searcher(spark, d)
     n_o, hits_o = oracle.search("w00002", k=10)
     r = se2.search("w00002", k=10)
+    assert r.num_hits == n_o
+    assert sorted((h.conv_id, h.turn_idx, round(h.score, 9)) for h in r.hits) \
+        == sorted((h.conv_id, h.turn_idx, round(h.score, 9)) for h in hits_o)
+
+
+class TestManifestStateMachine:
+    """Split lifecycle against the append-log backend (the
+    object-store-native O(delta) catalog)."""
+
+    def test_create_load_roundtrip(self, tmp_path):
+        d = str(tmp_path / "idx")
+        cat = Catalog.create(d, IndexConfig(), source_path="/x.parquet",
+                             backend="manifest")
+        assert isinstance(cat, ManifestCatalog)
+        assert Catalog.exists(d)
+        cat.stage_and_publish([_sm("s-0"), _sm("s-1")],
+                              checkpoint_delta={"batch/b0000/0": "done"})
+        got = Catalog.load(d)
+        assert isinstance(got, ManifestCatalog)  # dispatch by head.json
+        assert got.source_path == "/x.parquet"
+        assert {s.split_id for s in got.published_splits()} == {"s-0", "s-1"}
+        assert got.checkpoint == {"batch/b0000/0": "done"}
+        assert got.splits["s-0"].tags == {"tool": ["bash"]}
+        assert got.splits["s-0"].tag_has_null == {"tool": False}
+        assert got.splits["s-0"].time_range == (0, 1000)
+
+    def test_stage_publish_replace_delete(self, tmp_path):
+        d = str(tmp_path / "idx")
+        cat = Catalog.create(d, IndexConfig(), backend="manifest")
+        cat.stage_and_publish([_sm("a"), _sm("b")])
+        cat.stage_splits([_sm("m")])
+        assert Catalog.load(d).splits["m"].state == STAGED
+        cat.publish_splits(["m"], replaced_split_ids=["a", "b"])
+        got = Catalog.load(d)
+        assert got.splits["m"].state == PUBLISHED
+        assert got.splits["a"].state == MARKED_FOR_DELETION
+        cat.delete_splits(["a", "b"])
+        got = Catalog.load(d)
+        assert set(got.splits) == {"m"}
+
+    def test_id_collision_raises(self, tmp_path):
+        cat = Catalog.create(str(tmp_path / "i"), IndexConfig(),
+                             backend="manifest")
+        cat.stage_and_publish([_sm("dup")])
+        with pytest.raises(ValueError, match="already exists"):
+            cat.stage_splits([_sm("dup")])
+
+    def test_alloc_ids_persisted(self, tmp_path):
+        d = str(tmp_path / "i")
+        cat = Catalog.create(d, IndexConfig(), backend="manifest")
+        first = cat.alloc_split_ids(3)
+        # a crashed op must not reuse ids: a fresh load continues after
+        got = Catalog.load(d)
+        second = got.alloc_split_ids(2)
+        assert len(set(first) | set(second)) == 5
+
+    def test_future_version_rejected(self, tmp_path):
+        d = str(tmp_path / "i")
+        Catalog.create(d, IndexConfig(), backend="manifest")
+        head_path = ManifestCatalog._head_path(d)
+        with open(head_path) as f:
+            head = json.load(f)
+        head["version"] = CATALOG_VERSION + 1
+        with open(head_path, "w") as f:
+            json.dump(head, f)
+        with pytest.raises(ValueError, match="newer than this library"):
+            Catalog.load(d)
+
+    def test_vanished_manifest_fails_loudly(self, tmp_path):
+        d = str(tmp_path / "i")
+        cat = Catalog.create(d, IndexConfig(), backend="manifest")
+        cat.stage_and_publish([_sm("a")])
+        name = cat._manifests[-1]
+        os.unlink(os.path.join(d, "manifests", name))
+        with pytest.raises(RuntimeError, match="kept changing"):
+            Catalog.load(d)
+
+
+def test_manifest_commit_cost_is_o_delta(tmp_path):
+    """Publishing a 16-split chunk into a catalog already holding 10k
+    splits writes ONE manifest containing exactly those 16 splits —
+    O(delta) bytes — while the JSON backend would rewrite ~10 MB."""
+    d = str(tmp_path / "big")
+    cat = Catalog.create(d, IndexConfig(), backend="manifest")
+    for i in range(0, 10_000, 1_000):
+        cat.stage_and_publish([_sm(f"s-{j:06d}") for j in range(i, i + 1_000)])
+    cat.stage_and_publish(
+        [_sm(f"t-{j}") for j in range(16)],
+        checkpoint_delta={"batch/bX/0": "done"},
+    )
+    mdir = os.path.join(d, "manifests")
+    last = sorted(n for n in os.listdir(mdir) if n.startswith("m-"))[-1]
+    with open(os.path.join(mdir, last)) as f:
+        payload = json.load(f)
+    assert payload["kind"] == "delta"
+    assert len(payload["splits_upserted"]) == 16
+    assert payload["checkpoint_set"] == {"batch/bX/0": "done"}
+    assert os.path.getsize(os.path.join(mdir, last)) < 20_000
+    assert os.path.getsize(ManifestCatalog._head_path(d)) < 4_000
+    got = Catalog.load(d)
+    assert len(got.splits) == 10_016
+    assert got.checkpoint["batch/bX/0"] == "done"
+
+
+def test_manifest_compaction(tmp_path, monkeypatch):
+    """Past COMPACT_AFTER manifests the next commit snapshots, the head
+    resets to one entry, superseded manifests are deleted, and a fresh
+    load sees identical state."""
+    monkeypatch.setattr(ManifestCatalog, "COMPACT_AFTER", 5)
+    d = str(tmp_path / "i")
+    cat = Catalog.create(d, IndexConfig(), backend="manifest")
+    for i in range(9):
+        cat.stage_and_publish([_sm(f"s-{i}")],
+                              checkpoint_delta={f"p/{i}": "done"})
+    mdir = os.path.join(d, "manifests")
+    on_disk = {n for n in os.listdir(mdir) if n.startswith("m-")}
+    assert len(cat._manifests) <= 5
+    assert on_disk == set(cat._manifests)  # superseded files reaped
+    got = Catalog.load(d)
+    assert {s.split_id for s in got.published_splits()} == {
+        f"s-{i}" for i in range(9)
+    }
+    assert got.checkpoint == {f"p/{i}": "done" for i in range(9)}
+    assert got.merge_seq == cat.merge_seq
+
+
+def test_manifest_e2e_build_search_merge_gc(spark, corpus, config, oracle,
+                                            tmp_path, monkeypatch):
+    """Full engine e2e with the manifest catalog: build → resume no-op →
+    oracle-parity search → merge → gc."""
+    from quickwit_spark.operators.build import build_index
+    from quickwit_spark.operators.merge import gc_deleted_splits, run_merge_pipeline
+    from quickwit_spark.operators.search import Searcher
+
+    import dataclasses
+
+    monkeypatch.setenv("QUICKWIT_SPARK_CATALOG", "manifest")
+    config = dataclasses.replace(
+        config, merge_factor=2, max_merge_factor=4, min_level_num_docs=10,
+    )
+    d = str(tmp_path / "idx")
+    sdf = spark.createDataFrame(corpus)
+    cat = build_index(spark, sdf, d, config, n_splits=4)
+    assert isinstance(cat, ManifestCatalog)
+    assert cat.total_docs() == len(corpus)
+    cat2 = build_index(spark, sdf, d, config, n_splits=4, ingest_id="b0000")
+    assert cat2.total_docs() == len(corpus)
+
+    se = Searcher(spark, d)
+    for q in ["w00001", "hotterm", '"w00001 w00002"~2']:
+        n_o, hits_o = oracle.search(q, k=20)
+        r = se.search(q, k=20)
+        assert r.num_hits == n_o
+        assert sorted((h.conv_id, h.turn_idx, round(h.score, 9)) for h in r.hits) \
+            == sorted((h.conv_id, h.turn_idx, round(h.score, 9)) for h in hits_o)
+
+    assert run_merge_pipeline(spark, d) >= 1
+    assert gc_deleted_splits(d, grace_period_secs=0)
+    cat = Catalog.load(d)
+    assert cat.total_docs() == len(corpus)
+    assert all(s.state == PUBLISHED for s in cat.splits.values())
+    n_o, hits_o = oracle.search("w00002", k=10)
+    r = Searcher(spark, d).search("w00002", k=10)
     assert r.num_hits == n_o
     assert sorted((h.conv_id, h.turn_idx, round(h.score, 9)) for h in r.hits) \
         == sorted((h.conv_id, h.turn_idx, round(h.score, 9)) for h in hits_o)

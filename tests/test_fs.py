@@ -181,6 +181,30 @@ class TestMockE2E:
         n = idx.search("w00001", k=5).num_hits
         assert n == idx.search("w00001", k=5, wand=False).num_hits
 
+    def test_manifest_catalog_on_mock(self, spark, corpus, mock_backing):
+        """The append-log catalog routed through the FileSystem layer —
+        the object-store deployment shape (manifest backend + URI split
+        I/O) end-to-end."""
+        from quickwit_spark.plans.catalog import Catalog, ManifestCatalog
+
+        d = "mock://" + os.path.join(mock_backing, "manifest_idx")
+        idx = Index.create(spark, d, _cfg())  # json default on local-backed
+        idx.delete()
+        Catalog.create(d, _cfg(), backend="manifest")
+        idx = Index.open(spark, d)
+        idx.ingest(spark.createDataFrame(corpus[:300]), n_splits=2,
+                   ingest_id="mf")
+        assert isinstance(idx.catalog(), ManifestCatalog)
+        assert os.path.exists(
+            os.path.join(mock_backing, "manifest_idx", "manifests", "head.json")
+        )
+        r = idx.search("w00001", k=5)
+        assert r.num_hits == idx.search("w00001", k=5, wand=False).num_hits
+        n = idx.merge()
+        assert n >= 1
+        idx.gc()
+        assert Catalog.load(d).total_docs() == 300
+
     def test_delete_through_fs(self, spark, corpus, mock_backing):
         d = "mock://" + os.path.join(mock_backing, "todelete")
         idx = Index.create(spark, d, _cfg())
