@@ -82,6 +82,28 @@ def parquet_file(path: str):
     return pq.ParquetFile(p, filesystem=fs)
 
 
+# Footer cache for IMMUTABLE files only (split parquet files are never
+# rewritten in place — merge/demux write NEW split dirs and GC deletes
+# old ones; term-stats files are content-versioned by name). Saves the
+# per-query open + footer parse in the search hot path; LRU-capped so
+# file handles stay bounded. Per-process, so executors build their own.
+_PF_CACHE: "dict[str, object]" = {}
+_PF_CACHE_MAX = 128
+
+
+def parquet_file_cached(path: str):
+    """``parquet_file`` with a per-process LRU footer cache — ONLY for
+    paths whose bytes never change under that name (split files,
+    versioned stats files)."""
+    got = _PF_CACHE.pop(path, None)
+    if got is None:
+        got = parquet_file(path)
+        while len(_PF_CACHE) >= _PF_CACHE_MAX:
+            del _PF_CACHE[next(iter(_PF_CACHE))]
+    _PF_CACHE[path] = got  # re-insert = move to MRU end
+    return got
+
+
 def read_table(path: str, **kwargs):
     import pyarrow.parquet as pq
 

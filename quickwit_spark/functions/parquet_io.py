@@ -34,10 +34,13 @@ def read_pruned(path_or_file, columns, key_col: str, values):
 
     from quickwit_spark.functions import fs as fsio
 
+    # string paths here are always immutable index files (split parquet,
+    # versioned term-stats) — the cached open is safe and saves the
+    # per-query footer parse
     pf = (
         path_or_file
         if isinstance(path_or_file, pq.ParquetFile)
-        else fsio.parquet_file(path_or_file)
+        else fsio.parquet_file_cached(path_or_file)
     )
     md = pf.metadata
     key_idx = md.schema.to_arrow_schema().get_field_index(key_col)

@@ -229,18 +229,20 @@ class _ShardPostings:
     for shards the evaluator actually visits."""
 
     def __init__(self, path: str, keys: list[tuple[str, str]]):
-        import pyarrow.parquet as pq
-
         from quickwit_spark.functions.parquet_io import read_pruned
 
-        self._pf = fsio.parquet_file(path)
+        self._pf = fsio.parquet_file_cached(path)
         keyset = set(keys)
         term_values = sorted({t for _, t in keyset})
         self._term_values = term_values
+        # stats + posting blobs in ONE pushdown scan: the blob columns
+        # of the query terms' rows are (almost) always needed anyway —
+        # decode-on-demand skips the DECODE per shard, not the read —
+        # and one scan halves the per-query row-group read count
         tbl = read_pruned(
             self._pf,
             ["field", "term", "shard", "df", "max_tf", "min_dl",
-             "first_docid", "last_docid"],
+             "first_docid", "last_docid", "doc_ids", "tfs"],
             "term", term_values,
         )
         fields = tbl.column("field").to_pylist()
@@ -267,8 +269,13 @@ class _ShardPostings:
                 "first": cols["first_docid"][idxs],
                 "last": cols["last_docid"][idxs],
             }
-        self._blob_row: dict[tuple[str, str, int], int] | None = None
-        self._blob_tbl = None
+        self._blob_tbl = tbl
+        self._blob_row = {
+            (f, t, int(sh)): i
+            for i, (f, t, sh) in enumerate(
+                zip(fields, terms, cols["shard"].tolist())
+            )
+        }
         self._pos_row: dict[tuple[str, str, int], int] | None = None
         self._pos_tbl = None
         self._doc_cache: dict[tuple[str, str, int], np.ndarray] = {}
@@ -276,24 +283,6 @@ class _ShardPostings:
         self._pos_cache: dict[tuple[str, str, int], np.ndarray | None] = {}
 
     def _blobs(self):
-        if self._blob_tbl is None:
-            from quickwit_spark.functions.parquet_io import read_pruned
-
-            self._blob_tbl = read_pruned(
-                self._pf,
-                ["field", "term", "shard", "doc_ids", "tfs"],
-                "term", self._term_values,
-            )
-            self._blob_row = {
-                (f, t, int(s)): i
-                for i, (f, t, s) in enumerate(
-                    zip(
-                        self._blob_tbl.column("field").to_pylist(),
-                        self._blob_tbl.column("term").to_pylist(),
-                        self._blob_tbl.column("shard").to_pylist(),
-                    )
-                )
-            }
         return self._blob_tbl, self._blob_row
 
     def docids(self, field: str, term: str, shard: int) -> np.ndarray:
@@ -819,8 +808,12 @@ def _eval_split_partial(
     sort_desc,
     aggs: dict | None,
     wand: bool = True,
+    fetch_payload: bool = True,
 ) -> pd.DataFrame:
-    """One leaf search: returns partial rows (hits + count + agg buckets)."""
+    """One leaf search: returns partial rows (hits + count + agg buckets).
+    ``fetch_payload=False`` defers doc-store reads to the root's
+    fetch_docs phase (driver mode only — spark-mode kernels keep the
+    fetch leaf-side for data locality on a real cluster)."""
     import pyarrow.parquet as pq
 
     from quickwit_spark.operators.build import limit_worker_threads
@@ -864,7 +857,8 @@ def _eval_split_partial(
             doc_len.astype(np.float64), stats, config, m,
         )
         return _partial_rows_from_topk(
-            split_id, dpath, ids, scores, scores, num_hits, ts_us
+            split_id, dpath, ids, scores, scores, num_hits, ts_us,
+            fetch_payload,
         )
 
     terms = query_terms(ast)
@@ -900,7 +894,8 @@ def _eval_split_partial(
             top_ids, sel = _top_m(ids, scores, m)
             real_vals = sel
         out_rows.extend(
-            _hit_rows(split_id, dpath, top_ids, sel, real_vals, ts_us)
+            _hit_rows(split_id, dpath, top_ids, sel, real_vals, ts_us,
+                      fetch_payload)
         )
 
     # count row (collector.rs:191 num_hits)
@@ -944,33 +939,47 @@ def _eval_split_partial(
     return pd.DataFrame(out_rows, columns=_HIT_COLS)
 
 
-def _hit_rows(
-    split_id: str, dpath: str, top_ids, sel, real_vals, ts_us
-) -> list[dict]:
-    """fetch_docs for one split's partial hits only (fetch_docs.rs:98-173
-    — grouped, docid-filtered doc-store read) → hit rows."""
+def fetch_doc_payloads(dpath: str, docids) -> dict[int, str]:
+    """fetch_docs for one split (fetch_docs.rs:98-173 — grouped,
+    docid-filtered doc-store read): {docid: doc json}."""
     import json as _json
 
+    from quickwit_spark.functions.parquet_io import read_pruned
+
+    schema_cols = fsio.parquet_file_cached(dpath).schema_arrow.names
+    fetch_cols = [c for c in schema_cols if c not in ("ts_us", "doc_len")]
+    doc_tbl = read_pruned(
+        dpath, fetch_cols, "docid", [int(d) for d in docids]
+    )
+    out = {}
+    for rec in doc_tbl.to_pylist():
+        did = rec.pop("docid")
+        out[int(did)] = _json.dumps(rec, default=str)
+    return out
+
+
+def _hit_rows(
+    split_id: str, dpath: str, top_ids, sel, real_vals, ts_us,
+    fetch_payload: bool = True,
+) -> list[dict]:
+    """Per-split hit rows for the partial top-m. ``fetch_payload=False``
+    defers the doc-store read to the root (the reference's separate
+    fetch_docs phase): the root merges k+offset winners out of
+    m×splits candidates, so fetching per-leaf reads splits× more doc
+    rows than the response needs."""
     base = {c: None for c in _HIT_COLS}
     if len(top_ids) == 0:
         return []
-    from quickwit_spark.functions.parquet_io import read_pruned
-
-    schema_cols = fsio.parquet_file(dpath).schema_arrow.names
-    fetch_cols = [c for c in schema_cols if c not in ("ts_us", "doc_len")]
-    doc_tbl = read_pruned(
-        dpath, fetch_cols, "docid", [int(d) for d in top_ids]
+    dmap = (
+        fetch_doc_payloads(dpath, top_ids) if fetch_payload else {}
     )
-    dmap = {rec["docid"]: rec for rec in doc_tbl.to_pylist()}
     rows = []
     for did, ordkey, val in zip(top_ids, sel, real_vals):
-        rec = dict(dmap[int(did)])
-        rec.pop("docid", None)
         r = dict(base)
         r.update(
             kind="hit", split_id=split_id, docid=int(did),
             score=float(val), sort_value=float(ordkey),
-            doc=_json.dumps(rec, default=str),
+            doc=dmap.get(int(did)),
             ts_us=int(ts_us[did]),
         )
         rows.append(r)
@@ -978,10 +987,13 @@ def _hit_rows(
 
 
 def _partial_rows_from_topk(
-    split_id: str, dpath: str, top_ids, sel, real_vals, num_hits: int, ts_us
+    split_id: str, dpath: str, top_ids, sel, real_vals, num_hits: int, ts_us,
+    fetch_payload: bool = True,
 ) -> pd.DataFrame:
     base = {c: None for c in _HIT_COLS}
-    out_rows = _hit_rows(split_id, dpath, top_ids, sel, real_vals, ts_us)
+    out_rows = _hit_rows(
+        split_id, dpath, top_ids, sel, real_vals, ts_us, fetch_payload
+    )
     count_row = dict(base)
     count_row.update(kind="count", split_id=split_id, agg_count=int(num_hits))
     out_rows.append(count_row)
@@ -1104,6 +1116,19 @@ class Searcher:
         self.config = self.catalog.config
         self._df_cache: dict[tuple[str, str], int] = {}
         self._catalog_mtime = self._mtime()
+        self._pool = None  # lazy persistent leaf-thread pool
+
+    def _leaf_pool(self):
+        """Persistent executor for the driver-mode leaf fan-out —
+        spawning 16 threads per query cost ~50 ms (profiled); reuse
+        across queries like the reference's searcher thread pool."""
+        from concurrent.futures import ThreadPoolExecutor
+
+        if self._pool is None:
+            self._pool = ThreadPoolExecutor(
+                max_workers=16, thread_name_prefix="leaf"
+            )
+        return self._pool
 
     def _mtime(self):
         # backend-aware commit token (JSON mtime / sqlite WAL state)
@@ -1211,8 +1236,26 @@ class Searcher:
             wand, mode, search_fields,
         )
         resp = merge_partials(pdf, k, offset, sort_by, aggs)
+        self._fetch_missing_docs(resp)
         resp.elapsed_sec = _time.time() - t0
         return resp
+
+    def _fetch_missing_docs(self, resp: SearchResponse) -> None:
+        """Root fetch_docs phase (fetch_docs.rs:98-173): payloads for
+        the final winners only, grouped per split."""
+        import json as _json
+
+        pending: dict[str, list] = {}
+        for h in resp.hits:
+            if h.doc is None:
+                pending.setdefault(h.split_id, []).append(h)
+        for split_id, hs in pending.items():
+            dpath = fsio.join(
+                self.catalog.split_dir(split_id), DOCS_FILE
+            )
+            dmap = fetch_doc_payloads(dpath, [h.docid for h in hs])
+            for h in hs:
+                h.doc = _json.loads(dmap[h.docid])
 
     # a leaf search is executed in driver threads when the pruned split
     # set is small — the reference's single_node_search skips the gRPC
@@ -1256,18 +1299,19 @@ class Searcher:
             )
 
         if mode == "driver":
-            from concurrent.futures import ThreadPoolExecutor
-
-            with ThreadPoolExecutor(max_workers=min(len(rows), 16)) as ex:
-                parts = list(
-                    ex.map(
-                        lambda r: _eval_split_partial(
-                            r[0], r[1], ast, stats, config, m,
-                            start_us, end_us, sort_by, sort_desc, aggs, wand,
-                        ),
-                        rows,
-                    )
+            # leaves return doc ADDRESSES; the root fetches payloads for
+            # the k winners only (the reference's fetch_docs phase) —
+            # per-leaf fetching reads splits× more doc rows than needed
+            parts = list(
+                self._leaf_pool().map(
+                    lambda r: _eval_split_partial(
+                        r[0], r[1], ast, stats, config, m,
+                        start_us, end_us, sort_by, sort_desc, aggs, wand,
+                        fetch_payload=False,
+                    ),
+                    rows,
                 )
+            )
             # object dtype avoids the all-NA-column concat dtype warning
             parts = [p.astype(object) for p in parts if len(p)]
             if not parts:
@@ -1326,7 +1370,7 @@ def merge_partials(pdf: pd.DataFrame, k, offset, sort_by, aggs) -> SearchRespons
     hits = [
         SearchHit(
             r.split_id, int(r.docid), float(r.score),
-            _json.loads(r.doc), int(r.ts_us),
+            _json.loads(r.doc) if r.doc is not None else None, int(r.ts_us),
         )
         for r in hits_df.itertuples(index=False)
     ]
