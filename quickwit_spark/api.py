@@ -303,8 +303,28 @@ class Index:
         self._searcher = None
         return n
 
-    def gc(self) -> list[str]:
-        return gc_deleted_splits(self.index_dir)
+    def gc(self, grace_period_secs: int | None = None) -> list[str]:
+        if grace_period_secs is None:
+            return gc_deleted_splits(self.index_dir)
+        return gc_deleted_splits(self.index_dir,
+                                 grace_period_secs=grace_period_secs)
+
+    def demux(self, split_ids: list[str] | None = None,
+              demux_field: str | None = None,
+              demux_factor: int | None = None) -> list:
+        """CLI `index demux` analog: rewrite splits into per-tenant
+        splits (defaults to every published, never-demuxed split)."""
+        from quickwit_spark.operators.demux import demux_splits
+
+        cat = self.catalog()
+        if split_ids is None:
+            split_ids = [s.split_id for s in cat.published_splits()
+                         if s.num_merge_ops == 0]
+        new = demux_splits(self.spark, cat, split_ids,
+                           demux_field=demux_field,
+                           demux_factor=demux_factor)
+        self._searcher = None
+        return new
 
     # -- introspection (CLI `index describe`, `split list`) ---------------
 

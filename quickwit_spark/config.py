@@ -10,7 +10,7 @@ reference's pinned constants (BASELINE.md §a).
 
 from __future__ import annotations
 
-from dataclasses import dataclass
+from dataclasses import dataclass, fields as _dc_fields
 
 
 @dataclass(frozen=True)
@@ -151,27 +151,20 @@ class IndexConfig:
 
     @staticmethod
     def from_dict(d: dict) -> "IndexConfig":
-        return IndexConfig(
-            fields=tuple(
-                FieldConfig(f["name"], f["tokenizer"], f["record"])
-                for f in d["fields"]
-            ),
-            default_search_field=d["default_search_field"],
-            timestamp_field=d["timestamp_field"],
-            tag_fields=tuple(d["tag_fields"]),
-            doc_key_fields=tuple(d["doc_key_fields"]),
-            routing_field=d["routing_field"],
-            split_num_docs_target=d["split_num_docs_target"],
-            block_size=d["block_size"],
-            hot_term_doc_freq=d["hot_term_doc_freq"],
-            salt_docid_range=d["salt_docid_range"],
-            max_tag_values=d["max_tag_values"],
-            merge_factor=d["merge_factor"],
-            max_merge_factor=d["max_merge_factor"],
-            min_level_num_docs=d["min_level_num_docs"],
-            demux_enabled=d.get("demux_enabled", False),
-            demux_factor=d.get("demux_factor", 6),
-            demux_field=d.get("demux_field"),
-            k1=d["k1"],
-            b=d["b"],
-        )
+        """Missing keys take the dataclass defaults, so partial dicts
+        (CLI ``--config`` overrides) and catalogs persisted before a
+        knob existed both load; unknown keys are rejected loudly."""
+        kw = dict(d)
+        if "fields" in kw:
+            kw["fields"] = tuple(
+                FieldConfig(f["name"], f.get("tokenizer", "default"),
+                            f.get("record", "freq"))
+                for f in kw["fields"]
+            )
+        for k in ("tag_fields", "doc_key_fields"):
+            if k in kw:
+                kw[k] = tuple(kw[k])
+        unknown = set(kw) - {f.name for f in _dc_fields(IndexConfig)}
+        if unknown:
+            raise ValueError(f"unknown IndexConfig keys: {sorted(unknown)}")
+        return IndexConfig(**kw)

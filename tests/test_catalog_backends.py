@@ -386,3 +386,27 @@ def test_manifest_e2e_build_search_merge_gc(spark, corpus, config, oracle,
     assert r.num_hits == n_o
     assert sorted((h.conv_id, h.turn_idx, round(h.score, 9)) for h in r.hits) \
         == sorted((h.conv_id, h.turn_idx, round(h.score, 9)) for h in hits_o)
+
+
+def test_manifest_fixture_loads(tmp_path):
+    """Frozen manifest-log fixture (format v2): future changes to the
+    head/delta serialization must keep loading this, or ship a new
+    fixture + migration (same rule as the catalog.json fixtures)."""
+    d = str(tmp_path / "idx")
+    os.makedirs(d)
+    shutil.copytree(
+        os.path.join(FIXTURES, "catalog_manifest_v2", "manifests"),
+        os.path.join(d, "manifests"),
+    )
+    cat = Catalog.load(d)
+    assert isinstance(cat, ManifestCatalog)
+    assert {s.split_id for s in cat.published_splits()} == {"s-0", "s-1"}
+    assert cat.total_docs() == 300
+    assert cat.checkpoint == {"batch/b0000": "complete"}
+    assert cat.merge_seq == 2
+    assert cat.source_path == "/src.parquet"
+    assert cat.splits["s-0"].tags == {"tool": ["bash"]}
+    # a commit after load appends at the frozen log's tail
+    cat.stage_and_publish([_sm("s-new")])
+    got = Catalog.load(d)
+    assert len(got.published_splits()) == 3
