@@ -299,6 +299,42 @@ def q_agg_histogram_nchars(spark, sf_dir):
     return spark.createDataFrame(rows, "bucket double, doc_count long")
 
 
+def q_agg_range_nchars(spark, sf_dir):
+    """Range aggregation (ES ranges subset the reference wires through —
+    docs/reference/aggregation.md; merge at root.rs:341-356): bucket
+    keys are '<from|*>-<to|*>', [from, to) semantics."""
+    resp = _searcher(spark, sf_dir).search(
+        "vector", k=1,
+        aggs={"r": {"range": {"field": "n_chars", "ranges": [
+            {"to": 200.0}, {"from": 200.0, "to": 400.0}, {"from": 400.0},
+        ]}}},
+    )
+    rows = sorted(
+        (b["key"], int(b["doc_count"])) for b in resp.aggs["r"]["buckets"]
+    )
+    return spark.createDataFrame(rows, "bucket string, doc_count long")
+
+
+def q_agg_terms_stats(spark, sf_dir):
+    """Terms agg with a stats sub-agg, buckets ordered by the sub-agg
+    metric (order-by-sub-agg — aggregation.md terms order)."""
+    resp = _searcher(spark, sf_dir).search(
+        "vector", k=1,
+        aggs={"by": {"terms": {
+            "field": "source", "size": 8, "stats_field": "n_chars",
+            "order": {"stats.avg": "desc"},
+        }}},
+    )
+    rows = [
+        (b["key"], int(b["doc_count"]), round(float(b["stats"]["avg"]), 4),
+         float(b["stats"]["min"]), float(b["stats"]["max"]))
+        for b in resp.aggs["by"]["buckets"]
+    ]
+    return spark.createDataFrame(
+        rows, "source string, doc_count long, av double, mn double, mx double"
+    )
+
+
 def q_search_stream_fastfield(spark, sf_dir):
     """Search-stream export: fast-field values of ALL matching docs
     (search_stream/leaf.rs:72-284 analog) — genuinely uncapped, through
@@ -478,6 +514,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agg_terms_source": q_agg_terms_source,
         "agg_stats_nchars": q_agg_stats_nchars,
         "agg_histogram_nchars": q_agg_histogram_nchars,
+        "agg_range_nchars": q_agg_range_nchars,
+        "agg_terms_stats": q_agg_terms_stats,
         "token_count": q_token_count,
         "quality_score": q_quality_score,
         "lang_id": q_lang_id,
@@ -788,6 +826,28 @@ FROM documents WHERE list_contains({TOKS40}, 'vector')
 SELECT floor(n_chars / 100.0) * 100.0 AS bucket, count(*) AS doc_count
 FROM documents WHERE list_contains({TOKS40}, 'vector')
 GROUP BY bucket ORDER BY bucket
+"""
+
+    sql["agg_range_nchars"] = f"""
+WITH m AS (
+  SELECT n_chars FROM documents WHERE list_contains({TOKS40}, 'vector')
+),
+b(bucket, lo, hi) AS (
+  SELECT * FROM (VALUES ('*-200.0', NULL, 200.0),
+                        ('200.0-400.0', 200.0, 400.0),
+                        ('400.0-*', 400.0, NULL))
+)
+SELECT b.bucket, count(m.n_chars) AS doc_count
+FROM b LEFT JOIN m ON (b.lo IS NULL OR m.n_chars >= b.lo)
+                  AND (b.hi IS NULL OR m.n_chars < b.hi)
+GROUP BY b.bucket ORDER BY b.bucket
+"""
+
+    sql["agg_terms_stats"] = f"""
+SELECT source, count(*) AS doc_count, round(avg(n_chars), 4) AS av,
+       min(n_chars)::DOUBLE AS mn, max(n_chars)::DOUBLE AS mx
+FROM documents WHERE list_contains({TOKS40}, 'vector')
+GROUP BY source ORDER BY avg(n_chars) DESC, source ASC LIMIT 8
 """
 
     sql["token_count"] = f"""
