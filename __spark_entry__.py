@@ -386,6 +386,32 @@ def q_fingerprint(spark, sf_dir):
     return fingerprint(_docs(spark, sf_dir))
 
 
+def q_decontaminate(spark, sf_dir):
+    """Benchmark decontamination: flag corpus docs sharing any word
+    3-gram with a small eval set (the deterministic doc_id % 97 == 0
+    subset here), eval shingles broadcast against the corpus."""
+    from quickwit_spark.pipeline.sampling import decontaminate
+
+    docs = _docs(spark, sf_dir)
+    ev = docs.where(F.col("doc_id") % 97 == 0)
+    return decontaminate(docs, ev, k=3).select(
+        "doc_id",
+        F.col("n_overlap").cast("long").alias("n_overlap"),
+        "contaminated",
+    )
+
+
+def q_sample_stratified(spark, sf_dir):
+    """Deterministic per-source training-mix sampling (md5-threshold
+    keep/drop — reproducible across engines, runs, partitionings)."""
+    from quickwit_spark.pipeline.sampling import stratified_sample
+
+    fr = {"src0": 0.5, "src1": 0.25, "src2": 1.0, "src3": 0.125}
+    return stratified_sample(_docs(spark, sf_dir), fr, seed="mix1").select(
+        "doc_id", "source"
+    )
+
+
 def q_dedup_exact(spark, sf_dir):
     from quickwit_spark.pipeline.dedup import exact_dedup
 
@@ -520,6 +546,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_score": q_quality_score,
         "lang_id": q_lang_id,
         "fingerprint": q_fingerprint,
+        "decontaminate": q_decontaminate,
+        "sample_stratified": q_sample_stratified,
         "dedup_exact": q_dedup_exact,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
@@ -953,6 +981,31 @@ cand AS (
   WHERE a.doc_id < b.doc_id
 ),
 {jaccard_verify.format(thr=0.4)}
+"""
+
+    sql["decontaminate"] = f"""
+WITH ds AS (SELECT doc_id, unnest({shingles}) AS sh FROM documents),
+ev AS (
+  SELECT DISTINCT unnest({shingles}) AS sh FROM documents
+  WHERE doc_id % 97 = 0
+),
+hits AS (
+  SELECT ds.doc_id, count(DISTINCT ds.sh) AS n_overlap
+  FROM ds JOIN ev USING (sh) GROUP BY ds.doc_id
+)
+SELECT d.doc_id, coalesce(h.n_overlap, 0) AS n_overlap,
+       coalesce(h.n_overlap, 0) > 0 AS contaminated
+FROM documents d LEFT JOIN hits h USING (doc_id)
+"""
+
+    frac_case = (
+        "CASE source WHEN 'src0' THEN 0.5 WHEN 'src1' THEN 0.25 "
+        "WHEN 'src2' THEN 1.0 WHEN 'src3' THEN 0.125 END"
+    )
+    sql["sample_stratified"] = f"""
+SELECT doc_id, source FROM documents
+WHERE {h15.format(x="'mix1:' || cast(doc_id AS VARCHAR)")} % 1000000
+      < floor(({frac_case}) * 1000000)
 """
 
     sql["dedup_ngram_jaccard"] = f"""

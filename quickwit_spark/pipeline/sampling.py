@@ -1,0 +1,79 @@
+"""Training-mix sampling + benchmark decontamination — the corpus ops
+a pretraining data build needs alongside dedup: hold eval benchmarks
+out of the training set, and hit per-source mix quotas reproducibly.
+
+Scale shapes (the 100 TB story):
+* ``decontaminate`` — an eval/benchmark set is small (10^3–10^6 docs)
+  by construction, so its distinct shingle set broadcast-joins against
+  the exploded corpus shingles; the only corpus-wide movement is the
+  map-side-combined ``groupBy(doc_id)``. The corpus is never
+  self-joined and never collected.
+* ``stratified_sample`` — one narrow map over the corpus: keep/drop is
+  a deterministic md5 threshold on the doc id (the cross-engine
+  ``H15`` hash), so the sample is bit-reproducible across engines,
+  runs, and partitionings — no RNG state, no ``sampleBy``
+  nondeterminism — and re-running after an append keeps every
+  previously-selected doc (monotone under corpus growth).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from quickwit_spark.pipeline.dedup import H15, _shingles
+
+SAMPLE_MOD = 1_000_000  # threshold granularity: fractions quantize to ppm
+
+
+def decontaminate(
+    df: DataFrame,
+    eval_df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+) -> DataFrame:
+    """Flag corpus docs sharing any word ``k``-gram with ``eval_df``.
+
+    Returns one row per input doc: (id, n_overlap = distinct shared
+    shingles, contaminated = n_overlap > 0). Filter on ``~contaminated``
+    to decontaminate; keep ``n_overlap`` to grade near-misses.
+    """
+    sh = _shingles(text_col, k)
+    doc_sh = df.select(F.col(id_col), F.explode(F.expr(sh)).alias("sh"))
+    ev = eval_df.select(F.explode(F.expr(sh)).alias("sh")).distinct()
+    hits = (
+        doc_sh.join(F.broadcast(ev), "sh")
+        .groupBy(id_col)
+        .agg(F.countDistinct("sh").alias("n_overlap"))
+    )
+    n = F.coalesce("n_overlap", F.lit(0))
+    return df.select(id_col).join(hits, id_col, "left").select(
+        id_col,
+        n.alias("n_overlap"),
+        (n > 0).alias("contaminated"),
+    )
+
+
+def stratified_sample(
+    df: DataFrame,
+    fractions: dict[str, float],
+    strata_col: str = "source",
+    id_col: str = "doc_id",
+    seed: str = "s0",
+) -> DataFrame:
+    """Deterministic per-stratum sampling: keep a row iff
+    ``H15(seed:id) % 1e6 < floor(fraction * 1e6)`` for its stratum's
+    fraction. Strata absent from ``fractions`` are dropped (same
+    contract as ``DataFrame.sampleBy``). Fractions quantize to ppm.
+    """
+    h = H15.format(x=f"concat('{seed}:', cast({id_col} as string))")
+    pairs = [x for kv in fractions.items() for x in (F.lit(kv[0]), F.lit(kv[1]))]
+    frac = F.create_map(*pairs)[F.col(strata_col)]
+    return (
+        df.withColumn("_keep_frac", frac)
+        .where(
+            F.expr(h) % SAMPLE_MOD
+            < F.floor(F.col("_keep_frac") * SAMPLE_MOD)
+        )
+        .drop("_keep_frac")
+    )

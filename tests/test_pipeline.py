@@ -246,3 +246,65 @@ def test_simhash_rotations_monotone_recall(spark):
     assert set(r1) <= set(r3) <= set(full)
     for k, v in r3.items():
         assert full[k] == v      # hamming values identical
+
+
+def test_decontaminate_counts_and_plan(spark):
+    """Known-overlap corpus: n_overlap counts distinct shared k-grams,
+    clean docs survive with 0, and the eval side is broadcast (the
+    100 TB shape: no corpus self-join, no corpus-side shuffle for the
+    probe)."""
+    from quickwit_spark.pipeline.sampling import decontaminate
+
+    corpus = spark.createDataFrame(
+        [
+            (0, "alpha beta gamma delta"),        # shares 2 3-grams w/ eval
+            (1, "one two three four five"),       # clean
+            (2, "zz alpha beta gamma yy"),        # shares 1 3-gram
+            (3, "alpha beta gamma delta"),        # dup of 0
+        ],
+        "doc_id long, text string",
+    )
+    ev = spark.createDataFrame(
+        [(100, "alpha beta gamma delta epsilon")], "doc_id long, text string"
+    )
+    out = decontaminate(corpus, ev, k=3)
+    got = {r.doc_id: (r.n_overlap, r.contaminated) for r in out.collect()}
+    assert got == {0: (2, True), 1: (0, False), 2: (1, True), 3: (2, True)}
+    plan = out._sc._jvm.PythonSQLUtils.explainString(
+        out._jdf.queryExecution(), "formatted"
+    )
+    assert "BroadcastHashJoin" in plan
+
+
+def test_stratified_sample_deterministic_reproducible(spark):
+    """Same seed → identical rows; unlisted strata dropped; per-stratum
+    rates track the requested fractions; and the keep decision is
+    per-row, so sampling commutes with corpus filtering (resumable
+    appends keep prior selections)."""
+    from pyspark.sql import functions as F
+
+    from quickwit_spark.pipeline.sampling import stratified_sample
+
+    rows = [(i, f"s{i % 4}") for i in range(4000)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    fr = {"s0": 0.5, "s1": 0.1, "s2": 1.0}
+
+    a = {r.doc_id for r in stratified_sample(df, fr, seed="x").collect()}
+    b = {r.doc_id for r in stratified_sample(df, fr, seed="x").collect()}
+    assert a == b
+    c = {r.doc_id for r in stratified_sample(df, fr, seed="y").collect()}
+    assert a != c
+
+    got = dict(
+        stratified_sample(df, fr, seed="x")
+        .groupBy("source").count().rdd.map(lambda r: (r.source, r["count"]))
+        .collect()
+    )
+    assert "s3" not in got                      # unlisted stratum dropped
+    assert got["s2"] == 1000                    # fraction 1.0 keeps all
+    assert abs(got["s0"] - 500) < 80 and abs(got["s1"] - 100) < 50
+
+    # commutes with filtering: sampling a subset = subset of the sample
+    sub = df.where(F.col("doc_id") < 1000)
+    sub_sample = {r.doc_id for r in stratified_sample(sub, fr, seed="x").collect()}
+    assert sub_sample == {i for i in a if i < 1000}
