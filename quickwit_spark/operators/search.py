@@ -176,27 +176,43 @@ def _wand_plan(ast):
     """Normalize a prunable query into ``(groups, neg_terms)`` where
     every group is a list of members (Term or Phrase) and the query
     means "every group has >=1 matching member, scores sum over all
-    matching members, minus the negated terms". Covers: single
-    term/phrase (1 group of 1), conjunction (n groups of 1),
-    disjunction (1 group of n), conjunction of disjunction-groups —
-    e.g. the multifield expansion ``(text:en OR lang:en) AND
-    (text:v OR lang:v)`` — and any of these with must_not terms.
-    Phrase members prune two-phase: segments are bounded by the member
-    tokens' shard stats (phrase freq ≤ min token tf, so score ≤
+    matching members, minus the negated terms". A member is a Term, a
+    Phrase, or a CONJUNCTION of terms (a nested ``Bool(must=terms)``).
+    Covers: single term/phrase (1 group of 1), conjunction (n groups
+    of 1), disjunction (1 group of n), conjunction of
+    disjunction-groups — e.g. the multifield expansion ``(text:en OR
+    lang:en) AND (text:v OR lang:v)`` — disjunctions with conjunctive
+    members — ``(a AND b) OR c`` — and any of these with must_not
+    terms. Phrase members prune two-phase: segments are bounded by the
+    member tokens' shard stats (phrase freq ≤ min token tf, so score ≤
     Σtoken-idf × norm(min max_tf, max min_dl)) and positions are only
     decoded for shards whose token docid-intersection is non-empty.
-    Anything else (deeper nesting, phrase must_not, pure-negation)
-    returns None and takes the exhaustive path."""
+    Conjunction members are bounded by the sum of their term UBs and
+    covered only where every term has a shard. Anything else (deeper
+    nesting, phrase must_not, pure-negation) returns None and takes
+    the exhaustive path."""
+
+    def member_ok(node):
+        if isinstance(node, (Term, Phrase)):
+            return True
+        # conjunction-of-terms member: (a AND b) inside a disjunction
+        return (
+            isinstance(node, Bool)
+            and node.must
+            and not node.should
+            and not node.must_not
+            and all(isinstance(t, Term) for t in node.must)
+        )
 
     def term_group(node):
-        if isinstance(node, (Term, Phrase)):
+        if member_ok(node):
             return [node]
         if (
             isinstance(node, Bool)
             and node.should
             and not node.must
             and not node.must_not
-            and all(isinstance(c, (Term, Phrase)) for c in node.should)
+            and all(member_ok(c) for c in node.should)
         ):
             return list(node.should)
         return None
@@ -394,7 +410,10 @@ def _wand_bool(
     def _minfo(node):
         if isinstance(node, Term):
             return ("term", [(node.field, node.value)], 0)
-        return ("phrase", [(node.field, tok) for tok in node.tokens], node.slop)
+        if isinstance(node, Phrase):
+            return ("phrase", [(node.field, tok) for tok in node.tokens], node.slop)
+        # Bool(must=terms) member from _wand_plan: (a AND b) in a should
+        return ("conj", [(t.field, t.value) for t in node.must], 0)
 
     member_info = [[_minfo(n) for n in g] for g in groups]
     all_pos = [k for g in member_info for (_, keys, _) in g for k in keys]
@@ -427,6 +446,8 @@ def _wand_bool(
             m_ = {"g": gi, "kind": kind, "keys": keys, "slop": slop}
             if kind == "term":
                 m_["df"] = stats["df"].get(keys[0], 0)
+            elif kind == "conj":
+                m_["dfs"] = [stats["df"].get(k, 0) for k in keys]
             else:
                 # exhaustive-evaluator association: sum() of per-token
                 # idfs in token order (see _SplitEval Phrase branch)
@@ -472,6 +493,16 @@ def _wand_bool(
                 st["max_tf"][kk], st["min_dl"][kk].astype(np.float64),
                 m_["df"], N, avgdl, k1, b,
             )
+        elif m_["kind"] == "conj":
+            # sum of the member terms' individual UBs — ≥ any real
+            # conjunction score in the segment
+            ub = np.zeros(n_seg, dtype=np.float64)
+            for key, kk, df_t in zip(m_["keys"], tok_k, m_["dfs"]):
+                st = sp.stats[key]
+                ub += _bm25_scores(
+                    st["max_tf"][kk], st["min_dl"][kk].astype(np.float64),
+                    df_t, N, avgdl, k1, b,
+                )
         else:
             f_ub = dl_lb = None
             for key, kk in zip(m_["keys"], tok_k):
@@ -550,6 +581,33 @@ def _wand_bool(
         mask = freqs > 0
         return cand[mask], freqs[mask]
 
+    def _conj_seg(m_, s: int, lo: int, hi: int):
+        """(matching docids, summed member scores) of one
+        conjunction-of-terms member within segment s. Scores use the
+        exhaustive ``Bool.must`` float association (zeros + term scores
+        in member-term order) so WAND results stay bit-identical."""
+        slices = []
+        cand = None
+        for key, kk in zip(m_["keys"], m_["tok_k"]):
+            shard = int(sp.stats[key]["shard"][kk[s]])
+            dec = sp.docids(key[0], key[1], shard)
+            a_, b_ = np.searchsorted(dec, lo), np.searchsorted(dec, hi)
+            sl = dec[a_:b_]
+            cand = sl if cand is None else np.intersect1d(
+                cand, sl, assume_unique=True
+            )
+            if cand.size == 0:
+                return empty
+            slices.append((key, shard, dec))
+        scores = np.zeros(cand.size, dtype=np.float64)
+        for (key, shard, dec), df_t in zip(slices, m_["dfs"]):
+            tfs = sp.tfs(key[0], key[1], shard)
+            idx = np.searchsorted(dec, cand)
+            scores += _bm25_scores(
+                tfs[idx], doc_len[cand], df_t, N, avgdl, k1, b
+            )
+        return cand, scores
+
     pcache: dict[tuple[int, int], tuple] = {}
 
     def member_ids(mi: int, s: int):
@@ -563,7 +621,11 @@ def _wand_bool(
             return _term_slice(m_, s, lo, hi, with_tf=False)[0]
         got = pcache.get((mi, s))
         if got is None:
-            got = _phrase_seg(m_, s, lo, hi)
+            got = (
+                _conj_seg(m_, s, lo, hi)
+                if m_["kind"] == "conj"
+                else _phrase_seg(m_, s, lo, hi)
+            )
             pcache[(mi, s)] = got
         return got[0]
 
@@ -649,6 +711,18 @@ def _wand_bool(
                                 sl_tf[si], doc_len[common], m_["df"],
                                 N, avgdl, k1, b,
                             )
+                elif m_["kind"] == "conj":
+                    c_ids, c_scores = pcache[(mi, s)]
+                    if single:
+                        # candidates ⊆ the member's matching ids
+                        idx = np.searchsorted(c_ids, ids)
+                        g_scores += c_scores[idx]
+                    else:
+                        common, ci, si = np.intersect1d(
+                            ids, c_ids, assume_unique=True, return_indices=True
+                        )
+                        if common.size:
+                            g_scores[ci] += c_scores[si]
                 else:
                     p_ids, p_freqs = pcache[(mi, s)]
                     if single:

@@ -36,6 +36,10 @@ QUERIES = (
         "hotterm AND w00000",
         "hotterm -w00000",
         'w00120 AND "w00000 w00001"~2',
+        "w00050 OR (w00001 AND w00120)",                   # conj member in OR
+        "(w00000 AND w00050) OR (w00001 AND w00200)",
+        "(hotterm AND w01500) OR w02500",
+        "(w00000 AND w00050) OR w00120 -w00004",
     ]
 )
 

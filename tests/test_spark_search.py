@@ -210,6 +210,72 @@ class TestWand:
         np.testing.assert_array_equal(ids, ids_all[order][:3])
         np.testing.assert_allclose(scores, scores_all[order][:3])
 
+    def test_wand_disjunction_with_conj_member_exact(self, tmp_path):
+        """``common OR (xA AND xB)`` on the skewed corpus: the conj
+        member only covers segments where BOTH terms have shards, the
+        strong shard still dominates scoring, and results are exactly
+        the unpruned evaluation."""
+        from quickwit_spark.config import IndexConfig
+        from quickwit_spark.functions.tokenize import tokenize_default
+        from quickwit_spark.operators.build import build_split_tables, write_split
+        from quickwit_spark.operators.search import _wand_bool
+        from quickwit_spark.plans.query import Bool, Term
+        from quickwit_spark.sources.transcripts import fixture_corpus
+
+        import numpy as np
+
+        strong = [("common common common",)] * 8
+        weak = [
+            ("common " + " ".join(f"x{j:03d}w{i:03d}" for j in range(30)),)
+            for i in range(92)
+        ]
+        pdf = fixture_corpus(strong + weak)
+        cfg = IndexConfig(hot_term_doc_freq=10, salt_docid_range=8)
+        postings, docs, meta = build_split_tables(pdf, cfg)
+        sd = str(tmp_path / "skewconj")
+        write_split(postings, docs, sd)
+        doc_len = docs["doc_len"].to_numpy().astype(np.float64)
+        df_common = sum("common" in tokenize_default(t) for t in pdf["text"])
+        stats = {
+            "N": meta["num_docs"],
+            "avgdl": meta["sum_doc_len"] / meta["num_docs"],
+            "df": {
+                ("text", "common"): df_common,
+                ("text", "x000w000"): 1,
+                ("text", "x001w000"): 1,
+            },
+        }
+        conj = Bool(must=(Term("text", "x000w000"), Term("text", "x001w000")))
+        shoulds = [Term("text", "common"), conj]
+        ids, scores, num_hits, sk = _wand_bool(
+            sd, [shoulds], [], doc_len, stats, cfg, 3
+        )
+        assert num_hits == 100
+        assert len(ids) == 3
+        assert sk["tf_decoded"] < sk["shards"]  # scoring still pruned
+        ids_all, scores_all, n_all, _ = _wand_bool(
+            sd, [shoulds], [], doc_len, stats, cfg, 10_000
+        )
+        assert n_all == 100
+        order = np.lexsort((ids_all, -scores_all))
+        np.testing.assert_array_equal(ids, ids_all[order][:3])
+        np.testing.assert_allclose(scores, scores_all[order][:3])
+        # single-member-group path: the conj alone matches exactly the
+        # one weak doc holding both rare terms
+        conj_ids, conj_scores, conj_n, _ = _wand_bool(
+            sd, [[conj]], [], doc_len, stats, cfg, 10
+        )
+        assert conj_n == 1 and len(conj_ids) == 1
+        # the conj member's single matching doc carries BOTH rare-term
+        # scores on top of its 'common' score
+        doc0 = conj_ids[0]
+        s0 = scores_all[ids_all == doc0]
+        only_common = _wand_bool(
+            sd, [[Term("text", "common")]], [], doc_len, stats, cfg, 10_000
+        )
+        oc = only_common[1][only_common[0] == doc0]
+        assert s0.size == 1 and oc.size == 1 and s0[0] > oc[0]
+
     def test_wand_phrase_conjunction_skips_positions(self, tmp_path):
         """rare AND "common common": segments outside the rare term's
         single-doc range can't match the conjunction, so the hot phrase
@@ -514,6 +580,16 @@ def test_wand_plan_covers_nested_should_groups(searcher):
     assert plan is not None and [len(g) for g in plan[0]] == [1]
     plan = _wand_plan(parse_query('w00000 AND "w00001 w00002"', cfg))
     assert plan is not None and [len(g) for g in plan[0]] == [1, 1]
+    # conjunction-of-terms members inside a disjunction are WAND-able
+    plan = _wand_plan(parse_query("w00050 OR (w00001 AND w00120)", cfg))
+    assert plan is not None and [len(g) for g in plan[0]] == [2]
+    plan = _wand_plan(
+        parse_query("(w00000 AND w00050) OR (w00001 AND w00200)", cfg)
+    )
+    assert plan is not None and [len(g) for g in plan[0]] == [2]
+    # but a conj member containing a phrase still falls back
+    plan = _wand_plan(parse_query('(w00000 AND "w00001 w00002") OR w00050', cfg))
+    assert plan is None
 
 
 def test_wand_equals_exhaustive_multifield(searcher):
@@ -546,7 +622,9 @@ def test_wand_equals_exhaustive_randomized(searcher):
     )
 
     def rand_query():
-        shape = rng.choice(["term", "conj", "disj", "mixed", "neg", "nested"])
+        shape = rng.choice(
+            ["term", "conj", "disj", "mixed", "neg", "nested", "disj_conj"]
+        )
         pick = lambda n: rng.sample(vocab, n)  # noqa: E731
         if shape == "term":
             return pick(1)[0]
@@ -560,6 +638,11 @@ def test_wand_equals_exhaustive_randomized(searcher):
         if shape == "mixed":
             a, b, c = pick(3)
             return f"{a} AND {b} -{c}"
+        if shape == "disj_conj":
+            a, b, c, d = pick(4)
+            if rng.random() < 0.5:
+                return f"({a} AND {b}) OR {c}"
+            return f"({a} AND {b}) OR ({c} AND {d})"
         a, b, c, d = pick(4)
         return f"({a} OR {b}) AND ({c} OR {d})"
 
