@@ -40,6 +40,9 @@ QUERIES = (
         "(w00000 AND w00050) OR (w00001 AND w00200)",
         "(hotterm AND w01500) OR w02500",
         "(w00000 AND w00050) OR w00120 -w00004",
+        "(w00050 OR (w00001 AND w00120)) AND w00002",      # conj-in-OR ∧ term
+        "(w00000 AND w00050) OR (w00001 AND w00200) OR w01500",
+        '(w00120 AND w00300) OR "w00000 w00001"~1',        # conj OR phrase
     ]
 )
 
