@@ -1,12 +1,22 @@
 """Query mini-language: terms, ``field:term``, phrases with slop,
-AND/OR/NOT (conjunction by default), parentheses.
+AND/+/OR/NOT/- (conjunction by default), parentheses, backslash
+escapes for reserved characters.
 
 Semantics follow the reference's query layer:
 * conjunction by default — quickwit-doc-mapper/src/query_builder.rs:60-63
   (``set_conjunction_by_default``);
 * phrase slop ``"a b"~N`` — docs/reference/query-language.md, behavior
   pinned by quickwit-search/src/tests.rs:111-143;
-* ``-clause`` / ``NOT clause`` = must-not.
+* ``-clause`` / ``NOT clause`` = must-not; ``+clause`` = explicit must
+  (docs/reference/query-language.md "Boolean Operators" — a no-op
+  under conjunction-by-default but accepted, as in the reference);
+* reserved characters (``^ [ ] { }`` …) appear in terms only behind a
+  ``\\`` escape (docs/reference/query-language.md "Escaping Special
+  Characters"); an unescaped ``^ [ ] { }`` is a syntax error rather
+  than a silent mis-parse;
+* range clauses (``field:[a TO b]``) are detected and rejected with
+  the reference's exact error — query_builder.rs:42
+  ("Range queries are not currently allowed.").
 
 Scoring (our addition — the reference disables scoring at this rev,
 quickwit-search/src/collector.rs:318-323): Lucene-style boolean sum of
@@ -55,11 +65,20 @@ _TOKEN_SPEC = re.compile(
         (?P<rparen>\)) |
         (?P<quoted>(?:(?P<qfield>[A-Za-z_][\w.]*):)?"(?P<phrase>[^"]*)"(?:~(?P<slop>\d+))?) |
         (?P<neg>-) |
-        (?P<word>(?:(?P<field>[A-Za-z_][\w.]*):)?[^\s()"-][^\s()"]*)
+        (?P<plus>\+) |
+        (?P<word>(?:(?P<field>[A-Za-z_][\w.]*):)?(?:\\.|[^\s()"\\+-])(?:\\.|[^\s()"\\])*)
     )
     """,
     re.VERBOSE,
 )
+
+# range syntax ``[a TO b]`` / ``{a TO b}`` (unescaped) anywhere in the
+# query — the reference parses these and then rejects the whole query
+_RANGE_CLAUSE = re.compile(r"(?<!\\)[\[{][^\]}]*\sTO\s[^\]}]*[\]}]")
+
+# reserved characters we cannot interpret: unescaped in a term they
+# would silently tokenize into the wrong query
+_UNESCAPED_RESERVED = re.compile(r"(?<!\\)[\^\[\]{}]")
 
 
 class QueryParseError(ValueError):
@@ -87,6 +106,8 @@ def _lex(q: str) -> list[tuple[str, object]]:
             )
         elif m.group("neg"):
             tokens.append(("NOT", None))
+        elif m.group("plus"):
+            tokens.append(("PLUS", None))
         else:
             word = m.group("word")
             fld = m.group("field")
@@ -96,7 +117,13 @@ def _lex(q: str) -> list[tuple[str, object]]:
                 tokens.append(("matchall", None))
             else:
                 value = word[len(fld) + 1 :] if fld else word
-                tokens.append(("term", (fld, value)))
+                bad = _UNESCAPED_RESERVED.search(value)
+                if bad:
+                    raise QueryParseError(
+                        f"reserved character {bad.group()!r} in term "
+                        f"{value!r} must be escaped with a backslash"
+                    )
+                tokens.append(("term", (fld, re.sub(r"\\(.)", r"\1", value))))
     return tokens
 
 
@@ -163,6 +190,11 @@ class _Parser:
             if kind == "NOT":
                 self.next()
                 must_not.append(self.parse_unary())
+                continue
+            if kind == "PLUS":
+                # explicit must — identical to the conjunction default
+                self.next()
+                must.append(self.parse_unary())
                 continue
             must.append(self.parse_unary())
         if not must and not must_not:
@@ -251,6 +283,11 @@ def parse_query(q: str, config, search_fields=None) -> QueryAst:
     q = q.strip()
     if not q or q == "*":
         return MatchAll()
+    if _RANGE_CLAUSE.search(q):
+        # parity with the reference: the grammar recognizes range
+        # clauses and the query builder rejects them wholesale
+        # (quickwit-doc-mapper/src/query_builder.rs:41-43)
+        raise QueryParseError("Range queries are not currently allowed.")
     tokens = _lex(q)
     if not tokens:
         return MatchAll()

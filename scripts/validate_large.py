@@ -21,7 +21,10 @@ QUERIES = (
        "w00000 -w00001", "NOT w00000 AND w00050",
        '"w00000 w00001"~1', '"w00001 w00002"~3',
        "role:user AND w00003", "tool:python AND w00002",
-       "(w00000 OR w00050) AND (w00001 OR w00120)"]
+       "(w00000 OR w00050) AND (w00001 OR w00120)",
+       "w00050 OR (w00001 AND w00120)",
+       "(w00000 AND w00050) OR (w00001 AND w00200)",
+       "(w00050 OR (w00001 AND w00120)) AND w00002"]
 )
 
 

@@ -222,3 +222,47 @@ class TestJsonPathQueries:
         )
         with pytest.raises(ValueError, match="positions"):
             cfg.validate()
+
+
+class TestReservedAndEscapes:
+    """docs/reference/query-language.md "Boolean Operators" +
+    "Escaping Special Characters"; range rejection per
+    quickwit-doc-mapper/src/query_builder.rs:41-43."""
+
+    def test_range_clause_rejected_with_reference_error(self):
+        for q in (
+            "ts:[2020 TO 2021]",
+            "{a TO b}",
+            "x AND price:[1 TO 10]",
+        ):
+            with pytest.raises(
+                QueryParseError, match="Range queries are not currently"
+            ):
+                parse_query(q, CFG)
+
+    def test_unescaped_boost_is_a_syntax_error(self):
+        # tantivy would need `^` escaped; silent phrase mis-parse is worse
+        with pytest.raises(QueryParseError, match="reserved character"):
+            parse_query("beagle^2", CFG)
+        with pytest.raises(QueryParseError, match="reserved character"):
+            parse_query("a OR tool:x{1}", CFG)
+
+    def test_escaped_reserved_chars_are_literal(self):
+        # raw-tokenizer field keeps the unescaped value verbatim
+        assert parse_query(r"tool:a\^b", CFG) == Term("tool", "a^b")
+        assert parse_query(r"tool:py\[3\]", CFG) == Term("tool", "py[3]")
+        # text field: the literal char then tokenizes away
+        assert parse_query(r"beagle\^2", CFG) == Phrase(
+            "text", ("beagle", "2"), 0
+        )
+
+    def test_escaped_space_binds_one_term(self):
+        assert parse_query(r"tool:a\ b", CFG) == Term("tool", "a b")
+
+    def test_plus_is_explicit_must(self):
+        assert parse_query("+small bike", CFG) == parse_query(
+            "small bike", CFG
+        )
+        assert parse_query("a AND +b", CFG) == parse_query("a AND b", CFG)
+        # in an OR list, + marks the clause but OR grouping is unchanged
+        assert parse_query("+a OR b", CFG) == parse_query("a OR b", CFG)
