@@ -3,15 +3,22 @@
 (quickwit-serve/src/search_api/rest_handler.rs:83-166,
 rest.rs ingest/tail routes), stdlib-only so the sandbox can run it.
 
-Routes (all JSON):
+Routes (all JSON unless noted; error bodies carry ``error_message``
+per docs/reference/rest-api.md "Error handling"):
 * ``GET  /api/v1/{index}/search?query=...&max_hits=&start_offset=&
-  sort_by_field=&start_timestamp=&end_timestamp=`` — rest_handler.rs
-  param names; response = ``Index.search_json`` shape
-  (search_api.proto:96-111).
-* ``GET  /api/v1/{index}/search/stream?query=...&fast_field=...`` —
-  newline-delimited ``{"value": ...}`` rows (CSV-ish stream export).
+  sort_by_field=&start_timestamp=&end_timestamp=&format=`` —
+  rest_handler.rs param names; response = ``Index.search_json`` shape
+  (search_api.proto:96-111); ``format`` ∈ {json, prettyjson}
+  (default prettyjson, as documented).
+* ``GET  /api/v1/{index}/search/stream?query=...&fast_field=...&
+  output_format=`` — ``csv`` (default; one value per line) or
+  ``clickHouseRowBinary`` (little-endian i64), chunked transfer;
+  mid-stream failures surface as an ``X-Stream-Error`` trailer
+  (rest-api.md "Search stream").
 * ``POST /api/v1/{index}/ingest`` — newline-delimited JSON docs body;
-  returns ingest counters.
+  returns ingest counters + ``num_docs_for_processing``.
+* ``POST /api/v1/_bulk`` — ES-compatible bulk NDJSON (action line +
+  payload line pairs routed by the action's ``_index``).
 * ``GET  /api/v1/{index}/tail?num_hits=`` — most recent docs.
 * ``GET  /api/v1/{index}/describe`` — CLI `index describe` shape.
 
@@ -69,23 +76,29 @@ class _Handler(BaseHTTPRequestHandler):
         """One HTTP/1.1 chunked-transfer frame."""
         self.wfile.write(f"{len(data):x}\r\n".encode() + data + b"\r\n")
 
-    def _json(self, code: int, payload) -> None:
-        body = json.dumps(payload).encode()
+    def _json(self, code: int, payload, pretty: bool = False) -> None:
+        body = json.dumps(payload, indent=2 if pretty else None).encode()
         self.send_response(code)
-        self.send_header("content-type", "application/json")
+        self.send_header("content-type", "application/json; charset=UTF-8")
         self.send_header("content-length", str(len(body)))
         self.end_headers()
         self.wfile.write(body)
 
+    def _err(self, code: int, msg: str) -> None:
+        # rest-api.md "Error handling": 4xx + {"error_message": ...}
+        self._json(code, {"error_message": msg})
+
     def _route(self):
         u = urlparse(self.path)
+        if u.path == "/api/v1/_bulk":
+            return None, "_bulk", parse_qs(u.query)
         m = _ROUTE.match(u.path)
         if not m:
-            self._json(404, {"error": f"no route {u.path}"})
+            self._err(404, f"no route {u.path}")
             return None
         idx = self.indexes.get(m.group("index"))
         if idx is None:
-            self._json(404, {"error": f"unknown index {m.group('index')}"})
+            self._err(404, f"unknown index {m.group('index')}")
             return None
         return idx, m.group("verb"), parse_qs(u.query)
 
@@ -97,10 +110,41 @@ class _Handler(BaseHTTPRequestHandler):
         try:
             if verb == "search":
                 query = q.get("query", ["*"])[0]
-                self._json(200, idx.search_json(query, **_search_kwargs(q)))
+                # format=json|prettyjson, default prettyjson
+                # (rest-api.md "Get parameters")
+                fmt = q.get("format", ["prettyjson"])[0]
+                if fmt not in ("json", "prettyjson"):
+                    raise ValueError(f"unknown format {fmt!r}")
+                self._json(
+                    200,
+                    idx.search_json(query, **_search_kwargs(q)),
+                    pretty=fmt == "prettyjson",
+                )
             elif verb == "search/stream":
                 query = q.get("query", ["*"])[0]
                 fast_field = q["fast_field"][0]
+                out_fmt = q.get("output_format", ["csv"])[0]
+                if out_fmt == "csv":
+                    ctype = "text/csv"
+
+                    def encode(v) -> bytes:
+                        # STREAM_SCHEMA types value as double for any
+                        # fast field; i64 fields print as integers,
+                        # like the reference's CSV output
+                        if isinstance(v, float) and v.is_integer():
+                            v = int(v)
+                        return f"{v}\n".encode()
+                elif out_fmt == "clickHouseRowBinary":
+                    import struct
+
+                    ctype = "application/octet-stream"
+
+                    def encode(v) -> bytes:
+                        # fast fields are i64 — little-endian fixed
+                        # width, matching the library RowBinary sink
+                        return struct.pack("<q", int(v))
+                else:
+                    raise ValueError(f"unknown output_format {out_fmt!r}")
                 # stream the export: toLocalIterator pulls one Spark
                 # partition at a time into the driver, and chunked
                 # transfer forwards it — driver memory stays bounded by
@@ -109,21 +153,30 @@ class _Handler(BaseHTTPRequestHandler):
                 # driver at real export sizes)
                 it = idx.search_stream(query, fast_field).toLocalIterator()
                 self.send_response(200)
-                self.send_header("content-type", "application/x-ndjson")
+                self.send_header("content-type", ctype)
                 self.send_header("transfer-encoding", "chunked")
+                self.send_header("trailer", "X-Stream-Error")
                 self.end_headers()
                 buf: list[bytes] = []
                 size = 0
-                for row in it:
-                    piece = (json.dumps({"value": row.value}) + "\n").encode()
-                    buf.append(piece)
-                    size += len(piece)
-                    if size >= STREAM_CHUNK_BYTES:
+                try:
+                    for row in it:
+                        piece = encode(row.value)
+                        buf.append(piece)
+                        size += len(piece)
+                        if size >= STREAM_CHUNK_BYTES:
+                            self._write_chunk(b"".join(buf))
+                            buf, size = [], 0
+                    if buf:
                         self._write_chunk(b"".join(buf))
-                        buf, size = [], 0
-                if buf:
-                    self._write_chunk(b"".join(buf))
-                self.wfile.write(b"0\r\n\r\n")  # chunked terminator
+                    self.wfile.write(b"0\r\n\r\n")  # chunked terminator
+                except Exception as exc:  # headers already sent — the
+                    # error travels as a trailer, like the reference
+                    # (rest-api.md: "X-Stream-Error" via trailers)
+                    msg = str(exc).replace("\r", " ").replace("\n", " ")
+                    self.wfile.write(
+                        f"0\r\nX-Stream-Error: {msg[:512]}\r\n\r\n".encode()
+                    )
             elif verb == "tail":
                 n = int(q.get("num_hits", ["20"])[0])
                 resp = idx.tail(n)
@@ -134,47 +187,131 @@ class _Handler(BaseHTTPRequestHandler):
             elif verb == "describe":
                 self._json(200, idx.describe())
             else:
-                self._json(405, {"error": f"GET not supported for {verb}"})
+                self._err(405, f"GET not supported for {verb}")
         except (ValueError, KeyError) as exc:
-            self._json(400, {"error": str(exc)})
+            self._err(400, str(exc))
+
+    def _read_body(self) -> str:
+        length = int(self.headers.get("content-length", "0"))
+        return self.rfile.read(length).decode()
+
+    def _spool_ingest(
+        self, idx: Index, body: str, ingest_id: str, bulk: bool = False
+    ) -> dict:
+        """Spool an NDJSON body to a temp file and run the library
+        ingest path (``ingest_bulk`` when ``bulk`` — the body then
+        contains ES action+payload pairs); the file is always
+        unlinked."""
+        import os
+        import tempfile
+
+        fd, tmp = tempfile.mkstemp(prefix="qs_ingest_", suffix=".ndjson")
+        try:
+            with os.fdopen(fd, "w") as f:
+                f.write(body)
+            if bulk:
+                # ingest_bulk derives its id from the (unique) spool
+                # path — mkstemp guarantees a fresh id per request
+                return idx.ingest_bulk(tmp, n_splits=2)
+            return idx.ingest_json_lines(tmp, n_splits=2, ingest_id=ingest_id)
+        finally:
+            try:
+                os.unlink(tmp)
+            except OSError:
+                pass
+
+    def _handle_bulk(self, body: str) -> None:
+        """POST /api/v1/_bulk — ES-compatible NDJSON, routed per-action
+        by the action metadata's ``_index`` (rest-api.md "Ingest data
+        with Elasticsearch compatible API"). Pairing is positional and
+        resolved here on the driver (the HTTP body is already in
+        memory; the bulk-data path is batch/streaming ingest): each
+        routed index gets its own action+payload NDJSON slice fed to
+        ``Index.ingest_bulk``. Actions naming an unserved/missing
+        ``_index`` are dropped and counted."""
+        import uuid
+
+        verbs = ("index", "create", "update", "delete")
+        per_index: dict[str, list[str]] = {}
+        n_docs = unrouted = 0
+        # None = expect an action line; else (target_or_None, counts)
+        pending: tuple | None = None
+        for line in body.split("\n"):
+            if not line.strip():
+                continue
+            if pending is not None:
+                tgt, counts = pending
+                pending = None
+                if tgt is not None:
+                    per_index[tgt].append(line)
+                    n_docs += counts
+                continue
+            kind = tgt = None
+            try:
+                obj = json.loads(line)
+                if isinstance(obj, dict) and len(obj) == 1:
+                    ((k, v),) = obj.items()
+                    if k in verbs and isinstance(v, dict):
+                        kind, tgt = k, v.get("_index")
+            except ValueError:
+                pass
+            if kind is None:  # stray payload with no action — drop
+                unrouted += 1
+                continue
+            routed = tgt if tgt in self.indexes else None
+            if routed is None:
+                unrouted += 1
+            else:
+                per_index.setdefault(routed, []).append(line)
+            if kind != "delete":
+                # index/create payloads count as docs-for-processing;
+                # update payloads ride along for ingest_bulk's
+                # unsupported_action counters but aren't docs
+                pending = (routed, 1 if kind in ("index", "create") else 0)
+        nonce = self.headers.get("x-idempotency-key", uuid.uuid4().hex[:12])
+        per_index_result = {}
+        for name, lines in per_index.items():
+            per_index_result[name] = self._spool_ingest(
+                self.indexes[name], "\n".join(lines) + "\n",
+                f"b{nonce}{name}", bulk=True,
+            )
+        self._json(200, {
+            "num_docs_for_processing": n_docs,
+            "num_unrouted_actions": unrouted,
+            "per_index": per_index_result,
+        })
 
     def do_POST(self):  # noqa: N802
         r = self._route()
         if r is None:
             return
         idx, verb, _q = r
-        if verb != "ingest":
-            self._json(405, {"error": f"POST not supported for {verb}"})
-            return
-        length = int(self.headers.get("content-length", "0"))
-        body = self.rfile.read(length).decode()
-        import os
-        import tempfile
-        import uuid
-
-        # spool the NDJSON body to a file and reuse the bulk path.
-        # The ingest id is a per-request nonce (honoring an optional
-        # idempotency key header): ES bulk semantics APPEND on re-POST
-        # of an identical body — deriving the id from the body hash
-        # made that a silent no-op that still reported counters.
-        nonce = self.headers.get(
-            "x-idempotency-key", uuid.uuid4().hex[:12]
-        )
-        fd, tmp = tempfile.mkstemp(prefix="qs_ingest_", suffix=".ndjson")
         try:
-            with os.fdopen(fd, "w") as f:
-                f.write(body)
-            result = idx.ingest_json_lines(
-                tmp, n_splits=2, ingest_id=f"r{nonce}"
+            if verb == "_bulk":
+                self._handle_bulk(self._read_body())
+                return
+            if verb != "ingest":
+                self._err(405, f"POST not supported for {verb}")
+                return
+            body = self._read_body()
+            import uuid
+
+            # The ingest id is a per-request nonce (honoring an optional
+            # idempotency key header): ES bulk semantics APPEND on
+            # re-POST of an identical body — deriving the id from the
+            # body hash made that a silent no-op that still reported
+            # counters.
+            nonce = self.headers.get("x-idempotency-key", uuid.uuid4().hex[:12])
+            result = self._spool_ingest(idx, body, f"r{nonce}")
+            # rest-api.md ingest response: docs accepted for processing
+            # (they may not have been processed yet; this server indexes
+            # synchronously so they always have been)
+            result["num_docs_for_processing"] = sum(
+                1 for l in body.split("\n") if l.strip()
             )
             self._json(200, result)
         except (ValueError, KeyError) as exc:
-            self._json(400, {"error": str(exc)})
-        finally:
-            try:
-                os.unlink(tmp)
-            except OSError:
-                pass
+            self._err(400, str(exc))
 
 
 def serve(indexes: dict[str, Index], port: int = 0):

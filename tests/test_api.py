@@ -313,9 +313,31 @@ def test_http_rest_server(index, corpus):
         ts = [h["document"]["ts"] for h in json.loads(body)["hits"]]
         assert ts == sorted(ts, reverse=True)
 
+        # default output_format=csv — one fast-field value per line
         code, body = get("/search/stream?query=w00002&fast_field=doc_len")
-        vals = [json.loads(l)["value"] for l in body.splitlines() if l]
+        vals = [int(l) for l in body.splitlines() if l]
         assert len(vals) == index.search("w00002", k=1).num_hits
+
+        # clickHouseRowBinary — little-endian i64 fixed width
+        import struct
+        import urllib.request as _rq
+
+        with _rq.urlopen(
+            base + "/search/stream?query=w00002&fast_field=doc_len"
+                   "&output_format=clickHouseRowBinary",
+            timeout=60,
+        ) as r:
+            raw = r.read()
+        assert len(raw) == 8 * len(vals)
+        assert sorted(struct.unpack(f"<{len(vals)}q", raw)) == sorted(vals)
+
+        # format=json is compact, default prettyjson is indented
+        code, compact = get("/search?query=w00001&max_hits=1&format=json")
+        assert "\n" not in compact
+        code, pretty = get("/search?query=w00001&max_hits=1")
+        assert "\n" in pretty
+        assert json.loads(compact)["num_hits"] == json.loads(pretty)["num_hits"]
+        assert "elapsed_time_micros" in json.loads(compact)
 
         code, body = get("/tail?num_hits=4")
         assert len(json.loads(body)["hits"]) == 4
@@ -333,11 +355,14 @@ def test_http_rest_server(index, corpus):
             raise AssertionError("expected 404")
         except urllib.error.HTTPError as e:
             assert e.code == 404
+            # rest-api.md "Error handling": body carries error_message
+            assert "error_message" in json.loads(e.read().decode())
         try:
             urllib.request.urlopen(base + "/search?query=x&max_hits=99999", timeout=30)
             raise AssertionError("expected 400")
         except urllib.error.HTTPError as e:
             assert e.code == 400
+            assert "error_message" in json.loads(e.read().decode())
     finally:
         srv.shutdown()
 
@@ -371,6 +396,7 @@ def test_http_rest_ingest(spark, tmp_path):
         with urllib.request.urlopen(req, timeout=120) as r:
             out = json.loads(r.read().decode())
         assert out["num_docs_valid"] == 4
+        assert out["num_docs_for_processing"] == 4
         with urllib.request.urlopen(
             f"http://127.0.0.1:{port}/api/v1/ing/search?query=http", timeout=60
         ) as r:
@@ -397,6 +423,50 @@ def test_http_rest_ingest(spark, tmp_path):
         srv.shutdown()
 
 
+def test_http_bulk_route(spark, tmp_path):
+    """POST /api/v1/_bulk: ES-compatible NDJSON routed per-action by
+    the metadata `_index` (rest-api.md elastic-compat bulk)."""
+    import json
+    import urllib.request
+
+    from quickwit_spark.api import Index
+    from quickwit_spark.serve import serve
+
+    a = Index.create(spark, str(tmp_path / "bulk_a"))
+    b = Index.create(spark, str(tmp_path / "bulk_b"))
+    srv, _t = serve({"ia": a, "ib": b})
+    port = srv.server_address[1]
+    try:
+        def doc(i, word):
+            return json.dumps({"conv_id": "b", "turn_idx": i, "role": "user",
+                               "text": f"bulk {word} {i}", "tool": None,
+                               "ts": "2025-01-01T00:00:00Z"})
+
+        lines = []
+        for i in range(3):
+            lines += [json.dumps({"index": {"_index": "ia"}}), doc(i, "alpha")]
+        for i in range(2):
+            lines += [json.dumps({"create": {"_index": "ib"}}), doc(i, "beta")]
+        # unknown index: action + payload dropped, counted
+        lines += [json.dumps({"index": {"_index": "nope"}}), doc(9, "gamma")]
+        # delete action (no payload line follows, per ES)
+        lines += [json.dumps({"delete": {"_index": "ia"}})]
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/api/v1/_bulk",
+            data=("\n".join(lines) + "\n").encode(), method="POST",
+            headers={"content-type": "application/x-ndjson"},
+        )
+        with urllib.request.urlopen(req, timeout=180) as r:
+            out = json.loads(r.read().decode())
+        assert out["num_docs_for_processing"] == 5
+        assert out["num_unrouted_actions"] == 1
+        assert a.search("alpha", k=10).num_hits == 3
+        assert b.search("beta", k=10).num_hits == 2
+        assert a.search("gamma", k=10).num_hits == 0
+    finally:
+        srv.shutdown()
+
+
 def test_http_stream_is_chunked(index):
     """/search/stream streams via chunked transfer — a response larger
     than one flush threshold arrives complete and well-formed (and the
@@ -418,7 +488,7 @@ def test_http_stream_is_chunked(index):
             assert r.headers.get("transfer-encoding") == "chunked"
             assert r.headers.get("content-length") is None
             body = r.read().decode()
-        vals = [json.loads(l)["value"] for l in body.splitlines() if l]
+        vals = [int(l) for l in body.splitlines() if l]
         assert len(vals) == index.search("w00002", k=1).num_hits
         assert len(body) > 256  # actually spanned multiple chunks
     finally:
