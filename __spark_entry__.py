@@ -265,9 +265,12 @@ def q_search_time_range(spark, sf_dir):
 
 
 def q_agg_terms_source(spark, sf_dir):
+    # split_size lifted past the field cardinality: the oracle is an
+    # exact GROUP BY, so the ES-approximate leaf cut must be disabled
     resp = _searcher(spark, sf_dir).search(
         "vector", k=1,
-        aggs={"by_source": {"terms": {"field": "source", "size": 8}}},
+        aggs={"by_source": {"terms": {"field": "source", "size": 8,
+                                      "split_size": 100_000}}},
     )
     rows = [
         (b["key"], int(b["doc_count"]))
@@ -289,9 +292,13 @@ def q_agg_stats_nchars(spark, sf_dir):
 
 
 def q_agg_histogram_nchars(spark, sf_dir):
+    # min_doc_count=1 pins the sparse (no gap-fill) shape the plain
+    # GROUP BY oracle produces; agg_histogram_dense covers the default
+    # gap-filled grid
     resp = _searcher(spark, sf_dir).search(
         "vector", k=1,
-        aggs={"h": {"histogram": {"field": "n_chars", "interval": 100.0}}},
+        aggs={"h": {"histogram": {"field": "n_chars", "interval": 100.0,
+                                  "min_doc_count": 1}}},
     )
     rows = [
         (float(b["key"]), int(b["doc_count"])) for b in resp.aggs["h"]["buckets"]
@@ -322,7 +329,7 @@ def q_agg_terms_stats(spark, sf_dir):
         "vector", k=1,
         aggs={"by": {"terms": {
             "field": "source", "size": 8, "stats_field": "n_chars",
-            "order": {"stats.avg": "desc"},
+            "order": {"stats.avg": "desc"}, "split_size": 100_000,
         }}},
     )
     rows = [
@@ -333,6 +340,56 @@ def q_agg_terms_stats(spark, sf_dir):
     return spark.createDataFrame(
         rows, "source string, doc_count long, av double, mn double, mx double"
     )
+
+
+def q_agg_histogram_dense(spark, sf_dir):
+    """Histogram with an offset grid and the default min_doc_count=0:
+    every bucket between data min and max is returned, EMPTY BUCKETS
+    INCLUDED (aggregation.md 'Returned Buckets'; key formula
+    ((val - offset) / interval).floor() * interval + offset)."""
+    resp = _searcher(spark, sf_dir).search(
+        "vector", k=1,
+        aggs={"h": {"histogram": {"field": "n_chars", "interval": 2.0,
+                                  "offset": 0.5}}},
+    )
+    rows = [
+        (float(b["key"]), int(b["doc_count"])) for b in resp.aggs["h"]["buckets"]
+    ]
+    return spark.createDataFrame(rows, "bucket double, doc_count long")
+
+
+def q_agg_terms_order_key(spark, sf_dir):
+    """Terms agg ordered alphabetically (aggregation.md terms order
+    {"_key": "asc"})."""
+    resp = _searcher(spark, sf_dir).search(
+        "vector", k=1,
+        aggs={"t": {"terms": {"field": "source", "size": 5,
+                              "order": {"_key": "asc"},
+                              "split_size": 100_000}}},
+    )
+    rows = [(b["key"], int(b["doc_count"])) for b in resp.aggs["t"]["buckets"]]
+    return spark.createDataFrame(rows, "source string, doc_count long")
+
+
+def q_agg_terms_subagg_avg(spark, sf_dir):
+    """Terms agg with the ES NESTED sub-agg request shape, ordered by
+    the sub-agg's name (aggregation.md order-by-sub-agg example):
+    buckets carry the avg under its requested name."""
+    resp = _searcher(spark, sf_dir).search(
+        "vector", k=1,
+        aggs={"by": {
+            "terms": {"field": "source", "size": 6,
+                      "order": {"mean_len": "asc"},
+                      "split_size": 100_000},
+            "aggs": {"mean_len": {"avg": {"field": "n_chars"}}},
+        }},
+    )
+    rows = [
+        (b["key"], int(b["doc_count"]),
+         round(float(b["mean_len"]["value"]), 4))
+        for b in resp.aggs["by"]["buckets"]
+    ]
+    return spark.createDataFrame(rows, "source string, doc_count long, av double")
 
 
 def q_search_stream_fastfield(spark, sf_dir):
@@ -542,6 +599,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agg_histogram_nchars": q_agg_histogram_nchars,
         "agg_range_nchars": q_agg_range_nchars,
         "agg_terms_stats": q_agg_terms_stats,
+        "agg_histogram_dense": q_agg_histogram_dense,
+        "agg_terms_order_key": q_agg_terms_order_key,
+        "agg_terms_subagg_avg": q_agg_terms_subagg_avg,
         "token_count": q_token_count,
         "quality_score": q_quality_score,
         "lang_id": q_lang_id,
@@ -876,6 +936,31 @@ SELECT source, count(*) AS doc_count, round(avg(n_chars), 4) AS av,
        min(n_chars)::DOUBLE AS mn, max(n_chars)::DOUBLE AS mx
 FROM documents WHERE list_contains({TOKS40}, 'vector')
 GROUP BY source ORDER BY avg(n_chars) DESC, source ASC LIMIT 8
+"""
+
+    # gap-filled offset grid: first-principles bucket index, then a
+    # generate_series LEFT JOIN supplies the empty buckets
+    sql["agg_histogram_dense"] = f"""
+WITH m AS (
+  SELECT CAST(floor((n_chars - 0.5) / 2.0) AS BIGINT) AS idx
+  FROM documents WHERE list_contains({TOKS40}, 'vector')
+), b AS (SELECT min(idx) AS mn, max(idx) AS mx FROM m),
+g AS (SELECT unnest(generate_series(b.mn, b.mx)) AS idx FROM b)
+SELECT g.idx * 2.0 + 0.5 AS bucket, count(m.idx)::BIGINT AS doc_count
+FROM g LEFT JOIN m ON m.idx = g.idx
+GROUP BY g.idx ORDER BY bucket
+"""
+
+    sql["agg_terms_order_key"] = f"""
+SELECT source, count(*) AS doc_count FROM documents
+WHERE list_contains({TOKS40}, 'vector')
+GROUP BY source ORDER BY source ASC LIMIT 5
+"""
+
+    sql["agg_terms_subagg_avg"] = f"""
+SELECT source, count(*) AS doc_count, round(avg(n_chars), 4) AS av
+FROM documents WHERE list_contains({TOKS40}, 'vector')
+GROUP BY source ORDER BY avg(n_chars) ASC, source ASC LIMIT 6
 """
 
     sql["token_count"] = f"""

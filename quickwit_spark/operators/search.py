@@ -977,8 +977,14 @@ def _eval_split_partial(
     count_row.update(kind="count", split_id=split_id, agg_count=int(ids.size))
     out_rows.append(count_row)
 
-    # partial aggregations (collector.rs:214-221 intermediate results)
-    if aggs and ids.size:
+    # partial aggregations (collector.rs:214-221 intermediate results).
+    # A zero-match split still participates when a terms agg asks for
+    # min_doc_count=0 — its term dictionary feeds the zero-count buckets
+    _mdc0 = aggs is not None and any(
+        "terms" in spec and int(spec["terms"].get("min_doc_count", 1)) == 0
+        for spec in aggs.values()
+    )
+    if aggs and (ids.size or _mdc0):
         agg_cols_needed = set()
         for spec in aggs.values():
             for params in spec.values():
@@ -1003,6 +1009,11 @@ def _eval_split_partial(
                 if params.get("stats_field")
                 else None
             )
+            if kind == "terms" and int(params.get("min_doc_count", 1)) == 0:
+                # zero-count buckets need the split's full term
+                # dictionary, not just the matched docs
+                extra = dict(extra or {})
+                extra["__all__"] = col_arrays[params["field"]]
             rows = _partial_agg(kind, params, vals, extra)
             for r in rows:
                 r["kind"] = "agg"
@@ -1074,6 +1085,109 @@ def _partial_rows_from_topk(
     return pd.DataFrame(out_rows, columns=_HIT_COLS)
 
 
+_AGG_KINDS = ("terms", "histogram", "range", "stats", "avg")
+
+
+def _normalize_aggs(aggs: dict | None) -> dict | None:
+    """Validate an aggs request and translate the ES nested sub-agg
+    shape (aggregation.md terms order-by-sub-agg example:
+    ``{"terms": {...}, "aggs": {"average_price": {"avg": {...}}}}``)
+    into the flat internal form the leaf kernels ship:
+    ``stats_field`` + ``sub_name``/``sub_kind`` on the bucket params.
+    Idempotent — already-flat specs pass through."""
+    if not aggs:
+        return aggs
+    out = {}
+    for name, spec in aggs.items():
+        spec = dict(spec)
+        nested = spec.pop("aggs", None)
+        kinds = [k for k in spec if k in _AGG_KINDS]
+        if len(kinds) != 1 or len(spec) != 1:
+            raise ValueError(
+                f"aggregation {name!r} must have exactly one kind of "
+                f"{_AGG_KINDS}, got {sorted(spec)}"
+            )
+        kind = kinds[0]
+        params = dict(spec[kind])
+        if nested is not None:
+            if kind not in ("terms",):
+                raise ValueError(
+                    f"sub-aggregations are only supported under terms "
+                    f"(aggregation {name!r} is {kind!r})"
+                )
+            if len(nested) != 1:
+                raise ValueError(
+                    f"aggregation {name!r}: exactly one sub-aggregation "
+                    f"is supported, got {sorted(nested)}"
+                )
+            ((sub_name, sub_spec),) = nested.items()
+            if len(sub_spec) != 1:
+                raise ValueError(
+                    f"sub-aggregation {sub_name!r} must have exactly one kind"
+                )
+            ((sub_kind, sub_params),) = sub_spec.items()
+            if sub_kind not in ("avg", "stats"):
+                raise ValueError(
+                    f"sub-aggregation {sub_name!r}: only metric "
+                    f"sub-aggregations (avg, stats) are supported, "
+                    f"got {sub_kind!r}"
+                )
+            params["stats_field"] = sub_params["field"]
+            params["sub_name"] = sub_name
+            params["sub_kind"] = sub_kind
+        out[name] = {kind: params}
+    return out
+
+
+def _subagg_metric_col(target: str, params: dict) -> str:
+    """Resolve a terms ``order`` sub-agg target to an internal metric
+    in {count, sum, min, max, avg}. Accepted spellings
+    (aggregation.md terms order): the sub-agg name alone for
+    single-value metrics (avg), ``<name>.<stat>`` for multi-value
+    metrics (stats), plus the legacy ``stats.<stat>``."""
+    sub_name = params.get("sub_name", "stats")
+    sub_kind = params.get("sub_kind", "stats")
+    if target == sub_name:
+        if sub_kind == "avg":
+            return "avg"
+        raise ValueError(
+            f"multi-value sub-aggregation {sub_name!r} must be addressed "
+            f"by field, e.g. '{sub_name}.avg'"
+        )
+    head, _, stat = target.partition(".")
+    if head in (sub_name, "stats") and stat in (
+        "count", "sum", "min", "max", "avg"
+    ):
+        return stat
+    raise ValueError(f"unknown terms order target {target!r}")
+
+
+def _bucket_metric_value(row: dict, metric: str) -> float:
+    if metric == "count":
+        return float(row["agg_count"])
+    if metric == "avg":
+        return float(row["agg_sum"]) / max(int(row["agg_count"]), 1)
+    return float(row[f"agg_{metric}"])
+
+
+def _terms_split_size(params: dict) -> int:
+    """Leaf cut-off for terms aggs (aggregation.md terms split_size:
+    'defaults to size * 1.5 + 10')."""
+    size = int(params.get("size", 10))
+    return int(params.get("split_size", size * 1.5 + 10))
+
+
+def _terms_order(params: dict) -> tuple[str, bool]:
+    """(target, ascending) of the terms `order` param. Targets:
+    ``_count`` / ``_key`` / a metric sub-agg address
+    (aggregation.md terms order; legacy spellings kept)."""
+    order = params.get("order") or {"_count": "desc"}
+    target, direction = next(iter(order.items()))
+    if target == "doc_count":  # legacy spelling
+        target = "_count"
+    return target, direction == "asc"
+
+
 def _partial_agg(
     kind: str, params: dict, vals: np.ndarray, extra_cols: dict | None = None
 ) -> list[dict]:
@@ -1113,10 +1227,75 @@ def _partial_agg(
                 r = dict(base)
                 r.update(agg_key=str(key), agg_count=int(cnt))
                 rows.append(r)
+        # min_doc_count=0: 'return all terms in the field'
+        # (aggregation.md) — zero-count buckets for field values the
+        # query didn't match (the split-local term dictionary)
+        if (
+            int(params.get("min_doc_count", 1)) == 0
+            and extra_cols is not None
+            and "__all__" in extra_cols
+        ):
+            seen = {r["agg_key"] for r in rows}
+            all_keys = pd.Series(extra_cols["__all__"]).dropna().unique()
+            if len(all_keys) > AGGREGATION_BUCKET_LIMIT:
+                raise ValueError(
+                    "aggregation bucket limit exceeded in split: "
+                    f"{len(all_keys)} > {AGGREGATION_BUCKET_LIMIT} "
+                    "distinct terms keys (min_doc_count=0)"
+                )
+            for key in all_keys:
+                if str(key) not in seen:
+                    r = dict(base)
+                    r.update(agg_key=str(key), agg_count=0)
+                    if stats_field is not None:
+                        r.update(agg_sum=0.0, agg_min=np.nan, agg_max=np.nan)
+                    rows.append(r)
+        # split_size cut (aggregation.md 'results from one split are
+        # cut off at split_size', default size*1.5+10) + one summary
+        # row (agg_key=None) so the root can compute
+        # sum_other_doc_count and doc_count_error_upper_bound: the
+        # error bound contribution is the largest CUT bucket's count
+        split_size = _terms_split_size(params)
+        if len(rows) > split_size:
+            target, asc = _terms_order(params)
+            if target == "_key":
+                rows.sort(key=lambda r: r["agg_key"], reverse=not asc)
+            elif target == "_count" or params.get("stats_field") is None:
+                # count order (tie: key asc) — also the fallback cut
+                # order when a sub-agg target is requested without a
+                # recorded sub-agg (validated earlier)
+                rows.sort(key=lambda r: (-r["agg_count"], r["agg_key"]))
+            else:
+                metric = _subagg_metric_col(target, params)
+                sign = 1 if asc else -1
+
+                def mkey(r, m=metric, s=sign):
+                    v = _bucket_metric_value(r, m)
+                    return (s * v, r["agg_key"])
+
+                rows.sort(key=mkey)
+            kept, cut = rows[:split_size], rows[split_size:]
+            summary = dict(base)
+            summary.update(
+                agg_key=None,
+                agg_count=int(sum(r["agg_count"] for r in cut)),
+                agg_sum=float(max(r["agg_count"] for r in cut)),
+            )
+            rows = kept + [summary]
     elif kind == "histogram":
         interval = float(params["interval"])
+        # aggregation.md histogram: bucket key =
+        # ((val - offset) / interval).floor() * interval + offset
+        off = float(params.get("offset", 0.0))
         v = vals[~pd.isna(vals)].astype(np.float64)
-        buckets = np.floor(v / interval) * interval
+        buckets = np.floor((v - off) / interval) * interval + off
+        hard = params.get("hard_bounds")
+        if hard is not None:
+            # limits the BUCKETS to the [min, max] closed interval
+            mask = (buckets >= float(hard["min"])) & (
+                buckets <= float(hard["max"])
+            )
+            buckets = buckets[mask]
         uniq, cnt = np.unique(buckets, return_counts=True)
         for key, c in zip(uniq, cnt):
             r = dict(base)
@@ -1305,6 +1484,7 @@ class Searcher:
         if k + offset > 10_000 or offset > 10_000:
             # request validation (quickwit-search/src/root.rs:112-133)
             raise ValueError("max_hits + start_offset must be ≤ 10,000")
+        aggs = _normalize_aggs(aggs)
         pdf = self.search_partials(
             query, k, offset, start_us, end_us, sort_by, sort_desc, aggs,
             wand, mode, search_fields,
@@ -1347,6 +1527,7 @@ class Searcher:
         mode: 'spark' (distributed mapInPandas over splits), 'driver'
         (thread pool in-process — same kernel function), or 'auto'.
         """
+        aggs = _normalize_aggs(aggs)
         self._refresh_if_stale()
         ast = parse_query(query, self.config, search_fields)
         _validate_phrase_fields(ast, self.config)
@@ -1464,55 +1645,126 @@ AGGREGATION_BUCKET_LIMIT = 65_000  # collector.rs:273
 def _final_agg(kind: str, params: dict, sub: pd.DataFrame):
     if kind == "terms":
         size = int(params.get("size", 10))
-        if params.get("stats_field"):
-            m = sub.groupby("agg_key").agg(
+        min_doc = int(params.get("min_doc_count", 1))
+        # per-split summary rows (agg_key=None): docs dropped by the
+        # split_size cut + the largest cut bucket per split
+        summaries = sub[sub["agg_key"].isna()]
+        bucket_rows = sub[sub["agg_key"].notna()]
+        leaf_dropped = (
+            int(summaries["agg_count"].sum()) if len(summaries) else 0
+        )
+        # doc_count_error_upper_bound (aggregation.md): 'the sum of the
+        # size of the largest bucket on each split that didn't fit into
+        # split_size'
+        error_bound = int(summaries["agg_sum"].sum()) if len(summaries) else 0
+        has_stats = bool(params.get("stats_field"))
+        if has_stats:
+            m = bucket_rows.groupby("agg_key").agg(
                 doc_count=("agg_count", "sum"), s_sum=("agg_sum", "sum"),
                 s_min=("agg_min", "min"), s_max=("agg_max", "max"),
             )
-            if len(m) > AGGREGATION_BUCKET_LIMIT:
-                raise ValueError("aggregation bucket limit exceeded")
-            m["s_avg"] = m["s_sum"] / m["doc_count"]
-            metric, direction = next(
-                iter(params.get("order", {"doc_count": "desc"}).items())
+            m["s_avg"] = m["s_sum"] / m["doc_count"].clip(lower=1)
+        else:
+            m = bucket_rows.groupby("agg_key").agg(
+                doc_count=("agg_count", "sum")
             )
+        if len(m) > AGGREGATION_BUCKET_LIMIT:
+            raise ValueError("aggregation bucket limit exceeded")
+        total_docs = int(m["doc_count"].sum()) + leaf_dropped
+        m = m[m["doc_count"] >= min_doc]
+        target, asc = _terms_order(params)
+        if target == "_key":
+            ordered = m.sort_index(ascending=asc)
+        elif target == "_count":
+            ordered = m.sort_index().sort_values(
+                "doc_count", ascending=asc, kind="mergesort"
+            )
+        else:
+            if not has_stats:
+                raise ValueError(
+                    f"terms order target {target!r} without a sub-aggregation"
+                )
+            metric = _subagg_metric_col(target, params)
             col = {
-                "doc_count": "doc_count", "stats.sum": "s_sum",
-                "stats.min": "s_min", "stats.max": "s_max",
-                "stats.avg": "s_avg",
+                "count": "doc_count", "sum": "s_sum", "min": "s_min",
+                "max": "s_max", "avg": "s_avg",
             }[metric]
             ordered = m.sort_index().sort_values(
-                col, ascending=(direction == "asc"), kind="mergesort"
+                col, ascending=asc, kind="mergesort"
             )
-            return {
-                "buckets": [
-                    {
-                        "key": key, "doc_count": int(g["doc_count"]),
-                        "stats": {
-                            "count": int(g["doc_count"]),
-                            "sum": float(g["s_sum"]), "min": float(g["s_min"]),
-                            "max": float(g["s_max"]), "avg": float(g["s_avg"]),
-                        },
-                    }
-                    for key, g in ordered.head(size).iterrows()
-                ]
-            }
+        top = ordered.head(size)
+        sub_name = params.get("sub_name", "stats")
+        sub_kind = params.get("sub_kind", "stats")
+        out_buckets = []
+        for key, g in top.iterrows():
+            b = {"key": key, "doc_count": int(g["doc_count"])}
+            if has_stats:
+                stats = {
+                    "count": int(g["doc_count"]), "sum": float(g["s_sum"]),
+                    "min": float(g["s_min"]), "max": float(g["s_max"]),
+                    "avg": float(g["s_avg"]),
+                }
+                b[sub_name] = (
+                    {"value": stats["avg"]} if sub_kind == "avg" else stats
+                )
+            out_buckets.append(b)
+        out = {
+            "buckets": out_buckets,
+            # docs that didn't make it into the top `size` buckets —
+            # either cut at the root or at split_size in a leaf
+            "sum_other_doc_count": total_docs
+            - int(top["doc_count"].sum()),
+        }
+        show_err = params.get("show_term_doc_count_error")
+        if show_err is None:
+            # 'defaults to true when ordering by count desc'
+            show_err = target == "_count" and not asc
+        if show_err:
+            out["doc_count_error_upper_bound"] = error_bound
+        return out
+    if kind == "histogram":
+        interval = float(params["interval"])
+        off = float(params.get("offset", 0.0))
+        min_doc = int(params.get("min_doc_count", 0))
+        ext = params.get("extended_bounds")
+        hard = params.get("hard_bounds")
+        if ext is not None and min_doc > 0:
+            # aggregation.md: 'Cannot be set in conjunction with
+            # min_doc_count > 0, since the empty buckets from extended
+            # bounds would not be returned.'
+            raise ValueError(
+                "extended_bounds cannot be combined with min_doc_count > 0"
+            )
         merged = sub.groupby("agg_key")["agg_count"].sum()
-        if len(merged) > AGGREGATION_BUCKET_LIMIT:
-            raise ValueError("aggregation bucket limit exceeded")
-        ordered = merged.sort_index().sort_values(ascending=False, kind="mergesort")
+        # bucket index on the offset grid: keys regenerate bit-identical
+        # as float(i) * interval + off (same float64 ops as the leaf)
+        counts = {
+            int(round((float(k) - off) / interval)): int(c)
+            for k, c in merged.items()
+        }
+        if not counts and ext is None:
+            return {"buckets": []}
+        lo = min(counts) if counts else None
+        hi = max(counts) if counts else None
+        if ext is not None:
+            elo = int(np.floor((float(ext["min"]) - off) / interval))
+            ehi = int(np.floor((float(ext["max"]) - off) / interval))
+            lo = elo if lo is None else min(lo, elo)
+            hi = ehi if hi is None else max(hi, ehi)
+        if hard is not None:
+            # bucket keys limited to [min, max] closed (leaf already
+            # filtered data buckets; this clamps the fill range)
+            lo = max(lo, int(np.ceil((float(hard["min"]) - off) / interval - 1e-9)))
+            hi = min(hi, int(np.floor((float(hard["max"]) - off) / interval + 1e-9)))
+        # default (min_doc_count=0): every bucket between min and max,
+        # empty ones included; min_doc_count>0 filters instead
+        idxs = range(lo, hi + 1) if min_doc == 0 else sorted(counts)
         return {
             "buckets": [
-                {"key": key, "doc_count": int(cnt)}
-                for key, cnt in ordered.head(size).items()
+                {"key": float(i) * interval + off, "doc_count": counts.get(i, 0)}
+                for i in idxs
+                if counts.get(i, 0) >= min_doc
             ]
-        }
-    if kind == "histogram":
-        merged = sub.groupby("agg_key")["agg_count"].sum()
-        buckets = sorted(
-            ((float(key), int(cnt)) for key, cnt in merged.items())
-        )
-        return {
-            "buckets": [{"key": key, "doc_count": cnt} for key, cnt in buckets]
         }
     if kind == "range":
         merged = sub.groupby("agg_key", sort=False)["agg_count"].sum()

@@ -485,6 +485,175 @@ class TestAggregations:
         keys = [b["key"] for b in buckets]
         assert keys == sorted(keys)
 
+    def test_histogram_offset_formula(self):
+        """aggregation.md offset example: values 8 and 12, interval 10,
+        offset 5 -> both fall in the bucket keyed 5 ([5..15))."""
+        import numpy as np
+
+        from quickwit_spark.operators.search import _partial_agg
+
+        rows = _partial_agg(
+            "histogram", {"field": "x", "interval": 10.0},
+            np.array([8.0, 12.0]),
+        )
+        assert [(float(r["agg_key"]), r["agg_count"]) for r in rows] == [
+            (0.0, 1), (10.0, 1)
+        ]
+        rows = _partial_agg(
+            "histogram", {"field": "x", "interval": 10.0, "offset": 5.0},
+            np.array([8.0, 12.0]),
+        )
+        assert [(float(r["agg_key"]), r["agg_count"]) for r in rows] == [
+            (5.0, 2)
+        ]
+
+    def test_histogram_gap_fill_min_doc_count_bounds(self):
+        """aggregation.md 'Returned Buckets': default returns every
+        bucket between min and max INCLUDING empty ones;
+        min_doc_count != 0 filters; extended_bounds widens;
+        hard_bounds limits; extended+min_doc_count>0 rejected."""
+        import numpy as np
+        import pytest
+
+        from quickwit_spark.operators.search import _final_agg, _partial_agg
+
+        def run(params, vals, final_params=None):
+            rows = _partial_agg("histogram", params, np.asarray(vals, float))
+            sub = pd.DataFrame(rows)
+            return _final_agg("histogram", final_params or params, sub)
+
+        p = {"field": "x", "interval": 10.0}
+        got = run(p, [2.0, 12.0, 42.0])
+        assert [(b["key"], b["doc_count"]) for b in got["buckets"]] == [
+            (0.0, 1), (10.0, 1), (20.0, 0), (30.0, 0), (40.0, 1)
+        ]
+        got = run(p, [2.0, 12.0, 42.0], {**p, "min_doc_count": 1})
+        assert [b["key"] for b in got["buckets"]] == [0.0, 10.0, 40.0]
+        got = run(p, [2.0], {**p, "extended_bounds": {"min": -20, "max": 30}})
+        assert [b["key"] for b in got["buckets"]] == [-20.0, -10.0, 0.0,
+                                                      10.0, 20.0, 30.0]
+        # hard_bounds limits BUCKETS to [min, max] closed, leaf-side
+        hp = {**p, "hard_bounds": {"min": 0, "max": 100}}
+        got = run(hp, [-5.0, 8.0, 105.0])
+        keys = [b["key"] for b in got["buckets"]]
+        assert keys[0] == 0.0 and keys[-1] == 100.0
+        assert got["buckets"][0]["doc_count"] == 1
+        assert got["buckets"][-1]["doc_count"] == 1  # 105 -> bucket 100
+        with pytest.raises(ValueError, match="extended_bounds"):
+            run(p, [2.0], {**p, "extended_bounds": {"min": 0, "max": 10},
+                           "min_doc_count": 1})
+
+    def test_histogram_gap_fill_e2e(self, searcher):
+        """End-to-end default histogram returns a contiguous
+        offset-aligned grid between data min and max."""
+        resp = searcher.search(
+            "w00001", k=0,
+            aggs={"h": {"histogram": {"field": "doc_len", "interval": 3.0,
+                                      "offset": 1.0}}},
+        )
+        buckets = resp.aggs["h"]["buckets"]
+        keys = [b["key"] for b in buckets]
+        assert keys == [keys[0] + 3.0 * i for i in range(len(keys))]
+        assert all((k - 1.0) % 3.0 == 0 for k in keys)
+        assert sum(b["doc_count"] for b in buckets) == resp.num_hits
+
+    def test_terms_split_size_and_error_bounds(self, searcher):
+        """terms split_size (aggregation.md): leaf results cut at
+        split_size; sum_other_doc_count accounts for every doc that
+        missed the top buckets; doc_count_error_upper_bound bounds the
+        per-bucket undercount vs the exact (uncut) aggregation."""
+        exact = searcher.search(
+            "w00001", k=0,
+            aggs={"t": {"terms": {"field": "role", "size": 2,
+                                  "split_size": 100_000}}},
+        ).aggs["t"]
+        cut = searcher.search(
+            "w00001", k=0,
+            aggs={"t": {"terms": {"field": "role", "size": 2,
+                                  "split_size": 1}}},
+        ).aggs["t"]
+        exact_counts = {b["key"]: b["doc_count"] for b in exact["buckets"]}
+        total = sum(exact_counts.values()) + exact["sum_other_doc_count"]
+        assert (
+            sum(b["doc_count"] for b in cut["buckets"])
+            + cut["sum_other_doc_count"]
+            == total
+        )
+        # default (order count desc) includes the error bound
+        assert cut["doc_count_error_upper_bound"] >= 0
+        for b in cut["buckets"]:
+            under = exact_counts.get(b["key"], 0) - b["doc_count"]
+            assert 0 <= under <= cut["doc_count_error_upper_bound"]
+        # exact run: nothing cut anywhere
+        assert exact["doc_count_error_upper_bound"] == 0
+
+    def test_terms_order_key_and_min_doc_count_zero(self, searcher, corpus):
+        """order {_key: asc|desc} and min_doc_count=0 ('return all
+        terms in the field', even with zero matching docs)."""
+        resp = searcher.search(
+            "w00001", k=0,
+            aggs={"t": {"terms": {"field": "role", "size": 10,
+                                  "order": {"_key": "asc"}}}},
+        )
+        keys = [b["key"] for b in resp.aggs["t"]["buckets"]]
+        assert keys == sorted(keys)
+        # a query matching only `tool` turns: with min_doc_count=0 the
+        # OTHER roles still appear, with doc_count 0
+        resp0 = searcher.search(
+            "role:tool", k=0,
+            aggs={"t": {"terms": {"field": "role", "size": 10,
+                                  "min_doc_count": 0,
+                                  "order": {"_key": "asc"}}}},
+        )
+        got = {b["key"]: b["doc_count"] for b in resp0.aggs["t"]["buckets"]}
+        all_roles = set(corpus["role"].unique())
+        assert set(got) == all_roles
+        assert got["tool"] == resp0.num_hits
+        assert all(v == 0 for k, v in got.items() if k != "tool")
+
+    def test_terms_nested_subagg_es_shape(self, searcher):
+        """The ES nested sub-agg request shape (aggregation.md
+        order-by-sub-agg example): sub-agg named in the response,
+        order addressed by the sub-agg name."""
+        resp = searcher.search(
+            "w00001", k=0,
+            aggs={"by_role": {
+                "terms": {"field": "role", "size": 10,
+                          "order": {"avg_len": "asc"}},
+                "aggs": {"avg_len": {"avg": {"field": "doc_len"}}},
+            }},
+        )
+        buckets = resp.aggs["by_role"]["buckets"]
+        assert buckets, "expected non-empty buckets"
+        avgs = [b["avg_len"]["value"] for b in buckets]
+        assert avgs == sorted(avgs)
+        # stats sub-agg keeps the full dict under its name
+        resp2 = searcher.search(
+            "w00001", k=0,
+            aggs={"by_role": {
+                "terms": {"field": "role", "size": 10,
+                          "order": {"len_stats.max": "desc"}},
+                "aggs": {"len_stats": {"stats": {"field": "doc_len"}}},
+            }},
+        )
+        maxes = [b["len_stats"]["max"] for b in resp2.aggs["by_role"]["buckets"]]
+        assert maxes == sorted(maxes, reverse=True)
+        # consistency with the flat legacy spelling
+        legacy = searcher.search(
+            "w00001", k=0,
+            aggs={"by_role": {"terms": {
+                "field": "role", "size": 10, "stats_field": "doc_len",
+                "order": {"stats.max": "desc"},
+            }}},
+        )
+        assert [
+            (b["key"], b["doc_count"], b["len_stats"]["max"])
+            for b in resp2.aggs["by_role"]["buckets"]
+        ] == [
+            (b["key"], b["doc_count"], b["stats"]["max"])
+            for b in legacy.aggs["by_role"]["buckets"]
+        ]
+
     def test_range_agg(self, searcher):
         resp = searcher.search(
             "w00001", k=0,
@@ -517,9 +686,14 @@ def test_terms_agg_bucket_cap_fails_fast_in_leaf():
     vals = np.arange(AGGREGATION_BUCKET_LIMIT + 1).astype(str)
     with pytest.raises(ValueError, match="bucket limit exceeded in split"):
         _partial_agg("terms", {"field": "x"}, vals)
-    # at the limit it still works
-    ok = _partial_agg("terms", {"field": "x"}, vals[:1000])
+    # at the limit it still works (split_size lifted past cardinality)
+    ok = _partial_agg("terms", {"field": "x", "split_size": 2000}, vals[:1000])
     assert len(ok) == 1000
+    # default split_size (size*1.5+10) cuts the leaf result and appends
+    # ONE summary row (agg_key=None) carrying dropped-count + max-cut
+    cut = _partial_agg("terms", {"field": "x"}, vals[:1000])
+    assert len(cut) == 26 and cut[-1]["agg_key"] is None
+    assert cut[-1]["agg_count"] == 1000 - 25 and cut[-1]["agg_sum"] == 1.0
 
 
 def test_global_df_cold_path_term_range_pruned(spark, index_dir, searcher):
