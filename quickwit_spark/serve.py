@@ -21,6 +21,17 @@ per docs/reference/rest-api.md "Error handling"):
   payload line pairs routed by the action's ``_index``).
 * ``GET  /api/v1/{index}/tail?num_hits=`` — most recent docs.
 * ``GET  /api/v1/{index}/describe`` — CLI `index describe` shape.
+* ``GET  /api/v1/indexes`` / ``/indexes/{id}`` /
+  ``/indexes/{id}/splits`` — index-management read surface
+  (quickwit-serve/src/index_api/rest_handler.rs:30-87; the reference
+  comments out create/delete pending request routing, so only the GET
+  trio exists).
+* ``GET  /api/v1/cluster`` — cluster state
+  (cluster_api/rest_handler.rs:30); membership is delegated to the
+  Spark scheduler (SURVEY §2.9), so this reports the Spark
+  application's view.
+* ``GET  /health/livez`` — liveness
+  (health_check_api/handler.rs:43-54).
 
 The server is a thin translation layer: every route delegates to the
 library facade, which is the tested surface; concurrency comes from
@@ -102,7 +113,61 @@ class _Handler(BaseHTTPRequestHandler):
             return None
         return idx, m.group("verb"), parse_qs(u.query)
 
+    def _index_metadata(self, name: str, idx: Index) -> dict:
+        """IndexMetadata REST shape analog
+        (index_api/rest_handler.rs:52-58)."""
+        meta = {"index_id": name, "index_uri": idx.index_dir}
+        meta.update(idx.describe())
+        return meta
+
+    def _flat_routes(self, path: str) -> bool:
+        """Non-per-index routes: health, cluster, index management.
+        Returns True when the request was handled."""
+        if path == "/health/livez":
+            # health_check_api/handler.rs: 200 + the service status
+            self._json(200, {"status": "alive"})
+            return True
+        if path == "/api/v1/cluster":
+            # cluster membership is delegated to Spark (SURVEY §2.9):
+            # report the application's view of the "cluster"
+            members = []
+            idx = next(iter(self.indexes.values()), None)
+            if idx is not None:
+                sc = idx.spark.sparkContext
+                members = [{
+                    "node_id": sc.applicationId,
+                    "master": sc.master,
+                    "parallelism": sc.defaultParallelism,
+                }]
+            self._json(200, {
+                "cluster_id": "quickwit-spark",
+                "members": members,
+                "indexes": sorted(self.indexes),
+            })
+            return True
+        if path == "/api/v1/indexes":
+            self._json(200, [
+                self._index_metadata(n, i)
+                for n, i in sorted(self.indexes.items())
+            ])
+            return True
+        m = re.match(
+            r"^/api/v1/indexes/(?P<id>[\w.-]+)(?P<splits>/splits)?$", path
+        )
+        if m:
+            idx = self.indexes.get(m.group("id"))
+            if idx is None:
+                self._err(404, f"unknown index {m.group('id')}")
+            elif m.group("splits"):
+                self._json(200, idx.list_splits())
+            else:
+                self._json(200, self._index_metadata(m.group("id"), idx))
+            return True
+        return False
+
     def do_GET(self):  # noqa: N802 - stdlib naming
+        if self._flat_routes(urlparse(self.path).path):
+            return
         r = self._route()
         if r is None:
             return

@@ -423,6 +423,51 @@ def test_http_rest_ingest(spark, tmp_path):
         srv.shutdown()
 
 
+def test_http_management_routes(index, corpus):
+    """Index-management + cluster + health read routes
+    (index_api/rest_handler.rs:30-87, cluster_api, health_check_api)."""
+    import json
+    import urllib.request
+
+    from quickwit_spark.serve import serve
+
+    srv, _t = serve({"transcripts": index})
+    port = srv.server_address[1]
+    root = f"http://127.0.0.1:{port}"
+    try:
+        def get(path):
+            with urllib.request.urlopen(root + path, timeout=60) as r:
+                return json.loads(r.read().decode())
+
+        assert get("/health/livez")["status"] == "alive"
+
+        cluster = get("/api/v1/cluster")
+        assert cluster["indexes"] == ["transcripts"]
+        assert cluster["members"] and cluster["members"][0]["parallelism"] >= 1
+
+        listing = get("/api/v1/indexes")
+        assert [m["index_id"] for m in listing] == ["transcripts"]
+        assert listing[0]["num_docs"] == len(corpus)
+
+        meta = get("/api/v1/indexes/transcripts")
+        assert meta["index_id"] == "transcripts"
+        assert meta["index_uri"] == index.index_dir
+
+        splits = get("/api/v1/indexes/transcripts/splits")
+        assert len(splits) == len(index.list_splits())
+        assert all("split_id" in s for s in splits)
+
+        import urllib.error
+
+        try:
+            urllib.request.urlopen(root + "/api/v1/indexes/nope", timeout=30)
+            raise AssertionError("expected 404")
+        except urllib.error.HTTPError as e:
+            assert e.code == 404
+    finally:
+        srv.shutdown()
+
+
 def test_http_bulk_route(spark, tmp_path):
     """POST /api/v1/_bulk: ES-compatible NDJSON routed per-action by
     the metadata `_index` (rest-api.md elastic-compat bulk)."""
