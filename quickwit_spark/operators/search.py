@@ -187,21 +187,23 @@ def _wand_plan(ast):
     member tokens' shard stats (phrase freq ≤ min token tf, so score ≤
     Σtoken-idf × norm(min max_tf, max min_dl)) and positions are only
     decoded for shards whose token docid-intersection is non-empty.
-    Conjunction members are bounded by the sum of their term UBs and
-    covered only where every term has a shard. Anything else (deeper
+    Conjunction members (terms and/or phrases — ``(a AND "x y") OR c``)
+    are bounded by the sum of their children's UBs and covered only
+    where every child token has a shard. Anything else (deeper
     nesting, phrase must_not, pure-negation) returns None and takes
     the exhaustive path."""
 
     def member_ok(node):
         if isinstance(node, (Term, Phrase)):
             return True
-        # conjunction-of-terms member: (a AND b) inside a disjunction
+        # conjunction member: (a AND b), (a AND "x y") inside a
+        # disjunction — children may be terms or phrases
         return (
             isinstance(node, Bool)
             and node.must
             and not node.should
             and not node.must_not
-            and all(isinstance(t, Term) for t in node.must)
+            and all(isinstance(t, (Term, Phrase)) for t in node.must)
         )
 
     def term_group(node):
@@ -412,8 +414,12 @@ def _wand_bool(
             return ("term", [(node.field, node.value)], 0)
         if isinstance(node, Phrase):
             return ("phrase", [(node.field, tok) for tok in node.tokens], node.slop)
-        # Bool(must=terms) member from _wand_plan: (a AND b) in a should
-        return ("conj", [(t.field, t.value) for t in node.must], 0)
+        # conjunction member from _wand_plan — (a AND b), (a AND "x y")
+        # inside a should; the third slot carries the CHILD minfos and
+        # the keys are the children's keys flattened in child order
+        children = [_minfo(c) for c in node.must]
+        flat = [k for _, keys, _ in children for k in keys]
+        return ("conj", flat, children)
 
     member_info = [[_minfo(n) for n in g] for g in groups]
     all_pos = [k for g in member_info for (_, keys, _) in g for k in keys]
@@ -442,12 +448,23 @@ def _wand_bool(
     memb: list[dict] = []
     n_pos_shards = 0
     for gi, g in enumerate(member_info):
-        for kind, keys, slop in g:
-            m_ = {"g": gi, "kind": kind, "keys": keys, "slop": slop}
+        for kind, keys, extra in g:
+            m_ = {"g": gi, "kind": kind, "keys": keys, "slop": extra}
             if kind == "term":
                 m_["df"] = stats["df"].get(keys[0], 0)
             elif kind == "conj":
-                m_["dfs"] = [stats["df"].get(k, 0) for k in keys]
+                # per-child meta: (kind, keys, slop, df-or-idf_sum) —
+                # children score independently and sum in child order
+                # (the exhaustive Bool.must association)
+                m_["cmeta"] = [
+                    (
+                        ck, ckeys, cslop,
+                        stats["df"].get(ckeys[0], 0)
+                        if ck == "term"
+                        else sum(_idf(k) for k in ckeys),
+                    )
+                    for ck, ckeys, cslop in extra
+                ]
             else:
                 # exhaustive-evaluator association: sum() of per-token
                 # idfs in token order (see _SplitEval Phrase branch)
@@ -494,15 +511,33 @@ def _wand_bool(
                 m_["df"], N, avgdl, k1, b,
             )
         elif m_["kind"] == "conj":
-            # sum of the member terms' individual UBs — ≥ any real
-            # conjunction score in the segment
+            # sum of the children's individual UBs — ≥ any real
+            # conjunction score in the segment (term child: BM25 shard
+            # bound; phrase child: the phrase bound below)
             ub = np.zeros(n_seg, dtype=np.float64)
-            for key, kk, df_t in zip(m_["keys"], tok_k, m_["dfs"]):
-                st = sp.stats[key]
-                ub += _bm25_scores(
-                    st["max_tf"][kk], st["min_dl"][kk].astype(np.float64),
-                    df_t, N, avgdl, k1, b,
-                )
+            ki = 0
+            for ck, ckeys, _cslop, cval in m_["cmeta"]:
+                kks = tok_k[ki:ki + len(ckeys)]
+                ki += len(ckeys)
+                if ck == "term":
+                    st = sp.stats[ckeys[0]]
+                    kk = kks[0]
+                    ub += _bm25_scores(
+                        st["max_tf"][kk], st["min_dl"][kk].astype(np.float64),
+                        cval, N, avgdl, k1, b,
+                    )
+                else:
+                    f_ub = dl_lb = None
+                    for key, kk in zip(ckeys, kks):
+                        st = sp.stats[key]
+                        mt = st["max_tf"][kk].astype(np.float64)
+                        md = st["min_dl"][kk].astype(np.float64)
+                        f_ub = mt if f_ub is None else np.minimum(f_ub, mt)
+                        dl_lb = md if dl_lb is None else np.maximum(dl_lb, md)
+                    ub += cval * (
+                        f_ub * (k1 + 1.0)
+                        / (f_ub + k1 * (1.0 - b + b * dl_lb / avgdl))
+                    )
         else:
             f_ub = dl_lb = None
             for key, kk in zip(m_["keys"], tok_k):
@@ -543,12 +578,16 @@ def _wand_bool(
         return dec[a_:b_], sp.tfs(key[0], key[1], shard)[a_:b_]
 
     def _phrase_seg(m_, s: int, lo: int, hi: int):
-        """(matching docids, phrase freqs) of one phrase member within
-        segment s — positions decoded ONLY here, i.e. only for shards
-        whose token docid-intersection is non-empty."""
+        return _phrase_match(m_["keys"], m_["tok_k"], m_["slop"], s, lo, hi)
+
+    def _phrase_match(keys, tok_ks, slop, s: int, lo: int, hi: int):
+        """(matching docids, phrase freqs) of one phrase — standalone
+        member or conjunction child — within segment s; positions
+        decoded ONLY here, i.e. only for shards whose token
+        docid-intersection is non-empty."""
         toks = []
         cand = None
-        for key, kk in zip(m_["keys"], m_["tok_k"]):
+        for key, kk in zip(keys, tok_ks):
             shard = int(sp.stats[key]["shard"][kk[s]])
             dec = sp.docids(key[0], key[1], shard)
             a_, b_ = np.searchsorted(dec, lo), np.searchsorted(dec, hi)
@@ -575,37 +614,56 @@ def _wand_bool(
             )
             gathered = pos[np.repeat(seg_starts, seg_lens) + inner]
             token_positions.append((seg_lens, gathered))
-        freqs = phrase_freq_bulk(token_positions, m_["slop"]).astype(
+        freqs = phrase_freq_bulk(token_positions, slop).astype(
             np.float64
         )
         mask = freqs > 0
         return cand[mask], freqs[mask]
 
     def _conj_seg(m_, s: int, lo: int, hi: int):
-        """(matching docids, summed member scores) of one
-        conjunction-of-terms member within segment s. Scores use the
-        exhaustive ``Bool.must`` float association (zeros + term scores
-        in member-term order) so WAND results stay bit-identical."""
-        slices = []
+        """(matching docids, summed child scores) of one conjunction
+        member — children are terms and/or phrases — within segment s.
+        Scores use the exhaustive ``Bool.must`` float association
+        (zeros + child scores in child order) so WAND results stay
+        bit-identical."""
+        matches = []
         cand = None
-        for key, kk in zip(m_["keys"], m_["tok_k"]):
-            shard = int(sp.stats[key]["shard"][kk[s]])
-            dec = sp.docids(key[0], key[1], shard)
-            a_, b_ = np.searchsorted(dec, lo), np.searchsorted(dec, hi)
-            sl = dec[a_:b_]
-            cand = sl if cand is None else np.intersect1d(
-                cand, sl, assume_unique=True
+        ki = 0
+        for ck, ckeys, cslop, cval in m_["cmeta"]:
+            kks = m_["tok_k"][ki:ki + len(ckeys)]
+            ki += len(ckeys)
+            if ck == "term":
+                key = ckeys[0]
+                shard = int(sp.stats[key]["shard"][kks[0][s]])
+                dec = sp.docids(key[0], key[1], shard)
+                a_, b_ = np.searchsorted(dec, lo), np.searchsorted(dec, hi)
+                ids_c = dec[a_:b_]
+                matches.append(("term", key, shard, dec, cval))
+            else:
+                ids_c, freqs = _phrase_match(ckeys, kks, cslop, s, lo, hi)
+                matches.append(("phrase", ids_c, freqs, cval))
+            cand = ids_c if cand is None else np.intersect1d(
+                cand, ids_c, assume_unique=True
             )
             if cand.size == 0:
                 return empty
-            slices.append((key, shard, dec))
         scores = np.zeros(cand.size, dtype=np.float64)
-        for (key, shard, dec), df_t in zip(slices, m_["dfs"]):
-            tfs = sp.tfs(key[0], key[1], shard)
-            idx = np.searchsorted(dec, cand)
-            scores += _bm25_scores(
-                tfs[idx], doc_len[cand], df_t, N, avgdl, k1, b
-            )
+        for cm in matches:
+            if cm[0] == "term":
+                _, key, shard, dec, df_t = cm
+                tfs = sp.tfs(key[0], key[1], shard)
+                idx = np.searchsorted(dec, cand)
+                scores += _bm25_scores(
+                    tfs[idx], doc_len[cand], df_t, N, avgdl, k1, b
+                )
+            else:
+                _, p_ids, p_freqs, idf_sum = cm
+                fr = p_freqs[np.searchsorted(p_ids, cand)]
+                dls = doc_len[cand]
+                norm = fr * (k1 + 1.0) / (
+                    fr + k1 * (1.0 - b + b * dls / avgdl)
+                )
+                scores += idf_sum * norm
         return cand, scores
 
     pcache: dict[tuple[int, int], tuple] = {}

@@ -761,8 +761,20 @@ def test_wand_plan_covers_nested_should_groups(searcher):
         parse_query("(w00000 AND w00050) OR (w00001 AND w00200)", cfg)
     )
     assert plan is not None and [len(g) for g in plan[0]] == [2]
-    # but a conj member containing a phrase still falls back
+    # conj members may contain phrases (round 3)
     plan = _wand_plan(parse_query('(w00000 AND "w00001 w00002") OR w00050', cfg))
+    assert plan is not None and [len(g) for g in plan[0]] == [2]
+    kinds = [
+        type(m).__name__ for m in plan[0][0]
+    ]
+    assert sorted(kinds) == ["Bool", "Term"]
+    # deeper nesting (a disjunction inside a conj member) still falls back
+    plan = _wand_plan(
+        parse_query("((w00000 OR w00004) AND w00001) OR w00050", cfg)
+    )
+    assert plan is None
+    # pure-negation falls back (MatchAll base)
+    plan = _wand_plan(parse_query("-w00001", cfg))
     assert plan is None
 
 
@@ -771,6 +783,11 @@ def test_wand_equals_exhaustive_multifield(searcher):
         ("en AND w00001", ["text", "role"]),
         ("assistant OR w00050", ["text", "role"]),
         ("(w00000 OR w00050) AND (w00001 OR w00120) -w00004", None),
+        # conj members containing phrases (round 3)
+        ('(w00000 AND "w00001 w00002") OR w00050', None),
+        ('("w00001 w00002" AND w00000) OR (w00004 AND w00010)', None),
+        ('(w00000 AND "w00001 w00002"~2) OR w00050 -w00003', None),
+        ('(w00001 AND "w00002 w00000"~1 AND w00004) OR w00120', None),
     ]:
         kw = {"search_fields": fields} if fields else {}
         a = searcher.search(q, k=10, wand=True, **kw)
@@ -797,7 +814,8 @@ def test_wand_equals_exhaustive_randomized(searcher):
 
     def rand_query():
         shape = rng.choice(
-            ["term", "conj", "disj", "mixed", "neg", "nested", "disj_conj"]
+            ["term", "conj", "disj", "mixed", "neg", "nested", "disj_conj",
+             "conj_phrase"]
         )
         pick = lambda n: rng.sample(vocab, n)  # noqa: E731
         if shape == "term":
@@ -817,6 +835,10 @@ def test_wand_equals_exhaustive_randomized(searcher):
             if rng.random() < 0.5:
                 return f"({a} AND {b}) OR {c}"
             return f"({a} AND {b}) OR ({c} AND {d})"
+        if shape == "conj_phrase":
+            a, b, c, d = pick(4)
+            slop = rng.choice(["", "~1", "~2"])
+            return f'({a} AND "{b} {c}"{slop}) OR {d}'
         a, b, c, d = pick(4)
         return f"({a} OR {b}) AND ({c} OR {d})"
 
