@@ -70,6 +70,10 @@ def _search_kwargs(q: dict) -> dict:
         kw["end_us"] = int(q["end_timestamp"][0]) * 1_000_000
     if "search_field" in q:
         kw["search_fields"] = q["search_field"][0].split(",")
+    if "aggs" in q:
+        # 'The aggregation JSON string' (rest_handler.rs
+        # SearchRequestQueryString.aggs)
+        kw["aggs"] = json.loads(q["aggs"][0])
     return kw
 
 

@@ -331,6 +331,18 @@ def test_http_rest_server(index, corpus):
         assert len(raw) == 8 * len(vals)
         assert sorted(struct.unpack(f"<{len(vals)}q", raw)) == sorted(vals)
 
+        # aggs JSON param (rest_handler.rs SearchRequestQueryString.aggs)
+        from urllib.parse import quote
+
+        aggs = quote(json.dumps(
+            {"by_role": {"terms": {"field": "role", "size": 5}}}
+        ))
+        code, body = get(f"/search?query=w00001&max_hits=0&aggs={aggs}")
+        agg = json.loads(body)["aggregations"]["by_role"]
+        assert agg["buckets"] and all(
+            b["doc_count"] > 0 for b in agg["buckets"]
+        )
+
         # format=json is compact, default prettyjson is indented
         code, compact = get("/search?query=w00001&max_hits=1&format=json")
         assert "\n" not in compact
