@@ -671,6 +671,102 @@ class TestAggregations:
         assert sum(b["doc_count"] for b in buckets) == resp.num_hits
 
 
+def test_terms_agg_modes_agree(searcher):
+    """Driver-thread and distributed (mapInPandas) leaf modes produce
+    identical terms aggregations including the split_size summary-row
+    plumbing (sum_other / error bound ride the HIT_SCHEMA)."""
+    aggs = {"t": {"terms": {"field": "role", "size": 2, "split_size": 1}}}
+    a = searcher.search("w00001", k=0, aggs=aggs, mode="spark")
+    b = searcher.search("w00001", k=0, aggs=aggs, mode="driver")
+    assert a.aggs == b.aggs
+    assert a.num_hits == b.num_hits
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    vals=st.lists(
+        st.sampled_from([f"k{i}" for i in range(12)]), min_size=1,
+        max_size=300,
+    ),
+    n_splits=st.integers(min_value=1, max_value=5),
+    size=st.integers(min_value=1, max_value=6),
+    split_size=st.integers(min_value=1, max_value=8),
+)
+def test_terms_cut_invariants_property(vals, n_splits, size, split_size):
+    """For ANY value distribution, split partitioning, size, and
+    split_size: (1) sum(bucket counts) + sum_other_doc_count == total
+    docs, (2) every returned bucket undercounts the exact answer by at
+    most doc_count_error_upper_bound, (3) lifting split_size past the
+    cardinality reproduces the exact aggregation."""
+    import numpy as np
+
+    from quickwit_spark.operators.search import _final_agg, _partial_agg
+
+    params = {"field": "x", "size": size, "split_size": split_size}
+    chunks = [np.array(vals[i::n_splits], dtype=object)
+              for i in range(n_splits)]
+    rows = [r for c in chunks if c.size for r in _partial_agg("terms", params, c)]
+    got = _final_agg("terms", params, pd.DataFrame(rows))
+    total = len(vals)
+    assert sum(b["doc_count"] for b in got["buckets"]) + got[
+        "sum_other_doc_count"
+    ] == total
+    exact_params = {"field": "x", "size": 10_000, "split_size": 100_000}
+    rows_x = [r for c in chunks if c.size
+              for r in _partial_agg("terms", exact_params, c)]
+    exact = {
+        b["key"]: b["doc_count"]
+        for b in _final_agg("terms", exact_params, pd.DataFrame(rows_x))["buckets"]
+    }
+    bound = got["doc_count_error_upper_bound"]
+    for b in got["buckets"]:
+        under = exact[b["key"]] - b["doc_count"]
+        assert 0 <= under <= bound, (b, exact, bound)
+    assert sum(exact.values()) == total  # uncut run loses nothing
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    vals=st.lists(
+        st.floats(min_value=-500, max_value=500, allow_nan=False),
+        min_size=1, max_size=200,
+    ),
+    n_splits=st.integers(min_value=1, max_value=4),
+    interval=st.sampled_from([1.0, 2.5, 10.0]),
+    offset=st.sampled_from([0.0, 0.5, 1.25]),
+)
+def test_histogram_grid_property(vals, n_splits, interval, offset):
+    """For ANY data/partitioning: default histogram buckets form one
+    contiguous offset-aligned grid, counts sum to the doc count, and
+    every doc lands in the bucket the doc formula says."""
+    import numpy as np
+
+    from quickwit_spark.operators.search import _final_agg, _partial_agg
+
+    params = {"field": "x", "interval": interval, "offset": offset}
+    chunks = [np.array(vals[i::n_splits]) for i in range(n_splits)]
+    rows = [r for c in chunks if c.size
+            for r in _partial_agg("histogram", params, c)]
+    got = _final_agg("histogram", params, pd.DataFrame(rows))["buckets"]
+    assert sum(b["doc_count"] for b in got) == len(vals)
+    keys = [b["key"] for b in got]
+    assert keys == sorted(keys)
+    for a, b in zip(keys, keys[1:]):
+        assert abs((b - a) - interval) < 1e-9  # contiguous grid
+    import math
+
+    want = {}
+    for v in vals:
+        k = math.floor((v - offset) / interval) * interval + offset
+        want[k] = want.get(k, 0) + 1
+    got_nonzero = {b["key"]: b["doc_count"] for b in got if b["doc_count"]}
+    assert got_nonzero == want
+
+
 def test_terms_agg_bucket_cap_fails_fast_in_leaf():
     """A terms agg with more distinct keys than the bucket limit must
     raise in the LEAF kernel (shard_size analog) instead of shipping
