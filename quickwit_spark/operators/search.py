@@ -29,8 +29,10 @@ tiny first Spark job that reads only the (field, term, df) columns of
 term-pruned splits. ``Searcher`` caches those stats across queries.
 
 Block-max pruning: posting rows carry (max_tf, min_dl, first/last
-docid) per shard; for flat term/phrase booleans (single term or
-phrase, conjunction, disjunction, each ± must_not) the kernel cuts
+docid) per shard; for term/phrase booleans (single term or phrase,
+conjunction, disjunction, disjunctions of conjunctive members, and
+disjunctions nested one level inside those members, each ± negated
+terms/phrases) the kernel cuts
 docid space into segments at shard boundaries and processes them
 document-at-a-time in
 descending score-upper-bound order, skipping decode + scoring work that
@@ -189,21 +191,41 @@ def _wand_plan(ast):
     decoded for shards whose token docid-intersection is non-empty.
     Conjunction members (terms and/or phrases — ``(a AND "x y") OR c``)
     are bounded by the sum of their children's UBs and covered only
-    where every child token has a shard. Anything else (deeper
-    nesting, phrase must_not, pure-negation) returns None and takes
-    the exhaustive path."""
+    where every child token has a shard. A conjunction member's child
+    may itself be a disjunction of terms/phrases — ``((a OR b) AND c)
+    OR d`` — bounded by the sum of the covered sub-members' UBs and
+    covered where ANY sub-member is. Negations may be terms or phrases
+    (phrase must_not match-checks only the segments its tokens
+    co-cover). Anything else (deeper nesting, negated sub-booleans,
+    pure-negation — where pruning cannot skip work since every doc
+    scores 0) returns None and takes the exhaustive path."""
+
+    def leaf_group_ok(node):
+        # disjunction-of-leaves child inside a conjunction member:
+        # the (a OR b) in ((a OR b) AND c) OR d
+        return (
+            isinstance(node, Bool)
+            and node.should
+            and not node.must
+            and not node.must_not
+            and all(isinstance(t, (Term, Phrase)) for t in node.should)
+        )
 
     def member_ok(node):
         if isinstance(node, (Term, Phrase)):
             return True
-        # conjunction member: (a AND b), (a AND "x y") inside a
-        # disjunction — children may be terms or phrases
+        # conjunction member: (a AND b), (a AND "x y"),
+        # ((a OR b) AND c) inside a disjunction — children may be
+        # terms, phrases, or disjunctions of those
         return (
             isinstance(node, Bool)
             and node.must
             and not node.should
             and not node.must_not
-            and all(isinstance(t, (Term, Phrase)) for t in node.must)
+            and all(
+                isinstance(t, (Term, Phrase)) or leaf_group_ok(t)
+                for t in node.must
+            )
         )
 
     def term_group(node):
@@ -223,7 +245,7 @@ def _wand_plan(ast):
         return [[ast]], []
     if not isinstance(ast, Bool):
         return None
-    if not all(isinstance(c, Term) for c in ast.must_not):
+    if not all(isinstance(c, (Term, Phrase)) for c in ast.must_not):
         return None
     negs = list(ast.must_not)
     if ast.must and not ast.should:
@@ -407,13 +429,25 @@ def _wand_bool(
     (ids, scores, num_hits, skip_stats).
     """
     path = fsio.join(split_dir, POSTINGS_FILE)
-    negk = [(t.field, t.value) for t in neg]
+    neg_terms = [n for n in neg if isinstance(n, Term)]
+    neg_phrases = [n for n in neg if isinstance(n, Phrase)]
+    negk = [(t.field, t.value) for t in neg_terms]
+    neg_pk = [
+        ([(p.field, tok) for tok in p.tokens], p.slop) for p in neg_phrases
+    ]
 
     def _minfo(node):
         if isinstance(node, Term):
             return ("term", [(node.field, node.value)], 0)
         if isinstance(node, Phrase):
             return ("phrase", [(node.field, tok) for tok in node.tokens], node.slop)
+        if node.should:
+            # disjunction child inside a conjunction member — the
+            # (a OR b) in ((a OR b) AND c); third slot = SUB-member
+            # minfos, keys flattened in sub-member order
+            subs = [_minfo(c) for c in node.should]
+            flat = [k for _, keys, _ in subs for k in keys]
+            return ("group", flat, subs)
         # conjunction member from _wand_plan — (a AND b), (a AND "x y")
         # inside a should; the third slot carries the CHILD minfos and
         # the keys are the children's keys flattened in child order
@@ -423,21 +457,44 @@ def _wand_bool(
 
     member_info = [[_minfo(n) for n in g] for g in groups]
     all_pos = [k for g in member_info for (_, keys, _) in g for k in keys]
-    sp = _ShardPostings(path, all_pos + negk)
+    neg_pk_flat = [k for keys, _ in neg_pk for k in keys]
+    sp = _ShardPostings(path, all_pos + negk + neg_pk_flat)
     k1, b = config.k1, config.b
     N, avgdl = stats["N"], stats["avgdl"]
     empty = (np.empty(0, np.int64), np.empty(0, np.float64))
     no_work = {"shards": 0, "docid_decoded": 0, "tf_decoded": 0,
                "pos_decoded": 0}
 
-    # drop members with any absent key (a phrase missing a token matches
-    # nothing); a group with no present member empties the conjunction
+    # drop members with an absent key (a phrase missing a token, a term
+    # never indexed, matches nothing — the exhaustive evaluator returns
+    # empty for them too); inside a conj member a dead child kills the
+    # member, but a GROUP child only drops its dead sub-members. A group
+    # with no surviving member empties the conjunction.
+    def _prune_minfo(mi_):
+        kind, keys, extra = mi_
+        if kind in ("term", "phrase"):
+            return mi_ if all(k in sp.stats for k in keys) else None
+        if kind == "group":
+            subs = [p for p in map(_prune_minfo, extra) if p is not None]
+            if not subs:
+                return None
+            return ("group", [k for _, kk, _ in subs for k in kk], subs)
+        pruned = [_prune_minfo(c) for c in extra]
+        if any(c is None for c in pruned):
+            return None
+        return ("conj", [k for _, kk, _ in pruned for k in kk], pruned)
+
     member_info = [
-        [mi for mi in g if all(k in sp.stats for k in mi[1])]
+        [p for p in map(_prune_minfo, g) if p is not None]
         for g in member_info
     ]
     if any(not g for g in member_info):
         return (*empty, 0, no_work)
+    # a negated phrase with an absent token can never match — drop it
+    neg_pk = [
+        (keys, slop) for keys, slop in neg_pk
+        if all(k in sp.stats for k in keys)
+    ]
 
     def _idf(key):
         df_g = stats["df"].get(key, 0)
@@ -453,18 +510,22 @@ def _wand_bool(
             if kind == "term":
                 m_["df"] = stats["df"].get(keys[0], 0)
             elif kind == "conj":
-                # per-child meta: (kind, keys, slop, df-or-idf_sum) —
-                # children score independently and sum in child order
-                # (the exhaustive Bool.must association)
-                m_["cmeta"] = [
-                    (
-                        ck, ckeys, cslop,
-                        stats["df"].get(ckeys[0], 0)
-                        if ck == "term"
-                        else sum(_idf(k) for k in ckeys),
-                    )
-                    for ck, ckeys, cslop in extra
-                ]
+                # per-child meta: (kind, keys, slop-or-submeta,
+                # df-or-idf_sum) — children score independently and sum
+                # in child order (the exhaustive Bool.must association);
+                # a "group" child carries its SUB-member metas, which
+                # scatter-add in sub order (the Bool.should association)
+                def _cmeta(child):
+                    ck, ckeys, cextra = child
+                    if ck == "term":
+                        return ("term", ckeys, 0, stats["df"].get(ckeys[0], 0))
+                    if ck == "phrase":
+                        return ("phrase", ckeys, cextra,
+                                sum(_idf(k) for k in ckeys))
+                    return ("group", ckeys, [_cmeta(sm) for sm in cextra],
+                            None)
+
+                m_["cmeta"] = [_cmeta(c) for c in extra]
             else:
                 # exhaustive-evaluator association: sum() of per-token
                 # idfs in token order (see _SplitEval Phrase branch)
@@ -480,6 +541,14 @@ def _wand_bool(
             st = sp.stats[k]
             edges.append(st["first"])
             edges.append(st["last"] + 1)
+    # negated-phrase tokens also segment the docid space: the per-segment
+    # phrase matcher needs ONE covering shard per token per segment
+    # (negated TERMS don't — they exclude via direct shard-overlap scans)
+    for keys, _slop in neg_pk:
+        for k in keys:
+            st = sp.stats[k]
+            edges.append(st["first"])
+            edges.append(st["last"] + 1)
     bounds = np.unique(np.concatenate(edges))
     seg_lo = bounds[:-1]
     seg_hi = bounds[1:]
@@ -491,71 +560,110 @@ def _wand_bool(
     # freq ≤ min token tf and candidate dl ≥ max token-shard min_dl:
     # UB = Σtoken-idf × norm(min max_tf, max min_dl) — ≥ any real
     # phrase score in the segment (norm ↑ in freq, ↓ in dl)
+    def _leaf_cov_ub(kind, keys, val, kks, kcs):
+        """(coverage, UB per segment) of one term or phrase leaf. A
+        phrase occurrence needs every token present in the doc, so
+        freq ≤ min token max_tf and candidate dl ≥ max token-shard
+        min_dl: UB = Σtoken-idf × norm(min max_tf, max min_dl) — ≥ any
+        real phrase score in the segment (norm ↑ in freq, ↓ in dl).
+        UB values are garbage where uncovered; callers mask by cov."""
+        if kind == "term":
+            st = sp.stats[keys[0]]
+            kk = kks[0]
+            return kcs[0], _bm25_scores(
+                st["max_tf"][kk], st["min_dl"][kk].astype(np.float64),
+                val, N, avgdl, k1, b,
+            )
+        cov = kcs[0]
+        for kc in kcs[1:]:
+            cov = cov & kc
+        f_ub = dl_lb = None
+        for key, kk in zip(keys, kks):
+            st = sp.stats[key]
+            mt = st["max_tf"][kk].astype(np.float64)
+            md = st["min_dl"][kk].astype(np.float64)
+            f_ub = mt if f_ub is None else np.minimum(f_ub, mt)
+            dl_lb = md if dl_lb is None else np.maximum(dl_lb, md)
+        norm = f_ub * (k1 + 1.0) / (
+            f_ub + k1 * (1.0 - b + b * dl_lb / avgdl)
+        )
+        return cov, val * norm
+
+    def _child_cov_ub(cm, tok_k, key_cov, ki):
+        """(coverage, UB, next key offset) of one conj-member child.
+        A group child is covered where ANY sub-member is; its UB sums
+        the covered sub-members' UBs (the exhaustive Bool.should sums
+        every matching sub-member's score)."""
+        ck, ckeys, cextra, cval = cm
+        if ck == "group":
+            cov = None
+            ub = np.zeros(n_seg, dtype=np.float64)
+            for sm in cextra:
+                s_cov, s_ub, ki = _child_cov_ub(sm, tok_k, key_cov, ki)
+                cov = s_cov if cov is None else (cov | s_cov)
+                ub += np.where(s_cov, s_ub, 0.0)
+            return cov, ub, ki
+        nk = len(ckeys)
+        cov, ub = _leaf_cov_ub(
+            ck, ckeys, cval, tok_k[ki:ki + nk], key_cov[ki:ki + nk]
+        )
+        return cov, ub, ki + nk
+
     ub_seg = np.zeros(n_seg, dtype=np.float64)
     g_cov = np.zeros((n_groups, n_seg), dtype=bool)
     for m_ in memb:
         tok_k = []
-        cov = np.ones(n_seg, dtype=bool)
+        key_cov = []
         for key in m_["keys"]:
             st = sp.stats[key]
             kk = np.searchsorted(st["first"], seg_lo, side="right") - 1
-            cov &= (kk >= 0) & (st["last"][np.maximum(kk, 0)] >= seg_lo)
+            key_cov.append((kk >= 0) & (st["last"][np.maximum(kk, 0)] >= seg_lo))
             tok_k.append(np.maximum(kk, 0))
-        m_["cov"] = cov
         m_["tok_k"] = tok_k
+        m_["key_cov"] = key_cov
         if m_["kind"] == "term":
-            st = sp.stats[m_["keys"][0]]
-            kk = tok_k[0]
-            ub = _bm25_scores(
-                st["max_tf"][kk], st["min_dl"][kk].astype(np.float64),
-                m_["df"], N, avgdl, k1, b,
+            cov, ub = _leaf_cov_ub(
+                "term", m_["keys"], m_["df"], tok_k, key_cov
             )
         elif m_["kind"] == "conj":
             # sum of the children's individual UBs — ≥ any real
-            # conjunction score in the segment (term child: BM25 shard
-            # bound; phrase child: the phrase bound below)
+            # conjunction score in the segment; member covered only
+            # where EVERY child is (so per-child garbage outside a
+            # child's coverage is masked by the np.where(cov, ...) below)
+            cov = None
             ub = np.zeros(n_seg, dtype=np.float64)
             ki = 0
-            for ck, ckeys, _cslop, cval in m_["cmeta"]:
-                kks = tok_k[ki:ki + len(ckeys)]
-                ki += len(ckeys)
-                if ck == "term":
-                    st = sp.stats[ckeys[0]]
-                    kk = kks[0]
-                    ub += _bm25_scores(
-                        st["max_tf"][kk], st["min_dl"][kk].astype(np.float64),
-                        cval, N, avgdl, k1, b,
-                    )
-                else:
-                    f_ub = dl_lb = None
-                    for key, kk in zip(ckeys, kks):
-                        st = sp.stats[key]
-                        mt = st["max_tf"][kk].astype(np.float64)
-                        md = st["min_dl"][kk].astype(np.float64)
-                        f_ub = mt if f_ub is None else np.minimum(f_ub, mt)
-                        dl_lb = md if dl_lb is None else np.maximum(dl_lb, md)
-                    ub += cval * (
-                        f_ub * (k1 + 1.0)
-                        / (f_ub + k1 * (1.0 - b + b * dl_lb / avgdl))
-                    )
+            for cm in m_["cmeta"]:
+                c_cov, c_ub, ki = _child_cov_ub(cm, tok_k, key_cov, ki)
+                cov = c_cov if cov is None else (cov & c_cov)
+                ub += c_ub
         else:
-            f_ub = dl_lb = None
-            for key, kk in zip(m_["keys"], tok_k):
-                st = sp.stats[key]
-                mt = st["max_tf"][kk].astype(np.float64)
-                md = st["min_dl"][kk].astype(np.float64)
-                f_ub = mt if f_ub is None else np.minimum(f_ub, mt)
-                dl_lb = md if dl_lb is None else np.maximum(dl_lb, md)
-            norm = f_ub * (k1 + 1.0) / (
-                f_ub + k1 * (1.0 - b + b * dl_lb / avgdl)
+            cov, ub = _leaf_cov_ub(
+                "phrase", m_["keys"], m_["idf_sum"], tok_k, key_cov
             )
-            ub = m_["idf_sum"] * norm
+        m_["cov"] = cov
         ub_seg += np.where(cov, ub, 0.0)
         g_cov[m_["g"]] |= cov
     active = g_cov.all(axis=0)
     active_idx = np.flatnonzero(active)
 
-    def neg_exclude(ids: np.ndarray, lo: int, hi: int) -> np.ndarray:
+    # negated-phrase coverage + per-token shard maps (only segments all
+    # tokens co-cover can contain a phrase match worth checking)
+    neg_pinfo = []
+    for keys, slop in neg_pk:
+        kks, kcs = [], []
+        for key in keys:
+            st = sp.stats[key]
+            kk = np.searchsorted(st["first"], seg_lo, side="right") - 1
+            kcs.append((kk >= 0) & (st["last"][np.maximum(kk, 0)] >= seg_lo))
+            kks.append(np.maximum(kk, 0))
+        cov = kcs[0]
+        for kc in kcs[1:]:
+            cov = cov & kc
+        neg_pinfo.append({"keys": keys, "slop": slop,
+                          "tok_k": kks, "cov": cov})
+
+    def neg_exclude(ids: np.ndarray, s: int, lo: int, hi: int) -> np.ndarray:
         for key in negk:
             st = sp.stats.get(key)
             if st is None or ids.size == 0:
@@ -566,6 +674,16 @@ def _wand_bool(
             for j in range(j0, j1):
                 dec = sp.docids(key[0], key[1], int(st["shard"][j]))
                 ids = ids[~np.isin(ids, dec, assume_unique=True)]
+        for np_ in neg_pinfo:
+            if ids.size == 0:
+                break
+            if not np_["cov"][s]:
+                continue  # a token has no shard here — phrase can't match
+            mids, _ = _phrase_match(
+                np_["keys"], np_["tok_k"], np_["slop"], s, lo, hi
+            )
+            if mids.size:
+                ids = ids[~np.isin(ids, mids, assume_unique=True)]
         return ids
 
     def _term_slice(m_, s: int, lo: int, hi: int, with_tf: bool):
@@ -630,8 +748,10 @@ def _wand_bool(
         cand = None
         ki = 0
         for ck, ckeys, cslop, cval in m_["cmeta"]:
-            kks = m_["tok_k"][ki:ki + len(ckeys)]
-            ki += len(ckeys)
+            nk = len(ckeys)
+            kks = m_["tok_k"][ki:ki + nk]
+            kcs = m_["key_cov"][ki:ki + nk]
+            ki += nk
             if ck == "term":
                 key = ckeys[0]
                 shard = int(sp.stats[key]["shard"][kks[0][s]])
@@ -639,6 +759,13 @@ def _wand_bool(
                 a_, b_ = np.searchsorted(dec, lo), np.searchsorted(dec, hi)
                 ids_c = dec[a_:b_]
                 matches.append(("term", key, shard, dec, cval))
+            elif ck == "group":
+                # disjunction child ((a OR b) in ((a OR b) AND c)):
+                # fully evaluated here — union of covered sub-members'
+                # matches, scores scatter-added in sub order (the
+                # exhaustive Bool.should association)
+                ids_c, g_sc = _group_seg(cslop, kks, kcs, s, lo, hi)
+                matches.append(("scored", ids_c, g_sc))
             else:
                 ids_c, freqs = _phrase_match(ckeys, kks, cslop, s, lo, hi)
                 matches.append(("phrase", ids_c, freqs, cval))
@@ -656,6 +783,9 @@ def _wand_bool(
                 scores += _bm25_scores(
                     tfs[idx], doc_len[cand], df_t, N, avgdl, k1, b
                 )
+            elif cm[0] == "scored":
+                _, g_ids, g_sc = cm
+                scores += g_sc[np.searchsorted(g_ids, cand)]
             else:
                 _, p_ids, p_freqs, idf_sum = cm
                 fr = p_freqs[np.searchsorted(p_ids, cand)]
@@ -665,6 +795,54 @@ def _wand_bool(
                 )
                 scores += idf_sum * norm
         return cand, scores
+
+    def _group_seg(submeta, kks, kcs, s: int, lo: int, hi: int):
+        """(matching docids, scores) of one disjunction child within
+        segment s: each covered sub-member (term or phrase) evaluates
+        independently; ids = union, scores = zeros + scatter-add per
+        sub-member in order — identical to the exhaustive Bool.should
+        branch. Uncovered or empty sub-members contribute nothing,
+        exactly like their empty exhaustive eval."""
+        parts = []
+        sj = 0
+        for sk, skeys, sslop, sval in submeta:
+            snk = len(skeys)
+            skks = kks[sj:sj + snk]
+            skcs = kcs[sj:sj + snk]
+            sj += snk
+            if not all(kc[s] for kc in skcs):
+                continue  # sub-member has no covering shard here
+            if sk == "term":
+                key = skeys[0]
+                shard = int(sp.stats[key]["shard"][skks[0][s]])
+                dec = sp.docids(key[0], key[1], shard)
+                a_, b_ = np.searchsorted(dec, lo), np.searchsorted(dec, hi)
+                s_ids = dec[a_:b_]
+                if s_ids.size == 0:
+                    continue
+                tfs = sp.tfs(key[0], key[1], shard)[a_:b_]
+                s_sc = _bm25_scores(
+                    tfs, doc_len[s_ids], sval, N, avgdl, k1, b
+                )
+            else:
+                s_ids, s_freqs = _phrase_match(skeys, skks, sslop, s, lo, hi)
+                if s_ids.size == 0:
+                    continue
+                dls = doc_len[s_ids]
+                norm = s_freqs * (k1 + 1.0) / (
+                    s_freqs + k1 * (1.0 - b + b * dls / avgdl)
+                )
+                s_sc = sval * norm
+            parts.append((s_ids, s_sc))
+        if not parts:
+            return empty
+        g_ids = parts[0][0]
+        for p_ids, _ in parts[1:]:
+            g_ids = np.union1d(g_ids, p_ids)
+        g_sc = np.zeros(g_ids.size, dtype=np.float64)
+        for p_ids, p_sc in parts:
+            g_sc[np.searchsorted(g_ids, p_ids)] += p_sc
+        return g_ids, g_sc
 
     pcache: dict[tuple[int, int], tuple] = {}
 
@@ -706,13 +884,15 @@ def _wand_bool(
             )
             if ids.size == 0:
                 return ids
-        return neg_exclude(ids if ids is not None else np.empty(0, np.int64), lo, hi)
+        return neg_exclude(
+            ids if ids is not None else np.empty(0, np.int64), s, lo, hi
+        )
 
     # ---- exact num_hits ------------------------------------------------
     cand_cache: dict[int, np.ndarray] = {}
     single_uncounted = (
         n_groups == 1 and len(memb) == 1
-        and memb[0]["kind"] == "term" and not negk
+        and memb[0]["kind"] == "term" and not negk and not neg_pinfo
     )
     if single_uncounted:
         num_hits = int(sp.stats[memb[0]["keys"][0]]["df"].sum())

@@ -43,6 +43,12 @@ QUERIES = (
         "(w00050 OR (w00001 AND w00120)) AND w00002",      # conj-in-OR ∧ term
         "(w00000 AND w00050) OR (w00001 AND w00200) OR w01500",
         '(w00120 AND w00300) OR "w00000 w00001"~1',        # conj OR phrase
+        "((w00000 OR w00004) AND w00001) OR w00050",       # group in conj
+        "((w00000 OR w00004) AND (w00001 OR w00120)) OR w01500",
+        '((w00050 OR "w00000 w00001") AND w00002) OR w00120',
+        'w00000 -"w00001 w00002"',                         # negated phrase
+        '(w00000 OR w00004) -"w00001 w00002"~1 -w00050',
+        '((w00000 OR w00004) AND w00001) -"w00002 w00003"',
     ]
 )
 

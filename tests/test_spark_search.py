@@ -322,6 +322,64 @@ class TestWand:
         assert n_all == 100 == len(ids_all)
         assert sk_all["pos_decoded"] >= 10  # honest: unpruned = decode all
 
+    def test_wand_nested_group_and_neg_phrase_skip(self, tmp_path):
+        """Round-3 shapes actually prune: a disjunction of hot terms
+        nested inside a conj member is only evaluated where the rare
+        sibling lives, and a negated phrase only decodes positions in
+        the active (rare) segments, never across the hot tokens' full
+        shard range."""
+        import numpy as np
+
+        from quickwit_spark.config import IndexConfig
+        from quickwit_spark.operators.build import build_split_tables, write_split
+        from quickwit_spark.operators.search import _wand_bool
+        from quickwit_spark.plans.query import Bool, Phrase, Term
+        from quickwit_spark.sources.transcripts import fixture_corpus
+
+        docs = [("hota hotb rareone",), ("hota raretwo",)] + [
+            (f"hota hotb filler{i:03d}",) for i in range(98)
+        ]
+        pdf = fixture_corpus(docs)
+        cfg = IndexConfig(hot_term_doc_freq=10, salt_docid_range=8)
+        postings, dstore, meta = build_split_tables(pdf, cfg)
+        sd = str(tmp_path / "nested")
+        write_split(postings, dstore, sd)
+        doc_len = dstore["doc_len"].to_numpy().astype(np.float64)
+        stats = {
+            "N": meta["num_docs"],
+            "avgdl": meta["sum_doc_len"] / meta["num_docs"],
+            "df": {("text", "hota"): 100, ("text", "hotb"): 99,
+                   ("text", "rareone"): 1, ("text", "raretwo"): 1},
+        }
+        # ((hota OR hotb) AND rareone) OR raretwo — one group, two members
+        conj = Bool(must=(
+            Bool(should=(Term("text", "hota"), Term("text", "hotb"))),
+            Term("text", "rareone"),
+        ))
+        ids, scores, num_hits, sk = _wand_bool(
+            sd, [[conj, Term("text", "raretwo")]], [],
+            doc_len, stats, cfg, 5,
+        )
+        assert num_hits == 2 and len(ids) == 2
+        assert sk["shards"] > 10                 # hot terms are sharded
+        assert sk["docid_decoded"] < sk["shards"]  # hot shards skipped
+        # rareone -"hota hotb": the neg phrase is only position-decoded
+        # in rareone's segment (1 shard per token), not corpus-wide
+        ids2, _sc2, n2, sk2 = _wand_bool(
+            sd, [[Term("text", "rareone")]],
+            [Phrase("text", ("hota", "hotb"))],
+            doc_len, stats, cfg, 5,
+        )
+        assert n2 == 0 and len(ids2) == 0        # rareone doc HAS the phrase
+        assert sk2["pos_decoded"] <= 2
+        # and a rare doc WITHOUT the phrase survives the negation
+        ids3, _sc3, n3, _sk3 = _wand_bool(
+            sd, [[Term("text", "raretwo")]],
+            [Phrase("text", ("hota", "hotb"))],
+            doc_len, stats, cfg, 5,
+        )
+        assert n3 == 1 and len(ids3) == 1
+
 
 def test_deep_k(oracle, searcher):
     assert_rank_identical(
@@ -864,10 +922,23 @@ def test_wand_plan_covers_nested_should_groups(searcher):
         type(m).__name__ for m in plan[0][0]
     ]
     assert sorted(kinds) == ["Bool", "Term"]
-    # deeper nesting (a disjunction inside a conj member) still falls back
+    # a disjunction inside a conj member is WAND-able (round 3)
     plan = _wand_plan(
         parse_query("((w00000 OR w00004) AND w00001) OR w00050", cfg)
     )
+    assert plan is not None and [len(g) for g in plan[0]] == [2]
+    # negated phrases are WAND-able (round 3)
+    plan = _wand_plan(parse_query('w00000 -"w00001 w00002"', cfg))
+    assert plan is not None and len(plan[1]) == 1
+    # even deeper nesting (a conj inside a disjunction inside a conj
+    # member) still falls back
+    plan = _wand_plan(
+        parse_query("((w00000 OR (w00002 AND w00003)) AND w00001) OR w00050",
+                    cfg)
+    )
+    assert plan is None
+    # negated sub-booleans fall back
+    plan = _wand_plan(parse_query("w00000 -(w00001 AND w00002)", cfg))
     assert plan is None
     # pure-negation falls back (MatchAll base)
     plan = _wand_plan(parse_query("-w00001", cfg))
@@ -884,6 +955,15 @@ def test_wand_equals_exhaustive_multifield(searcher):
         ('("w00001 w00002" AND w00000) OR (w00004 AND w00010)', None),
         ('(w00000 AND "w00001 w00002"~2) OR w00050 -w00003', None),
         ('(w00001 AND "w00002 w00000"~1 AND w00004) OR w00120', None),
+        # disjunctions nested inside conj members (round 3)
+        ("((w00000 OR w00004) AND w00001) OR w00050", None),
+        ("((w00000 OR w00004) AND (w00001 OR w00120)) OR w00050", None),
+        ('((w00000 OR "w00001 w00002") AND w00004) OR w00120', None),
+        ("(w00000 OR w00004) AND w00001", ["text", "role"]),
+        # negated phrases (round 3)
+        ('w00000 -"w00001 w00002"', None),
+        ('(w00000 OR w00004) -"w00001 w00002"~1 -w00050', None),
+        ('((w00000 OR w00004) AND w00001) -"w00002 w00003"', None),
     ]:
         kw = {"search_fields": fields} if fields else {}
         a = searcher.search(q, k=10, wand=True, **kw)
@@ -911,7 +991,7 @@ def test_wand_equals_exhaustive_randomized(searcher):
     def rand_query():
         shape = rng.choice(
             ["term", "conj", "disj", "mixed", "neg", "nested", "disj_conj",
-             "conj_phrase"]
+             "conj_phrase", "group_in_conj", "neg_phrase"]
         )
         pick = lambda n: rng.sample(vocab, n)  # noqa: E731
         if shape == "term":
@@ -935,6 +1015,16 @@ def test_wand_equals_exhaustive_randomized(searcher):
             a, b, c, d = pick(4)
             slop = rng.choice(["", "~1", "~2"])
             return f'({a} AND "{b} {c}"{slop}) OR {d}'
+        if shape == "group_in_conj":
+            a, b, c, d, e = pick(5)
+            if rng.random() < 0.5:
+                return f"(({a} OR {b}) AND {c}) OR {d}"
+            return f'(({a} OR "{b} {c}") AND {d}) OR {e}'
+        if shape == "neg_phrase":
+            a, b, c, d = pick(4)
+            slop = rng.choice(["", "~1"])
+            base = f"{a} OR {b}" if rng.random() < 0.5 else f"{a} AND {b}"
+            return f'({base}) -"{c} {d}"{slop}'
         a, b, c, d = pick(4)
         return f"({a} OR {b}) AND ({c} OR {d})"
 
