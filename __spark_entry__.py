@@ -143,6 +143,26 @@ def q_bm25_must_not(spark, sf_dir):
     return _hits_df(spark, _searcher(spark, sf_dir).search("vector -merge", k=20))
 
 
+def q_bm25_nested_bool(spark, sf_dir):
+    """Disjunction nested inside a conjunctive member —
+    ((vector OR hash) AND merge) OR stream — the round-3 WAND shape
+    (pruned via group-child UB sums; results identical to exhaustive)."""
+    return _hits_df(
+        spark,
+        _searcher(spark, sf_dir).search(
+            "((vector OR hash) AND merge) OR stream", k=20
+        ),
+    )
+
+
+def q_bm25_neg_phrase(spark, sf_dir):
+    """Negated phrase: vector -"table value" (round-3 WAND shape —
+    the neg phrase only position-decodes active segments)."""
+    return _hits_df(
+        spark, _searcher(spark, sf_dir).search('vector -"table value"', k=20)
+    )
+
+
 def q_bm25_phrase(spark, sf_dir):
     return _hits_df(spark, _searcher(spark, sf_dir).search('"table value"', k=20))
 
@@ -583,6 +603,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_boolean": q_bm25_boolean,
         "bm25_disjunction": q_bm25_disjunction,
         "bm25_must_not": q_bm25_must_not,
+        "bm25_nested_bool": q_bm25_nested_bool,
+        "bm25_neg_phrase": q_bm25_neg_phrase,
         "bm25_phrase": q_bm25_phrase,
         "bm25_offset": q_bm25_offset,
         "bm25_multifield": q_bm25_multifield,
@@ -751,6 +773,59 @@ ORDER BY s DESC, doc_id ASC LIMIT 20
         + """
 SELECT t1.doc_id, round(t1.s, 4) AS score
 FROM t1 WHERE t1.doc_id NOT IN (SELECT doc_id FROM t2)
+ORDER BY t1.s DESC, t1.doc_id ASC LIMIT 20
+"""
+    )
+
+    # ((vector OR hash) AND merge) OR stream — sum-of-matching-members
+    # scoring with the engine's association: (v + h) inside the group,
+    # + merge inside the conj, + stream at the top disjunction
+    sql["bm25_nested_bool"] = (
+        _BM25_WITH + ","
+        + _bm25_term_cte("vector", "t1") + ","
+        + _bm25_term_cte("hash", "t2") + ","
+        + _bm25_term_cte("merge", "t3") + ","
+        + _bm25_term_cte("stream", "t4")
+        + """
+, u12 AS (
+  SELECT coalesce(t1.doc_id, t2.doc_id) AS doc_id,
+         coalesce(t1.s, 0) + coalesce(t2.s, 0) AS s
+  FROM t1 FULL OUTER JOIN t2 ON t1.doc_id = t2.doc_id
+),
+c AS (
+  SELECT u12.doc_id, u12.s + t3.s AS s
+  FROM u12 JOIN t3 ON u12.doc_id = t3.doc_id
+),
+u AS (
+  SELECT coalesce(c.doc_id, t4.doc_id) AS doc_id,
+         coalesce(c.s, 0) + coalesce(t4.s, 0) AS s
+  FROM c FULL OUTER JOIN t4 ON c.doc_id = t4.doc_id
+)
+SELECT doc_id, round(s, 4) AS score FROM u
+ORDER BY s DESC, doc_id ASC LIMIT 20
+"""
+    )
+
+    # vector -"table value": term scoring minus docs containing the
+    # adjacent pair (the negation contributes no score)
+    sql["bm25_neg_phrase"] = (
+        f"""
+WITH lsts AS (SELECT doc_id, {TOKS40} AS lst FROM documents),
+toks AS (SELECT doc_id, unnest(lst) AS term FROM lsts),
+dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+stats AS (
+  SELECT (SELECT count(*) FROM documents) AS n,
+         (SELECT count(*) FROM toks) * 1.0 / (SELECT count(*) FROM documents) AS avgdl
+),"""
+        + _bm25_term_cte("vector", "t1")
+        + """
+, ph AS (
+  SELECT doc_id FROM lsts
+  WHERE list_sum(list_transform(generate_series(1, len(lst) - 1),
+    i -> CASE WHEN lst[i] = 'table' AND lst[i+1] = 'value' THEN 1 ELSE 0 END)) > 0
+)
+SELECT t1.doc_id, round(t1.s, 4) AS score
+FROM t1 WHERE t1.doc_id NOT IN (SELECT doc_id FROM ph)
 ORDER BY t1.s DESC, t1.doc_id ASC LIMIT 20
 """
     )
