@@ -29,10 +29,10 @@ tiny first Spark job that reads only the (field, term, df) columns of
 term-pruned splits. ``Searcher`` caches those stats across queries.
 
 Block-max pruning: posting rows carry (max_tf, min_dl, first/last
-docid) per shard; for term/phrase booleans (single term or phrase,
-conjunction, disjunction, disjunctions of conjunctive members, and
-disjunctions nested one level inside those members, each ± negated
-terms/phrases) the kernel cuts
+docid) per shard; for ANY pure positive boolean over terms and phrases
+(arbitrary AND/OR nesting, ± negations that are themselves terms,
+phrases, or positive booleans — only MatchAll-based pure-negation
+shapes are excluded) the kernel cuts
 docid space into segments at shard boundaries and processes them
 document-at-a-time in
 descending score-upper-bound order, skipping decode + scoring work that
@@ -174,80 +174,70 @@ def _bm25_scores(tfs, dls, df_global, n_total, avgdl, k1, b):
     return idf * norm
 
 
+def _node_ok(node) -> bool:
+    """True when a (sub-)query is a pure positive boolean over terms
+    and phrases — any depth of AND/OR nesting, no must_not, no mixed
+    must+should at one node (the exhaustive evaluator ignores should
+    when must is present; that quirk stays on the exhaustive path)."""
+    if isinstance(node, (Term, Phrase)):
+        return True
+    if not isinstance(node, Bool) or node.must_not:
+        return False
+    if node.must and node.should:
+        return False
+    kids = node.must or node.should
+    return bool(kids) and all(_node_ok(c) for c in kids)
+
+
 def _wand_plan(ast):
-    """Normalize a prunable query into ``(groups, neg_terms)`` where
-    every group is a list of members (Term or Phrase) and the query
-    means "every group has >=1 matching member, scores sum over all
-    matching members, minus the negated terms". A member is a Term, a
-    Phrase, or a CONJUNCTION of terms (a nested ``Bool(must=terms)``).
-    Covers: single term/phrase (1 group of 1), conjunction (n groups
-    of 1), disjunction (1 group of n), conjunction of
-    disjunction-groups — e.g. the multifield expansion ``(text:en OR
-    lang:en) AND (text:v OR lang:v)`` — disjunctions with conjunctive
-    members — ``(a AND b) OR c`` — and any of these with must_not
-    terms. Phrase members prune two-phase: segments are bounded by the
-    member tokens' shard stats (phrase freq ≤ min token tf, so score ≤
-    Σtoken-idf × norm(min max_tf, max min_dl)) and positions are only
-    decoded for shards whose token docid-intersection is non-empty.
-    Conjunction members (terms and/or phrases — ``(a AND "x y") OR c``)
-    are bounded by the sum of their children's UBs and covered only
-    where every child token has a shard. A conjunction member's child
-    may itself be a disjunction of terms/phrases — ``((a OR b) AND c)
-    OR d`` — bounded by the sum of the covered sub-members' UBs and
-    covered where ANY sub-member is. Negations may be terms or phrases
-    (phrase must_not match-checks only the segments its tokens
-    co-cover). Anything else (deeper nesting, negated sub-booleans,
-    pure-negation — where pruning cannot skip work since every doc
-    scores 0) returns None and takes the exhaustive path."""
-
-    def leaf_group_ok(node):
-        # disjunction-of-leaves child inside a conjunction member:
-        # the (a OR b) in ((a OR b) AND c) OR d
-        return (
-            isinstance(node, Bool)
-            and node.should
-            and not node.must
-            and not node.must_not
-            and all(isinstance(t, (Term, Phrase)) for t in node.should)
-        )
-
-    def member_ok(node):
-        if isinstance(node, (Term, Phrase)):
-            return True
-        # conjunction member: (a AND b), (a AND "x y"),
-        # ((a OR b) AND c) inside a disjunction — children may be
-        # terms, phrases, or disjunctions of those
-        return (
-            isinstance(node, Bool)
-            and node.must
-            and not node.should
-            and not node.must_not
-            and all(
-                isinstance(t, (Term, Phrase)) or leaf_group_ok(t)
-                for t in node.must
-            )
-        )
+    """Normalize a prunable query into ``(groups, negs)`` where every
+    group is a list of members and the query means "every group has
+    >=1 matching member, scores sum over all matching members, minus
+    docs matching any negation". A member is ANY pure positive boolean
+    node (term, phrase, or arbitrarily nested AND/OR of those): the
+    evaluator (:func:`_wand_bool`) recursively bounds and evaluates
+    member trees per docid segment. A negation may likewise be any
+    pure positive node; a negated disjunction is flattened into its
+    members (set exclusion distributes over union). Only pure-negation
+    queries (MatchAll base — pruning cannot skip work since every doc
+    scores 0), negated-MatchAll shapes, and mixed must+should nodes
+    return None and take the exhaustive path."""
 
     def term_group(node):
-        if member_ok(node):
-            return [node]
+        # a top-level must child that is a disjunction contributes one
+        # group PER the disjunction (>=1 member must match); anything
+        # else is a single-member group
         if (
             isinstance(node, Bool)
             and node.should
             and not node.must
             and not node.must_not
-            and all(member_ok(c) for c in node.should)
+            and all(_node_ok(c) for c in node.should)
         ):
             return list(node.should)
+        if _node_ok(node):
+            return [node]
         return None
 
     if isinstance(ast, (Term, Phrase)):
         return [[ast]], []
     if not isinstance(ast, Bool):
         return None
-    if not all(isinstance(c, (Term, Phrase)) for c in ast.must_not):
-        return None
-    negs = list(ast.must_not)
+    negs = []
+    for c in ast.must_not:
+        if isinstance(c, (Term, Phrase)):
+            negs.append(c)
+        elif (
+            isinstance(c, Bool) and c.should and not c.must
+            and not c.must_not and all(_node_ok(x) for x in c.should)
+        ):
+            # -(a OR b) ≡ -a -b: excluding the union equals excluding
+            # each member (exclusion is set-based, no score effect)
+            negs.extend(c.should)
+        elif _node_ok(c):
+            negs.append(c)
+        else:
+            return None
     if ast.must and not ast.should:
         groups = [term_group(c) for c in ast.must]
         if any(g is None for g in groups):
@@ -405,11 +395,16 @@ def _wand_bool(
     ``Weight::for_each_pruning``).
 
     The query is the normal form from :func:`_wand_plan`: a conjunction
-    of GROUPS (each group = a disjunction of terms; score = sum over
-    matching members) minus negated terms. Docid space is cut into
-    SEGMENTS at the query terms' shard boundaries, so term coverage is
-    constant within a segment. Each segment's score upper bound is the
-    sum of the covering shards' BM25(max_tf, min_dl) bounds.
+    of GROUPS (each group = a disjunction of MEMBERS; score = sum over
+    matching members) minus negations, where a member — and a negation
+    — is ANY pure positive boolean tree of terms/phrases (arbitrary
+    AND/OR nesting). Docid space is cut into SEGMENTS at the query
+    terms' shard boundaries, so term coverage is constant within a
+    segment. Member trees are annotated bottom-up with per-segment
+    coverage and score upper bounds (conj: AND/Σ over children; group:
+    OR/Σ; leaves from shard stats) and evaluated per segment by the
+    recursive ``_node_seg``, which reproduces the exhaustive
+    evaluator's float association at every level.
 
     * conjunction: segments where some group has NO covering member
       shard cannot contain a match — skipped entirely (no docid
@@ -429,12 +424,11 @@ def _wand_bool(
     (ids, scores, num_hits, skip_stats).
     """
     path = fsio.join(split_dir, POSTINGS_FILE)
-    neg_terms = [n for n in neg if isinstance(n, Term)]
-    neg_phrases = [n for n in neg if isinstance(n, Phrase)]
-    negk = [(t.field, t.value) for t in neg_terms]
-    neg_pk = [
-        ([(p.field, tok) for tok in p.tokens], p.slop) for p in neg_phrases
-    ]
+    # negated single terms exclude via direct shard-overlap scans (no
+    # segmentation needed); every other negation (phrase, nested bool)
+    # becomes a node evaluated per segment like a member, score-ignored
+    negk = [(t.field, t.value) for t in neg if isinstance(t, Term)]
+    neg_shapes = [n for n in neg if not isinstance(n, Term)]
 
     def _minfo(node):
         if isinstance(node, Term):
@@ -456,9 +450,10 @@ def _wand_bool(
         return ("conj", flat, children)
 
     member_info = [[_minfo(n) for n in g] for g in groups]
+    neg_info = [_minfo(n) for n in neg_shapes]
     all_pos = [k for g in member_info for (_, keys, _) in g for k in keys]
-    neg_pk_flat = [k for keys, _ in neg_pk for k in keys]
-    sp = _ShardPostings(path, all_pos + negk + neg_pk_flat)
+    neg_keys = [k for (_, keys, _) in neg_info for k in keys]
+    sp = _ShardPostings(path, all_pos + negk + neg_keys)
     k1, b = config.k1, config.b
     N, avgdl = stats["N"], stats["avgdl"]
     empty = (np.empty(0, np.int64), np.empty(0, np.float64))
@@ -490,61 +485,36 @@ def _wand_bool(
     ]
     if any(not g for g in member_info):
         return (*empty, 0, no_work)
-    # a negated phrase with an absent token can never match — drop it
-    neg_pk = [
-        (keys, slop) for keys, slop in neg_pk
-        if all(k in sp.stats for k in keys)
-    ]
+    # a negation that can never match (absent term/token somewhere
+    # required) excludes nothing — drop it
+    neg_info = [p for p in map(_prune_minfo, neg_info) if p is not None]
 
     def _idf(key):
         df_g = stats["df"].get(key, 0)
         return math.log(1.0 + (N - df_g + 0.5) / (df_g + 0.5))
 
-    # flat member list; memb[i] carries group, kind, keys, per-token
-    # shard indices and coverage per segment
+    # flat member list; memb[i] carries group, kind, keys, and (after
+    # annotation below) the recursive node tree with per-segment
+    # coverage and score upper bounds
     memb: list[dict] = []
     n_pos_shards = 0
     for gi, g in enumerate(member_info):
-        for kind, keys, extra in g:
-            m_ = {"g": gi, "kind": kind, "keys": keys, "slop": extra}
-            if kind == "term":
-                m_["df"] = stats["df"].get(keys[0], 0)
-            elif kind == "conj":
-                # per-child meta: (kind, keys, slop-or-submeta,
-                # df-or-idf_sum) — children score independently and sum
-                # in child order (the exhaustive Bool.must association);
-                # a "group" child carries its SUB-member metas, which
-                # scatter-add in sub order (the Bool.should association)
-                def _cmeta(child):
-                    ck, ckeys, cextra = child
-                    if ck == "term":
-                        return ("term", ckeys, 0, stats["df"].get(ckeys[0], 0))
-                    if ck == "phrase":
-                        return ("phrase", ckeys, cextra,
-                                sum(_idf(k) for k in ckeys))
-                    return ("group", ckeys, [_cmeta(sm) for sm in cextra],
-                            None)
-
-                m_["cmeta"] = [_cmeta(c) for c in extra]
-            else:
-                # exhaustive-evaluator association: sum() of per-token
-                # idfs in token order (see _SplitEval Phrase branch)
-                m_["idf_sum"] = sum(_idf(k) for k in keys)
-            memb.append(m_)
-            n_pos_shards += sum(sp.stats[k]["first"].size for k in keys)
+        for mi_ in g:
+            memb.append({"g": gi, "minfo": mi_})
+            n_pos_shards += sum(sp.stats[k]["first"].size for k in mi_[1])
 
     # segment boundaries at every member token's shard edges, so term
-    # coverage is constant within a segment
+    # coverage is constant within a segment. Non-term negation tokens
+    # also segment the space: their per-segment matchers need ONE
+    # covering shard per token per segment (negated single TERMS don't
+    # — they exclude via direct shard-overlap scans)
     edges = []
     for m_ in memb:
-        for k in m_["keys"]:
+        for k in m_["minfo"][1]:
             st = sp.stats[k]
             edges.append(st["first"])
             edges.append(st["last"] + 1)
-    # negated-phrase tokens also segment the docid space: the per-segment
-    # phrase matcher needs ONE covering shard per token per segment
-    # (negated TERMS don't — they exclude via direct shard-overlap scans)
-    for keys, _slop in neg_pk:
+    for _kind, keys, _extra in neg_info:
         for k in keys:
             st = sp.stats[k]
             edges.append(st["first"])
@@ -555,113 +525,86 @@ def _wand_bool(
     n_seg = seg_lo.size
     n_groups = len(member_info)
 
-    # per-member coverage + segment score upper bounds. A phrase
-    # occurrence needs every token present in the doc, so
-    # freq ≤ min token tf and candidate dl ≥ max token-shard min_dl:
-    # UB = Σtoken-idf × norm(min max_tf, max min_dl) — ≥ any real
-    # phrase score in the segment (norm ↑ in freq, ↓ in dl)
-    def _leaf_cov_ub(kind, keys, val, kks, kcs):
-        """(coverage, UB per segment) of one term or phrase leaf. A
-        phrase occurrence needs every token present in the doc, so
-        freq ≤ min token max_tf and candidate dl ≥ max token-shard
-        min_dl: UB = Σtoken-idf × norm(min max_tf, max min_dl) — ≥ any
-        real phrase score in the segment (norm ↑ in freq, ↓ in dl).
-        UB values are garbage where uncovered; callers mask by cov."""
-        if kind == "term":
-            st = sp.stats[keys[0]]
-            kk = kks[0]
-            return kcs[0], _bm25_scores(
-                st["max_tf"][kk], st["min_dl"][kk].astype(np.float64),
-                val, N, avgdl, k1, b,
-            )
-        cov = kcs[0]
-        for kc in kcs[1:]:
-            cov = cov & kc
-        f_ub = dl_lb = None
-        for key, kk in zip(keys, kks):
-            st = sp.stats[key]
-            mt = st["max_tf"][kk].astype(np.float64)
-            md = st["min_dl"][kk].astype(np.float64)
-            f_ub = mt if f_ub is None else np.minimum(f_ub, mt)
-            dl_lb = md if dl_lb is None else np.maximum(dl_lb, md)
-        norm = f_ub * (k1 + 1.0) / (
-            f_ub + k1 * (1.0 - b + b * dl_lb / avgdl)
-        )
-        return cov, val * norm
+    def _annotate(mi_):
+        """Recursively annotate one node with per-segment coverage and
+        a per-segment score upper bound (``ub`` is pre-masked: 0 where
+        the node is uncovered, so parents may sum child UBs directly).
 
-    def _child_cov_ub(cm, tok_k, key_cov, ki):
-        """(coverage, UB, next key offset) of one conj-member child.
-        A group child is covered where ANY sub-member is; its UB sums
-        the covered sub-members' UBs (the exhaustive Bool.should sums
-        every matching sub-member's score)."""
-        ck, ckeys, cextra, cval = cm
-        if ck == "group":
-            cov = None
-            ub = np.zeros(n_seg, dtype=np.float64)
-            for sm in cextra:
-                s_cov, s_ub, ki = _child_cov_ub(sm, tok_k, key_cov, ki)
-                cov = s_cov if cov is None else (cov | s_cov)
-                ub += np.where(s_cov, s_ub, 0.0)
-            return cov, ub, ki
-        nk = len(ckeys)
-        cov, ub = _leaf_cov_ub(
-            ck, ckeys, cval, tok_k[ki:ki + nk], key_cov[ki:ki + nk]
-        )
-        return cov, ub, ki + nk
+        term: cov = shard presence; UB = BM25(max_tf, min_dl) of the
+        covering shard. phrase: cov = AND over tokens; a phrase
+        occurrence needs every token present in the doc, so
+        freq ≤ min token max_tf and candidate dl ≥ max token-shard
+        min_dl — UB = Σtoken-idf × norm(min max_tf, max min_dl) ≥ any
+        real phrase score (norm ↑ in freq, ↓ in dl). conj: cov = AND
+        over children, UB = Σ child UBs (score sums over children).
+        group: cov = OR over children, UB = Σ child UBs (the
+        exhaustive Bool.should sums every matching member's score)."""
+        kind, keys, extra = mi_
+        nd = {"kind": kind, "keys": keys}
+        if kind in ("term", "phrase"):
+            tok_k, key_cov = [], []
+            for key in keys:
+                st = sp.stats[key]
+                kk = np.searchsorted(st["first"], seg_lo, side="right") - 1
+                key_cov.append(
+                    (kk >= 0) & (st["last"][np.maximum(kk, 0)] >= seg_lo)
+                )
+                tok_k.append(np.maximum(kk, 0))
+            nd["tok_k"] = tok_k
+            if kind == "term":
+                nd["val"] = stats["df"].get(keys[0], 0)
+                cov = key_cov[0]
+                st = sp.stats[keys[0]]
+                kk = tok_k[0]
+                raw = _bm25_scores(
+                    st["max_tf"][kk], st["min_dl"][kk].astype(np.float64),
+                    nd["val"], N, avgdl, k1, b,
+                )
+            else:
+                nd["slop"] = extra
+                nd["val"] = sum(_idf(k) for k in keys)
+                cov = key_cov[0]
+                for kc in key_cov[1:]:
+                    cov = cov & kc
+                f_ub = dl_lb = None
+                for key, kk in zip(keys, tok_k):
+                    st = sp.stats[key]
+                    mt = st["max_tf"][kk].astype(np.float64)
+                    md = st["min_dl"][kk].astype(np.float64)
+                    f_ub = mt if f_ub is None else np.minimum(f_ub, mt)
+                    dl_lb = md if dl_lb is None else np.maximum(dl_lb, md)
+                raw = nd["val"] * (
+                    f_ub * (k1 + 1.0)
+                    / (f_ub + k1 * (1.0 - b + b * dl_lb / avgdl))
+                )
+            nd["cov"] = cov
+            nd["ub"] = np.where(cov, raw, 0.0)
+            return nd
+        children = [_annotate(c) for c in extra]
+        nd["children"] = children
+        cov = children[0]["cov"]
+        for c in children[1:]:
+            cov = (cov & c["cov"]) if kind == "conj" else (cov | c["cov"])
+        ub = np.zeros(n_seg, dtype=np.float64)
+        for c in children:
+            ub += c["ub"]
+        nd["cov"] = cov
+        nd["ub"] = np.where(cov, ub, 0.0)
+        return nd
 
     ub_seg = np.zeros(n_seg, dtype=np.float64)
     g_cov = np.zeros((n_groups, n_seg), dtype=bool)
     for m_ in memb:
-        tok_k = []
-        key_cov = []
-        for key in m_["keys"]:
-            st = sp.stats[key]
-            kk = np.searchsorted(st["first"], seg_lo, side="right") - 1
-            key_cov.append((kk >= 0) & (st["last"][np.maximum(kk, 0)] >= seg_lo))
-            tok_k.append(np.maximum(kk, 0))
-        m_["tok_k"] = tok_k
-        m_["key_cov"] = key_cov
-        if m_["kind"] == "term":
-            cov, ub = _leaf_cov_ub(
-                "term", m_["keys"], m_["df"], tok_k, key_cov
-            )
-        elif m_["kind"] == "conj":
-            # sum of the children's individual UBs — ≥ any real
-            # conjunction score in the segment; member covered only
-            # where EVERY child is (so per-child garbage outside a
-            # child's coverage is masked by the np.where(cov, ...) below)
-            cov = None
-            ub = np.zeros(n_seg, dtype=np.float64)
-            ki = 0
-            for cm in m_["cmeta"]:
-                c_cov, c_ub, ki = _child_cov_ub(cm, tok_k, key_cov, ki)
-                cov = c_cov if cov is None else (cov & c_cov)
-                ub += c_ub
-        else:
-            cov, ub = _leaf_cov_ub(
-                "phrase", m_["keys"], m_["idf_sum"], tok_k, key_cov
-            )
-        m_["cov"] = cov
-        ub_seg += np.where(cov, ub, 0.0)
-        g_cov[m_["g"]] |= cov
+        nd = _annotate(m_["minfo"])
+        m_["node"] = nd
+        m_["kind"] = nd["kind"]
+        m_["cov"] = nd["cov"]
+        ub_seg += nd["ub"]
+        g_cov[m_["g"]] |= nd["cov"]
     active = g_cov.all(axis=0)
     active_idx = np.flatnonzero(active)
 
-    # negated-phrase coverage + per-token shard maps (only segments all
-    # tokens co-cover can contain a phrase match worth checking)
-    neg_pinfo = []
-    for keys, slop in neg_pk:
-        kks, kcs = [], []
-        for key in keys:
-            st = sp.stats[key]
-            kk = np.searchsorted(st["first"], seg_lo, side="right") - 1
-            kcs.append((kk >= 0) & (st["last"][np.maximum(kk, 0)] >= seg_lo))
-            kks.append(np.maximum(kk, 0))
-        cov = kcs[0]
-        for kc in kcs[1:]:
-            cov = cov & kc
-        neg_pinfo.append({"keys": keys, "slop": slop,
-                          "tok_k": kks, "cov": cov})
+    neg_nodes = [_annotate(mi_) for mi_ in neg_info]
 
     def neg_exclude(ids: np.ndarray, s: int, lo: int, hi: int) -> np.ndarray:
         for key in negk:
@@ -674,29 +617,24 @@ def _wand_bool(
             for j in range(j0, j1):
                 dec = sp.docids(key[0], key[1], int(st["shard"][j]))
                 ids = ids[~np.isin(ids, dec, assume_unique=True)]
-        for np_ in neg_pinfo:
+        for nn in neg_nodes:
             if ids.size == 0:
                 break
-            if not np_["cov"][s]:
-                continue  # a token has no shard here — phrase can't match
-            mids, _ = _phrase_match(
-                np_["keys"], np_["tok_k"], np_["slop"], s, lo, hi
-            )
+            if not nn["cov"][s]:
+                continue  # negation can't match anything in this segment
+            mids, _ = _node_seg(nn, s, lo, hi)
             if mids.size:
                 ids = ids[~np.isin(ids, mids, assume_unique=True)]
         return ids
 
-    def _term_slice(m_, s: int, lo: int, hi: int, with_tf: bool):
-        key = m_["keys"][0]
-        shard = int(sp.stats[key]["shard"][m_["tok_k"][0][s]])
+    def _term_slice(nd, s: int, lo: int, hi: int, with_tf: bool):
+        key = nd["keys"][0]
+        shard = int(sp.stats[key]["shard"][nd["tok_k"][0][s]])
         dec = sp.docids(key[0], key[1], shard)
         a_, b_ = np.searchsorted(dec, lo), np.searchsorted(dec, hi)
         if not with_tf:
             return dec[a_:b_], None
         return dec[a_:b_], sp.tfs(key[0], key[1], shard)[a_:b_]
-
-    def _phrase_seg(m_, s: int, lo: int, hi: int):
-        return _phrase_match(m_["keys"], m_["tok_k"], m_["slop"], s, lo, hi)
 
     def _phrase_match(keys, tok_ks, slop, s: int, lo: int, hi: int):
         """(matching docids, phrase freqs) of one phrase — standalone
@@ -738,102 +676,62 @@ def _wand_bool(
         mask = freqs > 0
         return cand[mask], freqs[mask]
 
-    def _conj_seg(m_, s: int, lo: int, hi: int):
-        """(matching docids, summed child scores) of one conjunction
-        member — children are terms and/or phrases — within segment s.
-        Scores use the exhaustive ``Bool.must`` float association
-        (zeros + child scores in child order) so WAND results stay
-        bit-identical."""
-        matches = []
-        cand = None
-        ki = 0
-        for ck, ckeys, cslop, cval in m_["cmeta"]:
-            nk = len(ckeys)
-            kks = m_["tok_k"][ki:ki + nk]
-            kcs = m_["key_cov"][ki:ki + nk]
-            ki += nk
-            if ck == "term":
-                key = ckeys[0]
-                shard = int(sp.stats[key]["shard"][kks[0][s]])
-                dec = sp.docids(key[0], key[1], shard)
-                a_, b_ = np.searchsorted(dec, lo), np.searchsorted(dec, hi)
-                ids_c = dec[a_:b_]
-                matches.append(("term", key, shard, dec, cval))
-            elif ck == "group":
-                # disjunction child ((a OR b) in ((a OR b) AND c)):
-                # fully evaluated here — union of covered sub-members'
-                # matches, scores scatter-added in sub order (the
-                # exhaustive Bool.should association)
-                ids_c, g_sc = _group_seg(cslop, kks, kcs, s, lo, hi)
-                matches.append(("scored", ids_c, g_sc))
-            else:
-                ids_c, freqs = _phrase_match(ckeys, kks, cslop, s, lo, hi)
-                matches.append(("phrase", ids_c, freqs, cval))
-            cand = ids_c if cand is None else np.intersect1d(
-                cand, ids_c, assume_unique=True
-            )
-            if cand.size == 0:
+    def _node_seg(nd, s: int, lo: int, hi: int):
+        """(matching docids, scores) of one annotated node within
+        segment s; the caller must ensure ``nd["cov"][s]``. Float
+        association is IDENTICAL to the exhaustive evaluator at every
+        level: conj = zeros + child scores gathered at the intersection
+        in child order (``Bool.must``); group = zeros + child scores
+        scatter-added at the union in child order (``Bool.should``);
+        uncovered/empty children of a group contribute nothing exactly
+        like their empty exhaustive eval."""
+        kind = nd["kind"]
+        if kind == "term":
+            key = nd["keys"][0]
+            shard = int(sp.stats[key]["shard"][nd["tok_k"][0][s]])
+            dec = sp.docids(key[0], key[1], shard)
+            a_, b_ = np.searchsorted(dec, lo), np.searchsorted(dec, hi)
+            ids = dec[a_:b_]
+            if ids.size == 0:
                 return empty
-        scores = np.zeros(cand.size, dtype=np.float64)
-        for cm in matches:
-            if cm[0] == "term":
-                _, key, shard, dec, df_t = cm
-                tfs = sp.tfs(key[0], key[1], shard)
-                idx = np.searchsorted(dec, cand)
-                scores += _bm25_scores(
-                    tfs[idx], doc_len[cand], df_t, N, avgdl, k1, b
+            tfs = sp.tfs(key[0], key[1], shard)[a_:b_]
+            return ids, _bm25_scores(
+                tfs, doc_len[ids], nd["val"], N, avgdl, k1, b
+            )
+        if kind == "phrase":
+            ids, freqs = _phrase_match(
+                nd["keys"], nd["tok_k"], nd["slop"], s, lo, hi
+            )
+            if ids.size == 0:
+                return empty
+            dls = doc_len[ids]
+            norm = freqs * (k1 + 1.0) / (
+                freqs + k1 * (1.0 - b + b * dls / avgdl)
+            )
+            return ids, nd["val"] * norm
+        if kind == "conj":
+            parts = []
+            cand = None
+            for c in nd["children"]:
+                ids_c, sc_c = _node_seg(c, s, lo, hi)
+                parts.append((ids_c, sc_c))
+                cand = ids_c if cand is None else np.intersect1d(
+                    cand, ids_c, assume_unique=True
                 )
-            elif cm[0] == "scored":
-                _, g_ids, g_sc = cm
-                scores += g_sc[np.searchsorted(g_ids, cand)]
-            else:
-                _, p_ids, p_freqs, idf_sum = cm
-                fr = p_freqs[np.searchsorted(p_ids, cand)]
-                dls = doc_len[cand]
-                norm = fr * (k1 + 1.0) / (
-                    fr + k1 * (1.0 - b + b * dls / avgdl)
-                )
-                scores += idf_sum * norm
-        return cand, scores
-
-    def _group_seg(submeta, kks, kcs, s: int, lo: int, hi: int):
-        """(matching docids, scores) of one disjunction child within
-        segment s: each covered sub-member (term or phrase) evaluates
-        independently; ids = union, scores = zeros + scatter-add per
-        sub-member in order — identical to the exhaustive Bool.should
-        branch. Uncovered or empty sub-members contribute nothing,
-        exactly like their empty exhaustive eval."""
+                if cand.size == 0:
+                    return empty
+            scores = np.zeros(cand.size, dtype=np.float64)
+            for p_ids, p_sc in parts:
+                scores += p_sc[np.searchsorted(p_ids, cand)]
+            return cand, scores
+        # group
         parts = []
-        sj = 0
-        for sk, skeys, sslop, sval in submeta:
-            snk = len(skeys)
-            skks = kks[sj:sj + snk]
-            skcs = kcs[sj:sj + snk]
-            sj += snk
-            if not all(kc[s] for kc in skcs):
-                continue  # sub-member has no covering shard here
-            if sk == "term":
-                key = skeys[0]
-                shard = int(sp.stats[key]["shard"][skks[0][s]])
-                dec = sp.docids(key[0], key[1], shard)
-                a_, b_ = np.searchsorted(dec, lo), np.searchsorted(dec, hi)
-                s_ids = dec[a_:b_]
-                if s_ids.size == 0:
-                    continue
-                tfs = sp.tfs(key[0], key[1], shard)[a_:b_]
-                s_sc = _bm25_scores(
-                    tfs, doc_len[s_ids], sval, N, avgdl, k1, b
-                )
-            else:
-                s_ids, s_freqs = _phrase_match(skeys, skks, sslop, s, lo, hi)
-                if s_ids.size == 0:
-                    continue
-                dls = doc_len[s_ids]
-                norm = s_freqs * (k1 + 1.0) / (
-                    s_freqs + k1 * (1.0 - b + b * dls / avgdl)
-                )
-                s_sc = sval * norm
-            parts.append((s_ids, s_sc))
+        for c in nd["children"]:
+            if not c["cov"][s]:
+                continue
+            ids_c, sc_c = _node_seg(c, s, lo, hi)
+            if ids_c.size:
+                parts.append((ids_c, sc_c))
         if not parts:
             return empty
         g_ids = parts[0][0]
@@ -854,14 +752,10 @@ def _wand_bool(
             return None
         lo, hi = int(seg_lo[s]), int(seg_hi[s])
         if m_["kind"] == "term":
-            return _term_slice(m_, s, lo, hi, with_tf=False)[0]
+            return _term_slice(m_["node"], s, lo, hi, with_tf=False)[0]
         got = pcache.get((mi, s))
         if got is None:
-            got = (
-                _conj_seg(m_, s, lo, hi)
-                if m_["kind"] == "conj"
-                else _phrase_seg(m_, s, lo, hi)
-            )
+            got = _node_seg(m_["node"], s, lo, hi)
             pcache[(mi, s)] = got
         return got[0]
 
@@ -892,10 +786,10 @@ def _wand_bool(
     cand_cache: dict[int, np.ndarray] = {}
     single_uncounted = (
         n_groups == 1 and len(memb) == 1
-        and memb[0]["kind"] == "term" and not negk and not neg_pinfo
+        and memb[0]["kind"] == "term" and not negk and not neg_nodes
     )
     if single_uncounted:
-        num_hits = int(sp.stats[memb[0]["keys"][0]]["df"].sum())
+        num_hits = int(sp.stats[memb[0]["node"]["keys"][0]]["df"].sum())
     else:
         num_hits = 0
         for s in active_idx:
@@ -932,13 +826,14 @@ def _wand_bool(
                 if sl_ids is None:
                     continue
                 if m_["kind"] == "term":
-                    _, sl_tf = _term_slice(m_, s, lo, hi, with_tf=True)
+                    _, sl_tf = _term_slice(m_["node"], s, lo, hi, with_tf=True)
+                    df_t = m_["node"]["val"]
                     if single:
                         # candidates ⊆ the member's slice (candidates
                         # were intersected with this very slice)
                         idx = np.searchsorted(sl_ids, ids)
                         g_scores += _bm25_scores(
-                            sl_tf[idx], doc_len[ids], m_["df"], N, avgdl, k1, b
+                            sl_tf[idx], doc_len[ids], df_t, N, avgdl, k1, b
                         )
                     else:
                         common, ci, si = np.intersect1d(
@@ -946,10 +841,13 @@ def _wand_bool(
                         )
                         if common.size:
                             g_scores[ci] += _bm25_scores(
-                                sl_tf[si], doc_len[common], m_["df"],
+                                sl_tf[si], doc_len[common], df_t,
                                 N, avgdl, k1, b,
                             )
-                elif m_["kind"] == "conj":
+                else:
+                    # phrase/conj/group member: _node_seg already
+                    # produced (ids, scores) with the exhaustive float
+                    # association; gather at the candidates
                     c_ids, c_scores = pcache[(mi, s)]
                     if single:
                         # candidates ⊆ the member's matching ids
@@ -961,27 +859,6 @@ def _wand_bool(
                         )
                         if common.size:
                             g_scores[ci] += c_scores[si]
-                else:
-                    p_ids, p_freqs = pcache[(mi, s)]
-                    if single:
-                        idx = np.searchsorted(p_ids, ids)
-                        fr = p_freqs[idx]
-                        dls = doc_len[ids]
-                        norm = fr * (k1 + 1.0) / (
-                            fr + k1 * (1.0 - b + b * dls / avgdl)
-                        )
-                        g_scores += m_["idf_sum"] * norm
-                    else:
-                        common, ci, si = np.intersect1d(
-                            ids, p_ids, assume_unique=True, return_indices=True
-                        )
-                        if common.size:
-                            fr = p_freqs[si]
-                            dls = doc_len[common]
-                            norm = fr * (k1 + 1.0) / (
-                                fr + k1 * (1.0 - b + b * dls / avgdl)
-                            )
-                            g_scores[ci] += m_["idf_sum"] * norm
             if not single:
                 scores += g_scores
         best_ids = np.concatenate([best_ids, ids])

@@ -49,6 +49,12 @@ QUERIES = (
         'w00000 -"w00001 w00002"',                         # negated phrase
         '(w00000 OR w00004) -"w00001 w00002"~1 -w00050',
         '((w00000 OR w00004) AND w00001) -"w00002 w00003"',
+        # arbitrary-depth nesting + negated sub-booleans
+        "((w00000 OR (w00002 AND w00003)) AND w00001) OR w00050",
+        "((w00050 AND (w00000 OR w00120)) OR w00004) AND w00001",
+        "w00000 -(w00001 AND w00002)",
+        "w00000 -(w00001 OR w00002)",
+        '(w00000 OR w00004) -(w00001 AND "w00002 w00003")',
     ]
 )
 

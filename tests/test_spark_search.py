@@ -930,16 +930,19 @@ def test_wand_plan_covers_nested_should_groups(searcher):
     # negated phrases are WAND-able (round 3)
     plan = _wand_plan(parse_query('w00000 -"w00001 w00002"', cfg))
     assert plan is not None and len(plan[1]) == 1
-    # even deeper nesting (a conj inside a disjunction inside a conj
-    # member) still falls back
+    # arbitrary-depth positive nesting is WAND-able (round 3, recursive
+    # node evaluator)
     plan = _wand_plan(
         parse_query("((w00000 OR (w00002 AND w00003)) AND w00001) OR w00050",
                     cfg)
     )
-    assert plan is None
-    # negated sub-booleans fall back
+    assert plan is not None and [len(g) for g in plan[0]] == [2]
+    # negated sub-booleans are WAND-able: -(a OR b) flattens to two
+    # negations; -(a AND b) evaluates as a score-ignored node
+    plan = _wand_plan(parse_query("w00000 -(w00001 OR w00002)", cfg))
+    assert plan is not None and len(plan[1]) == 2
     plan = _wand_plan(parse_query("w00000 -(w00001 AND w00002)", cfg))
-    assert plan is None
+    assert plan is not None and len(plan[1]) == 1
     # pure-negation falls back (MatchAll base)
     plan = _wand_plan(parse_query("-w00001", cfg))
     assert plan is None
@@ -964,6 +967,15 @@ def test_wand_equals_exhaustive_multifield(searcher):
         ('w00000 -"w00001 w00002"', None),
         ('(w00000 OR w00004) -"w00001 w00002"~1 -w00050', None),
         ('((w00000 OR w00004) AND w00001) -"w00002 w00003"', None),
+        # arbitrary-depth nesting + negated sub-booleans (round 3,
+        # recursive node evaluator)
+        ("((w00000 OR (w00002 AND w00003)) AND w00001) OR w00050", None),
+        ('((w00000 OR (w00002 AND "w00001 w00003")) AND w00004) OR w00120',
+         None),
+        ("w00000 -(w00001 AND w00002)", None),
+        ("w00000 -(w00001 OR w00002)", None),
+        ('(w00000 OR w00004) -(w00001 AND "w00002 w00003")', None),
+        ("(w00000 AND w00004) -(w00001 AND (w00002 OR w00003))", None),
     ]:
         kw = {"search_fields": fields} if fields else {}
         a = searcher.search(q, k=10, wand=True, **kw)
@@ -991,7 +1003,8 @@ def test_wand_equals_exhaustive_randomized(searcher):
     def rand_query():
         shape = rng.choice(
             ["term", "conj", "disj", "mixed", "neg", "nested", "disj_conj",
-             "conj_phrase", "group_in_conj", "neg_phrase"]
+             "conj_phrase", "group_in_conj", "neg_phrase", "deep",
+             "neg_bool"]
         )
         pick = lambda n: rng.sample(vocab, n)  # noqa: E731
         if shape == "term":
@@ -1025,6 +1038,15 @@ def test_wand_equals_exhaustive_randomized(searcher):
             slop = rng.choice(["", "~1"])
             base = f"{a} OR {b}" if rng.random() < 0.5 else f"{a} AND {b}"
             return f'({base}) -"{c} {d}"{slop}'
+        if shape == "deep":
+            a, b, c, d, e = pick(5)
+            if rng.random() < 0.5:
+                return f"(({a} OR ({b} AND {c})) AND {d}) OR {e}"
+            return f"(({a} AND ({b} OR {c})) OR {d}) AND {e}"
+        if shape == "neg_bool":
+            a, b, c, d = pick(4)
+            op = rng.choice(["AND", "OR"])
+            return f"({a} OR {b}) -({c} {op} {d})"
         a, b, c, d = pick(4)
         return f"({a} OR {b}) AND ({c} OR {d})"
 
