@@ -463,6 +463,72 @@ def q_fingerprint(spark, sf_dir):
     return fingerprint(_docs(spark, sf_dir))
 
 
+def _pii_decorated(spark, sf_dir):
+    """Documents with deterministically injected PII-ish substrings
+    (emails / IPv4s / phone numbers derived from doc_id): the raw
+    corpus is synthetic word soup with zero PII, so the scrub entries
+    construct their matches reproducibly on BOTH engines."""
+    d = F.col("doc_id")
+    txt = F.concat(
+        F.col("text"),
+        F.when(
+            d % 3 == 0,
+            F.concat(F.lit(" contact user"), d.cast("string"),
+                     F.lit("@example.com")),
+        ).otherwise(F.lit("")),
+        F.when(
+            d % 5 == 0,
+            F.concat(F.lit(" from 10.0."), (d % 256).cast("string"),
+                     F.lit(".7")),
+        ).otherwise(F.lit("")),
+        F.when(
+            d % 7 == 0,
+            F.concat(F.lit(" call +1555"), (d + 1000000).cast("string")),
+        ).otherwise(F.lit("")),
+    )
+    return _docs(spark, sf_dir).select(d.alias("doc_id"), txt.alias("text"))
+
+
+def q_pii_scrub(spark, sf_dir):
+    from quickwit_spark.pipeline.scrub import pii_scrub
+
+    return pii_scrub(_pii_decorated(spark, sf_dir))
+
+
+def q_url_extract(spark, sf_dir):
+    from quickwit_spark.pipeline.scrub import url_extract
+
+    d = F.col("doc_id")
+    deco = _docs(spark, sf_dir).select(
+        d.alias("doc_id"),
+        F.concat(
+            F.col("text"),
+            F.when(
+                d % 2 == 0,
+                F.concat(F.lit(" see https://"), F.col("source"),
+                         (d % 10).cast("string"),
+                         F.lit(".example.org/p/"), d.cast("string")),
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    return url_extract(deco)
+
+
+def q_normalize_text(spark, sf_dir):
+    from quickwit_spark.pipeline.scrub import normalize_text
+
+    d = F.col("doc_id")
+    deco = _docs(spark, sf_dir).select(
+        d.alias("doc_id"),
+        F.concat(
+            F.lit(" \t"),
+            F.col("text"),
+            F.when(d % 2 == 0, F.lit("\n\ntail\x07")).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    return normalize_text(deco)
+
+
 def q_decontaminate(spark, sf_dir):
     """Benchmark decontamination: flag corpus docs sharing any word
     3-gram with a small eval set (the deterministic doc_id % 97 == 0
@@ -628,6 +694,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_score": q_quality_score,
         "lang_id": q_lang_id,
         "fingerprint": q_fingerprint,
+        "pii_scrub": q_pii_scrub,
+        "url_extract": q_url_extract,
+        "normalize_text": q_normalize_text,
         "decontaminate": q_decontaminate,
         "sample_stratified": q_sample_stratified,
         "dedup_exact": q_dedup_exact,
@@ -1091,6 +1160,63 @@ SELECT doc_id,
     i -> {h15.format(x=f"array_to_string(({TOKS})[i:i+2], ' ')")}
   )) AS shingle_min_hash
 FROM documents
+"""
+
+    from quickwit_spark.pipeline.scrub import (
+        EMAIL_RE, IPV4_RE, PHONE_RE, URL_RE,
+    )
+
+    pii_deco = """
+WITH deco AS (
+  SELECT doc_id,
+    text
+    || CASE WHEN doc_id % 3 = 0 THEN ' contact user' || doc_id || '@example.com' ELSE '' END
+    || CASE WHEN doc_id % 5 = 0 THEN ' from 10.0.' || (doc_id % 256) || '.7' ELSE '' END
+    || CASE WHEN doc_id % 7 = 0 THEN ' call +1555' || (doc_id + 1000000) ELSE '' END AS text
+  FROM documents
+)
+"""
+    sql["pii_scrub"] = pii_deco + f"""
+SELECT doc_id,
+  regexp_replace(regexp_replace(regexp_replace(text,
+    '{EMAIL_RE}', '<EMAIL>', 'g'),
+    '{IPV4_RE}', '<IP>', 'g'),
+    '{PHONE_RE}', '<PHONE>', 'g') AS text_scrubbed,
+  len(regexp_extract_all(text, '{EMAIL_RE}'))::BIGINT AS n_emails,
+  len(regexp_extract_all(text, '{IPV4_RE}'))::BIGINT AS n_ipv4,
+  len(regexp_extract_all(text, '{PHONE_RE}'))::BIGINT AS n_phones
+FROM deco
+"""
+
+    sql["url_extract"] = f"""
+WITH deco AS (
+  SELECT doc_id,
+    text || CASE WHEN doc_id % 2 = 0
+      THEN ' see https://' || source || (doc_id % 10) || '.example.org/p/' || doc_id
+      ELSE '' END AS text
+  FROM documents
+),
+u AS (SELECT doc_id, unnest(regexp_extract_all(text, '{URL_RE}')) AS url FROM deco)
+SELECT doc_id, url, regexp_extract(url, 'https?://([^/ ]+)', 1) AS domain FROM u
+"""
+
+    sql["normalize_text"] = """
+WITH deco AS (
+  SELECT doc_id,
+    ' ' || chr(9) || text
+    || CASE WHEN doc_id % 2 = 0 THEN chr(10) || chr(10) || 'tail' || chr(7) ELSE '' END AS text
+  FROM documents
+),
+n AS (
+  SELECT doc_id,
+    trim(regexp_replace(regexp_replace(text,
+      '[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f]', '', 'g'),
+      '[ \\t\\n\\r]+', ' ', 'g')) AS text_norm,
+    length(text)::BIGINT AS n_chars_raw
+  FROM deco
+)
+SELECT doc_id, text_norm, n_chars_raw, length(text_norm)::BIGINT AS n_chars_norm
+FROM n
 """
 
     sql["dedup_exact"] = """

@@ -308,3 +308,62 @@ def test_stratified_sample_deterministic_reproducible(spark):
     sub = df.where(F.col("doc_id") < 1000)
     sub_sample = {r.doc_id for r in stratified_sample(sub, fr, seed="x").collect()}
     assert sub_sample == {i for i in a if i < 1000}
+
+
+def test_pii_scrub_redacts_and_counts(spark):
+    from quickwit_spark.pipeline.scrub import pii_scrub
+
+    rows = [
+        (0, "mail bob.smith+x@corp.example.org now"),
+        (1, "server at 192.168.0.17 and 10.0.0.1 up"),
+        (2, "call +4915112345678 or +123456789"),
+        (3, "clean text with no pii at all"),
+        (4, "a@b.io from 1.2.3.4 dial +987654321"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in pii_scrub(df).collect()}
+    assert got[0].text_scrubbed == "mail <EMAIL> now"
+    assert (got[0].n_emails, got[0].n_ipv4, got[0].n_phones) == (1, 0, 0)
+    assert got[1].text_scrubbed == "server at <IP> and <IP> up"
+    assert got[1].n_ipv4 == 2
+    assert got[2].text_scrubbed == "call <PHONE> or <PHONE>"
+    assert got[2].n_phones == 2
+    assert got[3].text_scrubbed == rows[3][1]
+    assert got[4].text_scrubbed == "<EMAIL> from <IP> dial <PHONE>"
+
+
+def test_url_extract_rows_and_domains(spark):
+    from quickwit_spark.pipeline.scrub import url_extract
+
+    rows = [
+        (0, "see https://a.example.com/x and http://b.org/y?z=1"),
+        (1, "no urls here"),
+        (2, "dup https://a.example.com/x https://a.example.com/x"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = sorted(
+        (r.doc_id, r.url, r.domain) for r in url_extract(df).collect()
+    )
+    assert got == [
+        (0, "http://b.org/y?z=1", "b.org"),
+        (0, "https://a.example.com/x", "a.example.com"),
+        (2, "https://a.example.com/x", "a.example.com"),
+        (2, "https://a.example.com/x", "a.example.com"),
+    ]
+
+
+def test_normalize_text_strips_and_collapses(spark):
+    from quickwit_spark.pipeline.scrub import normalize_text
+
+    rows = [
+        (0, "  a\t\tb\n\nc  "),
+        (1, "x\x07y\x00z"),   # control chars removed, no space left
+        (2, "already clean"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in normalize_text(df).collect()}
+    assert got[0].text_norm == "a b c"
+    assert got[0].n_chars_raw == len(rows[0][1])
+    assert got[0].n_chars_norm == 5
+    assert got[1].text_norm == "xyz"
+    assert got[2].text_norm == "already clean"
