@@ -489,6 +489,12 @@ def _pii_decorated(spark, sf_dir):
     return _docs(spark, sf_dir).select(d.alias("doc_id"), txt.alias("text"))
 
 
+def q_repetition_stats(spark, sf_dir):
+    from quickwit_spark.pipeline.textstats import repetition_stats
+
+    return repetition_stats(_docs(spark, sf_dir))
+
+
 def q_pii_scrub(spark, sf_dir):
     from quickwit_spark.pipeline.scrub import pii_scrub
 
@@ -694,6 +700,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_score": q_quality_score,
         "lang_id": q_lang_id,
         "fingerprint": q_fingerprint,
+        "repetition_stats": q_repetition_stats,
         "pii_scrub": q_pii_scrub,
         "url_extract": q_url_extract,
         "normalize_text": q_normalize_text,
@@ -1160,6 +1167,32 @@ SELECT doc_id,
     i -> {h15.format(x=f"array_to_string(({TOKS})[i:i+2], ' ')")}
   )) AS shingle_min_hash
 FROM documents
+"""
+
+    # Gopher-style repetition signals; duckdb twin of the Spark HOFs
+    # (1-based slices on both engines; single-token docs yield one
+    # degenerate bigram on both — see textstats.repetition_stats)
+    sql["repetition_stats"] = f"""
+WITH lsts AS (SELECT doc_id, {TOKS} AS toks FROM documents),
+b AS (
+  SELECT doc_id, toks,
+    list_transform(generate_series(1, greatest(len(toks) - 1, 1)),
+      i -> array_to_string(toks[i:i+1], ' ')) AS bg
+  FROM lsts
+),
+t AS (
+  SELECT doc_id, toks, bg,
+    list_max(list_transform(list_distinct(bg),
+      x -> len(list_filter(bg, y -> y = x)))) AS top_n
+  FROM b
+)
+SELECT doc_id,
+  len(bg)::BIGINT AS n_bigrams,
+  top_n::BIGINT AS top_bigram_n,
+  round(top_n::DOUBLE / len(bg), 6) AS top_bigram_frac,
+  round(len(list_distinct(toks))::DOUBLE / greatest(len(toks), 1), 6)
+    AS distinct_token_ratio
+FROM t
 """
 
     from quickwit_spark.pipeline.scrub import (

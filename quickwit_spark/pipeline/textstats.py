@@ -126,3 +126,58 @@ def fingerprint(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -
             """
         ).cast("long").alias("shingle_min_hash"),
     )
+
+
+def repetition_stats(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Gopher-style repetition signals: top-bigram fraction (the most
+    frequent word 2-gram's share of all 2-grams) and distinct-token
+    ratio. A high top-bigram fraction or a low distinct ratio flags
+    boilerplate and degenerate repetition. Pure HOF expressions
+    (whole-stage codegen, no shuffle); the O(distinct-bigrams × len)
+    counting is bounded by document length, done entirely JVM-side.
+
+    Single-token docs yield one degenerate "bigram" (the token itself)
+    on BOTH engines (sequence/generate_series floor of 1), keeping the
+    DuckDB oracle twin bit-identical."""
+    # staged projections so tokens and bigrams materialize ONCE per doc
+    # (inlining the regex inside the HOF lambdas re-evaluates it per
+    # element — measured ~50× slower); Catalyst collapses the chain
+    # into one narrow-map stage
+    staged = df.select(
+        F.col(id_col),
+        F.expr(
+            f"regexp_extract_all(lower({text_col}), '{TOKEN_PATTERN}', 0)"
+        ).alias("_toks"),
+    ).select(
+        F.col(id_col),
+        F.col("_toks"),
+        F.expr(
+            "transform(sequence(1, greatest(size(_toks) - 1, 1)),"
+            " i -> concat_ws(' ', slice(_toks, i, 2)))"
+        ).alias("_bg"),
+    ).select(
+        F.col(id_col),
+        F.col("_toks"),
+        F.col("_bg"),
+        F.expr(
+            "array_max(transform(array_distinct(_bg),"
+            " x -> size(filter(_bg, y -> y = x))))"
+        ).alias("_top_n"),
+    )
+    return staged.select(
+        F.col(id_col),
+        F.size("_bg").cast("long").alias("n_bigrams"),
+        F.col("_top_n").cast("long").alias("top_bigram_n"),
+        F.round(
+            F.expr("cast(_top_n as double) / size(_bg)"), 6
+        ).alias("top_bigram_frac"),
+        F.round(
+            F.expr(
+                "cast(size(array_distinct(_toks)) as double)"
+                " / greatest(size(_toks), 1)"
+            ),
+            6,
+        ).alias("distinct_token_ratio"),
+    )

@@ -367,3 +367,21 @@ def test_normalize_text_strips_and_collapses(spark):
     assert got[0].n_chars_norm == 5
     assert got[1].text_norm == "xyz"
     assert got[2].text_norm == "already clean"
+
+
+def test_repetition_stats_flags_degenerate_docs(spark):
+    from quickwit_spark.pipeline.textstats import repetition_stats
+
+    rows = [
+        (0, "a b a b a b"),        # top bigram "a b" x3 of 5
+        (1, "solo"),               # degenerate single-token doc
+        (2, "w1 w2 w3 w4"),        # all distinct
+        (3, "z z z z z"),          # fully repetitive
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in repetition_stats(df).collect()}
+    assert (got[0].n_bigrams, got[0].top_bigram_n) == (5, 3)
+    assert got[0].top_bigram_frac == 0.6
+    assert got[1].n_bigrams == 1 and got[1].top_bigram_frac == 1.0
+    assert got[2].top_bigram_n == 1 and got[2].distinct_token_ratio == 1.0
+    assert got[3].top_bigram_frac == 1.0 and got[3].distinct_token_ratio == 0.2
