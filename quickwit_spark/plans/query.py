@@ -45,9 +45,22 @@ class Phrase:
 
 @dataclass(frozen=True)
 class Bool:
+    """must/should/must_not boolean node. must and should are mutually
+    exclusive at one node: the parser never produces both (AND binds
+    tighter, so ``a AND b OR c`` becomes should-of-conjunctions), and
+    the evaluators define no semantics for the mix — reject it here
+    rather than silently dropping the should clauses."""
+
     must: tuple = ()
     should: tuple = ()
     must_not: tuple = ()
+
+    def __post_init__(self):
+        if self.must and self.should:
+            raise ValueError(
+                "Bool cannot carry both must and should clauses; nest a "
+                "Bool(should=...) inside must instead"
+            )
 
 
 @dataclass(frozen=True)

@@ -266,3 +266,15 @@ class TestReservedAndEscapes:
         assert parse_query("a AND +b", CFG) == parse_query("a AND b", CFG)
         # in an OR list, + marks the clause but OR grouping is unchanged
         assert parse_query("+a OR b", CFG) == parse_query("a OR b", CFG)
+
+
+def test_bool_rejects_mixed_must_and_should():
+    """No node may carry both must and should: the parser never emits
+    the mix (AND binds tighter than OR) and the evaluators define no
+    semantics for it, so construction fails loudly."""
+    import pytest
+
+    from quickwit_spark.plans.query import Bool, Term
+
+    with pytest.raises(ValueError, match="must and should"):
+        Bool(must=(Term("text", "a"),), should=(Term("text", "b"),))
