@@ -78,6 +78,44 @@ class Index:
             n_splits=n_splits, trigger=trigger,
         )
 
+    # -- source configs (CLI `source add/list/delete/toggle`) -------------
+
+    def add_source(self, source_id: str, source_type: str,
+                   params: dict | None = None, enabled: bool = True) -> None:
+        """Register a source config on the index (metastore add_source,
+        quickwit-metastore/src/metastore/mod.rs)."""
+        self.catalog().add_source(source_id, source_type, params, enabled)
+
+    def delete_source(self, source_id: str) -> None:
+        self.catalog().delete_source(source_id)
+
+    def toggle_source(self, source_id: str, enable: bool) -> None:
+        self.catalog().toggle_source(source_id, enable)
+
+    def sources(self) -> list[dict]:
+        return list(self.catalog().sources.values())
+
+    def ingest_source(self, source_id: str, n_splits: int = 8) -> "Index":
+        """Run one batch ingest round of a registered ``file`` source.
+        The source id doubles as the checkpoint namespace, so repeated
+        invocations resume/no-op instead of duplicating documents —
+        the reference's per-source checkpoint semantics
+        (quickwit-indexing/src/source/file_source.rs)."""
+        cfg = self.catalog().sources.get(source_id)
+        if cfg is None:
+            raise KeyError(f"unknown source {source_id!r}")
+        if not cfg["enabled"]:
+            raise ValueError(f"source {source_id!r} is disabled")
+        if cfg["source_type"] != "file":
+            raise ValueError(
+                f"source type {cfg['source_type']!r} is not batch-ingestable "
+                "here; stream sources attach via ingest_stream"
+            )
+        return self.ingest(
+            cfg["params"]["path"], n_splits=n_splits,
+            ingest_id=f"src-{source_id}",
+        )
+
     # -- search (REST `/search`, `/search/stream`) ------------------------
 
     def searcher(self) -> Searcher:

@@ -98,6 +98,33 @@ def _build_parser() -> argparse.ArgumentParser:
     c = split_cmd("mark-for-deletion")
     c.add_argument("--split", required=True, action="append")
 
+    # ---- source (quickwit-cli source add/list/delete + toggle) -----------
+    source = sub.add_parser("source").add_subparsers(dest="subcommand",
+                                                     required=True)
+
+    def src_cmd(name: str):
+        c = source.add_parser(name)
+        c.add_argument("--index-dir", required=True)
+        return c
+
+    c = src_cmd("add")
+    c.add_argument("--source-id", required=True)
+    c.add_argument("--type", dest="source_type", required=True,
+                   help='e.g. "file" (batch-ingestable) or a stream kind')
+    c.add_argument("--params",
+                   help='source params as JSON, e.g. {"path": "..."}')
+    c.add_argument("--disabled", action="store_true")
+    src_cmd("list")
+    c = src_cmd("delete")
+    c.add_argument("--source-id", required=True)
+    c = src_cmd("enable")
+    c.add_argument("--source-id", required=True)
+    c = src_cmd("disable")
+    c.add_argument("--source-id", required=True)
+    c = src_cmd("ingest")
+    c.add_argument("--source-id", required=True)
+    c.add_argument("--n-splits", type=int, default=8)
+
     # ---- run (HTTP service) ---------------------------------------------
     c = sub.add_parser("run")
     c.add_argument("--index-dir", required=True, action="append",
@@ -219,6 +246,36 @@ def _dispatch(args, spark, serve_forever):
         idx = _index(args, _spark(args, spark))
         idx.catalog().mark_for_deletion(args.split)
         return {"marked": args.split}
+
+    if args.command == "source":
+        # catalog-only commands skip Spark startup entirely
+        if cmd == ("source", "ingest"):
+            idx = _index(args, _spark(args, spark))
+            idx.ingest_source(args.source_id, n_splits=args.n_splits)
+            return {"index_dir": args.index_dir,
+                    "source_id": args.source_id,
+                    "num_docs": idx.describe()["num_docs"]}
+        from quickwit_spark.plans.catalog import Catalog
+
+        cat = Catalog.load(args.index_dir)
+        if cmd == ("source", "add"):
+            cat.add_source(
+                args.source_id, args.source_type,
+                json.loads(args.params) if args.params else None,
+                enabled=not args.disabled,
+            )
+            return {"added": args.source_id}
+        if cmd == ("source", "list"):
+            return {"sources": list(cat.sources.values())}
+        if cmd == ("source", "delete"):
+            cat.delete_source(args.source_id)
+            return {"deleted": args.source_id}
+        if cmd == ("source", "enable"):
+            cat.toggle_source(args.source_id, True)
+            return {"enabled": args.source_id}
+        if cmd == ("source", "disable"):
+            cat.toggle_source(args.source_id, False)
+            return {"disabled": args.source_id}
 
     if cmd == ("run", None):
         from quickwit_spark.serve import serve

@@ -123,6 +123,11 @@ class Catalog:
         self.splits: dict[str, SplitMetadata] = {}
         self.checkpoint: dict[str, str] = {}  # source partition -> position
         self.source_path: str | None = None
+        # registered source configs (source_id -> config dict) — the
+        # reference metastore's add_source/delete_source/toggle_source
+        # surface (quickwit-metastore/src/metastore/mod.rs; SourceConfig
+        # in quickwit-config/src/source_config.rs)
+        self.sources: dict[str, dict] = {}
         # monotonically increasing merge-split id allocator; persisted so
         # ids never repeat across run_merge_pipeline invocations (a reused
         # id would silently overwrite a published split's catalog entry)
@@ -197,6 +202,7 @@ class Catalog:
         cat.checkpoint = d.get("checkpoint", {})
         cat.source_path = d.get("source_path")
         cat.merge_seq = int(d.get("merge_seq", 0))
+        cat.sources = d.get("sources", {})
         return cat
 
     @staticmethod
@@ -262,6 +268,7 @@ class Catalog:
             "checkpoint": self.checkpoint,
             "source_path": self.source_path,
             "merge_seq": self.merge_seq,
+            "sources": self.sources,
         }
         _atomic_write_text(self.path, json.dumps(payload, indent=1, sort_keys=True))
         self._clear_dirty()
@@ -272,6 +279,45 @@ class Catalog:
         self._removed_checkpoint.update(set(self.checkpoint) - set(new))
         self._dirty_checkpoint.update(new)
         self.checkpoint = dict(new)
+        self._commit()
+
+    # -- source configs -----------------------------------------------------
+
+    def add_source(
+        self,
+        source_id: str,
+        source_type: str,
+        params: dict | None = None,
+        enabled: bool = True,
+    ) -> None:
+        """Register a source config on the index — the reference
+        metastore's add_source (quickwit-metastore/src/metastore/mod.rs;
+        config shape from quickwit-config/src/source_config.rs). Ingest
+        checkpoints are tracked separately, keyed per ingest namespace,
+        so deleting and re-adding a source keeps resume positions."""
+        if source_id in self.sources:
+            raise ValueError(f"source {source_id!r} already exists")
+        self.sources[source_id] = {
+            "source_id": source_id,
+            "source_type": source_type,
+            "params": dict(params or {}),
+            "enabled": bool(enabled),
+        }
+        self._dirty_meta = True
+        self._commit()
+
+    def delete_source(self, source_id: str) -> None:
+        if source_id not in self.sources:
+            raise KeyError(f"unknown source {source_id!r}")
+        del self.sources[source_id]
+        self._dirty_meta = True
+        self._commit()
+
+    def toggle_source(self, source_id: str, enable: bool) -> None:
+        if source_id not in self.sources:
+            raise KeyError(f"unknown source {source_id!r}")
+        self.sources[source_id]["enabled"] = bool(enable)
+        self._dirty_meta = True
         self._commit()
 
     # -- state machine ----------------------------------------------------
@@ -530,6 +576,7 @@ class SqliteCatalog(Catalog):
         sp = meta.get("source_path")
         cat.source_path = json.loads(sp) if sp is not None else None
         cat.merge_seq = int(meta.get("merge_seq", "0"))
+        cat.sources = json.loads(meta.get("sources", "{}"))
         cat.splits = {
             sid: SplitMetadata.from_dict(json.loads(blob))
             for sid, blob in db.execute("SELECT split_id, json FROM splits")
@@ -563,6 +610,7 @@ class SqliteCatalog(Catalog):
                         ("config", json.dumps(self.config.to_dict())),
                         ("source_path", json.dumps(self.source_path)),
                         ("merge_seq", str(self.merge_seq)),
+                        ("sources", json.dumps(self.sources)),
                     ],
                 )
             if dirty_splits:
@@ -688,6 +736,7 @@ class ManifestCatalog(Catalog):
         self.config = IndexConfig.from_dict(meta["config"])
         self.source_path = meta.get("source_path")
         self.merge_seq = int(meta.get("merge_seq", 0))
+        self.sources = meta.get("sources", {})
 
     # -- O(delta) commit -----------------------------------------------------
 
@@ -696,6 +745,7 @@ class ManifestCatalog(Catalog):
             "config": self.config.to_dict(),
             "source_path": self.source_path,
             "merge_seq": self.merge_seq,
+            "sources": self.sources,
         }
 
     def _commit(self) -> None:

@@ -410,3 +410,30 @@ def test_manifest_fixture_loads(tmp_path):
     cat.stage_and_publish([_sm("s-new")])
     got = Catalog.load(d)
     assert len(got.published_splits()) == 3
+
+
+@pytest.mark.parametrize("backend", ["json", "sqlite", "manifest"])
+def test_source_configs_roundtrip_all_backends(tmp_path, backend):
+    """Source configs (metastore add_source/toggle/delete —
+    quickwit-metastore/src/metastore/mod.rs) persist through every
+    catalog backend and survive a reload."""
+    d = str(tmp_path / f"src_{backend}")
+    cat = Catalog.create(d, IndexConfig(), backend=backend)
+    cat.add_source("s1", "file", {"path": "/data/a.parquet"})
+    cat.add_source("s2", "kafka", {"topic": "t", "brokers": "b:9092"},
+                   enabled=False)
+    with pytest.raises(ValueError, match="already exists"):
+        cat.add_source("s1", "file")
+
+    cat2 = Catalog.load(d)
+    assert type(cat2) is type(cat)
+    assert set(cat2.sources) == {"s1", "s2"}
+    assert cat2.sources["s1"]["params"]["path"] == "/data/a.parquet"
+    assert cat2.sources["s2"]["enabled"] is False
+
+    cat2.toggle_source("s2", True)
+    cat2.delete_source("s1")
+    with pytest.raises(KeyError):
+        cat2.delete_source("nope")
+    cat3 = Catalog.load(d)
+    assert set(cat3.sources) == {"s2"} and cat3.sources["s2"]["enabled"]

@@ -129,3 +129,39 @@ def test_demux_command(spark, corpus, tmp_path):
     assert out["new_splits"]
     desc = main(["index", "describe", "--index-dir", d], spark=spark)
     assert desc["num_docs"] == 400
+
+
+def test_source_commands_and_resumable_ingest(spark, corpus, tmp_path):
+    """source add/list/ingest/disable: a registered file source batch-
+    ingests under its own checkpoint namespace, so re-running ingest is
+    a no-op (no duplicated docs); disabling blocks ingest."""
+    src = str(tmp_path / "turns.parquet")
+    pq.write_table(
+        pa.Table.from_pandas(corpus, preserve_index=False), src,
+        coerce_timestamps="us",
+    )
+    d = str(tmp_path / "idx")
+    main(["index", "create", "--index-dir", d], spark=spark)
+    out = main(["source", "add", "--index-dir", d, "--source-id", "turns",
+                "--type", "file", "--params", json.dumps({"path": src})],
+               spark=spark)
+    assert out["added"] == "turns"
+    out = main(["source", "list", "--index-dir", d], spark=spark)
+    assert [s["source_id"] for s in out["sources"]] == ["turns"]
+
+    out = main(["source", "ingest", "--index-dir", d, "--source-id",
+                "turns", "--n-splits", "4"], spark=spark)
+    assert out["num_docs"] == len(corpus)
+    # resume semantics: same source id -> no duplication
+    out = main(["source", "ingest", "--index-dir", d, "--source-id",
+                "turns", "--n-splits", "4"], spark=spark)
+    assert out["num_docs"] == len(corpus)
+
+    main(["source", "disable", "--index-dir", d, "--source-id", "turns"],
+         spark=spark)
+    with pytest.raises(ValueError, match="disabled"):
+        main(["source", "ingest", "--index-dir", d, "--source-id", "turns"],
+             spark=spark)
+    out = main(["source", "delete", "--index-dir", d, "--source-id", "turns"],
+               spark=spark)
+    assert out["deleted"] == "turns"
