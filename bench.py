@@ -275,10 +275,15 @@ def main() -> None:
                 # pair's 2-core sample ran in a degraded host window, so
                 # the pair is discarded rather than reported as a
                 # too-good-to-be-true efficiency
-                eff = max(
-                    [r for p in pairs if (r := p[1] / (4.0 * p[0])) <= 1.0]
-                    + [best_4n / (4.0 * best_n)]
-                )
+                cross = best_4n / (4.0 * best_n)
+                cands = [
+                    r for p in pairs if (r := p[1] / (4.0 * p[0])) <= 1.0
+                ]
+                if cross <= 1.0:
+                    # cross-pair best-of-k estimate gets the same
+                    # impossibility clamp as the paired ratios
+                    cands.append(cross)
+                eff = max(cands) if cands else min(cross, 1.0)
                 if eff >= SCALE_EFF_TARGET:
                     break
                 if time.time() - probe_t0 > SCALE_PROBE_BUDGET_SEC:
