@@ -118,8 +118,39 @@ SCALE_CORES_N, SCALE_CORES_4N = 2, 8
 # the BASELINE.json criterion is >=0.8 from N to 4N; keep a small
 # headroom on the early-stop so one clean pair suffices
 SCALE_EFF_TARGET = 0.82
-SCALE_MAX_ROUNDS = 8
-SCALE_PROBE_BUDGET_SEC = 1200.0  # stop starting new rounds past this
+SCALE_MAX_ROUNDS = 10
+SCALE_PROBE_BUDGET_SEC = 1500.0  # stop starting new rounds past this
+
+
+def _cpu_canary(threads: int = 8, dur: float = 1.2) -> float:
+    """Host-contention meter: aggregate md5 hashes/sec of a 64 KiB
+    buffer across ``threads`` busy threads (hashlib releases the GIL
+    for large inputs, so the threads really occupy that many cores).
+    Recorded per probe pair: when an external tenant squeezes the box,
+    this rate drops with it, so the artifact SHOWS which pairs ran in a
+    degraded window (observed 2026-08-17: whole-box windows where both
+    probe levels ran at 40-70% of clean throughput — the paired design
+    cancels drift WITHIN a pair, not a sustained multi-core squeeze,
+    which hits the 8-core side harder and understates efficiency)."""
+    import hashlib
+    import threading
+
+    buf = b"x" * 65536
+    stop = time.time() + dur
+    counts = [0] * threads
+
+    def burn(i: int) -> None:
+        md5 = hashlib.md5
+        while time.time() < stop:
+            md5(buf).digest()
+            counts[i] += 1
+
+    ts = [threading.Thread(target=burn, args=(i,)) for i in range(threads)]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join()
+    return sum(counts) / dur
 
 
 def scale_probe(cpus: int, src_parquet: str, n_turns: int) -> None:
@@ -253,9 +284,11 @@ def main() -> None:
         # best-of-k per level — with every raw sample included.
         try:
             pairs: list[tuple[float, float]] = []
+            canaries: list[float] = []
             eff = 0.0
             probe_t0 = time.time()
             for rnd in range(SCALE_MAX_ROUNDS):
+                canaries.append(round(_cpu_canary(), 1))
                 # alternate within-pair order so drift inside a round
                 # cannot systematically favor one level
                 order = (
@@ -297,6 +330,11 @@ def main() -> None:
                 "samples": [
                     [round(a, 1), round(b, 1)] for a, b in pairs
                 ],
+                # per-pair host-contention meter (md5 hashes/sec over 8
+                # threads, measured just before each pair): pairs whose
+                # canary sits well below the max ran in a degraded host
+                # window and understate efficiency
+                "host_canary": canaries,
             }
         except Exception as exc:  # probe failure must not eat the bench
             scaling = {"error": str(exc)[:300]}
