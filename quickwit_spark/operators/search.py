@@ -48,6 +48,7 @@ from __future__ import annotations
 
 import math
 import os
+import threading
 from dataclasses import dataclass, field as dc_field
 
 import numpy as np
@@ -984,6 +985,45 @@ def _top_m(ids, scores, m):
     return ids[order], scores[order]
 
 
+# Per-process fast-field cache. Split files are IMMUTABLE once written
+# (merge/demux create new dirs), so a split's (doc_len, ts_us[, sort])
+# arrow table never changes under its path — yet re-reading it cost
+# ~2 ms per split per query, the biggest slice of the warm driver-mode
+# latency floor after the postings read (profiled at 16 splits/200k
+# docs). Bounded by BYTES, not entries: a 10M-doc split's fast columns
+# are ~160 MB, so a count bound would be unsafe on big-split executors.
+_FAST_CACHE: dict[tuple, tuple] = {}  # key -> (arrow table, nbytes)
+_FAST_CACHE_BYTES = 0
+# 256 MB default per process: the driver holds one; EVERY reused Spark
+# python worker holds one too, so size for workers-many copies (tune
+# with QS_FASTFIELD_CACHE_BYTES; a 10M-doc split's fast columns are
+# ~160 MB, so even one cached big split pays for itself on locality)
+_FAST_CACHE_MAX_BYTES = int(
+    os.environ.get("QS_FASTFIELD_CACHE_BYTES", 256 << 20)
+)
+_FAST_CACHE_LOCK = threading.Lock()
+
+
+def _fast_table_cached(dpath: str, cols: tuple):
+    global _FAST_CACHE_BYTES
+    key = (dpath, cols)
+    with _FAST_CACHE_LOCK:
+        got = _FAST_CACHE.pop(key, None)
+        if got is not None:
+            _FAST_CACHE[key] = got  # re-insert = move to MRU end
+            return got[0]
+    tbl = fsio.read_table(dpath, columns=list(cols))
+    nbytes = tbl.nbytes
+    with _FAST_CACHE_LOCK:
+        if key not in _FAST_CACHE:
+            _FAST_CACHE[key] = (tbl, nbytes)
+            _FAST_CACHE_BYTES += nbytes
+            while _FAST_CACHE_BYTES > _FAST_CACHE_MAX_BYTES and _FAST_CACHE:
+                oldest = next(iter(_FAST_CACHE))  # insertion order = LRU
+                _FAST_CACHE_BYTES -= _FAST_CACHE.pop(oldest)[1]
+    return tbl
+
+
 def _eval_split_partial(
     split_id: str,
     split_dir: str,
@@ -1014,7 +1054,7 @@ def _eval_split_partial(
         fast_cols.append(sort_by)
     import pyarrow as pa
 
-    fast = fsio.read_table(dpath, columns=fast_cols)
+    fast = _fast_table_cached(dpath, tuple(fast_cols))
     if sort_by and sort_by in fast.column_names:
         if not (
             pa.types.is_integer(fast.column(sort_by).type)
@@ -1611,18 +1651,25 @@ class Searcher:
 
     def _fetch_missing_docs(self, resp: SearchResponse) -> None:
         """Root fetch_docs phase (fetch_docs.rs:98-173): payloads for
-        the final winners only, grouped per split."""
+        the final winners only, grouped per split and fetched in
+        parallel on the leaf pool (the reference issues per-split
+        fetch_docs_in_split tasks concurrently too; serially this was
+        ~5 ms × winners-bearing-splits of pure row-group reads)."""
         import json as _json
 
         pending: dict[str, list] = {}
         for h in resp.hits:
             if h.doc is None:
                 pending.setdefault(h.split_id, []).append(h)
-        for split_id, hs in pending.items():
-            dpath = fsio.join(
-                self.catalog.split_dir(split_id), DOCS_FILE
-            )
-            dmap = fetch_doc_payloads(dpath, [h.docid for h in hs])
+        if not pending:
+            return
+
+        def fetch(item):
+            split_id, hs = item
+            dpath = fsio.join(self.catalog.split_dir(split_id), DOCS_FILE)
+            return hs, fetch_doc_payloads(dpath, [h.docid for h in hs])
+
+        for hs, dmap in self._leaf_pool().map(fetch, pending.items()):
             for h in hs:
                 h.doc = _json.loads(dmap[h.docid])
 
