@@ -16,25 +16,31 @@ import numpy as np
 _MASKS = [np.uint64(0x7F) << np.uint64(7 * j) for j in range(10)]
 
 
-def encode_varint(values: np.ndarray) -> bytes:
-    """LEB128-encode an array of non-negative ints to one bytes blob."""
+def _encode_varint_parts(values) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Vectorized LEB128 core: returns (byte buffer, per-value byte
+    counts, per-value offsets of size n+1)."""
     v = np.asarray(values, dtype=np.uint64)
-    if v.size == 0:
-        return b""
-    # bytes needed per value: 1 + number of 7-bit groups above the first
     nbytes = np.ones(v.size, dtype=np.int64)
     for j in range(1, 10):
         nbytes += (v >= (np.uint64(1) << np.uint64(7 * j))).astype(np.int64)
-    offsets = np.concatenate(([0], np.cumsum(nbytes)[:-1]))
-    out = np.zeros(int(nbytes.sum()), dtype=np.uint8)
+    offsets = np.concatenate(([0], np.cumsum(nbytes)))
+    out = np.zeros(int(offsets[-1]), dtype=np.uint8)
     for j in range(10):
         mask = nbytes > j
         if not mask.any():
             break
         payload = ((v[mask] >> np.uint64(7 * j)) & np.uint64(0x7F)).astype(np.uint8)
         cont = (nbytes[mask] > j + 1).astype(np.uint8) << 7
-        out[offsets[mask] + j] = payload | cont
-    return out.tobytes()
+        out[offsets[:-1][mask] + j] = payload | cont
+    return out, nbytes, offsets
+
+
+def encode_varint(values: np.ndarray) -> bytes:
+    """LEB128-encode an array of non-negative ints to one bytes blob."""
+    v = np.asarray(values, dtype=np.uint64)
+    if v.size == 0:
+        return b""
+    return _encode_varint_parts(v)[0].tobytes()
 
 
 def decode_varint(buf: bytes) -> np.ndarray:
@@ -138,6 +144,70 @@ def replace_first_varint(blob: bytes, new_value: int) -> bytes:
             out.append(b)
             break
     return bytes(out) + blob[n:]
+
+
+def splice_first_varints(
+    blobs, new_values
+) -> tuple[np.ndarray, np.ndarray]:
+    """Bulk :func:`replace_first_varint` over n blobs at numpy speed —
+    the merge executor's head splice vectorized (a 2M-row merge op
+    spent ~12 s in the per-blob loop; this does the same work in a few
+    hundred ms of buffer passes).
+
+    Returns ``(buf, offsets)`` where
+    ``buf[offsets[r]:offsets[r+1]].tobytes() ==
+    replace_first_varint(blobs[r], new_values[r])``.
+    """
+    n = len(blobs)
+    if n == 0:
+        return np.empty(0, np.uint8), np.zeros(1, np.int64)
+    lens = np.fromiter((len(b) for b in blobs), dtype=np.int64, count=n)
+    offs = np.concatenate(([0], np.cumsum(lens)))
+    joined = b"".join(blobs)
+    buf = np.frombuffer(joined, dtype=np.uint8)
+    starts = offs[:-1]
+
+    # old head length per blob: first byte with the high bit clear
+    hl = np.zeros(n, dtype=np.int64)
+    pending = np.arange(n)
+    for k in range(10):
+        if pending.size == 0:
+            break
+        last = buf[starts[pending] + k] < 0x80
+        hl[pending[last]] = k + 1
+        pending = pending[~last]
+    if pending.size:
+        raise ValueError("truncated varint")
+
+    head_buf, head_len, head_offs = _encode_varint_parts(new_values)
+
+    body_len = lens - hl
+    piece = head_len + body_len
+    out_offs = np.concatenate(([0], np.cumsum(piece)))
+    out = np.empty(int(out_offs[-1]), dtype=np.uint8)
+
+    # scatter the new head bytes (≤10 vector passes)
+    for j in range(10):
+        mask = head_len > j
+        if not mask.any():
+            break
+        out[out_offs[:-1][mask] + j] = head_buf[head_offs[:-1][mask] + j]
+
+    # bodies: one memoryview memcpy per row — moves only the real
+    # bytes, unlike an index-array gather which pays 16 B of int64
+    # indexes per body byte (measured: mv copies 0.62 µs/row vs 0.95
+    # for the gather and 1.9 for per-row replace_first_varint)
+    src_mv = memoryview(joined)
+    out_mv = memoryview(out)
+    s0 = (starts + hl).tolist()
+    d0 = (out_offs[:-1] + head_len).tolist()
+    bl = body_len.tolist()
+    for r in range(n):
+        ln = bl[r]
+        d = d0[r]
+        s = s0[r]
+        out_mv[d:d + ln] = src_mv[s:s + ln]
+    return out, out_offs
 
 
 def delta_encode(sorted_values: np.ndarray) -> bytes:

@@ -123,3 +123,33 @@ class TestReadPruned:
         # sanity: pruning actually skips groups (read fewer rows than file)
         pf = pq.ParquetFile(p)
         assert pf.metadata.num_row_groups > 10
+
+
+def test_splice_first_varints_equals_scalar_loop():
+    """Bulk splice == per-row replace_first_varint on random blobs
+    (random head magnitudes exercise every varint length 1..10,
+    including growing and shrinking heads)."""
+    import numpy as np
+
+    from quickwit_spark.functions.codec import (
+        encode_varint,
+        replace_first_varint,
+        splice_first_varints,
+    )
+
+    rng = np.random.default_rng(7)
+    blobs, new_vals = [], []
+    for _ in range(3000):
+        bits_old = int(rng.integers(0, 63))
+        bits_new = int(rng.integers(0, 63))
+        head = int(rng.integers(0, 2 ** bits_old + 1))
+        body = rng.integers(0, 256, int(rng.integers(0, 40))).astype("u1").tobytes()
+        blobs.append(encode_varint(np.array([head], dtype=np.uint64)) + body)
+        new_vals.append(int(rng.integers(0, 2 ** bits_new + 1)))
+    buf, offs = splice_first_varints(blobs, np.array(new_vals, dtype=np.int64))
+    mv = memoryview(buf)
+    for r, (b, v) in enumerate(zip(blobs, new_vals)):
+        assert bytes(mv[offs[r]:offs[r + 1]]) == replace_first_varint(b, v), r
+    # empty input
+    ebuf, eoffs = splice_first_varints([], np.empty(0, dtype=np.int64))
+    assert ebuf.size == 0 and list(eoffs) == [0]
