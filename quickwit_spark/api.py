@@ -111,9 +111,13 @@ class Index:
                 f"source type {cfg['source_type']!r} is not batch-ingestable "
                 "here; stream sources attach via ingest_stream"
             )
+        path = cfg["params"].get("path")
+        if not path:
+            raise ValueError(
+                f"file source {source_id!r} has no 'path' in its params"
+            )
         return self.ingest(
-            cfg["params"]["path"], n_splits=n_splits,
-            ingest_id=f"src-{source_id}",
+            path, n_splits=n_splits, ingest_id=f"src-{source_id}",
         )
 
     # -- search (REST `/search`, `/search/stream`) ------------------------
