@@ -359,6 +359,37 @@ class _Handler(BaseHTTPRequestHandler):
             if verb == "_bulk":
                 self._handle_bulk(self._read_body())
                 return
+            if verb == "search":
+                # POST /search with a JSON body carrying the same
+                # fields as the GET query string (rest_handler.rs
+                # search_post_filter: warp::body::json() into
+                # SearchRequestQueryString)
+                try:
+                    body = json.loads(self._read_body() or b"{}")
+                except json.JSONDecodeError as exc:
+                    self._err(400, f"invalid JSON body: {exc}")
+                    return
+                if not isinstance(body, dict):
+                    self._err(400, "search body must be a JSON object")
+                    return
+                q2 = {}
+                for key, val in body.items():
+                    if key == "aggs":
+                        q2[key] = [json.dumps(val)]
+                    elif isinstance(val, list):
+                        q2[key] = [",".join(str(v) for v in val)]
+                    else:
+                        q2[key] = [str(val)]
+                query = q2.get("query", ["*"])[0]
+                fmt = q2.get("format", ["prettyjson"])[0]
+                if fmt not in ("json", "prettyjson"):
+                    raise ValueError(f"unknown format {fmt!r}")
+                self._json(
+                    200,
+                    idx.search_json(query, **_search_kwargs(q2)),
+                    pretty=fmt == "prettyjson",
+                )
+                return
             if verb != "ingest":
                 self._err(405, f"POST not supported for {verb}")
                 return

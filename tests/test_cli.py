@@ -165,3 +165,50 @@ def test_source_commands_and_resumable_ingest(spark, corpus, tmp_path):
     out = main(["source", "delete", "--index-dir", d, "--source-id", "turns"],
                spark=spark)
     assert out["deleted"] == "turns"
+
+
+def test_post_search_json_body(spark, cli_index):
+    """POST /search with a JSON body (rest_handler.rs
+    search_post_filter) returns the same results as the GET form,
+    including aggs and search-field lists."""
+    from quickwit_spark.api import Index
+    from quickwit_spark.serve import serve
+
+    server, _t = serve({"idx": Index.open(spark, cli_index)}, port=0)
+    try:
+        port = server.server_address[1]
+        url = f"http://127.0.0.1:{port}/api/v1/idx/search"
+
+        def post(payload):
+            req = urllib.request.Request(
+                url, data=json.dumps(payload).encode(),
+                headers={"content-type": "application/json"}, method="POST",
+            )
+            with urllib.request.urlopen(req) as r:
+                return json.load(r)
+
+        body = post({"query": "w00002", "max_hits": 3, "format": "json"})
+        with urllib.request.urlopen(f"{url}?query=w00002&max_hits=3") as r:
+            get_body = json.load(r)
+        assert body["num_hits"] == get_body["num_hits"] > 0
+        assert [h["score"] for h in body["hits"]] == [
+            h["score"] for h in get_body["hits"][:3]
+        ]
+        body = post({
+            "query": "w00002",
+            "max_hits": 1,
+            "aggs": {"by_role": {"terms": {"field": "role"}}},
+        })
+        assert body["aggregations"]["by_role"]["buckets"]
+        # malformed body -> 400
+        req = urllib.request.Request(
+            url, data=b"{not json", method="POST",
+            headers={"content-type": "application/json"},
+        )
+        try:
+            urllib.request.urlopen(req)
+            raise AssertionError("expected 400")
+        except urllib.error.HTTPError as exc:
+            assert exc.code == 400
+    finally:
+        server.shutdown()
