@@ -157,6 +157,9 @@ class Index:
             ],
             "elapsed_time_micros": int(r.elapsed_sec * 1e6),
             "aggregations": r.aggs or None,
+            # search_api.proto:105-106 `repeated string errors` —
+            # per-split failures the root tolerated (partial results)
+            "errors": r.errors,
         }
 
     def search_stream(self, query: str, fast_field: str, **kwargs):

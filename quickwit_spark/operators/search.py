@@ -119,6 +119,10 @@ class SearchResponse:
     hits: list
     aggs: dict = dc_field(default_factory=dict)
     elapsed_sec: float = 0.0
+    # per-split failures formatted as strings (search_api.proto:105-106
+    # `repeated string errors`): the root returns PARTIAL results from
+    # the splits that answered rather than failing the whole query
+    errors: list = dc_field(default_factory=list)
 
 
 # ---------------------------------------------------------------------------
@@ -1640,11 +1644,12 @@ class Searcher:
             # request validation (quickwit-search/src/root.rs:112-133)
             raise ValueError("max_hits + start_offset must be ≤ 10,000")
         aggs = _normalize_aggs(aggs)
-        pdf = self.search_partials(
+        pdf, errors = self.search_partials(
             query, k, offset, start_us, end_us, sort_by, sort_desc, aggs,
             wand, mode, search_fields,
         )
         resp = merge_partials(pdf, k, offset, sort_by, aggs)
+        resp.errors = errors
         self._fetch_missing_docs(resp)
         resp.elapsed_sec = _time.time() - t0
         return resp
@@ -1683,11 +1688,20 @@ class Searcher:
         self, query, k, offset=0, start_us=None, end_us=None,
         sort_by=None, sort_desc=True, aggs=None, wand=True,
         mode: str = "auto", search_fields=None,
-    ) -> pd.DataFrame:
-        """Run the leaf phase; returns the partial rows.
+    ) -> tuple[pd.DataFrame, list]:
+        """Run the leaf phase; returns (partial rows, per-split errors).
 
         mode: 'spark' (distributed mapInPandas over splits), 'driver'
         (thread pool in-process — same kernel function), or 'auto'.
+
+        Failure tolerance mirrors the reference root: a failing split
+        is retried once (quickwit-search/src/retry/search.rs), then its
+        error is REPORTED while the other splits' results still answer
+        the query (search_api.proto `errors`). Spark mode delegates the
+        retry to Spark's task retry; there a split that fails every
+        attempt fails the job (documented difference: a cluster
+        reschedules on another executor first, which is the reference's
+        "retry on a different node").
         """
         aggs = _normalize_aggs(aggs)
         self._refresh_if_stale()
@@ -1697,7 +1711,7 @@ class Searcher:
             self.catalog.published_splits(), ast, self.config, start_us, end_us
         )
         if not splits:
-            return pd.DataFrame(columns=_HIT_COLS)
+            return pd.DataFrame(columns=_HIT_COLS), []
         stats = {
             "N": self.n_docs,
             "avgdl": (self.catalog.total_doc_len() / max(self.n_docs, 1)) or 1.0,
@@ -1719,21 +1733,33 @@ class Searcher:
             # leaves return doc ADDRESSES; the root fetches payloads for
             # the k winners only (the reference's fetch_docs phase) —
             # per-leaf fetching reads splits× more doc rows than needed
-            parts = list(
-                self._leaf_pool().map(
-                    lambda r: _eval_split_partial(
-                        r[0], r[1], ast, stats, config, m,
-                        start_us, end_us, sort_by, sort_desc, aggs, wand,
-                        fetch_payload=False,
-                    ),
-                    rows,
-                )
-            )
+            def leaf(r):
+                for attempt in (0, 1):
+                    try:
+                        return _eval_split_partial(
+                            r[0], r[1], ast, stats, config, m,
+                            start_us, end_us, sort_by, sort_desc, aggs,
+                            wand, fetch_payload=False,
+                        )
+                    except Exception as exc:  # noqa: BLE001 - reported
+                        if attempt:
+                            return (r[0], exc)
+                return None  # unreachable
+
+            results = list(self._leaf_pool().map(leaf, rows))
+            errors = [
+                f"split {sid}: {exc}"
+                for sid, exc in (x for x in results if isinstance(x, tuple))
+            ]
             # object dtype avoids the all-NA-column concat dtype warning
-            parts = [p.astype(object) for p in parts if len(p)]
+            parts = [
+                p.astype(object)
+                for p in results
+                if not isinstance(p, tuple) and len(p)
+            ]
             if not parts:
-                return pd.DataFrame(columns=_HIT_COLS)
-            return pd.concat(parts, ignore_index=True)
+                return pd.DataFrame(columns=_HIT_COLS), errors
+            return pd.concat(parts, ignore_index=True), errors
 
         sdf = self.spark.createDataFrame(
             self.spark.sparkContext.parallelize(rows, len(rows)),
@@ -1749,7 +1775,7 @@ class Searcher:
                     )
 
         out = sdf.mapInPandas(kernel, schema=HIT_SCHEMA)
-        return out.toPandas()
+        return out.toPandas(), []
 
 
 def _validate_phrase_fields(ast, config) -> None:

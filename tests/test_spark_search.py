@@ -1058,3 +1058,39 @@ def test_wand_equals_exhaustive_randomized(searcher):
         assert [(h.split_id, h.docid, h.score) for h in a.hits] == [
             (h.split_id, h.docid, h.score) for h in b.hits
         ], q
+
+
+def test_partial_results_on_split_failure(spark, corpus, tmp_path):
+    """Root failure tolerance (search_api.proto `errors`;
+    quickwit-search/src/retry/): a split whose files are gone is
+    retried once, then reported in resp.errors while the healthy
+    splits still answer the query with correct counts."""
+    import os
+
+    from quickwit_spark.config import IndexConfig
+    from quickwit_spark.operators.build import build_index
+    from quickwit_spark.operators.search import Searcher
+    from quickwit_spark.plans.catalog import Catalog
+
+    d = str(tmp_path / "broken")
+    build_index(spark, spark.createDataFrame(corpus), d,
+                IndexConfig(), n_splits=4)
+    s = Searcher(spark, d)
+    full = s.search("w00001", k=10)
+    assert full.errors == [] and full.num_hits > 0
+
+    cat = Catalog.load(d)
+    victim = cat.published_splits()[0].split_id
+    # overwrite IN PLACE (same inode): a deleted file would still be
+    # readable through the process's cached open file handle — in-place
+    # corruption is the actual disk-failure scenario the root tolerates
+    with open(os.path.join(cat.split_dir(victim), "postings.parquet"),
+              "wb") as f:
+        f.write(b"not a parquet file")
+
+    s2 = Searcher(spark, d)
+    resp = s2.search("w00001", k=10)
+    assert len(resp.errors) == 1 and victim in resp.errors[0]
+    assert 0 < resp.num_hits < full.num_hits  # 3 of 4 splits answered
+    assert all(h.split_id != victim for h in resp.hits)
+    assert all(h.doc is not None for h in resp.hits)
