@@ -33,11 +33,47 @@ class Index:
     # -- lifecycle (CLI `index create` / `index delete`) -----------------
 
     @staticmethod
-    def create(spark, index_dir: str, config: IndexConfig | None = None) -> "Index":
+    def create(
+        spark, index_dir: str, config: IndexConfig | None = None,
+        doc_mapping: dict | None = None, backend: str | None = None,
+    ) -> "Index":
         if Catalog.exists(index_dir):
             raise ValueError(f"index already exists at {index_dir}")
-        Catalog.create(index_dir, config or IndexConfig())
+        Catalog.create(
+            index_dir, config or IndexConfig(),
+            backend=backend, doc_mapping=doc_mapping,
+        )
         return Index(spark, index_dir)
+
+    @staticmethod
+    def create_from_reference_yaml(
+        spark, index_dir: str, yaml_source: str, **overrides
+    ) -> "Index":
+        """Create an index from a REFERENCE-format index-config YAML
+        (docs/configuration/index-config.md): field mappings drive both
+        the inverted index and the typed ndjson doc mapper, and the
+        YAML's ``sources`` section is registered on the catalog."""
+        from quickwit_spark.sources.index_config_yaml import (
+            load_reference_index_config,
+            mapping_to_dict,
+        )
+
+        loaded = load_reference_index_config(yaml_source, **overrides)
+        idx = Index.create(
+            spark, index_dir, loaded["config"],
+            doc_mapping={
+                **mapping_to_dict(loaded["doc_mapping"]),
+                "mode": loaded["mode"],
+                "store_source": loaded["store_source"],
+            },
+        )
+        cat = idx.catalog()
+        for src in loaded["sources"]:
+            cat.add_source(
+                src["source_id"], src.get("source_type", "file"),
+                src.get("params"), enabled=bool(src.get("enabled", True)),
+            )
+        return idx
 
     @staticmethod
     def open(spark, index_dir: str) -> "Index":
@@ -197,20 +233,37 @@ class Index:
         append regardless of path (the HTTP route passes a per-request
         nonce so re-POSTing an identical body appends, like ES)."""
         from quickwit_spark.sources.docmapper import (
+            map_docs,
             map_json_docs,
             read_json_lines,
             split_valid,
         )
 
-        mapped = map_json_docs(read_json_lines(self.spark, path), mode=mode)
+        cat_dm = self.catalog().doc_mapping
+        if cat_dm:
+            # index created from a reference index-config YAML: its
+            # doc_mapping section drives typed parsing (the index
+            # config is authoritative for mode, like the reference)
+            from quickwit_spark.sources.index_config_yaml import (
+                mapping_from_dict,
+            )
+
+            mapping = mapping_from_dict(cat_dm)
+            mapped = map_docs(
+                read_json_lines(self.spark, path), mapping,
+                mode=cat_dm.get("mode") or mode,
+                store_source=bool(cat_dm.get("store_source", False)),
+            )
+            cols = [f.name for f in mapping.fields]
+        else:
+            mapped = map_json_docs(read_json_lines(self.spark, path), mode=mode)
+            cols = ["conv_id", "turn_idx", "role", "text", "tool", "ts"]
         valid, rejected = split_valid(mapped)
         counters = {
             r["_error"]: r["count"]
             for r in rejected.groupBy("_error").count().collect()
         }
         import hashlib
-
-        cols = ["conv_id", "turn_idx", "role", "text", "tool", "ts"]
         self.ingest(
             valid.select(*cols), n_splits=n_splits,
             ingest_id=ingest_id

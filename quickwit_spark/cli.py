@@ -47,6 +47,13 @@ def _build_parser() -> argparse.ArgumentParser:
     c = idx_cmd("create")
     c.add_argument("--config", help="IndexConfig overrides as JSON")
     c.add_argument("--backend", choices=["json", "sqlite", "manifest"])
+    c.add_argument("--index-config",
+                   help="reference-format index-config YAML file "
+                        "(quickwit `index create --index-config` analog); "
+                        "registers the YAML's sources too")
+    c.add_argument("--doc-key-fields",
+                   help="comma-separated stable-order keys (YAML mode; "
+                        "defaults to sort_field then timestamp_field)")
 
     c = idx_cmd("ingest")
     c.add_argument("--input", required=True,
@@ -163,6 +170,16 @@ def _dispatch(args, spark, serve_forever):
     cmd = (args.command, getattr(args, "subcommand", None))
 
     if cmd == ("index", "create"):
+        if args.index_config:
+            idx = Index.create_from_reference_yaml(
+                _spark(args, spark), args.index_dir, args.index_config,
+                doc_key_fields=tuple(args.doc_key_fields.split(","))
+                if args.doc_key_fields else None,
+            )
+            return {
+                "index_dir": args.index_dir, "created": True,
+                "sources": [s["source_id"] for s in idx.sources()],
+            }
         cfg = IndexConfig.from_dict(json.loads(args.config)) if args.config \
             else IndexConfig()
         from quickwit_spark.plans.catalog import Catalog

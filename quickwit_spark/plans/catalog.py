@@ -128,6 +128,10 @@ class Catalog:
         # surface (quickwit-metastore/src/metastore/mod.rs; SourceConfig
         # in quickwit-config/src/source_config.rs)
         self.sources: dict[str, dict] = {}
+        # optional typed DocMapping (serialized dict) for ndjson ingest —
+        # the reference stores the doc_mapping section of the index
+        # config in index metadata the same way
+        self.doc_mapping: dict | None = None
         # monotonically increasing merge-split id allocator; persisted so
         # ids never repeat across run_merge_pipeline invocations (a reused
         # id would silently overwrite a published split's catalog entry)
@@ -147,6 +151,7 @@ class Catalog:
         config: IndexConfig,
         source_path: str | None = None,
         backend: str | None = None,
+        doc_mapping: dict | None = None,
     ) -> "Catalog":
         """Create a fresh catalog. ``backend`` ∈ {"json", "sqlite",
         "manifest"}; defaults to $QUICKWIT_SPARK_CATALOG, else "json"
@@ -178,6 +183,7 @@ class Catalog:
         }[backend](index_dir)
         cat.config = config
         cat.source_path = source_path
+        cat.doc_mapping = doc_mapping
         cat._dirty_meta = True
         cat._commit()
         return cat
@@ -203,6 +209,7 @@ class Catalog:
         cat.source_path = d.get("source_path")
         cat.merge_seq = int(d.get("merge_seq", 0))
         cat.sources = d.get("sources", {})
+        cat.doc_mapping = d.get("doc_mapping")
         return cat
 
     @staticmethod
@@ -269,6 +276,7 @@ class Catalog:
             "source_path": self.source_path,
             "merge_seq": self.merge_seq,
             "sources": self.sources,
+            "doc_mapping": self.doc_mapping,
         }
         _atomic_write_text(self.path, json.dumps(payload, indent=1, sort_keys=True))
         self._clear_dirty()
@@ -577,6 +585,7 @@ class SqliteCatalog(Catalog):
         cat.source_path = json.loads(sp) if sp is not None else None
         cat.merge_seq = int(meta.get("merge_seq", "0"))
         cat.sources = json.loads(meta.get("sources", "{}"))
+        cat.doc_mapping = json.loads(meta.get("doc_mapping", "null"))
         cat.splits = {
             sid: SplitMetadata.from_dict(json.loads(blob))
             for sid, blob in db.execute("SELECT split_id, json FROM splits")
@@ -611,6 +620,7 @@ class SqliteCatalog(Catalog):
                         ("source_path", json.dumps(self.source_path)),
                         ("merge_seq", str(self.merge_seq)),
                         ("sources", json.dumps(self.sources)),
+                        ("doc_mapping", json.dumps(self.doc_mapping)),
                     ],
                 )
             if dirty_splits:
@@ -737,6 +747,7 @@ class ManifestCatalog(Catalog):
         self.source_path = meta.get("source_path")
         self.merge_seq = int(meta.get("merge_seq", 0))
         self.sources = meta.get("sources", {})
+        self.doc_mapping = meta.get("doc_mapping")
 
     # -- O(delta) commit -----------------------------------------------------
 
@@ -746,6 +757,7 @@ class ManifestCatalog(Catalog):
             "source_path": self.source_path,
             "merge_seq": self.merge_seq,
             "sources": self.sources,
+            "doc_mapping": self.doc_mapping,
         }
 
     def _commit(self) -> None:
