@@ -24,6 +24,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 
 from quickwit_spark.config import IndexConfig
@@ -134,9 +135,13 @@ def _build_parser() -> argparse.ArgumentParser:
 
     # ---- run (HTTP service) ---------------------------------------------
     c = sub.add_parser("run")
-    c.add_argument("--index-dir", required=True, action="append",
+    c.add_argument("--index-dir", action="append", default=None,
                    help="repeatable; index name = last path segment")
-    c.add_argument("--port", type=int, default=7280)
+    c.add_argument("--port", type=int, default=None)
+    c.add_argument("--config",
+                   help="reference-format node-config YAML "
+                        "(quickwit run --config analog): rest_listen_port, "
+                        "data_dir index discovery, searcher cache sizes")
     return p
 
 
@@ -297,12 +302,41 @@ def _dispatch(args, spark, serve_forever):
     if cmd == ("run", None):
         from quickwit_spark.serve import serve
 
+        port = args.port
+        index_dirs = list(args.index_dir or [])
+        if args.config:
+            from quickwit_spark.sources.index_config_yaml import load_node_config
+
+            node = load_node_config(args.config)
+            if port is None:
+                port = node["rest_listen_port"]
+            if node["fast_field_cache_bytes"] is not None:
+                # searcher.fast_field_cache_capacity -> the process
+                # fast-field cache budget (same knob as
+                # QS_FASTFIELD_CACHE_BYTES)
+                from quickwit_spark.operators import search as _search
+
+                _search._FAST_CACHE_MAX_BYTES = node["fast_field_cache_bytes"]
+            if not index_dirs and node["data_dir"]:
+                # discover indexes under data_dir/indexes/* then data_dir/*
+                from quickwit_spark.plans.catalog import Catalog
+
+                base = os.path.join(node["data_dir"], "indexes")
+                if not os.path.isdir(base):
+                    base = node["data_dir"]
+                index_dirs = sorted(
+                    os.path.join(base, name)
+                    for name in os.listdir(base)
+                    if Catalog.exists(os.path.join(base, name))
+                )
+        if not index_dirs:
+            raise SystemExit("run: pass --index-dir or a --config with data_dir")
         sp = _spark(args, spark)
         indexes = {
             d.rstrip("/").rsplit("/", 1)[-1]: Index.open(sp, d)
-            for d in args.index_dir
+            for d in index_dirs
         }
-        server, thread = serve(indexes, port=args.port)
+        server, thread = serve(indexes, port=port if port is not None else 7280)
         if serve_forever:  # pragma: no cover - blocking path
             try:
                 thread.join()

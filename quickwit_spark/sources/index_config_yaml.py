@@ -210,3 +210,45 @@ def mapping_from_dict(d: dict) -> DocMapping:
         fields=tuple(fm(x) for x in d.get("fields", ()) or ()),
         ts_field=d.get("ts_field"),
     )
+
+
+def _parse_bytes(v) -> int:
+    """'10G' / '512M' / '1T' -> bytes (binary units, like the
+    reference's byte-unit sizes); bare ints pass through."""
+    if isinstance(v, (int, float)):
+        return int(v)
+    s = str(v).strip().upper()
+    units = {"K": 1 << 10, "M": 1 << 20, "G": 1 << 30, "T": 1 << 40}
+    if s and s[-1] in units:
+        return int(float(s[:-1]) * units[s[-1]])
+    return int(s)
+
+
+def load_node_config(source: str) -> dict:
+    """Parse a reference node-config YAML (docs/configuration/
+    node-config.md; shipped example quickwit-config/resources/tests/
+    config/quickwit.yaml) into what the single-process REST service
+    needs: ``rest_listen_port``, ``data_dir`` (indexes are served from
+    ``data_dir/indexes/*`` or ``data_dir/*``), and
+    ``searcher.fast_field_cache_capacity`` (applied to the per-process
+    fast-field cache). Cluster/gossip/gRPC/metastore keys are accepted
+    and ignored — scheduling and membership are Spark's job here
+    (SURVEY §2.9)."""
+    import yaml
+
+    text = source
+    if "\n" not in source and os.path.exists(source):
+        with open(source) as f:
+            text = f.read()
+    y = yaml.safe_load(text) or {}
+    searcher = y.get("searcher", {}) or {}
+    out = {
+        "rest_listen_port": int(y.get("rest_listen_port", 7280)),
+        "data_dir": y.get("data_dir"),
+        "fast_field_cache_bytes": (
+            _parse_bytes(searcher["fast_field_cache_capacity"])
+            if "fast_field_cache_capacity" in searcher
+            else None
+        ),
+    }
+    return out

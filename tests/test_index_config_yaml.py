@@ -147,3 +147,63 @@ def test_yaml_create_ingest_search_e2e(spark, tmp_path):
     resp = main(["index", "search", "--index-dir", d,
                  "--query", '"disk failure"'], spark=spark)
     assert resp["num_hits"] == 40
+
+
+def test_node_config_run_discovers_indexes(spark, corpus, tmp_path):
+    """`run --config <node yaml>` (quickwit run analog): indexes are
+    discovered under data_dir/indexes/*, the REST port comes from
+    rest_listen_port (port 0 override for the test), and
+    searcher.fast_field_cache_capacity resizes the process fast-field
+    cache."""
+    import urllib.request
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from quickwit_spark.cli import main
+    from quickwit_spark.operators import search as search_mod
+
+    src = str(tmp_path / "turns.parquet")
+    pq.write_table(
+        pa.Table.from_pandas(corpus, preserve_index=False), src,
+        coerce_timestamps="us",
+    )
+    base = tmp_path / "data" / "indexes"
+    base.mkdir(parents=True)
+    for name in ("logs-a", "logs-b"):
+        d = str(base / name)
+        main(["index", "create", "--index-dir", d], spark=spark)
+        main(["index", "ingest", "--index-dir", d, "--input", src,
+              "--n-splits", "2"], spark=spark)
+    node_yml = tmp_path / "node.yaml"
+    node_yml.write_text(f"""
+version: 0
+rest_listen_port: 0
+data_dir: {tmp_path / 'data'}
+searcher:
+  fast_field_cache_capacity: 64M
+""")
+    old_cap = search_mod._FAST_CACHE_MAX_BYTES
+    try:
+        out = main(["run", "--config", str(node_yml)], spark=spark,
+                   serve_forever=False)
+        assert out["indexes"] == ["logs-a", "logs-b"]
+        assert search_mod._FAST_CACHE_MAX_BYTES == 64 << 20
+        # serve again (non-shutdown) and query both indexes over HTTP
+        from quickwit_spark.api import Index
+        from quickwit_spark.serve import serve
+
+        server, _t = serve(
+            {"logs-a": Index.open(spark, str(base / "logs-a")),
+             "logs-b": Index.open(spark, str(base / "logs-b"))}, port=0)
+        try:
+            port = server.server_address[1]
+            for name in ("logs-a", "logs-b"):
+                with urllib.request.urlopen(
+                    f"http://127.0.0.1:{port}/api/v1/{name}/search?query=w00001"
+                ) as r:
+                    assert json.load(r)["num_hits"] > 0
+        finally:
+            server.shutdown()
+    finally:
+        search_mod._FAST_CACHE_MAX_BYTES = old_cap
