@@ -116,11 +116,15 @@ def _build_parser() -> argparse.ArgumentParser:
         return c
 
     c = src_cmd("add")
-    c.add_argument("--source-id", required=True)
-    c.add_argument("--type", dest="source_type", required=True,
+    c.add_argument("--source-id")
+    c.add_argument("--type", dest="source_type",
                    help='e.g. "file" (batch-ingestable) or a stream kind')
     c.add_argument("--params",
                    help='source params as JSON, e.g. {"path": "..."}')
+    c.add_argument("--source-config",
+                   help="reference-format source-config YAML file "
+                        "(source_id/source_type/params) — alternative "
+                        "to the flags above")
     c.add_argument("--disabled", action="store_true")
     src_cmd("list")
     c = src_cmd("delete")
@@ -281,6 +285,22 @@ def _dispatch(args, spark, serve_forever):
 
         cat = Catalog.load(args.index_dir)
         if cmd == ("source", "add"):
+            if args.source_config:
+                import yaml
+
+                with open(args.source_config) as f:
+                    y = yaml.safe_load(f) or {}
+                sid = y["source_id"]
+                cat.add_source(
+                    sid, y.get("source_type", "file"), y.get("params"),
+                    enabled=bool(y.get("enabled", True)),
+                )
+                return {"added": sid}
+            if not args.source_id or not args.source_type:
+                raise SystemExit(
+                    "source add: pass --source-id and --type, "
+                    "or --source-config <yaml>"
+                )
             cat.add_source(
                 args.source_id, args.source_type,
                 json.loads(args.params) if args.params else None,

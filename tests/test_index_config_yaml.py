@@ -207,3 +207,23 @@ searcher:
             server.shutdown()
     finally:
         search_mod._FAST_CACHE_MAX_BYTES = old_cap
+
+
+def test_source_add_from_reference_yaml(spark, tmp_path):
+    """`source add --source-config <yaml>` accepts the reference's
+    source-config file format (source_id/source_type/params)."""
+    from quickwit_spark.cli import main
+
+    d = str(tmp_path / "idx")
+    main(["index", "create", "--index-dir", d], spark=spark)
+    yml = tmp_path / "kinesis.yaml"
+    yml.write_text(
+        "source_id: hdfs-logs-kinesis-source\n"
+        "source_type: kinesis\n"
+        "params:\n  stream_name: emr-cluster-logs\n"
+    )
+    out = main(["source", "add", "--index-dir", d,
+                "--source-config", str(yml)], spark=spark)
+    assert out["added"] == "hdfs-logs-kinesis-source"
+    out = main(["source", "list", "--index-dir", d], spark=spark)
+    assert out["sources"][0]["params"] == {"stream_name": "emr-cluster-logs"}
