@@ -127,6 +127,8 @@ def _build_parser() -> argparse.ArgumentParser:
                         "to the flags above")
     c.add_argument("--disabled", action="store_true")
     src_cmd("list")
+    c = src_cmd("describe")
+    c.add_argument("--source-id", required=True)
     c = src_cmd("delete")
     c.add_argument("--source-id", required=True)
     c = src_cmd("enable")
@@ -309,6 +311,21 @@ def _dispatch(args, spark, serve_forever):
             return {"added": args.source_id}
         if cmd == ("source", "list"):
             return {"sources": list(cat.sources.values())}
+        if cmd == ("source", "describe"):
+            src = cat.sources.get(args.source_id)
+            if src is None:
+                raise SystemExit(f"unknown source {args.source_id!r}")
+            ns = f"batch/src-{args.source_id}"
+            return {
+                "source": src,
+                # resume positions recorded under this source's ingest
+                # namespace (reference `source describe` shows the
+                # source checkpoint the same way)
+                "checkpoint": {
+                    k: v for k, v in cat.checkpoint.items()
+                    if k == ns or k.startswith(ns + "/")
+                },
+            }
         if cmd == ("source", "delete"):
             cat.delete_source(args.source_id)
             return {"deleted": args.source_id}

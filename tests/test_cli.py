@@ -157,6 +157,11 @@ def test_source_commands_and_resumable_ingest(spark, corpus, tmp_path):
                 "turns", "--n-splits", "4"], spark=spark)
     assert out["num_docs"] == len(corpus)
 
+    out = main(["source", "describe", "--index-dir", d, "--source-id",
+                "turns"], spark=spark)
+    assert out["source"]["source_type"] == "file"
+    assert out["checkpoint"]  # resume positions under batch/src-turns
+
     main(["source", "disable", "--index-dir", d, "--source-id", "turns"],
          spark=spark)
     with pytest.raises(ValueError, match="disabled"):
