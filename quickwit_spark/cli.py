@@ -86,7 +86,11 @@ def _build_parser() -> argparse.ArgumentParser:
     c.add_argument("--grace-secs", type=int, default=0)
 
     idx_cmd("delete")
-    idx_cmd("list")
+    c = index.add_parser("list")
+    c.add_argument("--index-dir", action="append", default=None)
+    c.add_argument("--config",
+                   help="node-config YAML: list every index under its "
+                        "data_dir (quickwit `index list --config` analog)")
 
     # ---- split ----------------------------------------------------------
     split = sub.add_parser("split").add_subparsers(dest="subcommand",
@@ -163,6 +167,23 @@ def _index(args, spark):
     from quickwit_spark.api import Index
 
     return Index.open(spark, args.index_dir)
+
+
+def _discover_index_dirs(data_dir: str | None) -> list[str]:
+    """Indexes under a node-config data_dir: data_dir/indexes/* when the
+    subdirectory exists (the reference's layout), else data_dir/*."""
+    if not data_dir:
+        return []
+    from quickwit_spark.plans.catalog import Catalog
+
+    base = os.path.join(data_dir, "indexes")
+    if not os.path.isdir(base):
+        base = data_dir
+    return sorted(
+        os.path.join(base, name)
+        for name in os.listdir(base)
+        if Catalog.exists(os.path.join(base, name))
+    )
 
 
 def main(argv=None, spark=None, serve_forever: bool = True) -> dict:
@@ -251,8 +272,16 @@ def _dispatch(args, spark, serve_forever):
         return {"index_dir": args.index_dir, "deleted": True}
 
     if cmd == ("index", "list"):
-        # single-index dirs here; list = the one catalog's identity
-        return {"indexes": [_index(args, _spark(args, spark)).describe()]}
+        dirs = list(args.index_dir or [])
+        if getattr(args, "config", None):
+            from quickwit_spark.sources.index_config_yaml import load_node_config
+
+            node = load_node_config(args.config)
+            dirs.extend(_discover_index_dirs(node["data_dir"]))
+        if not dirs:
+            raise SystemExit("index list: pass --index-dir or --config")
+        sp = _spark(args, spark)
+        return {"indexes": [Index.open(sp, d).describe() for d in dirs]}
 
     if cmd == ("split", "list"):
         return {"splits": _index(args, _spark(args, spark)).list_splits()}
@@ -354,18 +383,8 @@ def _dispatch(args, spark, serve_forever):
                 from quickwit_spark.operators import search as _search
 
                 _search._FAST_CACHE_MAX_BYTES = node["fast_field_cache_bytes"]
-            if not index_dirs and node["data_dir"]:
-                # discover indexes under data_dir/indexes/* then data_dir/*
-                from quickwit_spark.plans.catalog import Catalog
-
-                base = os.path.join(node["data_dir"], "indexes")
-                if not os.path.isdir(base):
-                    base = node["data_dir"]
-                index_dirs = sorted(
-                    os.path.join(base, name)
-                    for name in os.listdir(base)
-                    if Catalog.exists(os.path.join(base, name))
-                )
+            if not index_dirs:
+                index_dirs = _discover_index_dirs(node["data_dir"])
         if not index_dirs:
             raise SystemExit("run: pass --index-dir or a --config with data_dir")
         sp = _spark(args, spark)

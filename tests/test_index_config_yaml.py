@@ -188,6 +188,9 @@ searcher:
         out = main(["run", "--config", str(node_yml)], spark=spark,
                    serve_forever=False)
         assert out["indexes"] == ["logs-a", "logs-b"]
+        out = main(["index", "list", "--config", str(node_yml)], spark=spark)
+        assert [i["index_dir"].rsplit("/", 1)[-1] for i in out["indexes"]] \
+            == ["logs-a", "logs-b"]
         assert search_mod._FAST_CACHE_MAX_BYTES == 64 << 20
         # serve again (non-shutdown) and query both indexes over HTTP
         from quickwit_spark.api import Index
