@@ -1751,6 +1751,13 @@ class Searcher:
                 f"split {sid}: {exc}"
                 for sid, exc in (x for x in results if isinstance(x, tuple))
             ]
+            if errors and len(errors) == len(rows):
+                # every split failed: that's not a partial result, it's
+                # a broken query/index — surface it loudly (the
+                # reference errors out when no leaf responds too)
+                raise RuntimeError(
+                    f"all {len(rows)} splits failed; first: {errors[0]}"
+                )
             # object dtype avoids the all-NA-column concat dtype warning
             parts = [
                 p.astype(object)

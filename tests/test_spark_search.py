@@ -1094,3 +1094,12 @@ def test_partial_results_on_split_failure(spark, corpus, tmp_path):
     assert 0 < resp.num_hits < full.num_hits  # 3 of 4 splits answered
     assert all(h.split_id != victim for h in resp.hits)
     assert all(h.doc is not None for h in resp.hits)
+
+    # every split failing is NOT a partial result — it raises
+    for sm in cat.published_splits():
+        with open(os.path.join(cat.split_dir(sm.split_id),
+                               "postings.parquet"), "wb") as f:
+            f.write(b"gone")
+    s3 = Searcher(spark, d)
+    with pytest.raises(RuntimeError, match="all 4 splits failed"):
+        s3.search("w00001", k=10)
