@@ -26,6 +26,7 @@ works natively there; ``mock://`` is pyarrow-only by design.
 from __future__ import annotations
 
 import posixpath
+import threading
 
 _SUPPORTED_HINT = (
     "supported: local paths, file://, mock://<abs-path> (tests), and any "
@@ -87,20 +88,66 @@ def parquet_file(path: str):
 # old ones; term-stats files are content-versioned by name). Saves the
 # per-query open + footer parse in the search hot path; LRU-capped so
 # file handles stay bounded. Per-process, so executors build their own.
-_PF_CACHE: "dict[str, object]" = {}
+# Cache entries are shared across threads (the searcher's leaf pool +
+# the ThreadingHTTPServer in serve.py), so the dict is lock-guarded and
+# each entry is a _SyncParquetFile that serializes I/O-performing reads
+# per file — pyarrow ParquetFile reads are not thread-safe.
+_PF_CACHE: "dict[str, _SyncParquetFile]" = {}
 _PF_CACHE_MAX = 128
+_PF_CACHE_LOCK = threading.Lock()
+
+
+class _SyncParquetFile:
+    """Thread-safe facade over a shared ``pq.ParquetFile``: footer-
+    derived attributes (``metadata``, ``schema_arrow``, ...) are
+    immutable after open and delegate directly; reads that perform I/O
+    serialize on a per-file lock. Different files still read fully in
+    parallel — within one search each split is owned by one leaf
+    thread, so the lock only bites when two concurrent searches hit the
+    same split."""
+
+    __slots__ = ("_pf", "_lock")
+
+    def __init__(self, pf, lock) -> None:
+        self._pf = pf
+        self._lock = lock
+
+    def __getattr__(self, name):
+        return getattr(self._pf, name)
+
+    def read_row_group(self, *args, **kwargs):
+        with self._lock:
+            return self._pf.read_row_group(*args, **kwargs)
+
+    def read_row_groups(self, *args, **kwargs):
+        with self._lock:
+            return self._pf.read_row_groups(*args, **kwargs)
+
+    def read(self, *args, **kwargs):
+        with self._lock:
+            return self._pf.read(*args, **kwargs)
 
 
 def parquet_file_cached(path: str):
     """``parquet_file`` with a per-process LRU footer cache — ONLY for
     paths whose bytes never change under that name (split files,
-    versioned stats files)."""
-    got = _PF_CACHE.pop(path, None)
-    if got is None:
-        got = parquet_file(path)
-        while len(_PF_CACHE) >= _PF_CACHE_MAX:
-            del _PF_CACHE[next(iter(_PF_CACHE))]
-    _PF_CACHE[path] = got  # re-insert = move to MRU end
+    versioned stats files). Returns a :class:`_SyncParquetFile`."""
+    with _PF_CACHE_LOCK:
+        got = _PF_CACHE.pop(path, None)
+        if got is not None:
+            _PF_CACHE[path] = got  # re-insert = move to MRU end
+            return got
+    # open OUTSIDE the cache lock (footer parse / object-store round
+    # trip must not serialize unrelated paths); last writer wins on a
+    # racing double-open of the same immutable file — harmless
+    opened = _SyncParquetFile(parquet_file(path), threading.Lock())
+    with _PF_CACHE_LOCK:
+        got = _PF_CACHE.pop(path, None)
+        if got is None:
+            got = opened
+            while len(_PF_CACHE) >= _PF_CACHE_MAX:
+                del _PF_CACHE[next(iter(_PF_CACHE))]
+        _PF_CACHE[path] = got
     return got
 
 

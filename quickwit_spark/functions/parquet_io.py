@@ -30,17 +30,17 @@ def read_pruned(path_or_file, columns, key_col: str, values):
     across reads of the same file)."""
     import pyarrow as pa
     import pyarrow.compute as pc
-    import pyarrow.parquet as pq
 
     from quickwit_spark.functions import fs as fsio
 
     # string paths here are always immutable index files (split parquet,
     # versioned term-stats) — the cached open is safe and saves the
-    # per-query footer parse
+    # per-query footer parse. Non-strings are already-open handles
+    # (pq.ParquetFile or the cache's thread-safe _SyncParquetFile).
     pf = (
-        path_or_file
-        if isinstance(path_or_file, pq.ParquetFile)
-        else fsio.parquet_file_cached(path_or_file)
+        fsio.parquet_file_cached(path_or_file)
+        if isinstance(path_or_file, str)
+        else path_or_file
     )
     md = pf.metadata
     key_idx = md.schema.to_arrow_schema().get_field_index(key_col)

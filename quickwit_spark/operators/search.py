@@ -1435,10 +1435,21 @@ def _partial_agg(
                 rows.sort(key=mkey)
             kept, cut = rows[:split_size], rows[split_size:]
             summary = dict(base)
+            # the largest CUT bucket bounds the per-split error ONLY
+            # under count-desc cut order (aggregation.md defines
+            # doc_count_error_upper_bound for count ordering; under
+            # _key / sub-agg-metric order the largest cut bucket says
+            # nothing about missed counts) — other orders contribute 0
+            # so the root never reports a bogus bound
+            err_part = (
+                float(max(r["agg_count"] for r in cut))
+                if (target == "_count" and not asc)
+                else 0.0
+            )
             summary.update(
                 agg_key=None,
                 agg_count=int(sum(r["agg_count"] for r in cut)),
-                agg_sum=float(max(r["agg_count"] for r in cut)),
+                agg_sum=err_part,
             )
             rows = kept + [summary]
     elif kind == "histogram":
@@ -1659,7 +1670,14 @@ class Searcher:
         the final winners only, grouped per split and fetched in
         parallel on the leaf pool (the reference issues per-split
         fetch_docs_in_split tasks concurrently too; serially this was
-        ~5 ms × winners-bearing-splits of pure row-group reads)."""
+        ~5 ms × winners-bearing-splits of pure row-group reads).
+
+        Same failure tolerance as the leaf phase: a split whose doc
+        fetch fails (e.g. GC'd between the leaf phase and the root
+        fetch) is retried once, then its hits are DROPPED and the
+        failure is reported in ``resp.errors`` — one lost split must
+        not discard an otherwise-partial result (the reference's
+        fetch_docs errors degrade to partial responses the same way)."""
         import json as _json
 
         pending: dict[str, list] = {}
@@ -1672,11 +1690,25 @@ class Searcher:
         def fetch(item):
             split_id, hs = item
             dpath = fsio.join(self.catalog.split_dir(split_id), DOCS_FILE)
-            return hs, fetch_doc_payloads(dpath, [h.docid for h in hs])
+            for attempt in (0, 1):
+                try:
+                    return hs, fetch_doc_payloads(dpath, [h.docid for h in hs])
+                except Exception as exc:  # noqa: BLE001 - reported
+                    if attempt:
+                        return hs, (split_id, exc)
+            return None  # unreachable
 
+        dropped: set[int] = set()
         for hs, dmap in self._leaf_pool().map(fetch, pending.items()):
+            if isinstance(dmap, tuple):
+                split_id, exc = dmap
+                resp.errors.append(f"split {split_id}: doc fetch: {exc}")
+                dropped.update(id(h) for h in hs)
+                continue
             for h in hs:
                 h.doc = _json.loads(dmap[h.docid])
+        if dropped:
+            resp.hits = [h for h in resp.hits if id(h) not in dropped]
 
     # a leaf search is executed in driver threads when the pruned split
     # set is small — the reference's single_node_search skips the gRPC
@@ -1915,6 +1947,9 @@ def _final_agg(kind: str, params: dict, sub: pd.DataFrame):
             # 'defaults to true when ordering by count desc'
             show_err = target == "_count" and not asc
         if show_err:
+            # leaves only contribute an error component under count-desc
+            # cut order (see the summary-row emit); with any other order
+            # this reports 0 rather than a bound the math doesn't support
             out["doc_count_error_upper_bound"] = error_bound
         return out
     if kind == "histogram":

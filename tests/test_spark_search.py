@@ -644,6 +644,18 @@ class TestAggregations:
             assert 0 <= under <= cut["doc_count_error_upper_bound"]
         # exact run: nothing cut anywhere
         assert exact["doc_count_error_upper_bound"] == 0
+        # under a NON-count cut order the largest cut bucket is not a
+        # valid bound (aggregation.md defines the bound for count
+        # ordering) — explicit show_term_doc_count_error reports 0
+        # rather than a number the math doesn't support
+        keyed = searcher.search(
+            "w00001", k=0,
+            aggs={"t": {"terms": {"field": "role", "size": 2,
+                                  "split_size": 1,
+                                  "order": {"_key": "asc"},
+                                  "show_term_doc_count_error": True}}},
+        ).aggs["t"]
+        assert keyed["doc_count_error_upper_bound"] == 0
 
     def test_terms_order_key_and_min_doc_count_zero(self, searcher, corpus):
         """order {_key: asc|desc} and min_doc_count=0 ('return all
@@ -1103,3 +1115,41 @@ def test_partial_results_on_split_failure(spark, corpus, tmp_path):
     s3 = Searcher(spark, d)
     with pytest.raises(RuntimeError, match="all 4 splits failed"):
         s3.search("w00001", k=10)
+
+
+def test_partial_results_on_doc_fetch_failure(spark, corpus, tmp_path):
+    """Root fetch_docs failure tolerance: a split whose DOC STORE dies
+    between the leaf phase and the root payload fetch (e.g. GC'd by a
+    concurrent merge) drops only its own hits and reports the failure
+    in resp.errors — it must not discard the other splits' results."""
+    import os
+
+    from quickwit_spark.config import IndexConfig
+    from quickwit_spark.operators.build import build_index
+    from quickwit_spark.operators.search import Searcher
+    from quickwit_spark.plans.catalog import Catalog
+
+    d = str(tmp_path / "fetchfail")
+    build_index(spark, spark.createDataFrame(corpus), d,
+                IndexConfig(), n_splits=4)
+    s = Searcher(spark, d)
+    full = s.search("w00001", k=20)
+    assert full.errors == [] and len(full.hits) > 0
+    victim = next(h.split_id for h in full.hits)
+
+    # corrupt ONLY the doc store (postings stay healthy, so the leaf
+    # phase succeeds and the failure surfaces in the root fetch phase);
+    # in-place overwrite — a deleted file stays readable via cached fds
+    cat = Catalog.load(d)
+    with open(os.path.join(cat.split_dir(victim), "docs.parquet"),
+              "wb") as f:
+        f.write(b"not a parquet file")
+
+    s2 = Searcher(spark, d)
+    resp = s2.search("w00001", k=20)
+    assert len(resp.errors) == 1
+    assert victim in resp.errors[0] and "doc fetch" in resp.errors[0]
+    assert all(h.split_id != victim for h in resp.hits)
+    assert all(h.doc is not None for h in resp.hits)
+    n_victim_hits = sum(1 for h in full.hits if h.split_id == victim)
+    assert len(resp.hits) == len(full.hits) - n_victim_hits
