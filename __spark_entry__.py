@@ -39,6 +39,9 @@ def _documents_config():
     return IndexConfig(
         fields=(
             FieldConfig("text", tokenizer="default", record="position"),
+            # same text under the Porter stemmer (tokenizer #14):
+            # index-time stems match query-time-stemmed terms
+            FieldConfig("text_stem", tokenizer="en_stem", record="basic"),
             FieldConfig("lang", tokenizer="raw", record="basic"),
             FieldConfig("source", tokenizer="raw", record="basic"),
             # json mapping-tree field synthesized from (lang, n_chars):
@@ -63,7 +66,7 @@ def _documents_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).withColumn(
         "props",
         F.to_json(F.struct(F.col("lang"), F.col("n_chars").alias("nc"))),
-    )
+    ).withColumn("text_stem", F.col("text"))
 
 
 def _docs_index(spark: SparkSession, sf_dir: str) -> str:
@@ -74,7 +77,7 @@ def _docs_index(spark: SparkSession, sf_dir: str) -> str:
     from quickwit_spark.operators.build import build_index
 
     tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
-    d = os.path.join(tempfile.gettempdir(), f"qs_entry_idx_{tag}_v6")
+    d = os.path.join(tempfile.gettempdir(), f"qs_entry_idx_{tag}_v7")
     from quickwit_spark.plans.catalog import Catalog
 
     if not Catalog.exists(d):
@@ -100,7 +103,7 @@ def _docs_index_merged(spark: SparkSession, sf_dir: str) -> str:
     from quickwit_spark.plans.catalog import Catalog
 
     tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
-    d = os.path.join(tempfile.gettempdir(), f"qs_entry_idxm_{tag}_v1")
+    d = os.path.join(tempfile.gettempdir(), f"qs_entry_idxm_{tag}_v2")
     if not Catalog.exists(d):
         cfg = dataclasses.replace(
             _documents_config(),
@@ -108,6 +111,33 @@ def _docs_index_merged(spark: SparkSession, sf_dir: str) -> str:
         )
         build_index(spark, _documents_df(spark, sf_dir), d, cfg, n_splits=4)
         run_merge_pipeline(spark, d)
+    _IDX_CACHE[key] = d
+    return d
+
+
+def _docs_index_demuxed(spark: SparkSession, sf_dir: str) -> str:
+    """A third index over the same documents, built as 4 splits then
+    DEMUXED by the `source` tenant field (merge_executor.rs:349-500
+    semantics: docs re-shuffled into per-tenant virtual splits, atomic
+    cutover) — gate-verifies that search results and per-tenant counts
+    are invariant under demux."""
+    key = sf_dir + "#demux"
+    if key in _IDX_CACHE:
+        return _IDX_CACHE[key]
+    from quickwit_spark.operators.build import build_index
+    from quickwit_spark.operators.demux import demux_splits
+    from quickwit_spark.plans.catalog import Catalog
+
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    d = os.path.join(tempfile.gettempdir(), f"qs_entry_idxd_{tag}_v1")
+    if not Catalog.exists(d):
+        build_index(
+            spark, _documents_df(spark, sf_dir), d,
+            _documents_config(), n_splits=4,
+        )
+        cat = Catalog.load(d)
+        sids = [s.split_id for s in cat.published_splits()]
+        demux_splits(spark, cat, sids, demux_field="source", demux_factor=6)
     _IDX_CACHE[key] = d
     return d
 
@@ -200,6 +230,46 @@ def q_bm25_after_merge(spark, sf_dir):
 
     se = Searcher(spark, _docs_index_merged(spark, sf_dir))
     return _hits_df(spark, se.search("vector", k=20))
+
+
+def q_bm25_after_demux(spark, sf_dir):
+    """Same query as bm25_topk but over the DEMUXED index: demux
+    re-shuffles docs into per-tenant splits without changing global
+    stats, so scores and ranks are invariant and the oracle is
+    identical (merge_executor.rs:349-500 demux semantics)."""
+    from quickwit_spark.operators.search import Searcher
+
+    se = Searcher(spark, _docs_index_demuxed(spark, sf_dir))
+    return _hits_df(spark, se.search("vector", k=20))
+
+
+def q_demux_tenant_counts(spark, sf_dir):
+    """Per-tenant doc counts on the demuxed index via tag-pruned
+    `source:<tenant>` term queries — every doc must land in exactly one
+    tenant bin after the demux re-shuffle."""
+    from quickwit_spark.operators.search import Searcher
+
+    se = Searcher(spark, _docs_index_demuxed(spark, sf_dir))
+    sources = sorted(
+        r["source"]
+        for r in _docs(spark, sf_dir).select("source").distinct().collect()
+    )
+    rows = [
+        (s, int(se.search(f"source:{s}", k=0).num_hits)) for s in sources
+    ]
+    return spark.createDataFrame(rows, "source string, n_docs long")
+
+
+def q_bm25_stemmed(spark, sf_dir):
+    """en_stem end-to-end: the query term 'merging' stems to 'merg' at
+    query time and matches docs whose text contains 'merge' (stemmed at
+    index time) — surface forms differ, stems agree. In this corpus
+    'merge' is the only token in the stem class, so the oracle is plain
+    BM25 on 'merge' (tokenizer.rs en_stem / Porter 1980)."""
+    resp = _searcher(spark, sf_dir).search(
+        "merging", k=20, search_fields=["text_stem"]
+    )
+    return _hits_df(spark, resp)
 
 
 def q_docmapper_typed(spark, sf_dir):
@@ -682,6 +752,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_multifield": q_bm25_multifield,
         "bm25_json_path": q_bm25_json_path,
         "bm25_after_merge": q_bm25_after_merge,
+        "bm25_after_demux": q_bm25_after_demux,
+        "bm25_stemmed": q_bm25_stemmed,
+        "demux_tenant_counts": q_demux_tenant_counts,
         "docmapper_typed": q_docmapper_typed,
         "search_num_hits": q_search_num_hits,
         "search_sort_fastfield": q_search_sort_fastfield,
@@ -806,6 +879,20 @@ def oracle_sql() -> dict[str, str]:
     sql["bm25_topk"] = _bm25_single("vector")
     # merge invariance: the fully-merged index answers identically
     sql["bm25_after_merge"] = _bm25_single("vector")
+    # demux invariance: per-tenant re-shuffle leaves global stats,
+    # scores, and ranks unchanged
+    sql["bm25_after_demux"] = _bm25_single("vector")
+    # every doc lands in exactly one tenant bin after demux
+    sql["demux_tenant_counts"] = """
+SELECT source, count(*) AS n_docs FROM documents
+GROUP BY source ORDER BY source
+"""
+    # en_stem: query 'merging' and indexed 'merge' share the Porter stem
+    # 'merg'; 'merge' is the only corpus token in that stem class, and
+    # the stemmed field's doc lengths equal the text field's (the
+    # stemmer maps token -> token), so first-principles BM25 on the
+    # surface form 'merge' is the exact oracle
+    sql["bm25_stemmed"] = _bm25_single("merge")
 
     sql["docmapper_typed"] = """
 SELECT doc_id, lang,
