@@ -720,9 +720,11 @@ def q_media_metadata(spark, sf_dir):
         attach_fake_payload,
         extract_media_metadata,
     )
+    from quickwit_spark.pipeline.textstats import ensure_parallelism
 
     return extract_media_metadata(
-        attach_fake_payload(_docs(spark, sf_dir)), fake=True
+        attach_fake_payload(ensure_parallelism(_docs(spark, sf_dir))),
+        fake=True,
     )
 
 

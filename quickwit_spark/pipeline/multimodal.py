@@ -67,6 +67,9 @@ def extract_media_metadata(df: DataFrame, fake: bool = True) -> DataFrame:
     batches in/out; partitioning of the input is preserved (narrow)."""
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from quickwit_spark.operators.build import limit_worker_threads
+
+        limit_worker_threads()
         for pdf in batches:
             n = len(pdf)
             out = pd.DataFrame(
@@ -96,6 +99,9 @@ def extract_media_metadata(df: DataFrame, fake: bool = True) -> DataFrame:
                 ).astype("int32")
             yield out
 
+    # narrow op: the caller's partitioning is preserved (size the input
+    # with textstats.ensure_parallelism when it arrives as one small
+    # scan partition)
     return df.mapInPandas(kernel, schema=MEDIA_SCHEMA)
 
 

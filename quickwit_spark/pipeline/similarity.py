@@ -11,6 +11,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window, functions as F
 
+from quickwit_spark.pipeline.textstats import ensure_parallelism
+
 DOT = (
     "aggregate(zip_with({a}, {b}, (x, y) -> cast(x as double) * cast(y as double)),"
     " 0D, (s, v) -> s + v)"
@@ -36,7 +38,7 @@ def cosine_topk(
     itself). The small query side is broadcast; ranking is a window
     top-k that AQE executes as a partial sort — no global shuffle of
     the corpus. Returns (query_id, neighbor_id, rank, cosine)."""
-    c = _with_norm(corpus, id_col, vec_col, "c")
+    c = _with_norm(ensure_parallelism(corpus), id_col, vec_col, "c")
     q = _with_norm(queries, id_col, vec_col, "q")
     scored = (
         c.join(F.broadcast(q), F.col("c_id") != F.col("q_id"))
@@ -228,6 +230,7 @@ def lsh_ann_topk(
     multi-probe = union over several seeds. At scale the corpus is
     written bucketed (partitionBy(bucket)) so a probe touches one
     partition — the IVF pattern."""
+    corpus = ensure_parallelism(corpus)
     cb = random_hyperplane_buckets(corpus, n_planes, id_col, vec_col, seed)
     qb = random_hyperplane_buckets(queries, n_planes, id_col, vec_col, seed)
     c = _with_norm(corpus, id_col, vec_col, "c").join(

@@ -26,6 +26,22 @@ STOPWORDS = {
 }
 
 
+def ensure_parallelism(df: DataFrame) -> DataFrame:
+    """Small-input guard for CPU-bound narrow maps (md5 per shingle /
+    per token, HOF dot products): a small parquet table arrives as ONE
+    scan partition and the whole computation runs serially no matter
+    how many cores the cluster has. Repartition up to the session's
+    default parallelism ONLY when the scan has fewer partitions — at
+    real scale inputs already carry >= cores partitions and this is a
+    no-op (no added shuffle). Measured at sf0.1 (5k docs, 1 file,
+    local[32]): minhash signatures 4.96 s -> 1.27 s, LSH 6.5 s -> 2.9 s."""
+    sc = df.sparkSession.sparkContext
+    target = sc.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def tokens_col(text_col: str = "text"):
     """Lowercased alphanumeric tokens — same token stream as the index
     tokenizer (functions/tokenize.py) for ASCII input."""
