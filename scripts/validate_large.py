@@ -2,7 +2,12 @@
 oracle on a 200k-turn corpus (100× the unit-test fixtures) across the
 F7 query battery. Run standalone:
 
-    python scripts/validate_large.py [n_turns]
+    python scripts/validate_large.py [n_turns] [n_splits] [merge_factor]
+
+``n_splits`` defaults to 16 with a 4/8 merge policy (16 -> 2 splits);
+``validate_large.py 10000000 8 8`` builds 8 x 1.25M-doc splits and
+merges 8 -> 1, exercising a single split at the production
+``split_num_docs_target`` (10M docs, index_config.rs:180-182).
 
 Prints one JSON verdict line; exits non-zero on any mismatch."""
 
@@ -39,7 +44,8 @@ def main() -> int:
     from quickwit_spark.sources.transcripts import generate_transcripts
 
     t0 = time.time()
-    n_splits = 16
+    n_splits = int(sys.argv[2]) if len(sys.argv) > 2 else 16
+    merge_factor = int(sys.argv[3]) if len(sys.argv) > 3 else 4
     cfg = IndexConfig(hot_term_doc_freq=5000, salt_docid_range=2048)
     pdf = generate_transcripts(n_turns, seed=42, hot_term_frac=0.1)
     gen_sec = time.time() - t0
@@ -84,7 +90,8 @@ def main() -> int:
     cat.config = IndexConfig(
         hot_term_doc_freq=cfg.hot_term_doc_freq,
         salt_docid_range=cfg.salt_docid_range,
-        merge_factor=4, max_merge_factor=8, min_level_num_docs=1000,
+        merge_factor=merge_factor, max_merge_factor=max(8, merge_factor),
+        min_level_num_docs=1000,
     )
     cat._commit()
     t0 = time.time()

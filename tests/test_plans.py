@@ -70,6 +70,10 @@ def test_no_python_udfs_in_builtin_pipelines(spark, maker):
 
     fn = getattr(ts, maker, None) or getattr(dd, maker)
     df = fn(spark.read.parquet(f"{SF}/documents.parquet"))
+    # ops guarded by ensure_parallelism() repartition small inputs, which
+    # puts an AdaptiveSparkPlan on top whose toString hides codegen spans
+    # until the plan is finalized — execute first, then read the plan
+    df.collect()
     plan = _plan(df)
     assert "EvalPython" not in plan  # all expressions JVM-side
     # codegen spans present (toString marks them "*(n)"); higher-order
@@ -82,5 +86,9 @@ def test_minhash_signature_single_shuffle(spark):
 
     df = minhash_signatures(spark.read.parquet(f"{SF}/documents.parquet"))
     plan = _plan(df)
-    assert plan.count("Exchange") == 1  # one groupBy(doc) shuffle
+    # exactly one DATA shuffle — the groupBy(doc) hash partitioning;
+    # the small-input ensure_parallelism guard may add a round-robin
+    # repartition exchange on this tiny fixture (a no-op at real scale)
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert plan.count("Exchange ") <= 2  # at most the round-robin extra
     assert "EvalPython" not in plan
