@@ -267,7 +267,16 @@ def main() -> None:
     for name in ("token_count", "dedup_exact", "dedup_minhash_lsh",
                  "ann_cosine_topk", "media_metadata"):
         fn = entry.queries()[name]
-        run = lambda: fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
+
+        def run(fn=fn):
+            out = fn(spark, SF_DIR)
+            out.write.format("noop").mode("overwrite").save()
+            # release persisted intermediates INSIDE the timed region:
+            # Spark's CacheManager matches identical analyzed plans, so
+            # without this a later rep would read the previous rep's
+            # cache and measure a cache hit instead of the op
+            from quickwit_spark.pipeline.dedup import unpersist_intermediates
+            unpersist_intermediates(out)
         # one untimed warmup rep (mirrors the search section's warm
         # se.search call): the first execution pays first-touch parquet
         # footer reads + codegen and r3 showed it inflating medians 2x

@@ -12,7 +12,11 @@ Scale notes (the 100 TB story):
 * MinHash/LSH: signatures are a narrow map (groupBy doc over exploded
   shingles×permutations is shuffle #1, banding join is shuffle #2);
   band buckets with huge membership (degenerate content) should be
-  capped — ``max_bucket`` guards the quadratic pair blow-up.
+  capped — ``max_bucket`` guards the quadratic pair blow-up. The
+  shingle-set and signature intermediates are persisted by default
+  (Catalyst cannot CSE the shingle expression across the self-join, so
+  the declarative plan re-tokenizes every doc up to 4×; measured 15×
+  end-to-end at sf0.1) — release with ``unpersist_intermediates``.
 * n-gram Jaccard: the shingle self-join explodes on frequent shingles;
   ``max_shingle_df`` drops shingles whose doc-freq exceeds the cap
   (standard frequent-shingle suppression) — sound for candidate
@@ -26,6 +30,7 @@ Scale notes (the 100 TB story):
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
+from pyspark.storagelevel import StorageLevel
 
 from quickwit_spark.pipeline.textstats import (
     TOKEN_PATTERN,
@@ -78,22 +83,16 @@ def exact_dedup(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -
 MINHASH_MOD = 1 << 40
 
 
-def minhash_signatures(
-    df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
-    num_perm: int = 12, k: int = 3,
-) -> DataFrame:
-    """MinHash signature as one array<long> column of length num_perm.
+def _shingle_sets(df: DataFrame, id_col: str, text_col: str, k: int) -> DataFrame:
+    """(id, sh: array<string>) — the shared shingle-set intermediate."""
+    return _ensure_parallelism(df).select(
+        F.col(id_col), F.expr(_shingles(text_col, k)).alias("sh")
+    )
 
-    Shingles are exploded and md5'd ONCE (two hashes per shingle), then
-    the num_perm minimums are columnar min-aggregates — map-side
-    combined, so the shuffle carries one partial signature per doc per
-    input partition, not the shingles. (A per-row higher-order-function
-    formulation is tempting but Catalyst inlines the hash arrays into
-    every permutation's lambda — md5 × num_perm; measured 7× slower.)"""
+
+def _signatures_from_sets(sets_: DataFrame, id_col: str, num_perm: int) -> DataFrame:
     M = MINHASH_MOD
-    sh = _ensure_parallelism(df).select(
-        F.col(id_col), F.explode(F.expr(_shingles(text_col, k))).alias("s")
-    ).select(
+    sh = sets_.select(id_col, F.explode("sh").alias("s")).select(
         id_col,
         F.expr(H15.format(x="s") + f" % {M}").alias("h1"),
         F.expr(H15.format(x="concat('~', s)") + f" % {M}").alias("h2"),
@@ -109,10 +108,35 @@ def minhash_signatures(
     )
 
 
+def minhash_signatures(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+    num_perm: int = 12, k: int = 3,
+) -> DataFrame:
+    """MinHash signature as one array<long> column of length num_perm.
+
+    Shingles are exploded and md5'd ONCE (two hashes per shingle), then
+    the num_perm minimums are columnar min-aggregates — map-side
+    combined, so the shuffle carries one partial signature per doc per
+    input partition, not the shingles. (A per-row higher-order-function
+    formulation is tempting but Catalyst inlines the hash arrays into
+    every permutation's lambda — md5 × num_perm; measured 7× slower.)"""
+    return _signatures_from_sets(
+        _shingle_sets(df, id_col, text_col, k), id_col, num_perm
+    )
+
+
+def unpersist_intermediates(out: DataFrame) -> None:
+    """Release the intermediates a pair-generator persisted (no-op for
+    DataFrames produced with ``persist_intermediates=False``)."""
+    for cached in getattr(out, "_qs_cached", ()) or ():
+        cached.unpersist()
+
+
 def minhash_lsh_pairs(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
     num_perm: int = 12, band_size: int = 3, k: int = 3,
     threshold: float = 0.5, max_bucket: int | None = 1000,
+    persist_intermediates: bool = True,
 ) -> DataFrame:
     """MinHash+LSH near-dup pairs: band the signature (num_perm/band_size
     bands, bucket = md5 of the band's slice in perm order), join docs
@@ -126,9 +150,26 @@ def minhash_lsh_pairs(
     frequent-bucket suppression — such content is exact-dup territory
     (``exact_dedup``), not MinHash territory; pass None to disable.
 
+    ``persist_intermediates`` (default on) caches the shingle-set and
+    signature DataFrames at MEMORY_AND_DISK: the declarative plan
+    otherwise re-tokenizes + re-shingles every doc up to 4× (signature
+    explode, band-bucket count, both verify join sides) because Catalyst
+    cannot CSE across a self-join (measured 15× end-to-end at sf0.1).
+    The cache spills to executor-local disk at scale; call
+    ``unpersist_intermediates(result)`` once the result is materialized,
+    or pass False for the pure declarative plan.
+
     Returns (id_a, id_b, jaccard) with id_a < id_b, rounded to 6."""
     n_bands = num_perm // band_size
-    sig = minhash_signatures(df, id_col, text_col, num_perm, k)
+    cached: list[DataFrame] = []
+    sets_ = _shingle_sets(df, id_col, text_col, k)
+    if persist_intermediates:
+        sets_ = sets_.persist(StorageLevel.MEMORY_AND_DISK)
+        cached.append(sets_)
+    sig = _signatures_from_sets(sets_, id_col, num_perm)
+    if persist_intermediates:
+        sig = sig.persist(StorageLevel.MEMORY_AND_DISK)
+        cached.append(sig)
     bands = sig.select(
         F.col(id_col),
         F.explode(
@@ -156,13 +197,15 @@ def minhash_lsh_pairs(
         .select("id_a", "id_b")
         .distinct()
     )
-    return _verify_jaccard(df, cand, id_col, text_col, k, threshold)
+    out = _verify_jaccard(sets_, cand, id_col, threshold)
+    out._qs_cached = cached
+    return out
 
 
-def _verify_jaccard(df, cand, id_col, text_col, k, threshold):
-    sets_ = _ensure_parallelism(df).select(
-        F.col(id_col), F.expr(_shingles(text_col, k)).alias("sh")
-    )
+def _verify_jaccard(sets_, cand, id_col, threshold):
+    """Exact Jaccard over full shingle sets for candidate pairs.
+    ``sets_`` is the (id, sh) DataFrame from ``_shingle_sets`` (possibly
+    persisted by the caller — it is joined on BOTH sides)."""
     out = (
         cand.join(sets_.withColumnRenamed(id_col, "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
         .join(sets_.withColumnRenamed(id_col, "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
@@ -184,6 +227,7 @@ def _verify_jaccard(df, cand, id_col, text_col, k, threshold):
 def ngram_jaccard_pairs(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
     k: int = 3, threshold: float = 0.5, max_shingle_df: int | None = 1000,
+    persist_intermediates: bool = True,
 ) -> DataFrame:
     """All-pairs n-gram Jaccard ≥ threshold via a shingle inverted
     self-join (exact when ``max_shingle_df=None`` — candidate pairs must
@@ -196,10 +240,17 @@ def ngram_jaccard_pairs(
     FULL shingle sets, so a surviving candidate's jaccard is exact; a
     pair is only missed if it shares nothing but suppressed
     (ubiquitous, hence uninformative) shingles. Pass None for the
-    exhaustive exact variant."""
-    sh = _ensure_parallelism(df).select(
-        F.col(id_col), F.explode(F.expr(_shingles(text_col, k))).alias("shingle")
-    )
+    exhaustive exact variant.
+
+    ``persist_intermediates`` caches the shingle sets (used by the
+    candidate explode, the df-cap count, and both verify sides) — see
+    ``minhash_lsh_pairs``; release with ``unpersist_intermediates``."""
+    cached: list[DataFrame] = []
+    sets_ = _shingle_sets(df, id_col, text_col, k)
+    if persist_intermediates:
+        sets_ = sets_.persist(StorageLevel.MEMORY_AND_DISK)
+        cached.append(sets_)
+    sh = sets_.select(id_col, F.explode("sh").alias("shingle"))
     if max_shingle_df is not None:
         keep = (
             sh.groupBy("shingle").count()
@@ -215,7 +266,9 @@ def ngram_jaccard_pairs(
         .select("id_a", "id_b")
         .distinct()
     )
-    return _verify_jaccard(df, cand, id_col, text_col, k, threshold)
+    out = _verify_jaccard(sets_, cand, id_col, threshold)
+    out._qs_cached = cached
+    return out
 
 
 SIMHASH_BITS = 60  # fits the 15-hex-digit cross-engine hash

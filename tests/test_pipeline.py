@@ -28,6 +28,34 @@ def test_minhash_candidates_subset_of_exact(spark, docs):
     assert lsh <= exact
 
 
+def test_minhash_persist_parity_and_release(spark, docs):
+    """persist_intermediates must not change the pair set, and
+    unpersist_intermediates must release exactly what was cached."""
+    from quickwit_spark.pipeline.dedup import (
+        minhash_lsh_pairs,
+        ngram_jaccard_pairs,
+        unpersist_intermediates,
+    )
+
+    out = minhash_lsh_pairs(docs, threshold=0.4)
+    cached_pairs = {(r.id_a, r.id_b, r.jaccard) for r in out.collect()}
+    assert len(out._qs_cached) == 2  # shingle sets + signatures
+    assert all(c.is_cached for c in out._qs_cached)
+    unpersist_intermediates(out)
+    assert not any(c.is_cached for c in out._qs_cached)
+
+    plain = minhash_lsh_pairs(docs, threshold=0.4, persist_intermediates=False)
+    assert plain._qs_cached == []
+    assert {(r.id_a, r.id_b, r.jaccard) for r in plain.collect()} == cached_pairs
+
+    ng = ngram_jaccard_pairs(docs, threshold=0.4)
+    ng_pairs = {(r.id_a, r.id_b, r.jaccard) for r in ng.collect()}
+    unpersist_intermediates(ng)
+    ng_plain = ngram_jaccard_pairs(docs, threshold=0.4, persist_intermediates=False)
+    assert {(r.id_a, r.id_b, r.jaccard) for r in ng_plain.collect()} == ng_pairs
+    unpersist_intermediates(ng_plain)  # no-op path
+
+
 def test_simhash_close_on_near_identical_text(spark):
     from pyspark.sql import functions as F
 
