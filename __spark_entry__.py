@@ -672,11 +672,19 @@ def q_dedup_embedding_cosine(spark, sf_dir):
 
 
 def q_dedup_clusters(spark, sf_dir):
-    from quickwit_spark.pipeline.dedup import minhash_lsh_pairs, near_dup_clusters
+    from quickwit_spark.pipeline.dedup import (
+        minhash_lsh_pairs,
+        near_dup_clusters,
+        unpersist_intermediates,
+    )
 
     docs = _docs(spark, sf_dir)
     pairs = minhash_lsh_pairs(docs, threshold=0.4)
-    return near_dup_clusters(docs, pairs)
+    # near_dup_clusters' label loop is eager, so pairs' persisted
+    # shingle/signature intermediates are no longer needed afterwards
+    out = near_dup_clusters(docs, pairs)
+    unpersist_intermediates(pairs)
+    return out
 
 
 def q_ann_cosine_topk(spark, sf_dir):

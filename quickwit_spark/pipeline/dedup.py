@@ -361,14 +361,21 @@ def near_dup_clusters(
 
     Iterative min-label propagation (each round: label ← min(label,
     neighbors' labels)); rounds ≤ graph diameter, each one shuffle —
-    the standard large-graph CC pattern on Spark. Deterministic."""
+    the standard large-graph CC pattern on Spark. Deterministic.
+
+    The edge list is persisted for the duration of the loop: every
+    round joins against it, and without the cache each round would
+    re-execute the full upstream pairs plan (LSH banding + Jaccard
+    verify). The loop is eager (per-round convergence count), so the
+    cache is released before returning — the result derives from the
+    final localCheckpoint, not from the edges."""
     from pyspark.sql import functions as F
 
     edges = (
         pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
         .union(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
         .distinct()
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     labels = ids_df.select(
         F.col(id_col).alias("id"), F.col(id_col).alias("lbl")
     )
@@ -395,6 +402,7 @@ def near_dup_clusters(
         labels = updated
         if changed == 0:
             break
+    edges.unpersist()
     return labels.select(F.col("id").alias(id_col), F.col("lbl").alias("cluster_id"))
 
 
