@@ -671,6 +671,16 @@ def q_dedup_embedding_cosine(spark, sf_dir):
     return embedding_cosine_pairs(_embs(spark, sf_dir), threshold=0.2)
 
 
+def q_dedup_embedding_lsh(spark, sf_dir):
+    """Scale path for embedding near-dup: hyperplane-LSH candidate
+    buckets + exact cosine verify (no O(n²) cross join)."""
+    from quickwit_spark.pipeline.dedup import embedding_lsh_pairs
+
+    return embedding_lsh_pairs(
+        _embs(spark, sf_dir), threshold=0.2, n_planes=4, n_tables=1
+    )
+
+
 def q_dedup_clusters(spark, sf_dir):
     from quickwit_spark.pipeline.dedup import (
         minhash_lsh_pairs,
@@ -795,6 +805,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": q_dedup_simhash,
         "dedup_simhash_pairs": q_dedup_simhash_pairs,
         "dedup_embedding_cosine": q_dedup_embedding_cosine,
+        "dedup_embedding_lsh": q_dedup_embedding_lsh,
         "dedup_clusters": q_dedup_clusters,
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
@@ -1502,6 +1513,21 @@ WITH w AS (SELECT vec_id, embedding, sqrt({self_dot}) AS nrm FROM embeddings)
 SELECT a.vec_id AS id_a, b.vec_id AS id_b,
        round({dot} / (a.nrm * b.nrm), 6) AS cosine
 FROM w a JOIN w b ON a.vec_id < b.vec_id
+WHERE round({dot} / (a.nrm * b.nrm), 6) >= 0.2
+"""
+
+    # scale-path twin of dedup_embedding_cosine: candidates restricted
+    # to hyperplane-LSH bucket collisions (same md5-derived planes as
+    # the Spark side), verified with the same exact cosine
+    sql["dedup_embedding_lsh"] = f"""
+WITH w AS (
+  SELECT vec_id, embedding, sqrt({self_dot}) AS nrm,
+         {lsh_bucket_expr(4)} AS bucket
+  FROM embeddings
+)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round({dot} / (a.nrm * b.nrm), 6) AS cosine
+FROM w a JOIN w b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
 WHERE round({dot} / (a.nrm * b.nrm), 6) >= 0.2
 """
 

@@ -23,8 +23,9 @@ Scale notes (the 100 TB story):
   GENERATION when paired with verification over full shingle sets.
 * SimHash: per-row bit-vote via higher-order functions (no explode, no
   shuffle until the bucket join on the 16-bit prefix).
-* embedding cosine: brute force is O(n²) — the LSH-bucketed variant in
-  similarity.py is the scale path; here we expose the exact verifier.
+* embedding cosine: brute force is O(n²) — ``embedding_lsh_pairs``
+  (hyperplane-LSH candidate buckets + exact cosine verify) is the scale
+  path; ``embedding_cosine_pairs`` is the exact verifier.
 """
 
 from __future__ import annotations
@@ -406,24 +407,45 @@ def near_dup_clusters(
     return labels.select(F.col("id").alias(id_col), F.col("lbl").alias("cluster_id"))
 
 
+_DOT = (
+    "aggregate(zip_with({a}, {b}, (x, y) -> cast(x as double) * cast(y as double)),"
+    " 0D, (s, v) -> s + v)"
+)
+
+
+def _vec_with_norm(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
+    """(id, v: the vector, nrm: its L2 norm) — shared verify input."""
+    return _ensure_parallelism(df).select(
+        F.col(id_col),
+        F.col(vec_col).alias("v"),
+        F.expr(f"sqrt({_DOT})".format(a=vec_col, b=vec_col)).alias("nrm"),
+    )
+
+
+def _verify_cosine(w: DataFrame, cand: DataFrame, id_col: str, threshold: float) -> DataFrame:
+    """Exact cosine over candidate pairs; ``w`` is from _vec_with_norm."""
+    a = w.select(F.col(id_col).alias("id_a"), F.col("v").alias("va"), F.col("nrm").alias("na"))
+    b = w.select(F.col(id_col).alias("id_b"), F.col("v").alias("vb"), F.col("nrm").alias("nb"))
+    return (
+        cand.join(a, "id_a").join(b, "id_b")
+        .withColumn(
+            "cosine",
+            F.round(F.expr(_DOT.format(a="va", b="vb")) / (F.col("na") * F.col("nb")), 6),
+        )
+        .where(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )
+
+
 def embedding_cosine_pairs(
     df: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding",
     threshold: float = 0.9,
 ) -> DataFrame:
     """Exact embedding near-dup: all pairs with cosine ≥ threshold.
-    O(n²) verifier — at scale, feed it candidates from
-    similarity.random_hyperplane_buckets instead of the full cross
-    join."""
-    dot = (
-        "aggregate(zip_with({a}, {b}, (x, y) -> cast(x as double) * cast(y as double)),"
-        " 0D, (s, v) -> s + v)"
-    )
-    norm = f"sqrt({dot})"
-    w = _ensure_parallelism(df).select(
-        F.col(id_col),
-        F.col(vec_col).alias("v"),
-        F.expr(norm.format(a=vec_col, b=vec_col)).alias("nrm"),
-    )
+    O(n²) verifier — at scale use ``embedding_lsh_pairs``, which feeds
+    the same exact-cosine verify from hyperplane-LSH candidate buckets
+    instead of the full cross join."""
+    w = _vec_with_norm(df, id_col, vec_col)
     a = w.select(F.col(id_col).alias("id_a"), F.col("v").alias("va"), F.col("nrm").alias("na"))
     b = w.select(F.col(id_col).alias("id_b"), F.col("v").alias("vb"), F.col("nrm").alias("nb"))
     return (
@@ -431,8 +453,56 @@ def embedding_cosine_pairs(
         .where(F.col("id_a") < F.col("id_b"))
         .withColumn(
             "cosine",
-            F.round(F.expr(dot.format(a="va", b="vb")) / (F.col("na") * F.col("nb")), 6),
+            F.round(F.expr(_DOT.format(a="va", b="vb")) / (F.col("na") * F.col("nb")), 6),
         )
         .where(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
     )
+
+
+def embedding_lsh_pairs(
+    df: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding",
+    threshold: float = 0.9, n_planes: int = 8, n_tables: int = 1,
+    seed: int = 42, max_bucket: int | None = 1000,
+) -> DataFrame:
+    """Embedding near-dup pairs at scale: hyperplane-LSH candidate
+    buckets (similarity.random_hyperplane_buckets — deterministic
+    md5-derived ±1 plane normals, reproducible across engines) verified
+    with EXACT cosine, so a surviving pair's cosine is exact; a pair is
+    only missed if it collides in no table. ``n_tables`` independent
+    plane sets (seeds seed..seed+n_tables-1) raise recall the standard
+    LSH way: candidate if bucket-equal in ANY table.
+
+    Never materializes the O(n²) cross join: candidates come from a
+    self-join on (table, bucket) — expected bucket size n/2^n_planes —
+    and ``max_bucket`` (default on) drops degenerate buckets the same
+    way minhash_lsh_pairs guards band buckets; pass None to disable.
+
+    Returns (id_a, id_b, cosine) with id_a < id_b, cosine rounded to 6."""
+    from quickwit_spark.pipeline.similarity import random_hyperplane_buckets
+
+    w = _vec_with_norm(df, id_col, vec_col)
+    buckets = None
+    for t in range(n_tables):
+        b = random_hyperplane_buckets(
+            df, n_planes=n_planes, id_col=id_col, vec_col=vec_col, seed=seed + t
+        ).select(F.col(id_col), F.concat(F.lit(f"{t}:"), F.col("bucket")).alias("bucket"))
+        buckets = b if buckets is None else buckets.union(b)
+    if max_bucket is not None:
+        keep = (
+            buckets.groupBy("bucket").count()
+            .where(F.col("count") <= max_bucket)
+            .select("bucket")
+        )
+        buckets = buckets.join(keep, "bucket")
+    cand = (
+        buckets.alias("x")
+        .join(buckets.alias("y"), "bucket")
+        .where(F.col(f"x.{id_col}") < F.col(f"y.{id_col}"))
+        .select(
+            F.col(f"x.{id_col}").alias("id_a"),
+            F.col(f"y.{id_col}").alias("id_b"),
+        )
+        .distinct()
+    )
+    return _verify_cosine(w, cand, id_col, threshold)

@@ -105,6 +105,37 @@ def test_persisted_ann_index_matches_inline_lsh(spark, tmp_path):
     assert "PartitionFilters" in plan and "bucket" in plan.split("PartitionFilters")[1][:200]
 
 
+def test_embedding_lsh_pairs_subset_exact_and_recall_monotone(spark):
+    """Bucketed pairs must be a subset of the exact O(n²) result with
+    identical cosines (LSH can miss, never invent), restrict the
+    candidate set, and adding tables must only ADD pairs."""
+    from quickwit_spark.pipeline.dedup import (
+        embedding_cosine_pairs,
+        embedding_lsh_pairs,
+    )
+
+    embs = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    exact = {
+        (r.id_a, r.id_b): r.cosine
+        for r in embedding_cosine_pairs(embs, threshold=0.2).collect()
+    }
+    t1 = {
+        (r.id_a, r.id_b): r.cosine
+        for r in embedding_lsh_pairs(
+            embs, threshold=0.2, n_planes=4, n_tables=1
+        ).collect()
+    }
+    t2 = {
+        (r.id_a, r.id_b): r.cosine
+        for r in embedding_lsh_pairs(
+            embs, threshold=0.2, n_planes=4, n_tables=2
+        ).collect()
+    }
+    assert t1 and set(t1) <= set(exact) and set(t1) <= set(t2) <= set(exact)
+    assert all(exact[k] == v for k, v in t2.items())
+    assert len(t1) < len(exact)  # bucketing actually restricts
+
+
 def test_ann_lsh_is_subset_of_bruteforce_candidates(spark):
     from pyspark.sql import functions as F
 
