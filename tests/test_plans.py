@@ -49,6 +49,23 @@ def test_cosine_topk_broadcasts_queries(spark):
     assert "Broadcast" in _plan(df)  # small probe side broadcast
 
 
+def test_embedding_lsh_pairs_has_no_cartesian_product(spark):
+    """The scale path must candidate via the bucket equi-join; only the
+    exact verifier is allowed a cross join."""
+    from quickwit_spark.pipeline.dedup import (
+        embedding_cosine_pairs,
+        embedding_lsh_pairs,
+    )
+
+    embs = spark.read.parquet(f"{SF}/embeddings.parquet")
+    lsh_plan = _plan(embedding_lsh_pairs(embs, threshold=0.2, n_planes=4))
+    assert "CartesianProduct" not in lsh_plan and "NestedLoop" not in lsh_plan
+    # the exact verifier by contrast IS an all-pairs join (cartesian, or
+    # its broadcast-nested-loop form when one side is small)
+    exact_plan = _plan(embedding_cosine_pairs(embs, threshold=0.2))
+    assert "CartesianProduct" in exact_plan or "NestedLoop" in exact_plan
+
+
 def test_exact_dedup_has_partial_aggregation(spark):
     from quickwit_spark.pipeline.dedup import exact_dedup
 
