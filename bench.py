@@ -265,7 +265,7 @@ def main() -> None:
     import __spark_entry__ as entry
 
     for name in ("token_count", "dedup_exact", "dedup_minhash_lsh",
-                 "ann_cosine_topk", "media_metadata"):
+                 "dedup_embedding_lsh", "ann_cosine_topk", "media_metadata"):
         fn = entry.queries()[name]
 
         def run(fn=fn):
