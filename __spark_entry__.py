@@ -448,6 +448,46 @@ def q_agg_histogram_dense(spark, sf_dir):
     return spark.createDataFrame(rows, "bucket double, doc_count long")
 
 
+def q_agg_histogram_subagg_stats(spark, sf_dir):
+    """Histogram buckets each carrying a stats sub-aggregation — the
+    aggregation.md 'histogram with stats in each bucket' example shape
+    (sub-aggs under bucket aggs, round 4). min_doc_count=1 pins the
+    sparse no-gap-fill shape the GROUP BY oracle produces."""
+    resp = _searcher(spark, sf_dir).search(
+        "vector", k=1,
+        aggs={"h": {"histogram": {"field": "n_chars", "interval": 100.0,
+                                  "min_doc_count": 1},
+                    "aggs": {"st": {"stats": {"field": "doc_id"}}}}},
+    )
+    rows = [
+        (float(b["key"]), int(b["doc_count"]), int(b["st"]["count"]),
+         float(b["st"]["sum"]), float(b["st"]["min"]),
+         float(b["st"]["max"]), round(float(b["st"]["avg"]), 6))
+        for b in resp.aggs["h"]["buckets"]
+    ]
+    return spark.createDataFrame(
+        rows,
+        "bucket double, doc_count long, s_count long, s_sum double, "
+        "s_min double, s_max double, s_avg double",
+    )
+
+
+def q_agg_range_subagg_avg(spark, sf_dir):
+    """Range buckets each carrying an avg sub-aggregation."""
+    resp = _searcher(spark, sf_dir).search(
+        "vector", k=1,
+        aggs={"r": {"range": {"field": "n_chars", "ranges": [
+            {"to": 300.0}, {"from": 300.0},
+        ]}, "aggs": {"a": {"avg": {"field": "doc_id"}}}}},
+    )
+    rows = sorted(
+        (b["key"], int(b["doc_count"]),
+         round(float(b["a"]["value"]), 6) if b["a"]["value"] is not None else None)
+        for b in resp.aggs["r"]["buckets"]
+    )
+    return spark.createDataFrame(rows, "bucket string, doc_count long, av double")
+
+
 def q_agg_terms_order_key(spark, sf_dir):
     """Terms agg ordered alphabetically (aggregation.md terms order
     {"_key": "asc"})."""
@@ -787,6 +827,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agg_range_nchars": q_agg_range_nchars,
         "agg_terms_stats": q_agg_terms_stats,
         "agg_histogram_dense": q_agg_histogram_dense,
+        "agg_histogram_subagg_stats": q_agg_histogram_subagg_stats,
+        "agg_range_subagg_avg": q_agg_range_subagg_avg,
         "agg_terms_order_key": q_agg_terms_order_key,
         "agg_terms_subagg_avg": q_agg_terms_subagg_avg,
         "token_count": q_token_count,
@@ -1185,6 +1227,29 @@ b(bucket, lo, hi) AS (
                         ('400.0-*', 400.0, NULL))
 )
 SELECT b.bucket, count(m.n_chars) AS doc_count
+FROM b LEFT JOIN m ON (b.lo IS NULL OR m.n_chars >= b.lo)
+                  AND (b.hi IS NULL OR m.n_chars < b.hi)
+GROUP BY b.bucket ORDER BY b.bucket
+"""
+
+    sql["agg_histogram_subagg_stats"] = f"""
+SELECT floor(n_chars / 100.0) * 100.0 AS bucket, count(*) AS doc_count,
+       count(*) AS s_count, sum(doc_id)::DOUBLE AS s_sum,
+       min(doc_id)::DOUBLE AS s_min, max(doc_id)::DOUBLE AS s_max,
+       round(sum(doc_id)::DOUBLE / count(*), 6) AS s_avg
+FROM documents WHERE list_contains({TOKS40}, 'vector')
+GROUP BY bucket ORDER BY bucket
+"""
+
+    sql["agg_range_subagg_avg"] = f"""
+WITH m AS (
+  SELECT n_chars, doc_id FROM documents WHERE list_contains({TOKS40}, 'vector')
+),
+b(bucket, lo, hi) AS (
+  SELECT * FROM (VALUES ('*-300.0', NULL, 300.0), ('300.0-*', 300.0, NULL))
+)
+SELECT b.bucket, count(m.n_chars) AS doc_count,
+       round(sum(m.doc_id)::DOUBLE / count(m.n_chars), 6) AS av
 FROM b LEFT JOIN m ON (b.lo IS NULL OR m.n_chars >= b.lo)
                   AND (b.hi IS NULL OR m.n_chars < b.hi)
 GROUP BY b.bucket ORDER BY b.bucket

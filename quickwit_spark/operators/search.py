@@ -1269,10 +1269,10 @@ def _normalize_aggs(aggs: dict | None) -> dict | None:
         kind = kinds[0]
         params = dict(spec[kind])
         if nested is not None:
-            if kind not in ("terms",):
+            if kind not in ("terms", "histogram", "range"):
                 raise ValueError(
-                    f"sub-aggregations are only supported under terms "
-                    f"(aggregation {name!r} is {kind!r})"
+                    f"sub-aggregations are only supported under bucket "
+                    f"aggregations (aggregation {name!r} is {kind!r})"
                 )
             if len(nested) != 1:
                 raise ValueError(
@@ -1457,8 +1457,15 @@ def _partial_agg(
         # aggregation.md histogram: bucket key =
         # ((val - offset) / interval).floor() * interval + offset
         off = float(params.get("offset", 0.0))
-        v = vals[~pd.isna(vals)].astype(np.float64)
+        notna = ~pd.isna(vals)
+        v = vals[notna].astype(np.float64)
         buckets = np.floor((v - off) / interval) * interval + off
+        stats_field = params.get("stats_field")
+        sv = (
+            np.asarray(extra_cols[stats_field], dtype=np.float64)[notna]
+            if stats_field is not None
+            else None
+        )
         hard = params.get("hard_bounds")
         if hard is not None:
             # limits the BUCKETS to the [min, max] closed interval
@@ -1466,13 +1473,41 @@ def _partial_agg(
                 buckets <= float(hard["max"])
             )
             buckets = buckets[mask]
+            if sv is not None:
+                sv = sv[mask]
         uniq, cnt = np.unique(buckets, return_counts=True)
-        for key, c in zip(uniq, cnt):
-            r = dict(base)
-            r.update(agg_key=repr(float(key)), agg_count=int(c))
-            rows.append(r)
+        if sv is not None:
+            # doc_count stays bucket MEMBERSHIP (identical to the
+            # no-sub-agg path); the stats ride along as sum/min/max of
+            # the sub-agg field within the bucket (aggregation.md
+            # 'histogram with stats in each bucket')
+            g = (
+                pd.Series(sv)
+                .groupby(pd.Series(buckets))
+                .agg(["sum", "min", "max"])
+            )
+            for key, c in zip(uniq, cnt):
+                r = dict(base)
+                st = g.loc[key]
+                r.update(
+                    agg_key=repr(float(key)), agg_count=int(c),
+                    agg_sum=float(st["sum"]), agg_min=float(st["min"]),
+                    agg_max=float(st["max"]),
+                )
+                rows.append(r)
+        else:
+            for key, c in zip(uniq, cnt):
+                r = dict(base)
+                r.update(agg_key=repr(float(key)), agg_count=int(c))
+                rows.append(r)
     elif kind == "range":
         v = vals.astype(np.float64)
+        stats_field = params.get("stats_field")
+        sv = (
+            np.asarray(extra_cols[stats_field], dtype=np.float64)
+            if stats_field is not None
+            else None
+        )
         for rng in params["ranges"]:
             lo = rng.get("from")
             hi = rng.get("to")
@@ -1486,6 +1521,14 @@ def _partial_agg(
                 agg_key=f"{lo if lo is not None else '*'}-{hi if hi is not None else '*'}",
                 agg_count=int(mask.sum()),
             )
+            if sv is not None:
+                mv = sv[mask]
+                mv = mv[~np.isnan(mv)]
+                r.update(
+                    agg_sum=float(mv.sum()) if mv.size else 0.0,
+                    agg_min=float(mv.min()) if mv.size else np.nan,
+                    agg_max=float(mv.max()) if mv.size else np.nan,
+                )
             rows.append(r)
     elif kind in ("stats", "avg"):
         v = vals[~pd.isna(vals)].astype(np.float64)
@@ -1869,6 +1912,24 @@ def merge_partials(pdf: pd.DataFrame, k, offset, sort_by, aggs) -> SearchRespons
 AGGREGATION_BUCKET_LIMIT = 65_000  # collector.rs:273
 
 
+def _sub_stats_payload(params: dict, doc_count: int, s_sum, s_min, s_max):
+    """The sub-agg value for one merged bucket: avg -> {"value": ...},
+    stats -> the full stats dict. Empty buckets (gap-filled histogram
+    grid, empty ranges) report count 0 with null min/max/avg, the ES
+    empty-bucket shape."""
+    empty = doc_count == 0 or (isinstance(s_min, float) and np.isnan(s_min))
+    stats = {
+        "count": 0 if empty else int(doc_count),
+        "sum": 0.0 if empty else float(s_sum),
+        "min": None if empty else float(s_min),
+        "max": None if empty else float(s_max),
+        "avg": None if empty else float(s_sum) / doc_count,
+    }
+    if params.get("sub_kind", "stats") == "avg":
+        return {"value": stats["avg"]}
+    return stats
+
+
 def _final_agg(kind: str, params: dict, sub: pd.DataFrame):
     if kind == "terms":
         size = int(params.get("size", 10))
@@ -1965,7 +2026,21 @@ def _final_agg(kind: str, params: dict, sub: pd.DataFrame):
             raise ValueError(
                 "extended_bounds cannot be combined with min_doc_count > 0"
             )
-        merged = sub.groupby("agg_key")["agg_count"].sum()
+        has_stats = bool(params.get("stats_field"))
+        if has_stats:
+            mdf = sub.groupby("agg_key").agg(
+                doc_count=("agg_count", "sum"), s_sum=("agg_sum", "sum"),
+                s_min=("agg_min", "min"), s_max=("agg_max", "max"),
+            )
+            merged = mdf["doc_count"]
+            stats_by_idx = {
+                int(round((float(k) - off) / interval)):
+                    (g["s_sum"], g["s_min"], g["s_max"])
+                for k, g in mdf.iterrows()
+            }
+        else:
+            merged = sub.groupby("agg_key")["agg_count"].sum()
+            stats_by_idx = {}
         # bucket index on the offset grid: keys regenerate bit-identical
         # as float(i) * interval + off (same float64 ops as the leaf)
         counts = {
@@ -1989,14 +2064,39 @@ def _final_agg(kind: str, params: dict, sub: pd.DataFrame):
         # default (min_doc_count=0): every bucket between min and max,
         # empty ones included; min_doc_count>0 filters instead
         idxs = range(lo, hi + 1) if min_doc == 0 else sorted(counts)
-        return {
-            "buckets": [
-                {"key": float(i) * interval + off, "doc_count": counts.get(i, 0)}
-                for i in idxs
-                if counts.get(i, 0) >= min_doc
-            ]
-        }
+        out_buckets = []
+        for i in idxs:
+            c = counts.get(i, 0)
+            if c < min_doc:
+                continue
+            b = {"key": float(i) * interval + off, "doc_count": c}
+            if has_stats:
+                ss, sm, sx = stats_by_idx.get(i, (0.0, np.nan, np.nan))
+                b[params.get("sub_name", "stats")] = _sub_stats_payload(
+                    params, c, ss, sm, sx
+                )
+            out_buckets.append(b)
+        return {"buckets": out_buckets}
     if kind == "range":
+        has_stats = bool(params.get("stats_field"))
+        if has_stats:
+            mdf = sub.groupby("agg_key", sort=False).agg(
+                doc_count=("agg_count", "sum"), s_sum=("agg_sum", "sum"),
+                s_min=("agg_min", "min"), s_max=("agg_max", "max"),
+            )
+            sub_name = params.get("sub_name", "stats")
+            return {
+                "buckets": [
+                    {
+                        "key": key, "doc_count": int(g["doc_count"]),
+                        sub_name: _sub_stats_payload(
+                            params, int(g["doc_count"]), g["s_sum"],
+                            g["s_min"], g["s_max"],
+                        ),
+                    }
+                    for key, g in mdf.iterrows()
+                ]
+            }
         merged = sub.groupby("agg_key", sort=False)["agg_count"].sum()
         return {
             "buckets": [

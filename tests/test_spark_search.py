@@ -724,6 +724,60 @@ class TestAggregations:
             for b in legacy.aggs["by_role"]["buckets"]
         ]
 
+    def test_histogram_and_range_subaggs(self, searcher):
+        """Sub-aggs under the other bucket kinds (aggregation.md's own
+        example is histogram-with-stats): per-bucket stats must agree
+        with a whole-query stats agg restricted by hard_bounds/range,
+        and an empty gap-filled bucket reports the ES empty shape."""
+        resp = searcher.search(
+            "w00001", k=0,
+            aggs={"h": {"histogram": {"field": "doc_len", "interval": 5.0},
+                        "aggs": {"st": {"stats": {"field": "turn_idx"}}}},
+                  "r": {"range": {"field": "doc_len",
+                                  "ranges": [{"to": 10}, {"from": 10}]},
+                        "aggs": {"a": {"avg": {"field": "turn_idx"}}}}},
+        )
+        hb = [b for b in resp.aggs["h"]["buckets"] if b["doc_count"]]
+        assert hb and all(
+            b["st"]["count"] == b["doc_count"]
+            and b["st"]["min"] <= b["st"]["avg"] <= b["st"]["max"]
+            for b in hb
+        )
+        # a single histogram bucket cross-checked against a whole-query
+        # stats agg confined to that bucket via hard_bounds
+        k0 = hb[0]["key"]
+        only = searcher.search(
+            "w00001", k=0,
+            aggs={"h": {"histogram": {
+                "field": "doc_len", "interval": 5.0,
+                "hard_bounds": {"min": k0, "max": k0},
+            }, "aggs": {"st": {"stats": {"field": "turn_idx"}}}}},
+        ).aggs["h"]["buckets"]
+        assert [b for b in only if b["doc_count"]][0]["st"] == hb[0]["st"]
+        # range avg = stats-derived avg over the same split point
+        rb = {b["key"]: b for b in resp.aggs["r"]["buckets"]}
+        n_lo = rb["*-10"]["doc_count"]
+        assert n_lo + rb["10-*"]["doc_count"] == resp.num_hits
+        tot = searcher.search(
+            "w00001", k=0, aggs={"st": {"stats": {"field": "turn_idx"}}}
+        ).aggs["st"]
+        w_lo = rb["*-10"]["a"]["value"] * n_lo if n_lo else 0.0
+        w_hi = rb["10-*"]["a"]["value"] * rb["10-*"]["doc_count"]
+        assert abs((w_lo + w_hi) - tot["sum"]) < 1e-6
+        # empty gap bucket (min_doc_count=0 grid) carries the ES empty
+        # sub-agg shape
+        empty = [b for b in resp.aggs["h"]["buckets"] if not b["doc_count"]]
+        for b in empty:
+            assert b["st"] == {"count": 0, "sum": 0.0, "min": None,
+                               "max": None, "avg": None}
+        # sub-aggs under metric aggs still rejected loudly
+        with pytest.raises(ValueError, match="bucket"):
+            searcher.search(
+                "w00001", k=0,
+                aggs={"s": {"stats": {"field": "doc_len"},
+                            "aggs": {"x": {"avg": {"field": "doc_len"}}}}},
+            )
+
     def test_range_agg(self, searcher):
         resp = searcher.search(
             "w00001", k=0,
