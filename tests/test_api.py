@@ -343,6 +343,22 @@ def test_http_rest_server(index, corpus):
             b["doc_count"] > 0 for b in agg["buckets"]
         )
 
+        # nested bucket sub-agg round-trips the live JSON path
+        # (aggregation.md histogram-with-stats example shape)
+        aggs2 = quote(json.dumps({
+            "h": {"histogram": {"field": "doc_len", "interval": 5.0},
+                  "aggs": {"st": {"stats": {"field": "doc_len"}}}},
+        }))
+        code, body = get(f"/search?query=w00001&max_hits=0&aggs={aggs2}")
+        hb = json.loads(body)["aggregations"]["h"]["buckets"]
+        assert code == 200 and hb
+        filled = [b for b in hb if b["doc_count"]]
+        assert filled and all(
+            b["st"]["count"] == b["doc_count"]
+            and b["st"]["min"] <= b["st"]["avg"] <= b["st"]["max"]
+            for b in filled
+        )
+
         # format=json is compact, default prettyjson is indented
         code, compact = get("/search?query=w00001&max_hits=1&format=json")
         assert "\n" not in compact
