@@ -464,6 +464,7 @@ def embedding_lsh_pairs(
     df: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding",
     threshold: float = 0.9, n_planes: int = 8, n_tables: int = 1,
     seed: int = 42, max_bucket: int | None = 1000,
+    persist_intermediates: bool = True,
 ) -> DataFrame:
     """Embedding near-dup pairs at scale: hyperplane-LSH candidate
     buckets (similarity.random_hyperplane_buckets — deterministic
@@ -478,16 +479,31 @@ def embedding_lsh_pairs(
     and ``max_bucket`` (default on) drops degenerate buckets the same
     way minhash_lsh_pairs guards band buckets; pass None to disable.
 
+    ``persist_intermediates`` (default on) caches the bucket table and
+    the (id, vector, norm) verify input: the bucket projection costs
+    n_planes × dim md5-derived terms per row and the declarative plan
+    re-evaluates it up to 3× (cap count + both self-join sides), and
+    the norms twice (both verify sides) — same Catalyst-can't-CSE
+    tradeoff as minhash_lsh_pairs. Release with
+    ``unpersist_intermediates(result)``.
+
     Returns (id_a, id_b, cosine) with id_a < id_b, cosine rounded to 6."""
     from quickwit_spark.pipeline.similarity import random_hyperplane_buckets
 
+    cached: list[DataFrame] = []
     w = _vec_with_norm(df, id_col, vec_col)
+    if persist_intermediates:
+        w = w.persist(StorageLevel.MEMORY_AND_DISK)
+        cached.append(w)
     buckets = None
     for t in range(n_tables):
         b = random_hyperplane_buckets(
             df, n_planes=n_planes, id_col=id_col, vec_col=vec_col, seed=seed + t
         ).select(F.col(id_col), F.concat(F.lit(f"{t}:"), F.col("bucket")).alias("bucket"))
         buckets = b if buckets is None else buckets.union(b)
+    if persist_intermediates:
+        buckets = buckets.persist(StorageLevel.MEMORY_AND_DISK)
+        cached.append(buckets)
     if max_bucket is not None:
         keep = (
             buckets.groupBy("bucket").count()
@@ -505,4 +521,6 @@ def embedding_lsh_pairs(
         )
         .distinct()
     )
-    return _verify_cosine(w, cand, id_col, threshold)
+    out = _verify_cosine(w, cand, id_col, threshold)
+    out._qs_cached = cached
+    return out

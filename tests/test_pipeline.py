@@ -55,6 +55,23 @@ def test_minhash_persist_parity_and_release(spark, docs):
     assert {(r.id_a, r.id_b, r.jaccard) for r in ng_plain.collect()} == ng_pairs
     unpersist_intermediates(ng_plain)  # no-op path
 
+    from quickwit_spark.pipeline.dedup import embedding_lsh_pairs
+
+    embs = docs.sparkSession.read.parquet(
+        "/root/testdata/sf0.001/embeddings.parquet"
+    )
+    el = embedding_lsh_pairs(embs, threshold=0.2, n_planes=4)
+    el_pairs = {(r.id_a, r.id_b, r.cosine) for r in el.collect()}
+    assert len(el._qs_cached) == 2  # vec+norm table + bucket table
+    assert all(c.is_cached for c in el._qs_cached)
+    unpersist_intermediates(el)
+    assert not any(c.is_cached for c in el._qs_cached)
+    el_plain = embedding_lsh_pairs(
+        embs, threshold=0.2, n_planes=4, persist_intermediates=False
+    )
+    assert el_plain._qs_cached == []
+    assert {(r.id_a, r.id_b, r.cosine) for r in el_plain.collect()} == el_pairs
+
 
 def test_simhash_close_on_near_identical_text(spark):
     from pyspark.sql import functions as F
