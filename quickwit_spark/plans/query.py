@@ -130,6 +130,15 @@ def _lex(q: str) -> list[tuple[str, object]]:
                 tokens.append(("matchall", None))
             else:
                 value = word[len(fld) + 1 :] if fld else word
+                if value[:1] in ("<", ">"):
+                    # comparison-range syntax (``field:>foo``,
+                    # ``field:<=bar``) — the tantivy grammar parses these
+                    # as Range leaves and the reference rejects the whole
+                    # query (query_builder.rs:41-43 + its test
+                    # ``title:>foo``)
+                    raise QueryParseError(
+                        "Range queries are not currently allowed."
+                    )
                 bad = _UNESCAPED_RESERVED.search(value)
                 if bad:
                     raise QueryParseError(

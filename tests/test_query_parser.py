@@ -240,6 +240,15 @@ class TestReservedAndEscapes:
             ):
                 parse_query(q, CFG)
 
+    def test_comparison_range_rejected_with_reference_error(self):
+        # query_builder.rs test battery: ``title:>foo`` is a Range leaf
+        # in the tantivy grammar and is rejected wholesale
+        for q in ("tool:>foo", "tool:<foo", "tool:>=5", "text:<=bar", ">loose"):
+            with pytest.raises(
+                QueryParseError, match="Range queries are not currently"
+            ):
+                parse_query(q, CFG)
+
     def test_unescaped_boost_is_a_syntax_error(self):
         # tantivy would need `^` escaped; silent phrase mis-parse is worse
         with pytest.raises(QueryParseError, match="reserved character"):
