@@ -272,6 +272,16 @@ def q_bm25_stemmed(spark, sf_dir):
     return _hits_df(spark, resp)
 
 
+def q_bm25_boosted(spark, sf_dir):
+    """Boosted disjunction vector^2 OR hash (tantivy grammar
+    ``UserInputAst::Boost``, accepted by query_builder.rs:79/96):
+    the boosted clause's BM25 score doubles before the should-sum,
+    reordering hits vs the unboosted disjunction."""
+    return _hits_df(
+        spark, _searcher(spark, sf_dir).search("vector^2 OR hash", k=20)
+    )
+
+
 def q_docmapper_typed(spark, sf_dir):
     """Generic DocMapping over a synthesized JSON feed of the documents
     table: typed leaves (i64/f64), base64 bytes, nested object, and a
@@ -814,6 +824,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_after_merge": q_bm25_after_merge,
         "bm25_after_demux": q_bm25_after_demux,
         "bm25_stemmed": q_bm25_stemmed,
+        "bm25_boosted": q_bm25_boosted,
         "demux_tenant_counts": q_demux_tenant_counts,
         "docmapper_typed": q_docmapper_typed,
         "search_num_hits": q_search_num_hits,
@@ -985,6 +996,23 @@ ORDER BY t1.s + t2.s DESC, t1.doc_id ASC LIMIT 20
 , u AS (
   SELECT coalesce(t1.doc_id, t2.doc_id) AS doc_id,
          coalesce(t1.s, 0) + coalesce(t2.s, 0) AS s
+  FROM t1 FULL OUTER JOIN t2 ON t1.doc_id = t2.doc_id
+)
+SELECT doc_id, round(s, 4) AS score FROM u
+ORDER BY s DESC, doc_id ASC LIMIT 20
+"""
+    )
+
+    # vector^2 OR hash — the boost multiplies the boosted clause's
+    # BM25 partial BEFORE the should-sum (Lucene/tantivy Boost)
+    sql["bm25_boosted"] = (
+        _BM25_WITH + ","
+        + _bm25_term_cte("vector", "t1") + ","
+        + _bm25_term_cte("hash", "t2")
+        + """
+, u AS (
+  SELECT coalesce(t1.doc_id, t2.doc_id) AS doc_id,
+         coalesce(t1.s * 2, 0) + coalesce(t2.s, 0) AS s
   FROM t1 FULL OUTER JOIN t2 ON t1.doc_id = t2.doc_id
 )
 SELECT doc_id, round(s, 4) AS score FROM u

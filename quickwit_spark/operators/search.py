@@ -63,6 +63,7 @@ from quickwit_spark.plans.catalog import Catalog
 from quickwit_spark.plans.pruning import prune_splits
 from quickwit_spark.plans.query import (
     Bool,
+    Boost,
     MatchAll,
     Phrase,
     Term,
@@ -186,6 +187,10 @@ def _node_ok(node) -> bool:
     when must is present; that quirk stays on the exhaustive path)."""
     if isinstance(node, (Term, Phrase)):
         return True
+    if isinstance(node, Boost):
+        # boost scales the child's scores by a non-negative factor:
+        # upper bounds scale the same way, so prunability is the child's
+        return _node_ok(node.node)
     if not isinstance(node, Bool) or node.must_not:
         return False
     if node.must and node.should:
@@ -226,10 +231,15 @@ def _wand_plan(ast):
 
     if isinstance(ast, (Term, Phrase)):
         return [[ast]], []
+    if isinstance(ast, Boost):
+        return ([[ast]], []) if _node_ok(ast) else None
     if not isinstance(ast, Bool):
         return None
     negs = []
     for c in ast.must_not:
+        while isinstance(c, Boost):
+            # exclusion is set-based — a negation's boost is score-dead
+            c = c.node
         if isinstance(c, (Term, Phrase)):
             negs.append(c)
         elif (
@@ -436,6 +446,11 @@ def _wand_bool(
     neg_shapes = [n for n in neg if not isinstance(n, Term)]
 
     def _minfo(node):
+        if isinstance(node, Boost):
+            # score multiplier: cov/keys are the child's, bounds and
+            # per-segment scores scale by the (non-negative) factor
+            child = _minfo(node.node)
+            return ("boost", child[1], (node.factor, child))
         if isinstance(node, Term):
             return ("term", [(node.field, node.value)], 0)
         if isinstance(node, Phrase):
@@ -474,6 +489,11 @@ def _wand_bool(
         kind, keys, extra = mi_
         if kind in ("term", "phrase"):
             return mi_ if all(k in sp.stats for k in keys) else None
+        if kind == "boost":
+            p = _prune_minfo(extra[1])
+            if p is None:
+                return None
+            return ("boost", p[1], (extra[0], p))
         if kind == "group":
             subs = [p for p in map(_prune_minfo, extra) if p is not None]
             if not subs:
@@ -584,6 +604,14 @@ def _wand_bool(
                 )
             nd["cov"] = cov
             nd["ub"] = np.where(cov, raw, 0.0)
+            return nd
+        if kind == "boost":
+            child = _annotate(extra[1])
+            nd["factor"] = extra[0]
+            nd["children"] = [child]
+            nd["cov"] = child["cov"]
+            # child ub is already cov-masked; factor >= 0 keeps the mask
+            nd["ub"] = child["ub"] * extra[0]
             return nd
         children = [_annotate(c) for c in extra]
         nd["children"] = children
@@ -714,6 +742,9 @@ def _wand_bool(
                 freqs + k1 * (1.0 - b + b * dls / avgdl)
             )
             return ids, nd["val"] * norm
+        if kind == "boost":
+            ids, sc = _node_seg(nd["children"][0], s, lo, hi)
+            return ids, sc * nd["factor"]
         if kind == "conj":
             parts = []
             cand = None
@@ -902,6 +933,9 @@ class _SplitEval:
         empty = (np.empty(0, np.int64), np.empty(0, np.float64))
         if isinstance(node, MatchAll):
             return np.arange(self.n_split, dtype=np.int64), np.zeros(self.n_split)
+        if isinstance(node, Boost):
+            ids, scores = self.eval(node.node)
+            return ids, scores * node.factor
         if isinstance(node, Term):
             key = (node.field, node.value)
             p = self.postings.get(key)
@@ -1873,6 +1907,8 @@ def _validate_phrase_fields(ast, config) -> None:
     elif isinstance(ast, Bool):
         for c in ast.must + ast.should + ast.must_not:
             _validate_phrase_fields(c, config)
+    elif isinstance(ast, Boost):
+        _validate_phrase_fields(ast.node, config)
 
 
 def merge_partials(pdf: pd.DataFrame, k, offset, sort_by, aggs) -> SearchResponse:

@@ -33,6 +33,7 @@ from quickwit_spark.operators.build import split_id_for_partition
 from quickwit_spark.functions.tokenize import TOKENIZERS
 from quickwit_spark.plans.query import (
     Bool,
+    Boost,
     MatchAll,
     Phrase,
     QueryAst,
@@ -115,6 +116,12 @@ class OracleEngine:
         """Return {(split, docid): score} of matching docs."""
         if isinstance(node, MatchAll):
             return {k: 0.0 for k in self.doc_meta}
+        if isinstance(node, Boost):
+            # Lucene-style: the child's score scaled by the factor;
+            # the match set is unchanged
+            return {
+                k: v * node.factor for k, v in self._eval(node.node).items()
+            }
         if isinstance(node, Term):
             plist = self.postings[node.field].get(node.value, {})
             df = len(plist)

@@ -19,6 +19,7 @@ from dataclasses import dataclass
 from quickwit_spark.plans.catalog import SplitMetadata
 from quickwit_spark.plans.query import (
     Bool,
+    Boost,
     MatchAll,
     Phrase,
     QueryAst,
@@ -66,6 +67,10 @@ UNINFORMATIVE = object()  # matches every split
 def extract_tag_pred(ast: QueryAst, tag_fields: tuple[str, ...]):
     """Extract a monotone predicate over split tags; any query shape that
     cannot constrain tags becomes UNINFORMATIVE (tag_pruning.rs:150-199)."""
+    if isinstance(ast, Boost):
+        # boost scales scores only; the match set — hence the tag
+        # constraint — is the child's
+        return extract_tag_pred(ast.node, tag_fields)
     if isinstance(ast, Term):
         if ast.field in tag_fields:
             return TagPred(ast.field, ast.value)

@@ -16,7 +16,11 @@ Semantics follow the reference's query layer:
   than a silent mis-parse;
 * range clauses (``field:[a TO b]``) are detected and rejected with
   the reference's exact error — query_builder.rs:42
-  ("Range queries are not currently allowed.").
+  ("Range queries are not currently allowed.");
+* ``clause^N`` boosts (tantivy grammar ``UserInputAst::Boost``,
+  accepted by query_builder.rs:79/96) on terms, phrases and
+  parenthesized groups; any other unescaped ``^`` stays a loud
+  reserved-character error.
 
 Scoring (our addition — the reference disables scoring at this rev,
 quickwit-search/src/collector.rs:318-323): Lucene-style boolean sum of
@@ -68,6 +72,19 @@ class MatchAll:
     pass
 
 
+@dataclass(frozen=True)
+class Boost:
+    """``clause^N`` — the tantivy grammar's ``UserInputAst::Boost``
+    (query_builder.rs:79/96 pattern-matches it, so the reference
+    accepts boosted queries; with scoring disabled there the boost is
+    output-neutral). We score, so the boost is applied Lucene-style:
+    the child's BM25 score multiplied by ``factor`` (non-negative by
+    construction — the grammar lexes only an unsigned number)."""
+
+    node: object
+    factor: float
+
+
 QueryAst = object  # union of the above
 
 
@@ -75,8 +92,8 @@ _TOKEN_SPEC = re.compile(
     r"""
     \s*(?:
         (?P<lparen>\() |
-        (?P<rparen>\)) |
-        (?P<quoted>(?:(?P<qfield>[A-Za-z_][\w.]*):)?"(?P<phrase>[^"]*)"(?:~(?P<slop>\d+))?) |
+        (?P<rparen>\))(?:\^(?P<rpboost>\d+(?:\.\d+)?))? |
+        (?P<quoted>(?:(?P<qfield>[A-Za-z_][\w.]*):)?"(?P<phrase>[^"]*)"(?:~(?P<slop>\d+))?(?:\^(?P<qboost>\d+(?:\.\d+)?))?) |
         (?P<neg>-) |
         (?P<plus>\+) |
         (?P<word>(?:(?P<field>[A-Za-z_][\w.]*):)?(?:\\.|[^\s()"\\+-])(?:\\.|[^\s()"\\])*)
@@ -111,11 +128,14 @@ def _lex(q: str) -> list[tuple[str, object]]:
         if m.group("lparen"):
             tokens.append(("(", None))
         elif m.group("rparen"):
-            tokens.append((")", None))
+            rb = m.group("rpboost")
+            tokens.append((")", float(rb) if rb else None))
         elif m.group("quoted") is not None:
             slop = int(m.group("slop") or 0)
+            qb = m.group("qboost")
             tokens.append(
-                ("phrase", (m.group("qfield"), m.group("phrase"), slop))
+                ("phrase", (m.group("qfield"), m.group("phrase"), slop,
+                            float(qb) if qb else None))
             )
         elif m.group("neg"):
             tokens.append(("NOT", None))
@@ -139,13 +159,23 @@ def _lex(q: str) -> list[tuple[str, object]]:
                     raise QueryParseError(
                         "Range queries are not currently allowed."
                     )
+                # trailing unescaped ``^N`` is a boost suffix
+                # (UserInputAst::Boost); any other unescaped ``^`` stays
+                # a loud reserved-character error below
+                boost = None
+                mb = re.search(r"(?<!\\)\^(\d+(?:\.\d+)?)$", value)
+                if mb and mb.start() > 0:
+                    boost = float(mb.group(1))
+                    value = value[: mb.start()]
                 bad = _UNESCAPED_RESERVED.search(value)
                 if bad:
                     raise QueryParseError(
                         f"reserved character {bad.group()!r} in term "
                         f"{value!r} must be escaped with a backslash"
                     )
-                tokens.append(("term", (fld, re.sub(r"\\(.)", r"\1", value))))
+                tokens.append(
+                    ("term", (fld, re.sub(r"\\(.)", r"\1", value), boost))
+                )
     return tokens
 
 
@@ -225,36 +255,45 @@ class _Parser:
             return must[0]
         return Bool(must=tuple(must), must_not=tuple(must_not))
 
+    @staticmethod
+    def _boosted(node, factor):
+        """Wrap ``node`` in Boost(factor); boosting MatchAll is a no-op
+        (its score is 0) so the wrapper is elided there."""
+        if factor is None or isinstance(node, MatchAll):
+            return node
+        return Boost(node, factor)
+
     def parse_unary(self):
         kind, val = self.next()
         if kind == "(":
             node = self.parse_or()
-            if self.next()[0] != ")":
+            close, boost = self.next()
+            if close != ")":
                 raise QueryParseError("unbalanced parentheses")
-            return node
+            return self._boosted(node, boost)
         if kind == "NOT":
             inner = self.parse_unary()
             return Bool(must_not=(inner,))
         if kind == "matchall":
             return MatchAll()
         if kind == "term":
-            fld, value = val
+            fld, value, boost = val
 
             def make_term(field):
                 return self.resolve(field, value, None)
 
             if fld is not None:
-                return make_term(fld) or MatchAll()
-            return self._default_expand(make_term)
+                return self._boosted(make_term(fld) or MatchAll(), boost)
+            return self._boosted(self._default_expand(make_term), boost)
         if kind == "phrase":
-            fld, text, slop = val
+            fld, text, slop, boost = val
 
             def make_phrase(field):
                 return self.resolve(field, text, slop)
 
             if fld is not None:
-                return make_phrase(fld) or MatchAll()
-            return self._default_expand(make_phrase)
+                return self._boosted(make_phrase(fld) or MatchAll(), boost)
+            return self._boosted(self._default_expand(make_phrase), boost)
         raise QueryParseError(f"unexpected token {kind}")
 
 
@@ -330,6 +369,8 @@ def query_terms(ast: QueryAst) -> set[tuple[str, str]]:
         elif isinstance(node, Bool):
             for c in node.must + node.should + node.must_not:
                 walk(c)
+        elif isinstance(node, Boost):
+            walk(node.node)
 
     walk(ast)
     return out
@@ -339,6 +380,9 @@ def positive_required_terms(ast: QueryAst) -> set[tuple[str, str]]:
     """(field, token) pairs that MUST match for any hit — sound input to
     term-range / tag split pruning (mirrors tag_pruning.rs:28-51: OR is
     the union, must_not and unknown shapes are uninformative)."""
+    if isinstance(ast, Boost):
+        # a boost scales scores only — the match set is the child's
+        return positive_required_terms(ast.node)
     if isinstance(ast, Term):
         return {(ast.field, ast.value)}
     if isinstance(ast, Phrase):

@@ -55,6 +55,14 @@ QUERIES = (
         "w00000 -(w00001 AND w00002)",
         "w00000 -(w00001 OR w00002)",
         '(w00000 OR w00004) -(w00001 AND "w00002 w00003")',
+        # boosts (UserInputAst::Boost): leaf, phrase, group, nested, 0-factor
+        "w00050^2",
+        "w00050^2 OR w00120",
+        "w00000^0.5 AND w00050",
+        '"w00000 w00001"~1^3',
+        "(w00000 OR w00050)^2 AND w00001",
+        "(w00000^2 AND w00050) OR w00120^0",
+        "w00000 -w00050^2",
     ]
 )
 

@@ -249,10 +249,39 @@ class TestReservedAndEscapes:
             ):
                 parse_query(q, CFG)
 
-    def test_unescaped_boost_is_a_syntax_error(self):
-        # tantivy would need `^` escaped; silent phrase mis-parse is worse
+    def test_trailing_caret_number_is_a_boost(self):
+        # tantivy grammar: ``clause^N`` is UserInputAst::Boost — the
+        # reference accepts it (query_builder.rs pattern-matches Boost)
+        from quickwit_spark.plans.query import Boost
+
+        assert parse_query("beagle^2", CFG) == Boost(
+            Term("text", "beagle"), 2.0
+        )
+        assert parse_query('"small dog"^1.5', CFG) == Boost(
+            Phrase("text", ("small", "dog"), 0), 1.5
+        )
+        assert parse_query("(beagle OR pug)^3 AND dog", CFG) == Bool(
+            must=(
+                Boost(
+                    Bool(
+                        should=(
+                            Term("text", "beagle"),
+                            Term("text", "pug"),
+                        )
+                    ),
+                    3.0,
+                ),
+                Term("text", "dog"),
+            )
+        )
+
+    def test_non_boost_caret_is_a_syntax_error(self):
+        # a caret NOT in trailing ``^number`` position still needs the
+        # backslash escape; silent phrase mis-parse is worse
         with pytest.raises(QueryParseError, match="reserved character"):
-            parse_query("beagle^2", CFG)
+            parse_query("bea^gle", CFG)
+        with pytest.raises(QueryParseError, match="reserved character"):
+            parse_query("beagle^x", CFG)
         with pytest.raises(QueryParseError, match="reserved character"):
             parse_query("a OR tool:x{1}", CFG)
 

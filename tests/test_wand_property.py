@@ -26,12 +26,13 @@ from quickwit_spark.operators.search import (
     _wand_plan,
     query_terms,
 )
-from quickwit_spark.plans.query import Bool, Phrase, Term
+from quickwit_spark.plans.query import Bool, Boost, Phrase, Term
 from quickwit_spark.sources.transcripts import fixture_corpus
 
 VOCAB = ["hot", "warm", "mid", "rare", "cool", "odd", "few", "one"]
 
 _words = st.sampled_from(VOCAB)
+_factors = st.sampled_from([0.0, 0.5, 1.0, 2.0, 3.5])
 _leaf = st.one_of(
     _words.map(lambda w: Term("text", w)),
     st.tuples(_words, _words, st.integers(0, 2)).map(
@@ -47,6 +48,7 @@ _tree = st.recursive(
         st.lists(ch, min_size=2, max_size=3).map(
             lambda cs: Bool(should=tuple(cs))
         ),
+        st.tuples(ch, _factors).map(lambda t: Boost(t[0], t[1])),
     ),
     max_leaves=6,
 )
