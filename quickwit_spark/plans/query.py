@@ -20,7 +20,9 @@ Semantics follow the reference's query layer:
 * ``clause^N`` boosts (tantivy grammar ``UserInputAst::Boost``,
   accepted by query_builder.rs:79/96) on terms, phrases and
   parenthesized groups; any other unescaped ``^`` stays a loud
-  reserved-character error.
+  reserved-character error;
+* ``field:(a b)`` field-scoped groups (tantivy grammar): the field is
+  the default for the inner clause, explicit inner qualifiers win.
 
 Scoring (our addition — the reference disables scoring at this rev,
 quickwit-search/src/collector.rs:318-323): Lucene-style boolean sum of
@@ -91,6 +93,7 @@ QueryAst = object  # union of the above
 _TOKEN_SPEC = re.compile(
     r"""
     \s*(?:
+        (?P<fgroup>[A-Za-z_][\w.]*):\( |
         (?P<lparen>\() |
         (?P<rparen>\))(?:\^(?P<rpboost>\d+(?:\.\d+)?))? |
         (?P<quoted>(?:(?P<qfield>[A-Za-z_][\w.]*):)?"(?P<phrase>[^"]*)"(?:~(?P<slop>\d+))?(?:\^(?P<qboost>\d+(?:\.\d+)?))?) |
@@ -125,7 +128,12 @@ def _lex(q: str) -> list[tuple[str, object]]:
                 break
             raise QueryParseError(f"cannot lex query at: {q[pos:]!r}")
         pos = m.end()
-        if m.group("lparen"):
+        if m.group("fgroup"):
+            # ``field:(...)`` — tantivy grammar's field-scoped group:
+            # the field becomes the default for the inner clause
+            # (explicit inner fields still win)
+            tokens.append(("fgroup", m.group("fgroup")))
+        elif m.group("lparen"):
             tokens.append(("(", None))
         elif m.group("rparen"):
             rb = m.group("rpboost")
@@ -267,6 +275,20 @@ class _Parser:
         kind, val = self.next()
         if kind == "(":
             node = self.parse_or()
+            close, boost = self.next()
+            if close != ")":
+                raise QueryParseError("unbalanced parentheses")
+            return self._boosted(node, boost)
+        if kind == "fgroup":
+            # field-scoped group: the field is the default for the
+            # inner clause (tantivy ``field:(a b)``); explicit inner
+            # ``other:term`` qualifiers still win
+            saved = self.default_fields
+            self.default_fields = [val]
+            try:
+                node = self.parse_or()
+            finally:
+                self.default_fields = saved
             close, boost = self.next()
             if close != ")":
                 raise QueryParseError("unbalanced parentheses")

@@ -63,6 +63,10 @@ QUERIES = (
         "(w00000 OR w00050)^2 AND w00001",
         "(w00000^2 AND w00050) OR w00120^0",
         "w00000 -w00050^2",
+        # field-scoped groups (tantivy ``field:(...)``)
+        "role:(user OR tool) AND w00003",
+        "tool:(python OR grep) AND w00001",
+        "text:(w00050 OR w00120)^2 AND w00001",
     ]
 )
 

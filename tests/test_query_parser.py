@@ -275,6 +275,27 @@ class TestReservedAndEscapes:
             )
         )
 
+    def test_field_scoped_group(self):
+        # tantivy grammar ``field:(a b)``: the field is the default for
+        # the inner clause; explicit inner qualifiers still win
+        assert parse_query("tool:(python OR rust)", CFG) == Bool(
+            should=(Term("tool", "python"), Term("tool", "rust"))
+        )
+        assert parse_query("tool:(python rust)", CFG) == Bool(
+            must=(Term("tool", "python"), Term("tool", "rust"))
+        )
+        assert parse_query("tool:(text:python OR rust)", CFG) == Bool(
+            should=(Term("text", "python"), Term("tool", "rust"))
+        )
+        from quickwit_spark.plans.query import Boost
+
+        assert parse_query("tool:(python OR rust)^2", CFG) == Boost(
+            Bool(should=(Term("tool", "python"), Term("tool", "rust"))),
+            2.0,
+        )
+        with pytest.raises(QueryParseError, match="unbalanced"):
+            parse_query("tool:(python OR rust", CFG)
+
     def test_non_boost_caret_is_a_syntax_error(self):
         # a caret NOT in trailing ``^number`` position still needs the
         # backslash escape; silent phrase mis-parse is worse
