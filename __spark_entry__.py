@@ -282,6 +282,17 @@ def q_bm25_boosted(spark, sf_dir):
     )
 
 
+def q_bm25_scoped_group(spark, sf_dir):
+    """Field-scoped group lang:(de OR fr) AND vector (tantivy grammar
+    ``field:(...)``): the group's field is the default for its inner
+    clause; a doc's single raw lang value makes exactly one disjunct
+    match, scored tf=1 against the text doc length."""
+    return _hits_df(
+        spark,
+        _searcher(spark, sf_dir).search("lang:(de OR fr) AND vector", k=20),
+    )
+
+
 def q_docmapper_typed(spark, sf_dir):
     """Generic DocMapping over a synthesized JSON feed of the documents
     table: typed leaves (i64/f64), base64 bytes, nested object, and a
@@ -825,6 +836,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_after_demux": q_bm25_after_demux,
         "bm25_stemmed": q_bm25_stemmed,
         "bm25_boosted": q_bm25_boosted,
+        "bm25_scoped_group": q_bm25_scoped_group,
         "demux_tenant_counts": q_demux_tenant_counts,
         "docmapper_typed": q_docmapper_typed,
         "search_num_hits": q_search_num_hits,
@@ -1159,6 +1171,33 @@ u2 AS (
 SELECT u1.doc_id, round(u1.s + u2.s, 4) AS score
 FROM u1 JOIN u2 ON u1.doc_id = u2.doc_id
 ORDER BY u1.s + u2.s DESC, u1.doc_id ASC LIMIT 20
+"""
+    )
+
+    # lang:(de OR fr) AND vector — the scoped group contributes the
+    # matched raw-lang partial (disjoint values: exactly one disjunct
+    # matches per doc), summed with the text-term partial
+    sql["bm25_scoped_group"] = (
+        _BM25_WITH + "," + _bm25_term_cte("vector", "tvec")
+        + f"""
+, gde_df AS (SELECT count(*) AS df FROM documents WHERE lang = 'de'),
+gfr_df AS (SELECT count(*) AS df FROM documents WHERE lang = 'fr'),
+g AS (
+  SELECT d.doc_id,
+    CASE WHEN d.lang = 'de' THEN
+      ln(1 + ((SELECT n FROM stats) - (SELECT df FROM gde_df) + 0.5)
+             / ((SELECT df FROM gde_df) + 0.5))
+    ELSE
+      ln(1 + ((SELECT n FROM stats) - (SELECT df FROM gfr_df) + 0.5)
+             / ((SELECT df FROM gfr_df) + 0.5))
+    END
+    * (1 * ({K1} + 1)) / (1 + {K1} * (1 - {B} + {B} * dl.dl / (SELECT avgdl FROM stats))) AS s
+  FROM documents d JOIN dl ON d.doc_id = dl.doc_id
+  WHERE d.lang IN ('de', 'fr')
+)
+SELECT g.doc_id, round(g.s + tvec.s, 4) AS score
+FROM g JOIN tvec ON g.doc_id = tvec.doc_id
+ORDER BY g.s + tvec.s DESC, g.doc_id ASC LIMIT 20
 """
     )
 
