@@ -692,6 +692,39 @@ def q_sample_stratified(spark, sf_dir):
     )
 
 
+def q_corpus_curation(spark, sf_dir):
+    """Training-mix curation as ONE composed declarative plan — the
+    100-TB pre-training shape: quality gate (narrow map), exact-dedup
+    keepers (one digest shuffle), deterministic per-source sampling
+    (narrow map), per-source doc/token accounting (one agg shuffle).
+    Catalyst fuses the maps; nothing materializes between stages."""
+    from quickwit_spark.pipeline.dedup import exact_dedup
+    from quickwit_spark.pipeline.sampling import stratified_sample
+    from quickwit_spark.pipeline.textstats import quality_score, token_count
+
+    docs = _docs(spark, sf_dir)
+    # append=True composes the narrow maps onto the same rows — no
+    # self-joins on doc_id; the ONLY wide ops in the whole plan are
+    # the dedup digest-window shuffle and the final per-source agg
+    enriched = token_count(
+        quality_score(docs, append=True), append=True
+    )
+    # quality gate BEFORE the dedup window: rejected rows never enter
+    # the digest shuffle (the only data-proportional exchange here)
+    kept = exact_dedup(
+        enriched.where(F.col("quality") >= 0.45), append=True
+    ).where(~F.col("is_dup"))
+    fractions = {f"src{i}": (1.0 if i % 2 == 0 else 0.5) for i in range(10)}
+    return (
+        stratified_sample(kept, fractions, seed="cur1")
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").alias("sum_tokens"),
+        )
+    )
+
+
 def q_dedup_exact(spark, sf_dir):
     from quickwit_spark.pipeline.dedup import exact_dedup
 
@@ -865,6 +898,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate": q_decontaminate,
         "sample_stratified": q_sample_stratified,
         "dedup_exact": q_dedup_exact,
+        "corpus_curation": q_corpus_curation,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_simhash": q_dedup_simhash,
@@ -1565,6 +1599,43 @@ FROM documents d LEFT JOIN hits h USING (doc_id)
 SELECT doc_id, source FROM documents
 WHERE {h15.format(x="'mix1:' || cast(doc_id AS VARCHAR)")} % 1000000
       < floor(({frac_case}) * 1000000)
+"""
+
+    # composed curation plan: quality gate + dedup keepers +
+    # deterministic per-source sample + per-source accounting
+    cur_frac_case = "CASE source " + " ".join(
+        f"WHEN 'src{i}' THEN {1.0 if i % 2 == 0 else 0.5}" for i in range(10)
+    ) + " END"
+    sql["corpus_curation"] = f"""
+WITH q AS (
+  SELECT doc_id,
+    len({TOKS})::BIGINT AS n_toks,
+    len(list_filter({TOKS}, t -> t IN ({en})))::BIGINT AS n_stop,
+    len(list_distinct({TOKS}))::BIGINT AS n_distinct
+  FROM documents
+), r AS (
+  SELECT doc_id,
+    round(least(n_toks / 100.0, 1.0) * 0.4
+          + least(round(n_stop * 1.0 / greatest(n_toks, 1), 6) * 5.0, 1.0) * 0.2
+          + round(n_distinct * 1.0 / greatest(n_toks, 1), 6) * 0.4, 6) AS quality
+  FROM q
+), keepers AS (
+  -- dedup AMONG quality-passing docs (the gate runs before the
+  -- digest shuffle in the Spark plan)
+  SELECT doc_id FROM (
+    SELECT d.doc_id, min(d.doc_id) OVER (PARTITION BY md5(d.text)) AS keeper
+    FROM documents d JOIN r USING (doc_id)
+    WHERE r.quality >= 0.45
+  ) WHERE doc_id = keeper
+), kept AS (
+  SELECT d.doc_id, d.source, len({TOKS})::BIGINT AS n_tokens
+  FROM documents d
+  JOIN keepers USING (doc_id)
+  WHERE {h15.format(x="'cur1:' || cast(doc_id AS VARCHAR)")} % 1000000
+        < floor(({cur_frac_case}) * 1000000)
+)
+SELECT source, count(*) AS n_docs, sum(n_tokens)::BIGINT AS sum_tokens
+FROM kept GROUP BY source
 """
 
     sql["dedup_ngram_jaccard"] = f"""

@@ -55,24 +55,27 @@ def _shingles(text_col: str, k: int = 3) -> str:
     )
 
 
-def exact_dedup(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+def exact_dedup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    append: bool = False,
+) -> DataFrame:
     """Exact dedup by content digest: every doc annotated with its
-    group's keeper (min id) and group size. One digest shuffle."""
-    w = df.select(
-        F.col(id_col), F.md5(F.col(text_col)).alias("digest")
-    )
-    groups = w.groupBy("digest").agg(
-        F.min(id_col).alias("keeper_id"),
-        F.count("*").alias("group_size"),
-    )
-    return (
-        w.join(groups, "digest")
-        .select(
-            id_col,
-            "keeper_id",
-            "group_size",
-            (F.col(id_col) != F.col("keeper_id")).alias("is_dup"),
-        )
+    group's keeper (min id) and group size. ONE digest shuffle — the
+    per-group keeper/size are window aggregates over the digest
+    partition, so no second exchange or self-join is planned (the
+    groupBy+join formulation shuffles the same rows twice at scale).
+    ``append=True`` keeps the input columns (for composing into larger
+    curation plans without a re-join on the id)."""
+    from pyspark.sql import Window
+
+    win = Window.partitionBy(F.md5(F.col(text_col)))
+    keeper = F.min(id_col).over(win).alias("keeper_id")
+    size = F.count(F.lit(1)).over(win).alias("group_size")
+    head = ["*"] if append else [id_col]
+    return df.select(*head, keeper, size).withColumn(
+        "is_dup", F.col(id_col) != F.col("keeper_id")
     )
 
 

@@ -48,10 +48,17 @@ def tokens_col(text_col: str = "text"):
     return F.expr(f"regexp_extract_all(lower({text_col}), '{TOKEN_PATTERN}', 0)")
 
 
-def token_count(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
-    """Per-doc token counts: whitespace-ish tokens and a BPE-ish regex."""
+def token_count(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    append: bool = False,
+) -> DataFrame:
+    """Per-doc token counts: whitespace-ish tokens and a BPE-ish regex.
+    ``append=True`` keeps the input columns (narrow map — composes
+    into larger plans without a re-join on the id)."""
     return df.select(
-        F.col(id_col),
+        *(["*"] if append else [id_col]),
         F.size(tokens_col(text_col)).cast("long").alias("n_tokens"),
         F.size(
             F.expr(f"regexp_extract_all(lower({text_col}), '{BPE_PATTERN}', 0)")
@@ -60,14 +67,21 @@ def token_count(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -
     )
 
 
-def quality_score(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+def quality_score(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    append: bool = False,
+) -> DataFrame:
     """Heuristic quality features + a composite score: length, mean
     token length, stopword ratio, alpha ratio, repetition (distinct
-    token ratio). Deterministic, SQL-expressible."""
+    token ratio). Deterministic, SQL-expressible. ``append=True``
+    keeps the input columns (narrow map — composes into larger plans
+    without a re-join on the id)."""
     toks = tokens_col(text_col)
     en = ", ".join(f"'{w}'" for w in STOPWORDS["en"])
     out = df.select(
-        F.col(id_col),
+        *(["*"] if append else [id_col]),
         F.length(text_col).cast("long").alias("n_chars_q"),
         F.size(toks).cast("long").alias("n_toks"),
         F.size(F.expr(
