@@ -290,7 +290,8 @@ def main() -> None:
     import __spark_entry__ as entry
 
     for name in ("token_count", "dedup_exact", "dedup_minhash_lsh",
-                 "dedup_embedding_lsh", "ann_cosine_topk", "media_metadata"):
+                 "dedup_embedding_lsh", "ann_cosine_topk", "media_metadata",
+                 "corpus_curation"):
         fn = entry.queries()[name]
 
         def run(fn=fn):

@@ -77,18 +77,25 @@ def quality_score(
     token length, stopword ratio, alpha ratio, repetition (distinct
     token ratio). Deterministic, SQL-expressible. ``append=True``
     keeps the input columns (narrow map — composes into larger plans
-    without a re-join on the id)."""
-    toks = tokens_col(text_col)
+    without a re-join on the id).
+
+    The token array is staged under an alias referenced 3× so single
+    regex evaluation per row is guaranteed by plan shape rather than
+    by codegen subexpression elimination (A/B at sf0.01/sf0.1:
+    identical time — codegen already CSEs the inline form; the staged
+    form keeps that property under interpreted fallback too)."""
     en = ", ".join(f"'{w}'" for w in STOPWORDS["en"])
-    out = df.select(
+    staged = df.select(
         *(["*"] if append else [id_col]),
         F.length(text_col).cast("long").alias("n_chars_q"),
-        F.size(toks).cast("long").alias("n_toks"),
-        F.size(F.expr(
-            f"filter(regexp_extract_all(lower({text_col}), '{TOKEN_PATTERN}', 0),"
-            f" t -> t in ({en}))"
-        )).cast("long").alias("n_stop"),
-        F.size(F.array_distinct(toks)).cast("long").alias("n_distinct"),
+        tokens_col(text_col).alias("_toks"),
+    )
+    out = staged.select(
+        *[c for c in staged.columns if c != "_toks"],
+        F.size("_toks").cast("long").alias("n_toks"),
+        F.expr(f"size(filter(_toks, t -> t in ({en})))")
+        .cast("long").alias("n_stop"),
+        F.size(F.array_distinct("_toks")).cast("long").alias("n_distinct"),
     )
     out = out.withColumn(
         "stopword_ratio",
@@ -110,17 +117,18 @@ def quality_score(
 
 def lang_id(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """Stopword-vote language ID over {en, de, fr}; ties break by
-    language code order, zero votes → 'und'."""
-    toks = tokens_col(text_col)
+    language code order, zero votes → 'und'. Tokens staged once so the
+    per-vote regex sharing does not depend on codegen subexpression
+    elimination."""
 
     def votes(lang: str):
         words = ", ".join(f"'{w}'" for w in STOPWORDS[lang])
-        return F.size(F.expr(
-            f"filter(regexp_extract_all(lower({text_col}), '{TOKEN_PATTERN}', 0),"
-            f" t -> t in ({words}))"
-        ))
+        return F.expr(f"size(filter(_toks, t -> t in ({words})))")
 
     out = df.select(
+        F.col(id_col),
+        tokens_col(text_col).alias("_toks"),
+    ).select(
         F.col(id_col),
         votes("en").alias("v_en"),
         votes("de").alias("v_de"),
@@ -141,17 +149,24 @@ def fingerprint(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -
     """Document fingerprints: md5 of the normalized token stream (exact
     content identity modulo whitespace/punct) + a bottom-1 shingle
     sketch (min hash of word 3-grams — a 1-perm rolling-window
-    fingerprint; robust to local edits)."""
-    toks = tokens_col(text_col)
+    fingerprint; robust to local edits).
+
+    Tokens staged once so the inline form's per-shingle regex inside
+    the transform lambda cannot recur; measured equivalent at
+    sf0.01/sf0.1 (codegen CSE already hoists it) but the staged plan
+    guarantees it structurally."""
     return df.select(
         F.col(id_col),
-        F.md5(F.concat_ws(" ", toks)).alias("content_md5"),
+        tokens_col(text_col).alias("_toks"),
+    ).select(
+        F.col(id_col),
+        F.md5(F.concat_ws(" ", "_toks")).alias("content_md5"),
         F.expr(
-            f"""
+            """
             array_min(transform(
-              sequence(1, greatest(size(regexp_extract_all(lower({text_col}), '{TOKEN_PATTERN}', 0)) - 2, 1)),
+              sequence(1, greatest(size(_toks) - 2, 1)),
               i -> cast(conv(substring(md5(concat_ws(' ',
-                     slice(regexp_extract_all(lower({text_col}), '{TOKEN_PATTERN}', 0), i, 3))), 1, 15), 16, 10) as bigint)
+                     slice(_toks, i, 3))), 1, 15), 16, 10) as bigint)
             ))
             """
         ).cast("long").alias("shingle_min_hash"),
