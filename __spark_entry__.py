@@ -692,6 +692,16 @@ def q_sample_stratified(spark, sf_dir):
     )
 
 
+def q_sequence_packing(spark, sf_dir):
+    """GPT-style concat-and-chunk packing layout: deterministic shard
+    + order (H15 md5), per-shard token cumsum, cut every seq_len
+    tokens. One hash-partition shuffle; the DuckDB twin runs the
+    identical window arithmetic."""
+    from quickwit_spark.pipeline.packing import pack_sequences
+
+    return pack_sequences(_docs(spark, sf_dir), seq_len=64, n_shards=4)
+
+
 def q_corpus_curation(spark, sf_dir):
     """Training-mix curation as ONE composed declarative plan — the
     100-TB pre-training shape: quality gate (narrow map), exact-dedup
@@ -897,6 +907,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "normalize_text": q_normalize_text,
         "decontaminate": q_decontaminate,
         "sample_stratified": q_sample_stratified,
+        "sequence_packing": q_sequence_packing,
         "dedup_exact": q_dedup_exact,
         "corpus_curation": q_corpus_curation,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
@@ -1599,6 +1610,27 @@ FROM documents d LEFT JOIN hits h USING (doc_id)
 SELECT doc_id, source FROM documents
 WHERE {h15.format(x="'mix1:' || cast(doc_id AS VARCHAR)")} % 1000000
       < floor(({frac_case}) * 1000000)
+"""
+
+    sql["sequence_packing"] = f"""
+WITH t AS (
+  SELECT doc_id,
+         len({TOKS})::BIGINT AS n_tokens,
+         ({h15.format(x="'pack0:' || cast(doc_id AS VARCHAR)")} % 4)::BIGINT AS shard,
+         {h15.format(x="'pack0~' || cast(doc_id AS VARCHAR)")} AS ord
+  FROM documents
+), c AS (
+  SELECT doc_id, shard, n_tokens,
+         (sum(n_tokens) OVER (PARTITION BY shard ORDER BY ord, doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens)::BIGINT AS token_start
+  FROM t
+)
+SELECT doc_id, shard, n_tokens, token_start,
+       (token_start // 64)::BIGINT AS seq_idx,
+       (token_start % 64)::BIGINT AS seq_offset,
+       (CASE WHEN n_tokens = 0 THEN 0
+             ELSE (token_start + n_tokens - 1) // 64 - token_start // 64 + 1 END)::BIGINT AS n_seqs
+FROM c
 """
 
     # composed curation plan: quality gate + dedup keepers +

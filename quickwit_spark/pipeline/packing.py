@@ -1,0 +1,88 @@
+"""Sequence packing — map each document to its position in fixed-length
+training sequences (GPT-style concat-and-chunk: shuffle the corpus
+deterministically, concatenate the token streams, cut every
+``seq_len`` tokens). The output is the doc → (shard, sequence,
+offset) assignment a tokenize-and-pack job needs to write training
+shards without ever materializing the concatenated stream.
+
+Semantics (all deterministic, no RNG state):
+
+* each doc goes to shard ``H15(seed ':' id) % n_shards`` — this is
+  also the corpus shuffle: the (shard, order-key) pair is a
+  reproducible pseudo-random global order, bit-stable across engines,
+  runs, and partitionings (same ``H15`` md5 hash as dedup/sampling);
+* within a shard docs are ordered by ``(H15(seed '~' id), id)`` and
+  their token counts cumulated; sequence ``i`` of a shard owns token
+  positions ``[i*seq_len, (i+1)*seq_len)`` of that shard's stream —
+  docs may straddle sequence boundaries exactly as in pretraining
+  concat-and-chunk packing.
+
+Scale (the 100 TB story): ONE hash-partition shuffle (the window's
+``partitionBy(shard)``); the per-shard sort is Spark's window sort
+(spillable). ``n_shards`` bounds the per-shard stream: at 10^12 turns
+pick ``n_shards ≈ total_tokens / 10^8`` so each shard's sort fits an
+executor; every other step is a narrow map in whole-stage codegen.
+There is no reference analog — this is a training-pipeline op the
+rebuild adds alongside dedup/sampling (same contract: ANSI-SQL twin
+in ``__spark_entry__.oracle_sql``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+from quickwit_spark.pipeline.dedup import H15
+from quickwit_spark.pipeline.textstats import tokens_col
+
+
+def pack_sequences(
+    df: DataFrame,
+    seq_len: int = 2048,
+    n_shards: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    seed: str = "pack0",
+) -> DataFrame:
+    """Assign each doc its packed position: (shard, seq_idx of the
+    doc's FIRST token, seq_offset within that sequence, n_tokens,
+    n_seqs = how many sequences the doc spans; 0 for empty docs).
+
+    ``seq_len``/``n_shards``/``seed`` are part of the layout spec —
+    the same values always produce the same packing.
+    """
+    if seq_len <= 0 or n_shards <= 0:
+        raise ValueError("seq_len and n_shards must be positive")
+    sid = f"cast({id_col} as string)"
+    shard = F.expr(H15.format(x=f"concat('{seed}:', {sid})")) % n_shards
+    order_key = F.expr(H15.format(x=f"concat('{seed}~', {sid})"))
+    staged = df.select(
+        F.col(id_col),
+        F.size(tokens_col(text_col)).cast("long").alias("n_tokens"),
+        shard.cast("long").alias("shard"),
+        order_key.alias("_ord"),
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("_ord", id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    c = staged.select(
+        id_col,
+        "shard",
+        "n_tokens",
+        (F.sum("n_tokens").over(w) - F.col("n_tokens")).alias("token_start"),
+    )
+    # integer `div` on both engines — no double rounding at 10^13+ offsets
+    return c.select(
+        id_col,
+        "shard",
+        "n_tokens",
+        "token_start",
+        F.expr(f"token_start div {seq_len}").alias("seq_idx"),
+        (F.col("token_start") % seq_len).alias("seq_offset"),
+        F.when(F.col("n_tokens") == 0, F.lit(0).cast("long")).otherwise(
+            F.expr(f"(token_start + n_tokens - 1) div {seq_len}")
+            - F.expr(f"token_start div {seq_len}")
+            + 1
+        ).alias("n_seqs"),
+    )

@@ -461,3 +461,76 @@ def test_repetition_stats_flags_degenerate_docs(spark):
     assert got[1].n_bigrams == 1 and got[1].top_bigram_frac == 1.0
     assert got[2].top_bigram_n == 1 and got[2].distinct_token_ratio == 1.0
     assert got[3].top_bigram_frac == 1.0 and got[3].distinct_token_ratio == 0.2
+
+
+def test_pack_sequences_invariants(spark, docs):
+    """Concat-and-chunk packing invariants: token conservation per
+    shard, offset arithmetic, boundary-straddle counts, empty docs,
+    and seq coverage (a contiguous stream leaves no empty sequence)."""
+    from quickwit_spark.pipeline.packing import pack_sequences
+
+    seq_len, n_shards = 64, 4
+    out = pack_sequences(docs, seq_len=seq_len, n_shards=n_shards).collect()
+    assert len(out) == docs.count()
+    by_shard: dict[int, list] = {}
+    for r in out:
+        assert 0 <= r.shard < n_shards
+        assert r.seq_offset == r.token_start % seq_len
+        assert r.seq_idx == r.token_start // seq_len
+        if r.n_tokens == 0:
+            assert r.n_seqs == 0
+        else:
+            assert r.n_seqs == (r.token_start + r.n_tokens - 1) // seq_len - r.seq_idx + 1
+        by_shard.setdefault(r.shard, []).append(r)
+    for shard, rows in by_shard.items():
+        rows.sort(key=lambda r: r.token_start)
+        # the streams tile: each doc starts where the previous ended
+        pos = 0
+        for r in rows:
+            assert r.token_start == pos
+            pos += r.n_tokens
+        # every sequence index up to the last is touched by some doc
+        touched = set()
+        for r in rows:
+            if r.n_tokens:
+                touched.update(range(r.seq_idx, r.seq_idx + r.n_seqs))
+        if pos:
+            assert touched == set(range((pos - 1) // seq_len + 1))
+
+
+def test_pack_sequences_deterministic_and_single_shuffle(spark, docs):
+    from quickwit_spark.pipeline.packing import pack_sequences
+
+    a = pack_sequences(docs, seq_len=128, n_shards=3)
+    b = pack_sequences(docs, seq_len=128, n_shards=3)
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+    plan = a._sc._jvm.PythonSQLUtils.explainString(
+        a._jdf.queryExecution(), "formatted"
+    )
+    # AQE's formatted string repeats the tree (final + initial + node
+    # details); count operator headers in the final-plan section only
+    final = plan.split("== Initial Plan ==")[0]
+    import re as _re
+
+    assert len(_re.findall(r"Exchange \(\d+\)", final)) == 1  # the window's hash partition
+    # different seed → different order (shuffle actually shuffles)
+    c = pack_sequences(docs, seq_len=128, n_shards=3, seed="other")
+    key = {r[0]: (r.shard, r.token_start) for r in a.collect()}
+    key_c = {r[0]: (r.shard, r.token_start) for r in c.collect()}
+    assert key != key_c
+
+
+def test_pack_sequences_empty_doc_and_validation(spark):
+    from quickwit_spark.pipeline.packing import pack_sequences
+
+    df = spark.createDataFrame(
+        [(0, "one two three"), (1, ""), (2, "four")],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in pack_sequences(df, seq_len=2, n_shards=1).collect()}
+    assert got[1].n_tokens == 0 and got[1].n_seqs == 0
+    assert sum(r.n_tokens for r in got.values()) == 4
+    with pytest.raises(ValueError):
+        pack_sequences(df, seq_len=0)
+    with pytest.raises(ValueError):
+        pack_sequences(df, n_shards=0)
