@@ -56,7 +56,19 @@ class IndexConfig:
     """
 
     fields: tuple[FieldConfig, ...] = TRANSCRIPT_FIELDS
-    default_search_field: str = "text"
+    # None = the index declares no default search field: unqualified
+    # query terms are rejected at parse time with the reference's
+    # "No default field declared and no field specified in query."
+    # (query_builder.rs:45-52). Indexing still requires one (our BM25
+    # doc length is the default field's token count — build_index
+    # guards this loudly).
+    default_search_field: str | None = "text"
+    # Optional MULTI-field default list for query parsing (the
+    # reference's search_settings.default_search_fields is a list —
+    # unqualified terms search every member, scored as the boolean
+    # should-sum). None → (default_search_field,). BM25 doc length
+    # stays anchored on default_search_field.
+    default_search_fields: tuple[str, ...] | None = None
     timestamp_field: str = "ts"
     tag_fields: tuple[str, ...] = ("tool",)
     doc_key_fields: tuple[str, ...] = ("conv_id", "turn_idx")
@@ -89,10 +101,18 @@ class IndexConfig:
         and use the raw tokenizer; the default search field, routing
         field and doc keys must be consistent."""
         names = {f.name for f in self.fields}
-        if self.default_search_field not in names:
+        if (
+            self.default_search_field is not None
+            and self.default_search_field not in names
+        ):
             raise ValueError(
                 f"default_search_field {self.default_search_field!r} is not an indexed field"
             )
+        for f in self.default_search_fields or ():
+            if f not in names:
+                raise ValueError(
+                    f"default_search_fields member {f!r} is not an indexed field"
+                )
         for t in self.tag_fields:
             if t not in names:
                 raise ValueError(f"tag field {t!r} is not an indexed field")
@@ -113,6 +133,16 @@ class IndexConfig:
             raise ValueError("need 2 <= merge_factor <= max_merge_factor")
         return self
 
+    @property
+    def query_default_fields(self) -> list[str]:
+        """The field list unqualified query terms search (the
+        reference's default_search_fields; query_builder.rs:53-58)."""
+        if self.default_search_fields is not None:
+            return list(self.default_search_fields)
+        if self.default_search_field is None:
+            return []
+        return [self.default_search_field]
+
     def field(self, name: str) -> FieldConfig:
         for f in self.fields:
             if f.name == name:
@@ -130,6 +160,11 @@ class IndexConfig:
                 for f in self.fields
             ],
             "default_search_field": self.default_search_field,
+            "default_search_fields": (
+                list(self.default_search_fields)
+                if self.default_search_fields is not None
+                else None
+            ),
             "timestamp_field": self.timestamp_field,
             "tag_fields": list(self.tag_fields),
             "doc_key_fields": list(self.doc_key_fields),
@@ -161,8 +196,8 @@ class IndexConfig:
                             f.get("record", "freq"))
                 for f in kw["fields"]
             )
-        for k in ("tag_fields", "doc_key_fields"):
-            if k in kw:
+        for k in ("tag_fields", "doc_key_fields", "default_search_fields"):
+            if k in kw and kw[k] is not None:
                 kw[k] = tuple(kw[k])
         unknown = set(kw) - {f.name for f in _dc_fields(IndexConfig)}
         if unknown:

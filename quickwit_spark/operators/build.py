@@ -490,6 +490,14 @@ def build_index(
     from pyspark.sql import functions as F
 
     config = config or IndexConfig()
+    if config.default_search_field is None:
+        # BM25 doc length = default-field token count (locked engine
+        # invariant) — a search-only no-default-field config (valid for
+        # query parsing per query_builder.rs:45-52) cannot be indexed
+        raise ValueError(
+            "indexing requires a default_search_field (BM25 doc length "
+            "is the default field's token count)"
+        )
     if isinstance(source, str):
         df = spark.read.parquet(source)
         source_path = source

@@ -203,6 +203,13 @@ class _Parser:
         self.resolve = resolve
 
     def _default_expand(self, make_node):
+        if not self.default_fields:
+            # reference parity (query_builder.rs:45-52): an unqualified
+            # term with no default field declared is an error, checked
+            # syntactically — raised even if the term tokenizes empty
+            raise QueryParseError(
+                "No default field declared and no field specified in query."
+            )
         nodes = []
         for fld in self.default_fields:
             node = make_node(fld)
@@ -341,7 +348,10 @@ def parse_query(q: str, config, search_fields=None) -> QueryAst:
                 except KeyError:
                     rcfg = None
             if rcfg is None or rcfg.tokenizer != "json":
-                raise QueryParseError(f"field {fld!r} is not indexed")
+                # exact reference string incl. the grammar quirk
+                # (query_builder.rs resolve_fields / tantivy
+                # QueryParserError::FieldDoesNotExist)
+                raise QueryParseError(f"Field does not exists: '{fld}'")
             # json path term: string interpretation (conjunction when
             # multi-token — json fields record no positions, slop is
             # ignored) OR'd with the canonical numeric interpretation
@@ -374,7 +384,15 @@ def parse_query(q: str, config, search_fields=None) -> QueryAst:
     tokens = _lex(q)
     if not tokens:
         return MatchAll()
-    fields = search_fields or config.default_search_field
+    fields = search_fields or config.query_default_fields
+    fields = [fields] if isinstance(fields, str) else list(fields)
+    # search_fields / default fields resolve eagerly against the schema
+    # (query_builder.rs resolve_fields) — even when every query term is
+    # field-qualified, an unknown name in the list is an error
+    known = set(config.field_names)
+    for f in fields:
+        if f not in known:
+            raise QueryParseError(f"Field does not exists: '{f}'")
     return _Parser(tokens, fields, resolve).parse()
 
 

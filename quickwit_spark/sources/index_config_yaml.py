@@ -150,6 +150,9 @@ def load_reference_index_config(
     kwargs: dict = {
         "fields": tuple(fields),
         "default_search_field": default_field,
+        # the reference's default_search_fields is a LIST — keep every
+        # member for query parsing (unqualified terms search them all)
+        "default_search_fields": tuple(defaults) if len(defaults) > 1 else None,
         "tag_fields": tag_fields,
         "doc_key_fields": keys,
         "routing_field": routing,

@@ -73,6 +73,9 @@ def test_loader_translates_reference_schema():
     assert loaded["index_id"] == "hdfs-logs"
     assert cfg.default_search_field == "body"
     assert loaded["default_search_fields"] == ["body", "severity_text"]
+    # the FULL list reaches the config: unqualified terms search both
+    assert cfg.default_search_fields == ("body", "severity_text")
+    assert cfg.query_default_fields == ["body", "severity_text"]
     assert cfg.tag_fields == ("severity_text",)
     assert cfg.field("severity_text").tokenizer == "raw"
     assert cfg.field("body").record == "position"

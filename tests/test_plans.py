@@ -66,13 +66,16 @@ def test_embedding_lsh_pairs_has_no_cartesian_product(spark):
     assert "CartesianProduct" in exact_plan or "NestedLoop" in exact_plan
 
 
-def test_exact_dedup_has_partial_aggregation(spark):
+def test_exact_dedup_is_single_shuffle_window(spark):
     from quickwit_spark.pipeline.dedup import exact_dedup
 
     df = exact_dedup(spark.read.parquet(f"{SF}/documents.parquet"))
     plan = _plan(df)
-    # map-side combine before the shuffle (partial/final hash agg)
-    assert plan.count("HashAggregate") >= 2
+    # one digest shuffle feeding a window agg — no second exchange
+    # (the groupBy+join formulation) and no join at all
+    assert plan.count("Exchange") == 1
+    assert "Window" in plan
+    assert "Join" not in plan
 
 
 @pytest.mark.parametrize(

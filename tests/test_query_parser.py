@@ -164,7 +164,9 @@ class TestJsonPathQueries:
 
         from quickwit_spark.plans.query import QueryParseError
 
-        with pytest.raises(QueryParseError, match="not indexed"):
+        with pytest.raises(
+            QueryParseError, match="Field does not exists: 'nope.user'"
+        ):
             parse_query("nope.user:bob", cfg)
 
     def test_json_field_end_to_end_vs_oracle(self, spark, tmp_path):
@@ -337,3 +339,82 @@ def test_bool_rejects_mixed_must_and_should():
 
     with pytest.raises(ValueError, match="must and should"):
         Bool(must=(Term("text", "a"),), should=(Term("text", "b"),))
+
+
+class TestBuildQueryReferenceBattery:
+    """The reference's build_query test battery re-expressed
+    (quickwit-doc-mapper/src/query_builder.rs:195-287): unknown fields
+    and unknown search_fields error with the reference's exact string;
+    a no-default-field index rejects unqualified terms."""
+
+    def test_unknown_field_errors_with_reference_string(self):
+        import pytest
+
+        from quickwit_spark.plans.query import QueryParseError
+
+        with pytest.raises(
+            QueryParseError, match="Field does not exists: 'foo'"
+        ):
+            parse_query("foo:bar", CFG)
+        # dotted path whose root is not a json field (reference:
+        # "server.type:hpc server.mem:4GB" over a text-only schema)
+        with pytest.raises(
+            QueryParseError, match="Field does not exists: 'server.type'"
+        ):
+            parse_query("server.type:hpc server.mem:4GB", CFG)
+
+    def test_unknown_search_field_errors_even_if_terms_qualified(self):
+        """resolve_fields validates the search_fields list eagerly —
+        'title:foo desc:bar' with search_fields=['url'] errors."""
+        import pytest
+
+        from quickwit_spark.plans.query import QueryParseError
+
+        with pytest.raises(
+            QueryParseError, match="Field does not exists: 'url'"
+        ):
+            parse_query("text:foo role:bar", CFG, search_fields=["url"])
+
+    def test_no_default_field_rejects_unqualified_terms(self):
+        import pytest
+
+        from quickwit_spark.plans.query import QueryParseError, Term
+
+        cfg = IndexConfig(default_search_field=None).validate()
+        msg = "No default field declared and no field specified in query."
+        with pytest.raises(QueryParseError, match=msg.replace(".", r"\.")):
+            parse_query("bar", cfg)
+        # unqualified term nested in a group still triggers it
+        with pytest.raises(QueryParseError, match="No default field"):
+            parse_query("text:hello AND (Jane OR role:world)", cfg)
+        # fully qualified queries parse fine without a default field
+        assert parse_query("text:hello", cfg) == Term("text", "hello")
+        # and the REST search_field override supplies the default
+        assert parse_query("hello", cfg, search_fields=["text"]) == Term(
+            "text", "hello"
+        )
+
+    def test_no_default_field_config_cannot_build(self, tmp_path):
+        import pytest
+
+        from quickwit_spark.operators.build import build_index
+
+        cfg = IndexConfig(default_search_field=None).validate()
+        with pytest.raises(ValueError, match="requires a default_search_field"):
+            build_index(None, "unused", str(tmp_path / "ix"), config=cfg)
+
+    def test_config_level_multi_default_fields(self):
+        """default_search_fields (the reference's list form) makes
+        unqualified terms search every member — identical AST to the
+        REST search_field override, and round-trips through dicts."""
+        cfg = IndexConfig(default_search_fields=("text", "tool")).validate()
+        assert parse_query("bash", cfg) == parse_query(
+            "bash", CFG, search_fields=["text", "tool"]
+        )
+        # explicit search_fields still overrides the config list
+        assert parse_query("bash", cfg, search_fields=["tool"]) == Term(
+            "tool", "bash"
+        )
+        assert IndexConfig.from_dict(cfg.to_dict()) == cfg
+        with pytest.raises(ValueError, match="default_search_fields member"):
+            IndexConfig(default_search_fields=("text", "nope")).validate()
