@@ -397,8 +397,9 @@ def q_agg_stats_nchars(spark, sf_dir):
     s = resp.aggs["st"]
     return spark.createDataFrame(
         [(int(s["count"]), float(s["sum"]), float(s["min"]), float(s["max"]),
-          round(float(s["avg"]), 4))],
-        "cnt long, total double, mn double, mx double, av double",
+          round(float(s["avg"]), 4),
+          round(float(s["standard_deviation"]), 4))],
+        "cnt long, total double, mn double, mx double, av double, sd double",
     )
 
 
@@ -483,13 +484,14 @@ def q_agg_histogram_subagg_stats(spark, sf_dir):
     rows = [
         (float(b["key"]), int(b["doc_count"]), int(b["st"]["count"]),
          float(b["st"]["sum"]), float(b["st"]["min"]),
-         float(b["st"]["max"]), round(float(b["st"]["avg"]), 6))
+         float(b["st"]["max"]), round(float(b["st"]["avg"]), 6),
+         round(float(b["st"]["standard_deviation"]), 6))
         for b in resp.aggs["h"]["buckets"]
     ]
     return spark.createDataFrame(
         rows,
         "bucket double, doc_count long, s_count long, s_sum double, "
-        "s_min double, s_max double, s_avg double",
+        "s_min double, s_max double, s_avg double, s_sd double",
     )
 
 
@@ -1319,7 +1321,12 @@ GROUP BY source ORDER BY doc_count DESC, source ASC LIMIT 8
     sql["agg_stats_nchars"] = f"""
 SELECT count(*) AS cnt, sum(n_chars)::DOUBLE AS total,
        min(n_chars)::DOUBLE AS mn, max(n_chars)::DOUBLE AS mx,
-       round(avg(n_chars), 4) AS av
+       round(avg(n_chars), 4) AS av,
+       -- population SD from the same moment formula the engine merges
+       -- (sum of squares), not stddev_pop's streaming form
+       round(sqrt(greatest(
+         sum(n_chars*n_chars)::DOUBLE / count(*)
+         - (sum(n_chars)::DOUBLE / count(*)) ^ 2, 0)), 4) AS sd
 FROM documents WHERE list_contains({TOKS40}, 'vector')
 """
 
@@ -1348,7 +1355,10 @@ GROUP BY b.bucket ORDER BY b.bucket
 SELECT floor(n_chars / 100.0) * 100.0 AS bucket, count(*) AS doc_count,
        count(*) AS s_count, sum(doc_id)::DOUBLE AS s_sum,
        min(doc_id)::DOUBLE AS s_min, max(doc_id)::DOUBLE AS s_max,
-       round(sum(doc_id)::DOUBLE / count(*), 6) AS s_avg
+       round(sum(doc_id)::DOUBLE / count(*), 6) AS s_avg,
+       round(sqrt(greatest(
+         sum(doc_id*doc_id)::DOUBLE / count(*)
+         - (sum(doc_id)::DOUBLE / count(*)) ^ 2, 0)), 6) AS s_sd
 FROM documents WHERE list_contains({TOKS40}, 'vector')
 GROUP BY bucket ORDER BY bucket
 """

@@ -75,7 +75,7 @@ HIT_SCHEMA = (
     "kind string, split_id string, docid long, score double, "
     "sort_value double, doc string, ts_us long, "
     "agg_name string, agg_key string, agg_count long, agg_sum double, "
-    "agg_min double, agg_max double"
+    "agg_min double, agg_max double, agg_sq double"
 )
 _HIT_COLS = [c.split(" ")[0] for c in HIT_SCHEMA.split(", ")]
 
@@ -1406,12 +1406,13 @@ def _partial_agg(
         if stats_field is not None:
             sv = pd.Series(extra_cols[stats_field]).astype(float)
             grouped = sv.groupby(ser).agg(["count", "sum", "min", "max"])
+            grouped["sq"] = (sv * sv).groupby(ser).sum()
             for key, g in grouped.iterrows():
                 r = dict(base)
                 r.update(
                     agg_key=str(key), agg_count=int(g["count"]),
                     agg_sum=float(g["sum"]), agg_min=float(g["min"]),
-                    agg_max=float(g["max"]),
+                    agg_max=float(g["max"]), agg_sq=float(g["sq"]),
                 )
                 rows.append(r)
         else:
@@ -1441,7 +1442,8 @@ def _partial_agg(
                     r = dict(base)
                     r.update(agg_key=str(key), agg_count=0)
                     if stats_field is not None:
-                        r.update(agg_sum=0.0, agg_min=np.nan, agg_max=np.nan)
+                        r.update(agg_sum=0.0, agg_min=np.nan, agg_max=np.nan,
+                                 agg_sq=0.0)
                     rows.append(r)
         # split_size cut (aggregation.md 'results from one split are
         # cut off at split_size', default size*1.5+10) + one summary
@@ -1515,18 +1517,16 @@ def _partial_agg(
             # no-sub-agg path); the stats ride along as sum/min/max of
             # the sub-agg field within the bucket (aggregation.md
             # 'histogram with stats in each bucket')
-            g = (
-                pd.Series(sv)
-                .groupby(pd.Series(buckets))
-                .agg(["sum", "min", "max"])
-            )
+            svs = pd.Series(sv)
+            g = svs.groupby(pd.Series(buckets)).agg(["sum", "min", "max"])
+            g["sq"] = (svs * svs).groupby(pd.Series(buckets)).sum()
             for key, c in zip(uniq, cnt):
                 r = dict(base)
                 st = g.loc[key]
                 r.update(
                     agg_key=repr(float(key)), agg_count=int(c),
                     agg_sum=float(st["sum"]), agg_min=float(st["min"]),
-                    agg_max=float(st["max"]),
+                    agg_max=float(st["max"]), agg_sq=float(st["sq"]),
                 )
                 rows.append(r)
         else:
@@ -1562,6 +1562,7 @@ def _partial_agg(
                     agg_sum=float(mv.sum()) if mv.size else 0.0,
                     agg_min=float(mv.min()) if mv.size else np.nan,
                     agg_max=float(mv.max()) if mv.size else np.nan,
+                    agg_sq=float((mv * mv).sum()) if mv.size else 0.0,
                 )
             rows.append(r)
     elif kind in ("stats", "avg"):
@@ -1574,6 +1575,7 @@ def _partial_agg(
                 agg_sum=float(v.sum()),
                 agg_min=float(v.min()),
                 agg_max=float(v.max()),
+                agg_sq=float((v * v).sum()),
             )
             rows.append(r)
     else:
@@ -1948,7 +1950,18 @@ def merge_partials(pdf: pd.DataFrame, k, offset, sort_by, aggs) -> SearchRespons
 AGGREGATION_BUCKET_LIMIT = 65_000  # collector.rs:273
 
 
-def _sub_stats_payload(params: dict, doc_count: int, s_sum, s_min, s_max):
+def _std_from_moments(count: int, s_sum: float, s_sq: float) -> float:
+    """Population standard deviation from the mergeable moments
+    (count, sum, sum of squares) — the same moment formula tantivy's
+    stats aggregation uses (aggregation.md Stats lists
+    standard_deviation in the response)."""
+    mean = s_sum / count
+    return float(np.sqrt(max(s_sq / count - mean * mean, 0.0)))
+
+
+def _sub_stats_payload(
+    params: dict, doc_count: int, s_sum, s_min, s_max, s_sq
+):
     """The sub-agg value for one merged bucket: avg -> {"value": ...},
     stats -> the full stats dict. Empty buckets (gap-filled histogram
     grid, empty ranges) report count 0 with null min/max/avg, the ES
@@ -1960,6 +1973,9 @@ def _sub_stats_payload(params: dict, doc_count: int, s_sum, s_min, s_max):
         "min": None if empty else float(s_min),
         "max": None if empty else float(s_max),
         "avg": None if empty else float(s_sum) / doc_count,
+        "standard_deviation": (
+            None if empty else _std_from_moments(doc_count, s_sum, s_sq)
+        ),
     }
     if params.get("sub_kind", "stats") == "avg":
         return {"value": stats["avg"]}
@@ -1986,6 +2002,7 @@ def _final_agg(kind: str, params: dict, sub: pd.DataFrame):
             m = bucket_rows.groupby("agg_key").agg(
                 doc_count=("agg_count", "sum"), s_sum=("agg_sum", "sum"),
                 s_min=("agg_min", "min"), s_max=("agg_max", "max"),
+                s_sq=("agg_sq", "sum"),
             )
             m["s_avg"] = m["s_sum"] / m["doc_count"].clip(lower=1)
         else:
@@ -2018,18 +2035,13 @@ def _final_agg(kind: str, params: dict, sub: pd.DataFrame):
             )
         top = ordered.head(size)
         sub_name = params.get("sub_name", "stats")
-        sub_kind = params.get("sub_kind", "stats")
         out_buckets = []
         for key, g in top.iterrows():
             b = {"key": key, "doc_count": int(g["doc_count"])}
             if has_stats:
-                stats = {
-                    "count": int(g["doc_count"]), "sum": float(g["s_sum"]),
-                    "min": float(g["s_min"]), "max": float(g["s_max"]),
-                    "avg": float(g["s_avg"]),
-                }
-                b[sub_name] = (
-                    {"value": stats["avg"]} if sub_kind == "avg" else stats
+                b[sub_name] = _sub_stats_payload(
+                    params, int(g["doc_count"]), g["s_sum"],
+                    g["s_min"], g["s_max"], g["s_sq"],
                 )
             out_buckets.append(b)
         out = {
@@ -2067,11 +2079,12 @@ def _final_agg(kind: str, params: dict, sub: pd.DataFrame):
             mdf = sub.groupby("agg_key").agg(
                 doc_count=("agg_count", "sum"), s_sum=("agg_sum", "sum"),
                 s_min=("agg_min", "min"), s_max=("agg_max", "max"),
+                s_sq=("agg_sq", "sum"),
             )
             merged = mdf["doc_count"]
             stats_by_idx = {
                 int(round((float(k) - off) / interval)):
-                    (g["s_sum"], g["s_min"], g["s_max"])
+                    (g["s_sum"], g["s_min"], g["s_max"], g["s_sq"])
                 for k, g in mdf.iterrows()
             }
         else:
@@ -2107,9 +2120,11 @@ def _final_agg(kind: str, params: dict, sub: pd.DataFrame):
                 continue
             b = {"key": float(i) * interval + off, "doc_count": c}
             if has_stats:
-                ss, sm, sx = stats_by_idx.get(i, (0.0, np.nan, np.nan))
+                ss, sm, sx, sq = stats_by_idx.get(
+                    i, (0.0, np.nan, np.nan, 0.0)
+                )
                 b[params.get("sub_name", "stats")] = _sub_stats_payload(
-                    params, c, ss, sm, sx
+                    params, c, ss, sm, sx, sq
                 )
             out_buckets.append(b)
         return {"buckets": out_buckets}
@@ -2119,6 +2134,7 @@ def _final_agg(kind: str, params: dict, sub: pd.DataFrame):
             mdf = sub.groupby("agg_key", sort=False).agg(
                 doc_count=("agg_count", "sum"), s_sum=("agg_sum", "sum"),
                 s_min=("agg_min", "min"), s_max=("agg_max", "max"),
+                s_sq=("agg_sq", "sum"),
             )
             sub_name = params.get("sub_name", "stats")
             return {
@@ -2127,7 +2143,7 @@ def _final_agg(kind: str, params: dict, sub: pd.DataFrame):
                         "key": key, "doc_count": int(g["doc_count"]),
                         sub_name: _sub_stats_payload(
                             params, int(g["doc_count"]), g["s_sum"],
-                            g["s_min"], g["s_max"],
+                            g["s_min"], g["s_max"], g["s_sq"],
                         ),
                     }
                     for key, g in mdf.iterrows()
@@ -2150,6 +2166,9 @@ def _final_agg(kind: str, params: dict, sub: pd.DataFrame):
             "min": float(sub["agg_min"].min()),
             "max": float(sub["agg_max"].max()),
             "avg": total / count,
+            "standard_deviation": _std_from_moments(
+                count, total, float(sub["agg_sq"].sum())
+            ),
         }
         return {"value": stats["avg"]} if kind == "avg" else stats
     raise ValueError(f"unsupported aggregation {kind!r}")

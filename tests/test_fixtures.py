@@ -264,7 +264,8 @@ class TestF6Aggregations:
         assert [b["key"] for b in buckets] == ["white", "blue", "green"]
         white = buckets[0]["stats"]
         assert white == {
-            "count": 2, "sum": 101.0, "min": 1.0, "max": 100.0, "avg": 50.5
+            "count": 2, "sum": 101.0, "min": 1.0, "max": 100.0, "avg": 50.5,
+            "standard_deviation": 49.5,  # values {1, 100}: population SD
         }
         assert buckets[2]["stats"]["max"] == 10.0
 

@@ -769,7 +769,8 @@ class TestAggregations:
         empty = [b for b in resp.aggs["h"]["buckets"] if not b["doc_count"]]
         for b in empty:
             assert b["st"] == {"count": 0, "sum": 0.0, "min": None,
-                               "max": None, "avg": None}
+                               "max": None, "avg": None,
+                               "standard_deviation": None}
         # sub-aggs under metric aggs still rejected loudly
         with pytest.raises(ValueError, match="bucket"):
             searcher.search(
