@@ -704,6 +704,23 @@ def q_sequence_packing(spark, sf_dir):
     return pack_sequences(_docs(spark, sf_dir), seq_len=64, n_shards=4)
 
 
+def q_sequence_packing_materialized(spark, sf_dir):
+    """Packed training sequences materialized: per (shard, seq) doc
+    count, token count, and an md5 of the token stream (arrays hash
+    engine-specifically, the joined stream doesn't). Every non-final
+    sequence must carry exactly seq_len tokens — the DuckDB twin
+    recomputes the identical slice/flatten pipeline."""
+    from pyspark.sql import functions as F
+
+    from quickwit_spark.pipeline.packing import packed_token_sequences
+
+    out = packed_token_sequences(_docs(spark, sf_dir), seq_len=64, n_shards=4)
+    return out.select(
+        "shard", "seq_idx", "n_docs", "n_tokens",
+        F.md5(F.concat_ws(" ", "tokens")).alias("tokens_md5"),
+    )
+
+
 def q_corpus_curation(spark, sf_dir):
     """Training-mix curation as ONE composed declarative plan — the
     100-TB pre-training shape: quality gate (narrow map), exact-dedup
@@ -910,6 +927,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate": q_decontaminate,
         "sample_stratified": q_sample_stratified,
         "sequence_packing": q_sequence_packing,
+        "sequence_packing_materialized": q_sequence_packing_materialized,
         "dedup_exact": q_dedup_exact,
         "corpus_curation": q_corpus_curation,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
@@ -1641,6 +1659,37 @@ SELECT doc_id, shard, n_tokens, token_start,
        (CASE WHEN n_tokens = 0 THEN 0
              ELSE (token_start + n_tokens - 1) // 64 - token_start // 64 + 1 END)::BIGINT AS n_seqs
 FROM c
+"""
+
+    sql["sequence_packing_materialized"] = f"""
+WITH t AS (
+  SELECT doc_id, {TOKS} AS toks, len({TOKS})::BIGINT AS n_tokens,
+         ({h15.format(x="'pack0:' || cast(doc_id AS VARCHAR)")} % 4)::BIGINT AS shard,
+         {h15.format(x="'pack0~' || cast(doc_id AS VARCHAR)")} AS ord
+  FROM documents
+), c AS (
+  SELECT doc_id, shard, toks, n_tokens,
+         (sum(n_tokens) OVER (PARTITION BY shard ORDER BY ord, doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens)::BIGINT AS token_start
+  FROM t
+  QUALIFY n_tokens > 0
+), spans AS (
+  SELECT shard, token_start,
+         unnest(generate_series(token_start // 64,
+                                (token_start + n_tokens - 1) // 64)) AS seq_idx,
+         toks, n_tokens
+  FROM c
+), pieces AS (
+  SELECT shard, seq_idx, token_start,
+         toks[greatest(seq_idx * 64 - token_start, 0) + 1 :
+              least((seq_idx + 1) * 64, token_start + n_tokens) - token_start] AS piece
+  FROM spans
+)
+SELECT shard, seq_idx::BIGINT AS seq_idx, count(*)::BIGINT AS n_docs,
+       len(flatten(list(piece ORDER BY token_start)))::BIGINT AS n_tokens,
+       md5(array_to_string(flatten(list(piece ORDER BY token_start)), ' ')) AS tokens_md5
+FROM pieces
+GROUP BY shard, seq_idx
 """
 
     # composed curation plan: quality gate + dedup keepers +

@@ -291,7 +291,8 @@ def main() -> None:
 
     for name in ("token_count", "dedup_exact", "dedup_minhash_lsh",
                  "dedup_embedding_lsh", "ann_cosine_topk", "media_metadata",
-                 "corpus_curation", "sequence_packing"):
+                 "corpus_curation", "sequence_packing",
+                 "sequence_packing_materialized"):
         fn = entry.queries()[name]
 
         def run(fn=fn):

@@ -35,6 +35,56 @@ from quickwit_spark.pipeline.dedup import H15
 from quickwit_spark.pipeline.textstats import tokens_col
 
 
+def _assignment(
+    df: DataFrame,
+    seq_len: int,
+    n_shards: int,
+    id_col: str,
+    text_col: str,
+    seed: str,
+    keep_tokens: bool,
+) -> DataFrame:
+    """Shared packing plan. ``keep_tokens`` carries the token array
+    through the window shuffle (every token must reach the packed
+    sequence anyway — strictly cheaper than a join-back that would
+    re-shuffle AND re-tokenize)."""
+    if seq_len <= 0 or n_shards <= 0:
+        raise ValueError("seq_len and n_shards must be positive")
+    sid = f"cast({id_col} as string)"
+    shard = F.expr(H15.format(x=f"concat('{seed}:', {sid})")) % n_shards
+    order_key = F.expr(H15.format(x=f"concat('{seed}~', {sid})"))
+    staged = df.select(
+        F.col(id_col),
+        tokens_col(text_col).alias("_toks"),
+        shard.cast("long").alias("shard"),
+        order_key.alias("_ord"),
+    ).select(
+        "*", F.size("_toks").cast("long").alias("n_tokens")
+    )
+    if not keep_tokens:
+        staged = staged.drop("_toks")
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("_ord", id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    c = staged.select(
+        *[col for col in staged.columns if col != "_ord"],
+        (F.sum("n_tokens").over(w) - F.col("n_tokens")).alias("token_start"),
+    )
+    # integer `div` on both engines — no double rounding at 10^13+ offsets
+    return c.select(
+        "*",
+        F.expr(f"token_start div {seq_len}").alias("seq_idx"),
+        (F.col("token_start") % seq_len).alias("seq_offset"),
+        F.when(F.col("n_tokens") == 0, F.lit(0).cast("long")).otherwise(
+            F.expr(f"(token_start + n_tokens - 1) div {seq_len}")
+            - F.expr(f"token_start div {seq_len}")
+            + 1
+        ).alias("n_seqs"),
+    )
+
+
 def pack_sequences(
     df: DataFrame,
     seq_len: int = 2048,
@@ -50,39 +100,74 @@ def pack_sequences(
     ``seq_len``/``n_shards``/``seed`` are part of the layout spec —
     the same values always produce the same packing.
     """
-    if seq_len <= 0 or n_shards <= 0:
-        raise ValueError("seq_len and n_shards must be positive")
-    sid = f"cast({id_col} as string)"
-    shard = F.expr(H15.format(x=f"concat('{seed}:', {sid})")) % n_shards
-    order_key = F.expr(H15.format(x=f"concat('{seed}~', {sid})"))
-    staged = df.select(
-        F.col(id_col),
-        F.size(tokens_col(text_col)).cast("long").alias("n_tokens"),
-        shard.cast("long").alias("shard"),
-        order_key.alias("_ord"),
+    a = _assignment(df, seq_len, n_shards, id_col, text_col, seed, False)
+    return a.select(
+        id_col, "shard", "n_tokens", "token_start",
+        "seq_idx", "seq_offset", "n_seqs",
     )
-    w = (
-        Window.partitionBy("shard")
-        .orderBy("_ord", id_col)
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    c = staged.select(
-        id_col,
+
+
+def packed_token_sequences(
+    df: DataFrame,
+    seq_len: int = 2048,
+    n_shards: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    seed: str = "pack0",
+) -> DataFrame:
+    """Materialize the packed training sequences: one row per
+    (shard, seq_idx) with the actual token array — every sequence
+    except a shard's last has EXACTLY ``seq_len`` tokens, docs sliced
+    across boundaries exactly as :func:`pack_sequences` assigns them.
+
+    Plan: assignment with the token arrays riding the window shuffle →
+    explode each doc over the sequences it spans (≤ n_tokens/seq_len+1
+    rows per doc, a narrow map) → slice the doc's tokens per spanned
+    sequence → groupBy (shard, seq_idx) flattening the slices in
+    token_start order. ONE shuffle total: the window's
+    hash-partitioning on shard already satisfies the groupBy's
+    (shard, seq_idx) distribution, so Catalyst plans the aggregation
+    without a second exchange (plan-asserted in tests).
+    """
+    a = _assignment(
+        df, seq_len, n_shards, id_col, text_col, seed, True
+    ).where(F.col("n_tokens") > 0)
+    spans = a.select(
         "shard",
-        "n_tokens",
-        (F.sum("n_tokens").over(w) - F.col("n_tokens")).alias("token_start"),
-    )
-    # integer `div` on both engines — no double rounding at 10^13+ offsets
-    return c.select(
-        id_col,
-        "shard",
-        "n_tokens",
         "token_start",
-        F.expr(f"token_start div {seq_len}").alias("seq_idx"),
-        (F.col("token_start") % seq_len).alias("seq_offset"),
-        F.when(F.col("n_tokens") == 0, F.lit(0).cast("long")).otherwise(
-            F.expr(f"(token_start + n_tokens - 1) div {seq_len}")
-            - F.expr(f"token_start div {seq_len}")
-            + 1
-        ).alias("n_seqs"),
+        "n_tokens",
+        "_toks",
+        F.explode(
+            F.expr("sequence(seq_idx, seq_idx + n_seqs - 1)")
+        ).alias("seq_idx"),
+    ).select(
+        "shard",
+        "seq_idx",
+        "token_start",
+        # the doc's token slice landing in THIS sequence:
+        # [seq_idx*L, (seq_idx+1)*L) ∩ [token_start, token_start+n)
+        F.expr(
+            f"slice(_toks,"
+            f" cast(greatest(seq_idx * {seq_len} - token_start, 0) + 1 as int),"
+            f" cast(least((seq_idx + 1) * {seq_len}, token_start + n_tokens)"
+            f"   - greatest(seq_idx * {seq_len}, token_start) as int))"
+        ).alias("piece"),
+    )
+    return (
+        spans.groupBy("shard", "seq_idx")
+        .agg(
+            F.expr(
+                "flatten(transform("
+                "  array_sort(collect_list(struct(token_start, piece)),"
+                "    (a, b) -> case when a.token_start < b.token_start then -1"
+                "              when a.token_start > b.token_start then 1 else 0 end),"
+                "  s -> s.piece))"
+            ).alias("tokens"),
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+        )
+        .select(
+            "shard", "seq_idx", "n_docs",
+            F.size("tokens").cast("long").alias("n_tokens"),
+            "tokens",
+        )
     )

@@ -534,3 +534,53 @@ def test_pack_sequences_empty_doc_and_validation(spark):
         pack_sequences(df, seq_len=0)
     with pytest.raises(ValueError):
         pack_sequences(df, n_shards=0)
+
+
+def test_packed_token_sequences_materialization(spark, docs):
+    """The materializer tiles each shard's token stream exactly: every
+    sequence but the shard's last has exactly seq_len tokens, and
+    concatenating sequences in order reproduces concatenating the
+    docs' tokens in assignment order."""
+    from quickwit_spark.pipeline.packing import (
+        pack_sequences,
+        packed_token_sequences,
+    )
+    from quickwit_spark.pipeline.textstats import tokens_col
+    from pyspark.sql import functions as F
+
+    seq_len, n_shards = 64, 4
+    packed = packed_token_sequences(
+        docs, seq_len=seq_len, n_shards=n_shards
+    ).collect()
+    by_shard: dict[int, list] = {}
+    for r in packed:
+        by_shard.setdefault(r.shard, []).append(r)
+    # reference stream: docs' tokens in (shard, order) sequence
+    assign = {
+        r[0]: r
+        for r in pack_sequences(docs, seq_len=seq_len, n_shards=n_shards).collect()
+    }
+    doc_toks = {
+        r[0]: r.toks
+        for r in docs.select("doc_id", tokens_col("text").alias("toks")).collect()
+    }
+    streams: dict[int, list] = {s: [] for s in range(n_shards)}
+    for did, a in sorted(assign.items(), key=lambda kv: (kv[1].shard, kv[1].token_start)):
+        streams[a.shard].extend(doc_toks[did])
+    for shard, rows in by_shard.items():
+        rows.sort(key=lambda r: r.seq_idx)
+        assert [r.seq_idx for r in rows] == list(range(len(rows)))
+        for r in rows[:-1]:
+            assert r.n_tokens == seq_len == len(r.tokens)
+        assert 0 < rows[-1].n_tokens <= seq_len
+        got = [t for r in rows for t in r.tokens]
+        assert got == streams[shard]
+    # plan: ONE exchange — the window's shard partitioning satisfies
+    # the groupBy (shard, seq_idx) distribution, no second shuffle
+    plan = packed_token_sequences(docs, seq_len=seq_len, n_shards=n_shards)
+    s = plan._sc._jvm.PythonSQLUtils.explainString(
+        plan._jdf.queryExecution(), "formatted"
+    ).split("== Initial Plan ==")[0]
+    import re as _re
+
+    assert len(_re.findall(r"Exchange \(\d+\)", s)) == 1
