@@ -69,6 +69,14 @@ class IndexConfig:
     # should-sum). None → (default_search_field,). BM25 doc length
     # stays anchored on default_search_field.
     default_search_fields: tuple[str, ...] | None = None
+    # mode=dynamic catch-all (lib.rs DYNAMIC_FIELD_NAME '_dynamic'):
+    # names a json/json_raw field; `unknown_field:value` queries
+    # resolve as json paths into it instead of erroring
+    # (default_mapper.rs:497-509 appends the dynamic field to the
+    # tantivy default fields; tests.rs test_search_dynamic_mode).
+    # Unqualified terms do NOT search it (a pathless term has no json
+    # token to look up — divergence documented).
+    dynamic_field: str | None = None
     timestamp_field: str = "ts"
     tag_fields: tuple[str, ...] = ("tool",)
     doc_key_fields: tuple[str, ...] = ("conv_id", "turn_idx")
@@ -113,6 +121,15 @@ class IndexConfig:
                 raise ValueError(
                     f"default_search_fields member {f!r} is not an indexed field"
                 )
+        if self.dynamic_field is not None:
+            if self.dynamic_field not in names:
+                raise ValueError(
+                    f"dynamic_field {self.dynamic_field!r} is not an indexed field"
+                )
+            if self.field(self.dynamic_field).tokenizer not in ("json", "json_raw"):
+                raise ValueError(
+                    f"dynamic_field {self.dynamic_field!r} must use a json tokenizer"
+                )
         for t in self.tag_fields:
             if t not in names:
                 raise ValueError(f"tag field {t!r} is not an indexed field")
@@ -120,7 +137,7 @@ class IndexConfig:
                 # tag values are whole strings (default_mapper.rs:140-165)
                 raise ValueError(f"tag field {t!r} must use the raw tokenizer")
         for f in self.fields:
-            if f.tokenizer == "json" and f.record == "position":
+            if f.tokenizer in ("json", "json_raw") and f.record == "position":
                 # json leaves carry no positional structure across paths
                 raise ValueError(
                     f"json field {f.name!r} cannot record positions"
@@ -165,6 +182,7 @@ class IndexConfig:
                 if self.default_search_fields is not None
                 else None
             ),
+            "dynamic_field": self.dynamic_field,
             "timestamp_field": self.timestamp_field,
             "tag_fields": list(self.tag_fields),
             "doc_key_fields": list(self.doc_key_fields),

@@ -209,8 +209,10 @@ def canonical_json_number(v) -> str:
     return str(int(f)) if f.is_integer() else repr(f)
 
 
-def tokenize_json(text: str | None) -> list[str]:
-    """Flatten a JSON doc into path-scoped tokens (doc order)."""
+def _tokenize_json_with(text: str | None, leaf_fn) -> list[str]:
+    """Flatten a JSON doc into path-scoped tokens (doc order), string
+    leaves tokenized by ``leaf_fn`` (the dynamic_mapping.tokenizer
+    knob — field_mapping_entry.rs QuickwitJsonOptions.tokenizer)."""
     if not text:
         return []
     import json as _json
@@ -231,7 +233,7 @@ def tokenize_json(text: str | None) -> list[str]:
             for sub in v:
                 walk(prefix, sub)
         elif isinstance(v, str):
-            for t in tokenize_default(v):
+            for t in leaf_fn(v):
                 out.append(f"{prefix}{JSON_PATH_SEP}{t}")
         else:  # bool | int | float
             out.append(f"{prefix}{JSON_PATH_SEP}{canonical_json_number(v)}")
@@ -240,17 +242,34 @@ def tokenize_json(text: str | None) -> list[str]:
     return out
 
 
-def json_query_tokens(path: str, value: str) -> tuple[list[str], str | None]:
+def tokenize_json(text: str | None) -> list[str]:
+    """Flatten a JSON doc into path-scoped tokens (doc order)."""
+    return _tokenize_json_with(text, tokenize_default)
+
+
+def tokenize_json_raw(text: str | None) -> list[str]:
+    """JSON flattening with RAW string leaves (whole value, ≤100
+    chars, no lowercasing) — the reference's ``dynamic_mapping:
+    tokenizer: raw`` (tests.rs test_search_dynamic_mode)."""
+    return _tokenize_json_with(text, tokenize_raw)
+
+
+def json_query_tokens(
+    path: str, value: str, leaf_tokenizer: str = "default"
+) -> tuple[list[str], str | None]:
     """Expand a ``field.path:value`` query literal into its candidate
     index tokens (typed-term OR expansion, doc_mapper.rs:189-217):
     returns ``(string_tokens, numeric_token_or_None)`` — the
-    default-tokenized string interpretation (a conjunction when
+    leaf-tokenized string interpretation (a conjunction when
     multi-token; json fields record no positions, so no phrase) and
-    the canonical numeric/bool token when the literal parses as one."""
+    the canonical numeric/bool token when the literal parses as one.
+    ``leaf_tokenizer`` must match the field's leaf tokenization
+    ('default' for json, 'raw' for json_raw)."""
     import json as _json
 
+    leaf_fn = tokenize_raw if leaf_tokenizer == "raw" else tokenize_default
     toks = []
-    for t in tokenize_default(value):
+    for t in leaf_fn(value):
         ft = f"{path}{JSON_PATH_SEP}{t}"
         if ft not in toks:
             toks.append(ft)
@@ -271,6 +290,7 @@ TOKENIZERS = {
     "raw": tokenize_raw,
     "en_stem": tokenize_en_stem,
     "json": tokenize_json,
+    "json_raw": tokenize_json_raw,
 }
 
 

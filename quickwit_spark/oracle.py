@@ -82,19 +82,23 @@ class OracleEngine:
         }
         self.doc_len: dict[tuple[int, int], int] = {}
         self.doc_meta: dict[tuple[int, int], dict] = {}
-        for row in docs.itertuples(index=False):
-            key = (row.split_ord, row.docid)
+        # plain tuples + a column index map: itertuples' named form
+        # RENAMES underscore-prefixed columns (e.g. `_dynamic` -> _N),
+        # which silently dropped dynamic-field postings via getattr
+        ci = {c: i for i, c in enumerate(docs.columns)}
+        for row in docs.itertuples(index=False, name=None):
+            key = (row[ci["split_ord"]], row[ci["docid"]])
             for f in cfg.fields:
-                value = getattr(row, f.name, None)
+                value = row[ci[f.name]] if f.name in ci else None
                 toks = TOKENIZERS[f.tokenizer](value)
                 if f.name == cfg.default_search_field:
                     self.doc_len[key] = len(toks)
                 for pos, t in enumerate(toks):
                     self.postings[f.name][t].setdefault(key, []).append(pos)
-            ts = getattr(row, cfg.timestamp_field)
+            ts = row[ci[cfg.timestamp_field]]
             self.doc_meta[key] = {
-                "conv_id": row.conv_id,
-                "turn_idx": row.turn_idx,
+                "conv_id": row[ci["conv_id"]],
+                "turn_idx": row[ci["turn_idx"]],
                 "ts_us": int(pd.Timestamp(ts).value // 1000),
             }
         self.N = len(docs)

@@ -347,7 +347,16 @@ def parse_query(q: str, config, search_fields=None) -> QueryAst:
                     rcfg = config.field(root)
                 except KeyError:
                     rcfg = None
-            if rcfg is None or rcfg.tokenizer != "json":
+            if rcfg is not None and rcfg.tokenizer not in ("json", "json_raw"):
+                rcfg = None
+            if rcfg is None and config.dynamic_field is not None:
+                # mode=dynamic fallback (tests.rs
+                # test_search_dynamic_mode): an unknown field resolves
+                # as a json path INTO the dynamic catch-all field —
+                # the whole dotted name is the path
+                root, path = config.dynamic_field, fld
+                rcfg = config.field(root)
+            if rcfg is None:
                 # exact reference string incl. the grammar quirk
                 # (query_builder.rs resolve_fields / tantivy
                 # QueryParserError::FieldDoesNotExist)
@@ -355,7 +364,10 @@ def parse_query(q: str, config, search_fields=None) -> QueryAst:
             # json path term: string interpretation (conjunction when
             # multi-token — json fields record no positions, slop is
             # ignored) OR'd with the canonical numeric interpretation
-            toks, numeric = json_query_tokens(path, text)
+            toks, numeric = json_query_tokens(
+                path, text,
+                "raw" if rcfg.tokenizer == "json_raw" else "default",
+            )
             nodes = []
             if len(toks) == 1:
                 nodes.append(Term(root, toks[0]))

@@ -120,6 +120,18 @@ def load_reference_index_config(
         if t not in names:
             fields.append(FieldConfig(t, tokenizer="raw", record="basic"))
 
+    # mode=dynamic: index the `_dynamic` catch-all json field with the
+    # dynamic_mapping tokenizer (default_mapper_builder.rs:111 —
+    # QuickwitJsonOptions default tokenizer is `default`) so unknown
+    # `field:value` queries resolve into it
+    dynamic_field = None
+    if dm.get("mode") == "dynamic":
+        dyn = dm.get("dynamic_mapping", {}) or {}
+        if dyn.get("indexed", True):
+            tok = "json_raw" if dyn.get("tokenizer", "default") == "raw" else "json"
+            fields.append(FieldConfig("_dynamic", tokenizer=tok, record="basic"))
+            dynamic_field = "_dynamic"
+
     defaults = list(search_set.get("default_search_fields", []) or [])
     default_field = defaults[0] if defaults else None
     if default_field is None:
@@ -153,6 +165,7 @@ def load_reference_index_config(
         # the reference's default_search_fields is a LIST — keep every
         # member for query parsing (unqualified terms search them all)
         "default_search_fields": tuple(defaults) if len(defaults) > 1 else None,
+        "dynamic_field": dynamic_field,
         "tag_fields": tag_fields,
         "doc_key_fields": keys,
         "routing_field": routing,

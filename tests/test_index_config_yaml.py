@@ -233,3 +233,45 @@ def test_source_add_from_reference_yaml(spark, tmp_path):
     assert out["added"] == "hdfs-logs-kinesis-source"
     out = main(["source", "list", "--index-dir", d], spark=spark)
     assert out["sources"][0]["params"] == {"stream_name": "emr-cluster-logs"}
+
+
+def test_loader_dynamic_mode_indexes_dynamic_field():
+    """mode: dynamic + dynamic_mapping.tokenizer: raw (the reference's
+    test_search_dynamic_mode doc mapping) indexes `_dynamic` with raw
+    json leaves and wires the query-resolution fallback."""
+    from quickwit_spark.sources.index_config_yaml import (
+        load_reference_index_config,
+    )
+
+    yml = """
+index_id: dyn-test
+doc_mapping:
+  field_mappings:
+    - name: body
+      type: text
+      tokenizer: default
+  mode: dynamic
+  dynamic_mapping:
+    tokenizer: raw
+indexing_settings:
+  sort_field: body
+search_settings:
+  default_search_fields: [body]
+"""
+    cfg = load_reference_index_config(yml)["config"]
+    assert cfg.dynamic_field == "_dynamic"
+    assert cfg.field("_dynamic").tokenizer == "json_raw"
+    from quickwit_spark.plans.query import Term, parse_query
+
+    ast = parse_query("body_dynamic:hello", cfg)
+    assert ast == Term("_dynamic", "body_dynamic\x1fhello")
+    # default dynamic_mapping tokenizer -> json (default leaves)
+    cfg2 = load_reference_index_config(
+        yml.replace("  dynamic_mapping:\n    tokenizer: raw\n", "")
+    )["config"]
+    assert cfg2.field("_dynamic").tokenizer == "json"
+    # indexed: false -> no dynamic field at all
+    cfg3 = load_reference_index_config(
+        yml.replace("tokenizer: raw", "indexed: false")
+    )["config"]
+    assert cfg3.dynamic_field is None

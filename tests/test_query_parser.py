@@ -418,3 +418,116 @@ class TestBuildQueryReferenceBattery:
         assert IndexConfig.from_dict(cfg.to_dict()) == cfg
         with pytest.raises(ValueError, match="default_search_fields member"):
             IndexConfig(default_search_fields=("text", "nope")).validate()
+
+
+class TestDynamicModeQueries:
+    """mode=dynamic searchability (tests.rs test_search_dynamic_mode
+    + default_mapper.rs:497-509): unknown `field:value` queries
+    resolve as json paths into the `_dynamic` catch-all field; the
+    dynamic_mapping tokenizer controls leaf tokenization (raw keeps
+    the whole value, case included)."""
+
+    @staticmethod
+    def _cfg(tok="json_raw"):
+        from quickwit_spark.config import FieldConfig, IndexConfig
+
+        return IndexConfig(
+            fields=(
+                FieldConfig("text", "default", "position"),
+                FieldConfig("tool", "raw", "basic"),
+                FieldConfig("_dynamic", tok, "basic"),
+            ),
+            tag_fields=("tool",),
+            dynamic_field="_dynamic",
+        ).validate()
+
+    def test_unknown_field_resolves_into_dynamic(self):
+        from quickwit_spark.functions.tokenize import JSON_PATH_SEP as S
+
+        cfg = self._cfg()
+        assert parse_query("body_dynamic:hello", cfg) == Term(
+            "_dynamic", f"body_dynamic{S}hello"
+        )
+        # dotted unknown root: the WHOLE name is the dynamic path
+        assert parse_query("a.b:x", cfg) == Term("_dynamic", f"a.b{S}x")
+        # raw leaves: quoted multi-word value stays ONE raw token,
+        # case preserved
+        assert parse_query('body_dynamic:"Hello Happy"', cfg) == Term(
+            "_dynamic", f"body_dynamic{S}Hello Happy"
+        )
+        # known fields still win over the dynamic fallback
+        assert parse_query("tool:Bash", cfg) == Term("tool", "Bash")
+        # default-leaf dynamic field tokenizes/lowercases the value
+        cfg_def = self._cfg(tok="json")
+        got = parse_query('body_dynamic:"Hello Happy"', cfg_def)
+        assert got == Bool(must=(
+            Term("_dynamic", f"body_dynamic{S}hello"),
+            Term("_dynamic", f"body_dynamic{S}happy"),
+        ))
+
+    def test_without_dynamic_field_still_errors(self):
+        with pytest.raises(
+            QueryParseError, match="Field does not exists: 'body_dynamic'"
+        ):
+            parse_query("body_dynamic:hello", CFG)
+
+    def test_json_raw_tokenizer_units(self):
+        from quickwit_spark.functions.tokenize import (
+            JSON_PATH_SEP as S,
+            tokenize_json_raw,
+        )
+
+        assert tokenize_json_raw('{"k": "Hello World", "n": 5}') == [
+            f"k{S}Hello World", f"n{S}5"
+        ]
+        # >100-char raw leaves drop (raw tokenizer cap)
+        assert tokenize_json_raw('{"k": "' + "x" * 101 + '"}') == []
+
+    def test_dynamic_config_validation(self):
+        from quickwit_spark.config import FieldConfig, IndexConfig
+
+        with pytest.raises(ValueError, match="dynamic_field"):
+            IndexConfig(dynamic_field="nope").validate()
+        with pytest.raises(ValueError, match="must use a json tokenizer"):
+            IndexConfig(dynamic_field="text").validate()
+
+    def test_dynamic_mode_end_to_end_vs_oracle(self, spark, tmp_path):
+        """The reference test corpus re-expressed: text:hello matches
+        the two mapped docs; body_dynamic:hello matches ONLY the doc
+        whose raw dynamic value is exactly 'hello'."""
+        from quickwit_spark.operators.build import build_index
+        from quickwit_spark.operators.search import Searcher
+        from quickwit_spark.oracle import OracleEngine
+        from quickwit_spark.sources.transcripts import fixture_corpus
+
+        pdf = fixture_corpus([
+            ("hello happy tax payer", "user", None),
+            ("hello", "user", None),
+            ("unrelated", "user", None),
+            ("unrelated", "user", None),
+        ])
+        pdf["_dynamic"] = [
+            None,
+            None,
+            '{"body_dynamic": "hello happy tax payer"}',
+            '{"body_dynamic": "hello"}',
+        ]
+        cfg = self._cfg()
+        d = str(tmp_path / "dynidx")
+        build_index(spark, spark.createDataFrame(pdf), d, cfg, n_splits=2)
+        se = Searcher(spark, d)
+        oracle = OracleEngine(pdf, cfg, n_splits=2)
+        for q, want in [
+            ("text:hello", 2),
+            ("body_dynamic:hello", 1),          # raw: only the exact value
+            ('body_dynamic:"hello happy tax payer"', 1),
+            ("body_dynamic:nope", 0),
+        ]:
+            n_o, hits_o = oracle.search(q, k=10)
+            r = se.search(q, k=10)
+            assert (r.num_hits, n_o) == (want, want)
+            assert [(h.split_id, h.docid) for h in r.hits] == [
+                (h.split_id, h.docid) for h in hits_o
+            ]
+            for a, b in zip(hits_o, r.hits):
+                assert abs(a.score - b.score) < 1e-9
