@@ -1328,8 +1328,40 @@ def _normalize_aggs(aggs: dict | None) -> dict | None:
             params["stats_field"] = sub_params["field"]
             params["sub_name"] = sub_name
             params["sub_kind"] = sub_kind
+        if kind == "range":
+            if params.get("keyed"):
+                # aggregation.md range Limitations/Compatibility
+                raise ValueError(
+                    "Elasticsearch `keyed` parameter is not yet supported."
+                )
+            _reject_overlapping_ranges(name, params.get("ranges") or [])
+        if kind in ("terms", "histogram") and params.get("keyed"):
+            raise ValueError(
+                "Elasticsearch `keyed` parameter is not yet supported."
+            )
         out[name] = {kind: params}
     return out
+
+
+def _reject_overlapping_ranges(name: str, ranges: list[dict]) -> None:
+    """aggregation.md range: 'Overlapping ranges are not yet
+    supported.' — reject them loudly instead of silently returning a
+    superset the reference would refuse."""
+    import math
+
+    spans = sorted(
+        (
+            float(r["from"]) if r.get("from") is not None else -math.inf,
+            float(r["to"]) if r.get("to") is not None else math.inf,
+        )
+        for r in ranges
+    )
+    for (lo1, hi1), (lo2, _hi2) in zip(spans, spans[1:]):
+        if lo2 < hi1:
+            raise ValueError(
+                f"aggregation {name!r}: overlapping ranges are not yet "
+                f"supported ([{lo1}, {hi1}) overlaps [{lo2}, ...))"
+            )
 
 
 def _subagg_metric_col(target: str, params: dict) -> str:

@@ -73,3 +73,27 @@ def test_range_subagg_merge_split_invariant(rows, split_at, sub_kind):
     single, merged = _run("range", params, rows)
     assert single == merged
     assert sum(b["doc_count"] for b in merged["buckets"]) == len(rows)
+
+
+def test_overlapping_ranges_and_keyed_rejected():
+    """aggregation.md Limitations: overlapping ranges and the ES
+    `keyed` parameter are not supported — rejected at request
+    validation, no Spark needed."""
+    import pytest
+
+    from quickwit_spark.operators.search import _normalize_aggs
+
+    ok = {"r": {"range": {"field": "v", "ranges": [
+        {"to": 10.0}, {"from": 10.0, "to": 20.0}, {"from": 20.0}]}}}
+    assert _normalize_aggs(ok)["r"]["range"]["ranges"][0] == {"to": 10.0}
+    bad = {"r": {"range": {"field": "v", "ranges": [
+        {"to": 15.0}, {"from": 10.0}]}}}
+    with pytest.raises(ValueError, match="overlapping ranges"):
+        _normalize_aggs(bad)
+    for kind, params in [
+        ("range", {"field": "v", "ranges": [{"to": 1.0}], "keyed": True}),
+        ("terms", {"field": "v", "keyed": True}),
+        ("histogram", {"field": "v", "interval": 1.0, "keyed": True}),
+    ]:
+        with pytest.raises(ValueError, match="keyed"):
+            _normalize_aggs({"a": {kind: params}})
