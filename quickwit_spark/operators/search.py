@@ -1089,6 +1089,14 @@ def _eval_split_partial(
     dpath = fsio.join(split_dir, DOCS_FILE)
     fast_cols = ["doc_len", "ts_us"]
     if sort_by and sort_by not in ("ts", "ts_us") and sort_by not in fast_cols:
+        # validate against the split schema BEFORE the column read so
+        # the errors carry the reference's exact strings
+        # (sort_by.rs:95-115 validate_sort_by_field_name); every doc
+        # column doubles as a fast field in this layout, so the
+        # "must be a fast field" branch cannot occur
+        schema = fsio.parquet_file_cached(dpath).schema_arrow
+        if sort_by not in schema.names:
+            raise ValueError(f"Unknown sort by field: `{sort_by}`")
         fast_cols.append(sort_by)
     import pyarrow as pa
 
@@ -1098,10 +1106,9 @@ def _eval_split_partial(
             pa.types.is_integer(fast.column(sort_by).type)
             or pa.types.is_floating(fast.column(sort_by).type)
         ):
-            # fast-field sort requires a numeric column (sort_by.rs:95-115:
-            # the reference rejects text sort fields the same way)
             raise ValueError(
-                f"sort field {sort_by!r} is not a numeric fast field"
+                f"Sort by field on type text is currently not supported "
+                f"`{sort_by}`."
             )
     doc_len = fast.column("doc_len").to_numpy().astype(np.int64)
     ts_us = fast.column("ts_us").to_numpy()

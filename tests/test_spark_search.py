@@ -1208,3 +1208,15 @@ def test_partial_results_on_doc_fetch_failure(spark, corpus, tmp_path):
     assert all(h.doc is not None for h in resp.hits)
     n_victim_hits = sum(1 for h in full.hits if h.split_id == victim)
     assert len(resp.hits) == len(full.hits) - n_victim_hits
+
+
+def test_invalid_sort_fields_use_reference_errors(searcher):
+    """tests.rs test_single_node_invalid_sorting_with_query: sorting by
+    a text field / unknown field fails with the reference's exact
+    strings (sort_by.rs:95-115). Divergence, documented: with every
+    split failing validation the root raises loudly instead of
+    returning a response whose `errors` carries the message."""
+    with pytest.raises(Exception, match="Sort by field on type text is currently not supported `role`"):
+        searcher.search("w00002", k=5, sort_by="role")
+    with pytest.raises(Exception, match="Unknown sort by field: `nope`"):
+        searcher.search("w00002", k=5, sort_by="nope")
