@@ -820,6 +820,51 @@ def q_dedup_clusters(spark, sf_dir):
     return out
 
 
+def q_dedup_canonical(spark, sf_dir):
+    """Keeper policy over near-dup clusters: keep-longest (most
+    tokens, tie lowest id) — one window shuffle on cluster_id."""
+    from quickwit_spark.pipeline.dedup import (
+        canonical_docs,
+        minhash_lsh_pairs,
+        near_dup_clusters,
+        unpersist_intermediates,
+    )
+
+    docs = _docs(spark, sf_dir)
+    pairs = minhash_lsh_pairs(docs, threshold=0.4)
+    clusters = near_dup_clusters(docs, pairs)
+    unpersist_intermediates(pairs)
+    return canonical_docs(docs, clusters)
+
+
+def q_unigram_logprob(spark, sf_dir):
+    """Corpus unigram-LM quality score (perplexity stand-in): mean
+    ln p(token) per doc, each ln quantized to integer micro-nats so
+    the per-doc sums are exact integers on both engines."""
+    from quickwit_spark.pipeline.textstats import unigram_logprob
+
+    return unigram_logprob(_docs(spark, sf_dir))
+
+
+def q_chunk_overlap(spark, sf_dir):
+    """Sliding-window chunking (RAG layout): 64-token chunks every 48
+    tokens; zero shuffles — tokenize/posexplode/slice narrow maps."""
+    from quickwit_spark.pipeline.packing import chunk_text
+
+    return chunk_text(_docs(spark, sf_dir), chunk_len=64, stride=48)
+
+
+def q_sample_temperature(spark, sf_dir):
+    """T=2 domain-mixing sampler over the skewed ``lang`` strata:
+    keep rate sqrt(c_min/c_g) (sqrt is IEEE correctly-rounded — the
+    rates are bit-identical cross-engine), md5-threshold keep/drop."""
+    from quickwit_spark.pipeline.sampling import temperature_sample
+
+    return temperature_sample(
+        _docs(spark, sf_dir), strata_col="lang", seed="tmp1"
+    ).select("doc_id", "lang")
+
+
 def q_ann_cosine_topk(spark, sf_dir):
     from quickwit_spark.pipeline.similarity import cosine_topk
 
@@ -937,6 +982,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_embedding_cosine": q_dedup_embedding_cosine,
         "dedup_embedding_lsh": q_dedup_embedding_lsh,
         "dedup_clusters": q_dedup_clusters,
+        "dedup_canonical": q_dedup_canonical,
+        "unigram_logprob": q_unigram_logprob,
+        "chunk_overlap": q_chunk_overlap,
+        "sample_temperature": q_sample_temperature,
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
         "media_metadata": q_media_metadata,
@@ -1800,6 +1849,83 @@ reach(id, lbl) AS (
   SELECT e.src, r.lbl FROM reach r JOIN edges e ON e.dst = r.id
 )
 SELECT id AS doc_id, min(lbl) AS cluster_id FROM reach GROUP BY id
+"""
+
+    # keeper policy on top of the same cluster CTE: keep-longest
+    # (token count desc, id asc) picks one canonical doc per cluster
+    sql["dedup_canonical"] = f"""
+WITH RECURSIVE {pairs_cte.rsplit("SELECT id_a, id_b, jaccard", 1)[0].rstrip()},
+pairs2 AS (
+  SELECT id_a, id_b FROM verified WHERE jaccard >= 0.4
+),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs2
+  UNION SELECT id_b, id_a FROM pairs2
+),
+reach(id, lbl) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.src, r.lbl FROM reach r JOIN edges e ON e.dst = r.id
+),
+clusters AS (SELECT id AS doc_id, min(lbl) AS cluster_id FROM reach GROUP BY id),
+nt AS (SELECT doc_id, len({TOKS})::BIGINT AS n_toks FROM documents)
+SELECT c.doc_id, c.cluster_id,
+       (count(*) OVER (PARTITION BY c.cluster_id))::BIGINT AS cluster_size,
+       (row_number() OVER (PARTITION BY c.cluster_id
+                           ORDER BY nt.n_toks DESC, c.doc_id ASC) = 1)
+         AS is_canonical
+FROM clusters c JOIN nt USING (doc_id)
+"""
+
+    # per-token ln quantized to integer micro-nats (LN_MICRO) so the
+    # per-doc sum is exact integer arithmetic on both engines — the
+    # same cross-engine determinism trick as H15
+    sql["unigram_logprob"] = f"""
+WITH toks AS (SELECT doc_id, unnest({TOKS}) AS tok FROM documents),
+tf AS (SELECT doc_id, tok, count(*) AS tf FROM toks GROUP BY doc_id, tok),
+vocab AS (
+  SELECT tok, sum(tf) AS cnt,
+         round(ln(sum(tf)) * 1000000, 0)::BIGINT AS q
+  FROM tf GROUP BY tok
+),
+tot AS (SELECT round(ln(sum(cnt)) * 1000000, 0)::BIGINT AS qtot FROM vocab),
+pd AS (
+  SELECT tf.doc_id, sum(tf.tf)::BIGINT AS n_tokens,
+         sum(tf.tf * vocab.q)::BIGINT AS sq
+  FROM tf JOIN vocab USING (tok) GROUP BY tf.doc_id
+)
+SELECT d.doc_id,
+       coalesce(pd.n_tokens, 0)::BIGINT AS n_tokens,
+       round((sq::DOUBLE / pd.n_tokens - qtot) / 1000000, 6) AS logprob
+FROM documents d LEFT JOIN pd ON d.doc_id = pd.doc_id, tot
+"""
+
+    sql["chunk_overlap"] = f"""
+WITH t AS (SELECT doc_id, {TOKS} AS lst, len({TOKS}) AS n FROM documents),
+ex AS (
+  SELECT doc_id, lst,
+         (i - 1)::BIGINT AS chunk_idx, ((i - 1) * 48)::BIGINT AS start_tok
+  FROM (
+    SELECT doc_id, lst, unnest(generate_series(1, (n - 1) // 48 + 1)) AS i
+    FROM t WHERE n > 0
+  )
+)
+SELECT doc_id, chunk_idx, start_tok,
+       len(lst[(start_tok + 1)::INT : (start_tok + 64)::INT])::BIGINT AS n_tokens,
+       md5(array_to_string(lst[(start_tok + 1)::INT : (start_tok + 64)::INT], ' '))
+         AS chunk_md5
+FROM ex
+"""
+
+    # T=2 rate = sqrt(c_min/c_g): sqrt is IEEE correctly-rounded, so
+    # the rate doubles are bit-identical across engines
+    sql["sample_temperature"] = f"""
+WITH c AS (SELECT lang, count(*) AS cg FROM documents GROUP BY lang),
+m AS (SELECT min(cg) AS cmin FROM c),
+r AS (SELECT lang, sqrt(cmin * 1.0 / cg) AS rate FROM c, m)
+SELECT d.doc_id, d.lang FROM documents d JOIN r USING (lang)
+WHERE {h15.format(x="'tmp1:' || cast(doc_id AS VARCHAR)")} % 1000000
+      < floor(rate * 1000000)
 """
 
     sql["dedup_embedding_cosine"] = f"""

@@ -30,12 +30,13 @@ Scale notes (the 100 TB story):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 from pyspark.storagelevel import StorageLevel
 
 from quickwit_spark.pipeline.textstats import (
     TOKEN_PATTERN,
     ensure_parallelism as _ensure_parallelism,
+    tokens_col,
 )
 
 H15 = "cast(conv(substring(md5({x}), 1, 15), 16, 10) as bigint)"
@@ -408,6 +409,39 @@ def near_dup_clusters(
             break
     edges.unpersist()
     return labels.select(F.col("id").alias(id_col), F.col("lbl").alias("cluster_id"))
+
+
+def canonical_docs(
+    df: DataFrame,
+    clusters: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Pick ONE canonical doc per near-dup cluster — the keeper policy
+    that turns :func:`near_dup_clusters` labels into a deduplicated
+    corpus. Keep-longest: most tokens wins, ties broken by lowest id
+    (the common near-dup policy: the longest variant usually subsumes
+    its truncated/boilerplate-trimmed duplicates). Returns every input
+    row as (id, cluster_id, cluster_size, is_canonical); filter on
+    ``is_canonical`` for the deduplicated corpus.
+
+    Scale: token counting is a narrow map; the ranking is one window
+    shuffle on cluster_id (both window functions share the partition
+    key, so Catalyst plans a single exchange). The id↔cluster join is
+    a co-partitioned hash join at corpus cardinality — no data blowup.
+    """
+    n = F.size(tokens_col(text_col)).cast("long")
+    joined = df.select(F.col(id_col), n.alias("_nt")).join(clusters, id_col)
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.desc("_nt"), F.asc(id_col)
+    )
+    cw = Window.partitionBy("cluster_id")
+    return joined.select(
+        F.col(id_col),
+        "cluster_id",
+        F.count(F.lit(1)).over(cw).cast("long").alias("cluster_size"),
+        (F.row_number().over(w) == 1).alias("is_canonical"),
+    )
 
 
 _DOT = (

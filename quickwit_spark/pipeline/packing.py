@@ -171,3 +171,53 @@ def packed_token_sequences(
             "tokens",
         )
     )
+
+
+def chunk_text(
+    df: DataFrame,
+    chunk_len: int = 64,
+    stride: int = 48,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Sliding-window chunking (the RAG / context-window layout, as
+    opposed to :func:`pack_sequences`' concat-and-chunk): one row per
+    (doc, chunk), chunks start at token offsets 0, stride, 2·stride, …
+    < n_tokens and carry up to ``chunk_len`` tokens, so consecutive
+    chunks overlap by ``chunk_len - stride`` tokens. Docs with no
+    tokens emit no chunks. Output identifies each chunk by
+    (doc_id, chunk_idx, start_tok, n_tokens, chunk_md5 — md5 of the
+    space-joined token slice, the cross-engine content check).
+
+    Scale (the 100 TB story): ZERO shuffles — tokenize, start-offset
+    generation, posexplode, and slice are all narrow maps in
+    whole-stage codegen; output order is per-doc and never needs a
+    global sort. Expansion factor is ~n_tokens/stride rows per doc,
+    each bounded by ``chunk_len`` tokens.
+    """
+    if chunk_len <= 0 or stride <= 0:
+        raise ValueError("chunk_len and stride must be positive")
+    staged = df.select(
+        F.col(id_col), tokens_col(text_col).alias("_toks")
+    ).select("*", F.size("_toks").alias("_n"))
+    starts = F.when(
+        F.col("_n") > 0,
+        F.expr(f"transform(sequence(0, (_n - 1) div {stride}), i -> i * {stride})"),
+    ).otherwise(F.expr("cast(array() as array<int>)"))
+    ex = staged.select(
+        F.col(id_col),
+        "_toks",
+        F.posexplode(starts).alias("chunk_idx", "start_tok"),
+    ).select(
+        F.col(id_col),
+        F.col("chunk_idx").cast("long").alias("chunk_idx"),
+        F.col("start_tok").cast("long").alias("start_tok"),
+        F.expr(f"slice(_toks, start_tok + 1, {chunk_len})").alias("_chunk"),
+    )
+    return ex.select(
+        F.col(id_col),
+        "chunk_idx",
+        "start_tok",
+        F.size("_chunk").cast("long").alias("n_tokens"),
+        F.md5(F.concat_ws(" ", "_chunk")).alias("chunk_md5"),
+    )

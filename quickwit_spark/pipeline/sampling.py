@@ -77,3 +77,50 @@ def stratified_sample(
         )
         .drop("_keep_frac")
     )
+
+
+def temperature_sample(
+    df: DataFrame,
+    strata_col: str = "source",
+    id_col: str = "doc_id",
+    seed: str = "t0",
+    temperature: float = 2.0,
+) -> DataFrame:
+    """Temperature-based domain mixing (the multilingual/multi-source
+    pretraining sampler): flatten the per-stratum distribution from
+    p_g ∝ c_g to q_g ∝ p_g^(1/T) by DOWN-sampling every stratum
+    relative to the smallest — keep rate_g = (c_min / c_g)^(1 - 1/T),
+    so the smallest stratum keeps everything and rate 1 everywhere at
+    T=1. Rows keep/drop by the same deterministic md5 threshold as
+    :func:`stratified_sample` (bit-reproducible, monotone under
+    appends).
+
+    T=2 (the common choice) computes the rate as ``sqrt(c_min / c_g)``
+    — sqrt IS IEEE correctly-rounded, so the rate is bit-identical in
+    Spark / DuckDB / numpy and the kept set hashes identically across
+    engines. Other temperatures go through pow(), which is not
+    correctly-rounded: fine in production, but cross-engine twins
+    should pin T=2.
+
+    Scale: one count-aggregate (stratum-sized), rates broadcast back,
+    then a narrow filter map — the corpus itself is never shuffled.
+    """
+    if temperature < 1.0:
+        raise ValueError("temperature must be >= 1 (T<1 would up-sample)")
+    counts = df.groupBy(strata_col).agg(F.count(F.lit(1)).alias("_cg"))
+    cmin = counts.agg(F.min("_cg").alias("_cmin"))
+    ratio = F.col("_cmin").cast("double") / F.col("_cg")
+    if temperature == 2.0:
+        rate = F.sqrt(ratio)
+    else:
+        rate = F.pow(ratio, 1.0 - 1.0 / temperature)
+    rates = counts.crossJoin(F.broadcast(cmin)).select(
+        strata_col, rate.alias("_rate")
+    )
+    h = H15.format(x=f"concat('{seed}:', cast({id_col} as string))")
+    return (
+        df.join(F.broadcast(rates), strata_col)
+        .where(F.expr(h) % SAMPLE_MOD < F.floor(F.col("_rate") * SAMPLE_MOD))
+        .drop("_rate")
+        .select(*df.columns)
+    )

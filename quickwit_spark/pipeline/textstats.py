@@ -5,9 +5,11 @@ All pure built-in-function plans (whole-stage codegen; zero Python in
 the executor hot path). Each has an ANSI-SQL twin in
 ``__spark_entry__.oracle_sql`` so DuckDB can verify it bit-for-bit.
 
-Scale: every operator here is a narrow map over the input — no
-shuffle, no UDF; a 100 TB scan parallelizes embarrassingly and the
-projection is pruned to (id, text).
+Scale: every operator here except :func:`unigram_logprob` is a narrow
+map over the input — no shuffle, no UDF; a 100 TB scan parallelizes
+embarrassingly and the projection is pruned to (id, text).
+``unigram_logprob`` is the one corpus-relative score (it needs global
+token counts) and keeps its shuffles distinct-token-sized.
 """
 
 from __future__ import annotations
@@ -225,4 +227,69 @@ def repetition_stats(
             ),
             6,
         ).alias("distinct_token_ratio"),
+    )
+
+
+# ln quantization for the unigram LM: ln() is not IEEE
+# correctly-rounded, so summing raw doubles across engines (and across
+# Spark's nondeterministic partial-agg order) can drift a ulp per term.
+# Quantizing each ln to integer micro-nats makes every downstream sum
+# EXACT integer arithmetic — order-independent and bit-identical in
+# Spark, DuckDB, and Python (same trick as the H15 cross-engine hash).
+LN_MICRO = 1_000_000
+
+
+def unigram_logprob(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Corpus unigram-LM score per doc: mean ln p(token) under the
+    corpus's own unigram distribution (the cheap stand-in for a
+    perplexity quality filter — boilerplate and in-distribution text
+    score high, junk/rare-token soup scores low).
+
+    logprob(d) = (1/|d|) * sum_t ln(cnt(t)) - ln(total_tokens), with
+    each ln quantized to integer micro-nats (``LN_MICRO``) so the
+    per-doc sum is exact integer arithmetic (see above). Docs with no
+    tokens return NULL.
+
+    Scale (the 100 TB story): per-doc tf via groupBy(id, token) —
+    map-side combine collapses it to distinct-tokens-per-doc before
+    the exchange; the vocab table aggregates from tf rows (vocab-sized,
+    << corpus); the tf→vocab join moves one row per (doc, distinct
+    token), so hot stopwords contribute once per doc, not once per
+    occurrence (the skew defusal). No collect, no UDF.
+    """
+    tf = (
+        df.select(F.col(id_col), F.explode(tokens_col(text_col)).alias("tok"))
+        .groupBy(id_col, "tok")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    vocab = tf.groupBy("tok").agg(F.sum("tf").alias("cnt"))
+    q = F.round(F.log(F.col("cnt").cast("double")) * LN_MICRO, 0).cast("long")
+    total = vocab.agg(
+        F.round(F.log(F.sum("cnt").cast("double")) * LN_MICRO, 0)
+        .cast("long")
+        .alias("_qtot")
+    )
+    per_doc = (
+        tf.join(vocab.select("tok", q.alias("_q")), "tok")
+        .groupBy(id_col)
+        .agg(
+            F.sum("tf").cast("long").alias("n_tokens"),
+            F.sum(F.col("tf") * F.col("_q")).alias("_sq"),
+        )
+    )
+    scored = per_doc.crossJoin(F.broadcast(total)).select(
+        F.col(id_col),
+        "n_tokens",
+        F.round(
+            (F.col("_sq").cast("double") / F.col("n_tokens") - F.col("_qtot"))
+            / LN_MICRO,
+            6,
+        ).alias("logprob"),
+    )
+    return df.select(id_col).join(scored, id_col, "left").select(
+        F.col(id_col),
+        F.coalesce("n_tokens", F.lit(0)).cast("long").alias("n_tokens"),
+        "logprob",
     )

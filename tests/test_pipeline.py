@@ -584,3 +584,139 @@ def test_packed_token_sequences_materialization(spark, docs):
     import re as _re
 
     assert len(_re.findall(r"Exchange \(\d+\)", s)) == 1
+
+
+def test_chunk_text_coverage_and_overlap(spark, docs):
+    """Every token is covered by some chunk, interior chunks carry
+    exactly chunk_len tokens with chunk_len-stride overlap, starts
+    never reach past the doc, and empty docs emit nothing."""
+    from pyspark.sql import functions as F
+
+    from quickwit_spark.pipeline.packing import chunk_text
+    from quickwit_spark.pipeline.textstats import tokens_col
+
+    chunk_len, stride = 16, 12
+    with_empty = docs.select("doc_id", "text").union(
+        spark.createDataFrame([(10_000, ""), (10_001, "one")], ["doc_id", "text"])
+    )
+    rows = chunk_text(with_empty, chunk_len=chunk_len, stride=stride).collect()
+    n_toks = {
+        r.doc_id: r.n
+        for r in with_empty.select(
+            "doc_id", F.size(tokens_col("text")).alias("n")
+        ).collect()
+    }
+    by_doc: dict[int, list] = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    assert 10_000 not in by_doc  # empty doc: no chunks
+    assert [
+        (c.start_tok, c.n_tokens) for c in by_doc[10_001]
+    ] == [(0, 1)]
+    for did, chunks in by_doc.items():
+        n = n_toks[did]
+        chunks.sort(key=lambda c: c.chunk_idx)
+        assert [c.start_tok for c in chunks] == [
+            i * stride for i in range(len(chunks))
+        ]
+        assert all(c.start_tok < n for c in chunks)
+        # coverage: last chunk reaches the final token
+        last = chunks[-1]
+        assert last.start_tok + last.n_tokens == n or last.n_tokens == chunk_len
+        assert max(c.start_tok + c.n_tokens for c in chunks) == n
+        for c in chunks[:-1]:
+            assert c.n_tokens == chunk_len or c.start_tok + c.n_tokens == n
+    with pytest.raises(ValueError):
+        chunk_text(docs, chunk_len=0)
+    with pytest.raises(ValueError):
+        chunk_text(docs, stride=-1)
+
+
+def test_temperature_sample_invariants(spark, docs):
+    """Smallest stratum is kept in full, kept sets are deterministic
+    and subset-monotone in T, and T<1 raises."""
+    from pyspark.sql import functions as F
+
+    from quickwit_spark.pipeline.sampling import temperature_sample
+
+    kept2 = temperature_sample(docs, strata_col="lang", seed="tt").collect()
+    again = temperature_sample(docs, strata_col="lang", seed="tt").collect()
+    assert {r.doc_id for r in kept2} == {r.doc_id for r in again}
+
+    counts = {
+        r.lang: r.n
+        for r in docs.groupBy("lang").agg(F.count("*").alias("n")).collect()
+    }
+    smallest = min(counts, key=lambda k: counts[k])
+    kept_by_lang: dict[str, int] = {}
+    for r in kept2:
+        kept_by_lang[r.lang] = kept_by_lang.get(r.lang, 0) + 1
+    assert kept_by_lang[smallest] == counts[smallest]
+    # larger strata are downsampled below their input counts
+    biggest = max(counts, key=lambda k: counts[k])
+    assert kept_by_lang[biggest] < counts[biggest]
+
+    # T=1 keeps everything (rate 1 everywhere)
+    kept1 = temperature_sample(docs, strata_col="lang", seed="tt", temperature=1.0)
+    assert kept1.count() == docs.count()
+
+    with pytest.raises(ValueError):
+        temperature_sample(docs, temperature=0.5)
+
+
+def test_unigram_logprob_bounds(spark, docs):
+    """Scores are <= 0 (token prob <= 1), empty docs score NULL with
+    n_tokens 0, and n_tokens agrees with the tokenizer."""
+    from pyspark.sql import functions as F
+
+    from quickwit_spark.pipeline.textstats import tokens_col, unigram_logprob
+
+    with_empty = docs.select("doc_id", "text").union(
+        spark.createDataFrame([(10_000, "??!")], ["doc_id", "text"])
+    )
+    out = unigram_logprob(with_empty).collect()
+    got = {r.doc_id: r for r in out}
+    assert got[10_000].n_tokens == 0 and got[10_000].logprob is None
+    assert all(r.logprob <= 0 for r in out if r.logprob is not None)
+    n_toks = {
+        r.doc_id: r.n
+        for r in with_empty.select(
+            "doc_id", F.size(tokens_col("text")).alias("n")
+        ).collect()
+    }
+    assert all(n_toks[r.doc_id] == r.n_tokens for r in out)
+
+
+def test_canonical_docs_one_keeper_per_cluster(spark, docs):
+    """Exactly one canonical per cluster; the keeper has the cluster's
+    max token count (ties by lowest id); sizes sum to the corpus."""
+    from pyspark.sql import functions as F
+
+    from quickwit_spark.pipeline.dedup import (
+        canonical_docs,
+        minhash_lsh_pairs,
+        near_dup_clusters,
+        unpersist_intermediates,
+    )
+    from quickwit_spark.pipeline.textstats import tokens_col
+
+    pairs = minhash_lsh_pairs(docs, threshold=0.4)
+    clusters = near_dup_clusters(docs, pairs)
+    unpersist_intermediates(pairs)
+    rows = canonical_docs(docs, clusters).collect()
+    n_toks = {
+        r.doc_id: r.n
+        for r in docs.select(
+            "doc_id", F.size(tokens_col("text")).alias("n")
+        ).collect()
+    }
+    by_cluster: dict[int, list] = {}
+    for r in rows:
+        by_cluster.setdefault(r.cluster_id, []).append(r)
+    assert sum(len(v) for v in by_cluster.values()) == docs.count()
+    for cid, members in by_cluster.items():
+        assert all(m.cluster_size == len(members) for m in members)
+        keepers = [m for m in members if m.is_canonical]
+        assert len(keepers) == 1
+        best = min(members, key=lambda m: (-n_toks[m.doc_id], m.doc_id))
+        assert keepers[0].doc_id == best.doc_id
