@@ -292,7 +292,8 @@ def main() -> None:
     for name in ("token_count", "dedup_exact", "dedup_minhash_lsh",
                  "dedup_embedding_lsh", "ann_cosine_topk", "media_metadata",
                  "corpus_curation", "sequence_packing",
-                 "sequence_packing_materialized"):
+                 "sequence_packing_materialized", "chunk_overlap",
+                 "unigram_logprob"):
         fn = entry.queries()[name]
 
         def run(fn=fn):

@@ -240,7 +240,10 @@ LN_MICRO = 1_000_000
 
 
 def unigram_logprob(
-    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    persist_intermediates: bool = True,
 ) -> DataFrame:
     """Corpus unigram-LM score per doc: mean ln p(token) under the
     corpus's own unigram distribution (the cheap stand-in for a
@@ -257,13 +260,24 @@ def unigram_logprob(
     the exchange; the vocab table aggregates from tf rows (vocab-sized,
     << corpus); the tf→vocab join moves one row per (doc, distinct
     token), so hot stopwords contribute once per doc, not once per
-    occurrence (the skew defusal). No collect, no UDF.
+    occurrence (the skew defusal). No collect, no UDF. The tf frame
+    feeds three consumers (vocab, the total, the scoring join) and
+    Catalyst cannot CSE across them, so ``persist_intermediates=True``
+    caches it — one tokenize pass + one tf shuffle instead of three;
+    release with :func:`quickwit_spark.pipeline.dedup
+    .unpersist_intermediates`.
     """
     tf = (
         df.select(F.col(id_col), F.explode(tokens_col(text_col)).alias("tok"))
         .groupBy(id_col, "tok")
         .agg(F.count(F.lit(1)).alias("tf"))
     )
+    cached = []
+    if persist_intermediates:
+        from pyspark.storagelevel import StorageLevel
+
+        tf = tf.persist(StorageLevel.MEMORY_AND_DISK)
+        cached.append(tf)
     vocab = tf.groupBy("tok").agg(F.sum("tf").alias("cnt"))
     q = F.round(F.log(F.col("cnt").cast("double")) * LN_MICRO, 0).cast("long")
     total = vocab.agg(
@@ -288,8 +302,10 @@ def unigram_logprob(
             6,
         ).alias("logprob"),
     )
-    return df.select(id_col).join(scored, id_col, "left").select(
+    out = df.select(id_col).join(scored, id_col, "left").select(
         F.col(id_col),
         F.coalesce("n_tokens", F.lit(0)).cast("long").alias("n_tokens"),
         "logprob",
     )
+    out._qs_cached = cached
+    return out

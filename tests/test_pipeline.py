@@ -686,6 +686,19 @@ def test_unigram_logprob_bounds(spark, docs):
     }
     assert all(n_toks[r.doc_id] == r.n_tokens for r in out)
 
+    # the tf intermediate (3 consumers) is persisted and releasable;
+    # the uncached plan scores identically
+    from quickwit_spark.pipeline.dedup import unpersist_intermediates
+
+    cached = unigram_logprob(with_empty)
+    assert len(cached._qs_cached) == 1 and cached._qs_cached[0].is_cached
+    cached_rows = {(r.doc_id, r.n_tokens, r.logprob) for r in cached.collect()}
+    unpersist_intermediates(cached)
+    assert not cached._qs_cached[0].is_cached
+    plain = unigram_logprob(with_empty, persist_intermediates=False)
+    assert plain._qs_cached == []
+    assert {(r.doc_id, r.n_tokens, r.logprob) for r in plain.collect()} == cached_rows
+
 
 def test_canonical_docs_one_keeper_per_cluster(spark, docs):
     """Exactly one canonical per cluster; the keeper has the cluster's
