@@ -93,13 +93,13 @@ QueryAst = object  # union of the above
 _TOKEN_SPEC = re.compile(
     r"""
     \s*(?:
-        (?P<fgroup>[A-Za-z_][\w.]*):\( |
+        (?P<fgroup>[A-Za-z_](?:\\.|[\w.\-])*):\( |
         (?P<lparen>\() |
         (?P<rparen>\))(?:\^(?P<rpboost>\d+(?:\.\d+)?))? |
-        (?P<quoted>(?:(?P<qfield>[A-Za-z_][\w.]*):)?"(?P<phrase>[^"]*)"(?:~(?P<slop>\d+))?(?:\^(?P<qboost>\d+(?:\.\d+)?))?) |
+        (?P<quoted>(?:(?P<qfield>[A-Za-z_](?:\\.|[\w.\-])*):)?"(?P<phrase>[^"]*)"(?:~(?P<slop>\d+))?(?:\^(?P<qboost>\d+(?:\.\d+)?))?) |
         (?P<neg>-) |
         (?P<plus>\+) |
-        (?P<word>(?:(?P<field>[A-Za-z_][\w.]*):)?(?:\\.|[^\s()"\\+-])(?:\\.|[^\s()"\\])*)
+        (?P<word>(?:(?P<field>[A-Za-z_](?:\\.|[\w.\-])*):)?(?:\\.|[^\s()"\\+-])(?:\\.|[^\s()"\\])*)
     )
     """,
     re.VERBOSE,
@@ -337,53 +337,65 @@ def parse_query(q: str, config, search_fields=None) -> QueryAst:
     from quickwit_spark.functions.tokenize import TOKENIZERS, json_query_tokens
 
     def resolve(fld: str, text: str, slop):
-        try:
-            fcfg = config.field(fld)
-        except KeyError:
+        # an escaped dot (``identity\.username``) pins the LITERAL
+        # field name and disables the json-path interpretation; an
+        # unescaped dotted name prefers the json-root path over an
+        # exact field of the same dotted name (the reference's
+        # dot-collision rule, default_mapper.rs
+        # test_doc_mapper_object_dot_collision_with_json_field)
+        escaped = "\\" in fld
+        literal = re.sub(r"\\(.)", r"\1", fld)
+        rcfg = None
+        if not escaped:
             root, dot, path = fld.partition(".")
-            rcfg = None
             if dot and path:
                 try:
                     rcfg = config.field(root)
                 except KeyError:
                     rcfg = None
-            if rcfg is not None and rcfg.tokenizer not in ("json", "json_raw"):
-                rcfg = None
-            if rcfg is None and config.dynamic_field is not None:
+                if rcfg is not None and rcfg.tokenizer not in ("json", "json_raw"):
+                    rcfg = None
+        if rcfg is None:
+            try:
+                fcfg = config.field(literal)
+            except KeyError:
+                fcfg = None
+            if fcfg is not None:
+                toks = TOKENIZERS[fcfg.tokenizer](text)
+                if len(toks) == 0:
+                    return None
+                if len(toks) == 1:
+                    return Term(literal, toks[0])
+                return Phrase(literal, tuple(toks), slop or 0)
+            if config.dynamic_field is not None:
                 # mode=dynamic fallback (tests.rs
                 # test_search_dynamic_mode): an unknown field resolves
                 # as a json path INTO the dynamic catch-all field —
                 # the whole dotted name is the path
-                root, path = config.dynamic_field, fld
+                root, path = config.dynamic_field, literal
                 rcfg = config.field(root)
             if rcfg is None:
                 # exact reference string incl. the grammar quirk
                 # (query_builder.rs resolve_fields / tantivy
                 # QueryParserError::FieldDoesNotExist)
                 raise QueryParseError(f"Field does not exists: '{fld}'")
-            # json path term: string interpretation (conjunction when
-            # multi-token — json fields record no positions, slop is
-            # ignored) OR'd with the canonical numeric interpretation
-            toks, numeric = json_query_tokens(
-                path, text,
-                "raw" if rcfg.tokenizer == "json_raw" else "default",
-            )
-            nodes = []
-            if len(toks) == 1:
-                nodes.append(Term(root, toks[0]))
-            elif toks:
-                nodes.append(Bool(must=tuple(Term(root, t) for t in toks)))
-            if numeric is not None:
-                nodes.append(Term(root, numeric))
-            if not nodes:
-                return None
-            return nodes[0] if len(nodes) == 1 else Bool(should=tuple(nodes))
-        toks = TOKENIZERS[fcfg.tokenizer](text)
-        if len(toks) == 0:
-            return None
+        # json path term: string interpretation (conjunction when
+        # multi-token — json fields record no positions, slop is
+        # ignored) OR'd with the canonical numeric interpretation
+        toks, numeric = json_query_tokens(
+            path, text,
+            "raw" if rcfg.tokenizer == "json_raw" else "default",
+        )
+        nodes = []
         if len(toks) == 1:
-            return Term(fld, toks[0])
-        return Phrase(fld, tuple(toks), slop or 0)
+            nodes.append(Term(root, toks[0]))
+        elif toks:
+            nodes.append(Bool(must=tuple(Term(root, t) for t in toks)))
+        if numeric is not None:
+            nodes.append(Term(root, numeric))
+        if not nodes:
+            return None
+        return nodes[0] if len(nodes) == 1 else Bool(should=tuple(nodes))
 
     q = q.strip()
     if not q or q == "*":

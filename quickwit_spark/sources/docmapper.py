@@ -27,10 +27,43 @@ Round-trip: ``doc_to_json`` rebuilds the user-facing JSON
 
 from __future__ import annotations
 
+import re
 from dataclasses import dataclass, field as dc_field
 
 from pyspark.sql import DataFrame, functions as F
 from pyspark.sql import types as T
+
+# reference-exact field-name rule (default_doc_mapper/mod.rs:39):
+# starts with an ASCII letter; letters/digits/`_`/`.`/`-`; <= 255 chars
+FIELD_MAPPING_NAME_PATTERN = r"^[a-zA-Z][_\.\-a-zA-Z0-9]{0,254}$"
+
+
+def validate_field_mapping_name(name: str) -> None:
+    """Reject invalid mapping names with the reference's exact error
+    strings (default_doc_mapper/mod.rs:51-83; leading `_` covers the
+    reserved names like ``_source``/``_dynamic``)."""
+    if re.match(FIELD_MAPPING_NAME_PATTERN, name):
+        return
+    if not name:
+        raise ValueError("Field name is empty.")
+    if name.startswith("_"):
+        raise ValueError(f"Field name `{name}` may not start by _")
+    if len(name) > 255:
+        raise ValueError(
+            f"Field name `{name}` is too long. Field names must not be "
+            "longer than 255 characters."
+        )
+    first = name[0]
+    if not ("a" <= first <= "z" or "A" <= first <= "Z") and first != "_":
+        raise ValueError(
+            f"Field name `{name}` is invalid. Field names must start with "
+            "an uppercase or lowercase ASCII letter, or an underscore `_`."
+        )
+    raise ValueError(
+        f"Field name `{name}` contains illegal characters. Field names "
+        "must only contain uppercase and lowercase ASCII letters, digits, "
+        "hyphens `-`, periods `.`, and underscores `_`."
+    )
 
 
 # --- generic mapping tree (field_mapping_entry.rs:250-299 analog) ----------
@@ -95,6 +128,7 @@ def _spark_type(fm: FieldMapping) -> T.DataType:
 
 
 def _schema_field(fm: FieldMapping) -> T.StructField:
+    validate_field_mapping_name(fm.name)
     return T.StructField(fm.name, _spark_type(fm))
 
 
@@ -160,22 +194,59 @@ def _ts_expr(col, formats=DEFAULT_TS_FORMATS, precision: str | None = None):
     return F.coalesce(*attempts, rfc2822, numeric)
 
 
+# strict padded base64 (the reference's base64::decode;
+# test_parse_bytes_invalid_base64): Spark's unbase64 silently mangles
+# invalid input (or raises under ANSI), so gate it behind a validity
+# check and surface a value_error instead
+_B64_PATTERN = (
+    r"^(?:[A-Za-z0-9+/]{4})*(?:[A-Za-z0-9+/]{2}==|[A-Za-z0-9+/]{3}=)?$"
+)
+
+
+def _b64_decode(col):
+    return F.when(col.rlike(_B64_PATTERN), F.unbase64(col))
+
+
+def _scalar_from_raw(raw, inner, ts_formats, ts_precision):
+    """Convert ONE raw scalar string (from the map-typed parse) to the
+    leaf type — the cardinality-lenient path that accepts a scalar for
+    a multivalued field (mapping_tree cardinality MultiValues;
+    test_parse_i64_mutivalued_accepts_scalar)."""
+    if inner == "datetime":
+        return _ts_expr(raw, ts_formats, ts_precision)
+    if inner == "bytes":
+        return _b64_decode(raw)
+    if inner == "text":
+        return raw
+    return raw.try_cast(_SCALAR_TYPES[inner])
+
+
 def _output_col(fm: FieldMapping, ts_formats, ts_precision):
     """Top-level output column with type coercion: datetime through the
     multi-format parser, bytes through base64 decode (including
-    array<...> variants). Nested (object) datetime/bytes leaves stay as
-    parsed strings — coerce them downstream if needed."""
+    array<...> variants); array<T> leaves also accept a bare scalar
+    (wrapped into a singleton — reference cardinality semantics).
+    Nested (object) datetime/bytes leaves stay as parsed strings —
+    coerce them downstream if needed."""
     col = F.col(f"_doc.{fm.name}")
     if fm.type == "datetime":
         return _ts_expr(col, ts_formats, ts_precision).alias(fm.name)
     if fm.type == "bytes":
-        return F.unbase64(col).alias(fm.name)
-    if fm.type == "array<datetime>":
-        return F.transform(
-            col, lambda c: _ts_expr(c, ts_formats, ts_precision)
-        ).alias(fm.name)
-    if fm.type == "array<bytes>":
-        return F.transform(col, F.unbase64).alias(fm.name)
+        return _b64_decode(col).alias(fm.name)
+    if fm.type.startswith("array<"):
+        inner = fm.type[6:-1]
+        if inner == "datetime":
+            parsed = F.transform(col, lambda c: _ts_expr(c, ts_formats, ts_precision))
+        elif inner == "bytes":
+            parsed = F.transform(col, _b64_decode)
+        else:
+            parsed = col
+        raw_v = F.col("_map").getItem(fm.name)
+        conv = _scalar_from_raw(raw_v, inner, ts_formats, ts_precision)
+        singleton = F.when(
+            ~raw_v.rlike(r"^\s*[\[{]") & conv.isNotNull(), F.array(conv)
+        )
+        return F.coalesce(parsed, singleton).alias(fm.name)
     return col.alias(fm.name)
 
 
@@ -208,13 +279,43 @@ def map_docs(
         asmap.alias("_map"),
         extra_keys.alias("_extra"),
     )
+    outputs = {
+        fm.name: _output_col(fm, ts_formats, ts_precision)
+        for fm in mapping.fields
+    }
+    # error precedence mirrors the mapper walk (DocParsingError,
+    # error.rs:37-53): NotJsonObject > per-field required-missing /
+    # MultiValuesNotSupported / ValueError in mapping order >
+    # NoSuchFieldInSchema (strict). An explicit JSON null counts as
+    # absent (test_parse_null_is_just_ignored) — missing for required
+    # fields, ignored otherwise.
     err = F.when(F.col("_map").isNull(), F.lit("parse_error"))
     for fm in mapping.fields:
+        raw_v = F.col("_map").getItem(fm.name)
         if fm.required:
             err = err.when(
-                F.col(f"_doc.{fm.name}").isNull(),
-                F.lit(f"missing_field:{fm.name}"),
+                raw_v.isNull(), F.lit(f"missing_field:{fm.name}")
             )
+        if fm.type in ("object", "json", "text"):
+            # nested/raw-json leaves stay best-effort; text accepts any
+            # scalar (from_json stringifies JSON atoms AND nested values
+            # into string fields — flagging a leading '[' would reject
+            # legitimate text like "[INFO] ...", so text stays lenient)
+            continue
+        is_array = fm.type.startswith("array<")
+        if not is_array:
+            err = err.when(
+                raw_v.isNotNull() & raw_v.rlike(r"^\s*\["),
+                F.lit(f"multi_values_not_supported:{fm.name}"),
+            )
+        bad = outputs[fm.name].isNull()
+        if is_array:
+            # nested arrays / uncoercible elements (including explicit
+            # null elements) are ValueErrors, not silent nulls
+            bad = bad | F.exists(outputs[fm.name], lambda x: x.isNull())
+        err = err.when(
+            raw_v.isNotNull() & bad, F.lit(f"value_error:{fm.name}")
+        )
     if mode == "strict":
         err = F.coalesce(
             err,
@@ -224,9 +325,7 @@ def map_docs(
             ),
         )
     out = out.withColumn("_error", err)
-    cols = [
-        _output_col(fm, ts_formats, ts_precision) for fm in mapping.fields
-    ]
+    cols = list(outputs.values())
     cols.append(F.col("_error"))
     if mode == "dynamic":
         cols.append(

@@ -257,3 +257,85 @@ def test_rfc2822_datetime_parse(spark):
     # 10:52:37+02:00 == 08:52:37 UTC (session pinned to UTC)
     assert got[0].startswith("2003-07-01 08:52:37")
     assert got[2].startswith("2025-06-23 06:59:59")
+
+
+def test_validate_field_mapping_name():
+    """Reference-exact name validation incl. error strings
+    (default_doc_mapper/mod.rs:39-83, test_validate_field_mapping_name)."""
+    import pytest
+
+    from quickwit_spark.sources.docmapper import validate_field_mapping_name
+
+    for ok in ("hello", "a", "B-2", "f.q.n", "under_score", "x" * 255):
+        validate_field_mapping_name(ok)
+    with pytest.raises(ValueError, match=r"^Field name is empty\.$"):
+        validate_field_mapping_name("")
+    with pytest.raises(ValueError, match=r"may not start by _"):
+        validate_field_mapping_name("_source")
+    with pytest.raises(ValueError, match=r"is too long"):
+        validate_field_mapping_name("a" * 256)
+    with pytest.raises(ValueError, match=r"must start with an uppercase"):
+        validate_field_mapping_name("-hello")
+    with pytest.raises(ValueError, match=r"contains illegal characters"):
+        validate_field_mapping_name("hello@world")
+
+
+def test_wrong_value_and_cardinality(spark):
+    """ValueError / MultiValuesNotSupported / cardinality semantics
+    (error.rs:37-53; default_mapper tests: wrong_value, wrong_cardinality,
+    i64_from_f64_should_error, i64_too_large, bytes_invalid_base64,
+    mutivalued_accepts_scalar, nested_array_forbidden,
+    null_is_just_ignored)."""
+    from quickwit_spark.sources.docmapper import (
+        DocMapping,
+        FieldMapping,
+        map_docs,
+    )
+
+    mapping = DocMapping(
+        fields=(
+            FieldMapping("txt", "text", required=True),
+            FieldMapping("num", "i64"),
+            FieldMapping("flt", "f64"),
+            FieldMapping("data", "bytes"),
+            FieldMapping("dt", "datetime"),
+            FieldMapping("tags", "array<i64>"),
+        ),
+    )
+    lines = [
+        '{"txt": "ok", "num": 5, "flt": 7, "tags": [1, 2]}',      # valid; f64 from int ok
+        '{"txt": "ok", "num": "abc"}',                            # string for i64
+        '{"txt": "ok", "num": 5.5}',                              # i64 from f64: error
+        '{"txt": "ok", "num": [1, 2]}',                           # array for scalar
+        '{"txt": "ok", "num": 99999999999999999999999999}',       # i64 too large
+        '{"txt": "ok", "data": "aGVsbG8="}',                      # valid base64
+        '{"txt": "ok", "data": "!!notbase64!!"}',                 # invalid base64
+        '{"txt": "ok", "dt": "2021-04-13T22:45:41Z"}',            # valid datetime
+        '{"txt": "ok", "dt": "not a date"}',                      # bad datetime
+        '{"txt": "ok", "tags": 5}',                               # scalar accepted for array
+        '{"txt": "ok", "tags": [[1], [2]]}',                      # nested array forbidden
+        '{"txt": "ok", "num": null}',                             # null ignored
+        '{"num": 1}',                                             # required missing
+        '{"txt": null, "num": 1}',                                # explicit null = missing
+        '{"txt": "[INFO] bracketed text is fine"}',               # text stays lenient
+    ]
+    rows = map_docs(
+        spark.createDataFrame([(l,) for l in lines], ["value"]), mapping
+    ).collect()
+    errs = [r["_error"] for r in rows]
+    assert errs[0] is None and rows[0]["flt"] == 7.0
+    assert errs[1] == "value_error:num"
+    assert errs[2] == "value_error:num"
+    assert errs[3] == "multi_values_not_supported:num"
+    assert errs[4] == "value_error:num"
+    assert errs[5] is None and bytes(rows[5]["data"]) == b"hello"
+    assert errs[6] == "value_error:data" and rows[6]["data"] is None
+    assert errs[7] is None and rows[7]["dt"] is not None
+    assert errs[8] == "value_error:dt"
+    assert errs[9] is None and rows[9]["tags"] == [5]
+    assert errs[10] == "value_error:tags"
+    assert errs[11] is None and rows[11]["num"] is None
+    assert errs[12] == "missing_field:txt"
+    assert errs[13] == "missing_field:txt"
+    assert errs[14] is None and rows[14]["txt"].startswith("[INFO]")
+    assert rows[0]["tags"] == [1, 2]

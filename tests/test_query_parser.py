@@ -531,3 +531,34 @@ class TestDynamicModeQueries:
             ]
             for a, b in zip(hits_o, r.hits):
                 assert abs(a.score - b.score) < 1e-9
+
+
+def test_dotted_field_collision_json_root_wins():
+    """Dot-collision rule (default_mapper.rs
+    test_doc_mapper_object_dot_collision_with_json_field): an
+    unescaped dotted name prefers the json-root path interpretation
+    over an exact field with the same dotted name; an escaped dot
+    (``identity\\.username``) pins the literal field."""
+    from quickwit_spark.config import FieldConfig, IndexConfig
+
+    cfg = IndexConfig(
+        fields=(
+            FieldConfig("text", "default"),
+            FieldConfig("identity", "json"),
+            FieldConfig("identity.username", "default"),
+        )
+    )
+    assert parse_query("identity.username:toto", cfg) == Term(
+        "identity", "username\x1ftoto"
+    )
+    assert parse_query(r"identity\.username:toto", cfg) == Term(
+        "identity.username", "toto"
+    )
+    # a literal dotted field with NO json root still resolves directly
+    cfg2 = IndexConfig(
+        fields=(FieldConfig("text", "default"), FieldConfig("a.b", "default"))
+    )
+    assert parse_query("a.b:x", cfg2) == Term("a.b", "x")
+    # an escaped unknown name is an error, not a dynamic/path fallback
+    with pytest.raises(QueryParseError, match="Field does not exists"):
+        parse_query(r"a\.b:x", CFG)
