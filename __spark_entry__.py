@@ -879,6 +879,18 @@ def q_ann_lsh_topk(spark, sf_dir):
     return lsh_ann_topk(embs, embs.where(F.col("vec_id") < 5), k=10, n_planes=4)
 
 
+def q_ann_ivf_topk(spark, sf_dir):
+    """IVF ANN: deterministic md5-sampled centroids (no k-means, no
+    RNG), per-row argmax cell assignment over the broadcast centroid
+    array, queries probe their 2 nearest of 8 cells."""
+    from quickwit_spark.pipeline.similarity import ivf_ann_topk
+
+    embs = _embs(spark, sf_dir)
+    return ivf_ann_topk(
+        embs, embs.where(F.col("vec_id") < 5), k=10, n_centroids=8, n_probe=2
+    )
+
+
 def q_events_windowed(spark, sf_dir):
     from quickwit_spark.pipeline.events import windowed_event_counts
 
@@ -988,6 +1000,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_temperature": q_sample_temperature,
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
+        "ann_ivf_topk": q_ann_ivf_topk,
         "media_metadata": q_media_metadata,
         "frame_sample": q_frame_sample,
         "events_windowed": q_events_windowed,
@@ -1981,6 +1994,56 @@ scored AS (
 ranked AS (
   SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rank
   FROM scored
+)
+SELECT query_id, neighbor_id, rank, cosine FROM ranked WHERE rank <= 10
+"""
+
+    # IVF twin: same md5-ranked centroid sample, Voronoi assignment via
+    # (cos desc, cid asc) row_number, queries probe their 2 nearest of
+    # 8 cells, exact cosine rank within candidates
+    ivf_dot_wc = (
+        "list_sum(list_transform(generate_series(1, len(w.embedding)),"
+        " i -> w.embedding[i]::DOUBLE * c.cvec[i]::DOUBLE))"
+    )
+    ivf_dot_aq = (
+        "list_sum(list_transform(generate_series(1, len(wa.embedding)),"
+        " i -> wa.embedding[i]::DOUBLE * wq.embedding[i]::DOUBLE))"
+    )
+    sql["ann_ivf_topk"] = f"""
+WITH w AS (SELECT vec_id, embedding, sqrt({self_dot}) AS nrm FROM embeddings),
+cents AS (
+  SELECT vec_id AS cid, embedding AS cvec, nrm AS cnrm FROM w
+  ORDER BY {h15.format(x="'ivf1:' || cast(vec_id AS VARCHAR)")}, vec_id
+  LIMIT 8
+),
+assign AS (
+  SELECT vec_id AS c_id, cid AS cell FROM (
+    SELECT w.vec_id, c.cid,
+           row_number() OVER (PARTITION BY w.vec_id
+             ORDER BY {ivf_dot_wc} / (w.nrm * c.cnrm) DESC, c.cid ASC) AS rn
+    FROM w, cents c) t WHERE rn = 1
+),
+qprobe AS (
+  SELECT vec_id AS q_id, cid AS cell FROM (
+    SELECT w.vec_id, c.cid,
+           row_number() OVER (PARTITION BY w.vec_id
+             ORDER BY {ivf_dot_wc} / (w.nrm * c.cnrm) DESC, c.cid ASC) AS rn
+    FROM w, cents c WHERE w.vec_id < 5) t WHERE rn <= 2
+),
+cand AS (
+  SELECT q.q_id, a.c_id,
+         round({ivf_dot_aq} / (wa.nrm * wq.nrm), 6) AS cosine
+  FROM qprobe q JOIN assign a USING (cell)
+  JOIN w wa ON wa.vec_id = a.c_id
+  JOIN w wq ON wq.vec_id = q.q_id
+  WHERE a.c_id <> q.q_id
+),
+ranked AS (
+  SELECT q_id AS query_id, c_id AS neighbor_id,
+         row_number() OVER (PARTITION BY q_id
+           ORDER BY cosine DESC, c_id ASC) AS rank,
+         cosine
+  FROM cand
 )
 SELECT query_id, neighbor_id, rank, cosine FROM ranked WHERE rank <= 10
 """

@@ -216,6 +216,111 @@ def ann_index_topk(
     )
 
 
+def ivf_ann_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_centroids: int = 8,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: str = "ivf1",
+) -> DataFrame:
+    """IVF-style ANN: partition the corpus into Voronoi cells around
+    ``n_centroids`` centroids, probe each query against its ``n_probe``
+    nearest cells only, exact cosine rank within the candidates.
+
+    Centroids are a deterministic md5-ranked sample of the corpus
+    itself (FAISS-IVF-with-untrained-quantizer shape) — no k-means
+    iteration, no RNG state, so the whole structure is reproducible
+    across engines and the DuckDB twin can verify it bit-for-bit.
+    Recall < 1 by design and rises with ``n_probe``.
+
+    Scale (the 100 TB story): the centroid table is tiny and rides a
+    broadcast; cell assignment is a per-row argmax fold over that
+    broadcast array — a narrow map, the corpus is never shuffled for
+    assignment. Candidate generation joins on the cell key with the
+    (small) probe side broadcast, so each query scans ~n_probe/n_cells
+    of the corpus; at rest the corpus would be written
+    ``partitionBy(cell)`` exactly like :func:`write_ann_index` so a
+    probe prunes to its cells' partition directories.
+    """
+    corpus = ensure_parallelism(corpus)
+    c = _with_norm(corpus, id_col, vec_col, "c")
+    q = _with_norm(queries, id_col, vec_col, "q")
+    h = (
+        f"cast(conv(substring(md5(concat('{seed}:', cast(c_id as string))),"
+        f" 1, 15), 16, 10) as bigint)"
+    )
+    cents = (
+        c.orderBy(F.expr(h), F.col("c_id"))
+        .limit(n_centroids)
+        .select(
+            F.col("c_id").alias("cid"),
+            F.col("c_v").alias("cvec"),
+            F.col("c_n").alias("cnrm"),
+        )
+    )
+    cent_arr = cents.agg(
+        F.expr(
+            "array_sort(collect_list(named_struct("
+            "'cid', cid, 'cvec', cvec, 'cnrm', cnrm)),"
+            " (a, b) -> case when a.cid < b.cid then -1"
+            " when a.cid > b.cid then 1 else 0 end)"
+        ).alias("cents")
+    )
+    # cosine of a row vector {v} (norm {n}) against centroid lambda var c
+    cos_c = (
+        "(aggregate(zip_with({v}, c.cvec, (x, y) -> cast(x as double) * cast(y as double)),"
+        " 0D, (s, t) -> s + t) / ({n} * c.cnrm))"
+    )
+    cc = cos_c.format(v="c_v", n="c_n")
+    # per-row argmax: first (lowest-cid, array is cid-sorted) centroid
+    # with the max cosine — matches the oracle's (cos desc, cid asc)
+    assign = (
+        f"aggregate(cents, named_struct('cid', cast(-1 as bigint),"
+        f" 'best', cast('-Infinity' as double)),"
+        f" (acc, c) -> if({cc} > acc.best,"
+        f" named_struct('cid', c.cid, 'best', {cc}), acc)).cid"
+    )
+    ca = c.crossJoin(F.broadcast(cent_arr)).select(
+        "c_id", "c_v", "c_n", F.expr(assign).alias("cell")
+    )
+    qc = cos_c.format(v="q_v", n="q_n")
+    probes = (
+        f"transform(slice(array_sort(transform(cents,"
+        f" c -> named_struct('negcos', -{qc}, 'cid', c.cid))),"
+        f" 1, {n_probe}), s -> s.cid)"
+    )
+    qa = q.crossJoin(F.broadcast(cent_arr)).select(
+        "q_id", "q_v", "q_n", F.explode(F.expr(probes)).alias("cell")
+    )
+    scored = (
+        ca.join(F.broadcast(qa), "cell")
+        .where(F.col("c_id") != F.col("q_id"))
+        .withColumn(
+            "cosine",
+            F.round(
+                F.expr(DOT.format(a="c_v", b="q_v")) / (F.col("c_n") * F.col("q_n")),
+                6,
+            ),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(
+        F.col("cosine").desc(), F.col("c_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            F.col("q_id").alias("query_id"),
+            F.col("c_id").alias("neighbor_id"),
+            "rank",
+            "cosine",
+        )
+    )
+
+
 def lsh_ann_topk(
     corpus: DataFrame,
     queries: DataFrame,

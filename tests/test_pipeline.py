@@ -733,3 +733,31 @@ def test_canonical_docs_one_keeper_per_cluster(spark, docs):
         assert len(keepers) == 1
         best = min(members, key=lambda m: (-n_toks[m.doc_id], m.doc_id))
         assert keepers[0].doc_id == best.doc_id
+
+
+def test_ivf_full_probe_equals_exact(spark):
+    """IVF with n_probe == n_centroids probes every cell, so the
+    result must equal brute-force cosine top-k exactly; with fewer
+    probes the result is a subset of each query's candidate space and
+    deterministic."""
+    from pyspark.sql import functions as F
+
+    from quickwit_spark.pipeline.similarity import cosine_topk, ivf_ann_topk
+
+    embs = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    qs = embs.where(F.col("vec_id") < 4)
+    full = {
+        (r.query_id, r.neighbor_id, r.rank, r.cosine)
+        for r in ivf_ann_topk(embs, qs, k=5, n_centroids=4, n_probe=4).collect()
+    }
+    exact = {
+        (r.query_id, r.neighbor_id, r.rank, r.cosine)
+        for r in cosine_topk(embs, qs, k=5).collect()
+    }
+    assert full == exact
+    part = ivf_ann_topk(embs, qs, k=5, n_centroids=4, n_probe=1).collect()
+    assert {r.query_id for r in part} <= {t[0] for t in exact}
+    again = ivf_ann_topk(embs, qs, k=5, n_centroids=4, n_probe=1).collect()
+    assert {(r.query_id, r.neighbor_id, r.rank) for r in part} == {
+        (r.query_id, r.neighbor_id, r.rank) for r in again
+    }
