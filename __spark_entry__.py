@@ -804,6 +804,25 @@ def q_dedup_embedding_lsh(spark, sf_dir):
     )
 
 
+def q_dedup_substring_spans(spark, sf_dir):
+    """Span-level exact-substring dedup (Lee et al. 2022): maximal
+    token spans duplicated across distinct docs, from merged
+    8-token seed grams — two shuffles (gram-hash window + doc
+    window), no join back, no broadcast of the duplicate set."""
+    from quickwit_spark.pipeline.dedup import duplicate_spans
+
+    return duplicate_spans(_docs(spark, sf_dir), min_len=8)
+
+
+def q_dedup_substring_scrub(spark, sf_dir):
+    """Scrub companion: per-doc surviving token stream after removing
+    every duplicated span, verified by md5 of the kept tokens."""
+    from quickwit_spark.pipeline.dedup import duplicate_spans, remove_duplicate_spans
+
+    docs = _docs(spark, sf_dir)
+    return remove_duplicate_spans(docs, duplicate_spans(docs, min_len=8))
+
+
 def q_dedup_clusters(spark, sf_dir):
     from quickwit_spark.pipeline.dedup import (
         minhash_lsh_pairs,
@@ -993,6 +1012,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash_pairs": q_dedup_simhash_pairs,
         "dedup_embedding_cosine": q_dedup_embedding_cosine,
         "dedup_embedding_lsh": q_dedup_embedding_lsh,
+        "dedup_substring_spans": q_dedup_substring_spans,
+        "dedup_substring_scrub": q_dedup_substring_scrub,
         "dedup_clusters": q_dedup_clusters,
         "dedup_canonical": q_dedup_canonical,
         "unigram_logprob": q_unigram_logprob,
@@ -1632,6 +1653,60 @@ WITH w AS (SELECT doc_id, md5(text) AS digest FROM documents),
 g AS (SELECT digest, min(doc_id) AS keeper_id, count(*) AS group_size FROM w GROUP BY digest)
 SELECT w.doc_id, g.keeper_id, g.group_size, w.doc_id <> g.keeper_id AS is_dup
 FROM w JOIN g ON w.digest = g.digest
+"""
+
+    # span-level exact-substring dedup: 8-token seed grams, H15-hashed,
+    # duplicated when seen under >=2 distinct doc ids, merged
+    # gaps-and-islands (new span when the gap exceeds the gram length)
+    L = 8
+    span_gh = h15.format(x=f"array_to_string(toks[i+1:i+{L}], ' ')")
+    substring_spans = f"""
+WITH t AS (SELECT doc_id, {TOKS} AS toks FROM documents),
+g AS (
+  SELECT doc_id, i AS pos, {span_gh} AS gh
+  FROM t, UNNEST(generate_series(0, len(toks) - {L})) AS u(i)
+  WHERE len(toks) >= {L}
+),
+m AS (
+  SELECT doc_id, pos FROM (
+    SELECT doc_id, pos,
+      min(doc_id) OVER (PARTITION BY gh) AS mn,
+      max(doc_id) OVER (PARTITION BY gh) AS mx
+    FROM g) WHERE mn <> mx
+),
+brk AS (
+  SELECT doc_id, pos,
+    CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) <= {L}
+         THEN 0 ELSE 1 END AS b
+  FROM m
+),
+isl AS (
+  SELECT doc_id, pos,
+    sum(b) OVER (PARTITION BY doc_id ORDER BY pos ROWS UNBOUNDED PRECEDING) AS island
+  FROM brk
+)
+SELECT doc_id, min(pos)::BIGINT AS span_start, (max(pos) + {L})::BIGINT AS span_end,
+  count(*)::BIGINT AS n_grams
+FROM isl GROUP BY doc_id, island
+"""
+    sql["dedup_substring_spans"] = substring_spans
+
+    sql["dedup_substring_scrub"] = f"""
+WITH spans AS ({substring_spans}),
+sl AS (SELECT doc_id, list(struct_pack(s := span_start, e := span_end)) AS sp
+       FROM spans GROUP BY doc_id),
+t AS (SELECT d.doc_id, {TOKS} AS toks, coalesce(sl.sp, []) AS sp
+      FROM documents d LEFT JOIN sl ON d.doc_id = sl.doc_id),
+k AS (
+  SELECT doc_id, toks,
+    list_filter(list_transform(toks, (x, i) -> struct_pack(t := x, i := i - 1)),
+                s -> len(list_filter(sp, p -> s.i >= p.s AND s.i < p.e)) = 0) AS kept
+  FROM t
+)
+SELECT doc_id, len(toks)::BIGINT AS n_tokens,
+  (len(toks) - len(kept))::BIGINT AS n_dup_tokens,
+  md5(coalesce(array_to_string(list_transform(kept, s -> s.t), ' '), '')) AS clean_md5
+FROM k
 """
 
     jaccard_verify = f"""

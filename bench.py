@@ -295,7 +295,8 @@ def main() -> None:
     import __spark_entry__ as entry
 
     for name in ("token_count", "dedup_exact", "dedup_minhash_lsh",
-                 "dedup_embedding_lsh", "ann_cosine_topk", "media_metadata",
+                 "dedup_embedding_lsh", "dedup_substring_spans",
+                 "ann_cosine_topk", "media_metadata",
                  "corpus_curation", "sequence_packing",
                  "sequence_packing_materialized", "chunk_overlap",
                  "unigram_logprob"):

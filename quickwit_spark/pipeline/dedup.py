@@ -561,3 +561,120 @@ def embedding_lsh_pairs(
     out = _verify_cosine(w, cand, id_col, threshold)
     out._qs_cached = cached
     return out
+
+
+def duplicate_spans(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_len: int = 8,
+    cross_doc_only: bool = True,
+) -> DataFrame:
+    """Exact SUBSTRING dedup: find token spans that occur (verbatim)
+    more than once in the corpus — the span-level complement of the
+    doc-level near-dup operators, after Lee et al. 2022
+    ("Deduplicating Training Data Makes Language Models Better"): a
+    boilerplate paragraph pasted into thousands of otherwise-unique
+    documents never trips doc-level MinHash but dominates the training
+    distribution.
+
+    Method: every length-``min_len`` token window ("seed gram") is
+    hashed (H15, cross-engine md5); a gram is duplicated when it occurs
+    under ≥2 distinct doc ids (``cross_doc_only``) or ≥2 times anywhere
+    (covers within-doc repetition). Overlapping/adjacent duplicated
+    grams in a doc are merged gaps-and-islands style (a new span starts
+    when the gap to the previous duplicated gram exceeds ``min_len``),
+    so a long copied paragraph reports as ONE maximal span. Returns
+    (id, span_start, span_end, n_grams): token-index half-open
+    ``[span_start, span_end)`` plus the number of seed grams merged.
+
+    Scale: gram rows are O(total tokens) — linear, the same volume the
+    index build shuffles. TWO shuffles total: (1) the duplicate mark is
+    min/max/count WINDOW aggregates over the gram-hash partition (no
+    groupBy + join back, no driver-side set, no broadcast of a
+    corpus-sized dup list); (2) the island numbering windows over the
+    doc partition and the final per-span groupBy reuses that partition.
+    Docs shorter than ``min_len`` tokens are filtered before the
+    explode (Spark's ``sequence(0, n)`` with n<0 would count DOWN).
+
+    Reference analog: none — Quickwit dedups nothing; this is part of
+    the training-pipeline surface (SURVEY §7.1 M7)."""
+    L = int(min_len)
+    if L < 2:
+        raise ValueError("min_len must be >= 2")
+    toks = _toks(text_col)
+    gh = H15.format(x=f"concat_ws(' ', slice(_toks, i + 1, {L}))")
+    grams = (
+        _ensure_parallelism(df)
+        .select(F.col(id_col), F.expr(toks).alias("_toks"))
+        .where(F.expr(f"size(_toks) >= {L}"))
+        .select(
+            id_col,
+            F.posexplode(
+                F.expr(f"transform(sequence(0, size(_toks) - {L}), i -> {gh})")
+            ).alias("pos", "gh"),
+        )
+    )
+    gw = Window.partitionBy("gh")
+    if cross_doc_only:
+        dup = F.min(id_col).over(gw) != F.max(id_col).over(gw)
+    else:
+        dup = F.count(F.lit(1)).over(gw) >= 2
+    marked = grams.withColumn("_dup", dup).where("_dup")
+    dw = Window.partitionBy(id_col).orderBy("pos")
+    brk = F.when(F.col("pos") - F.lag("pos").over(dw) <= L, 0).otherwise(1)
+    island = F.sum(brk).over(
+        Window.partitionBy(id_col).orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        marked.withColumn("_isl", island)
+        .groupBy(id_col, "_isl")
+        .agg(
+            F.min("pos").cast("long").alias("span_start"),
+            (F.max("pos") + F.lit(L)).cast("long").alias("span_end"),
+            F.count(F.lit(1)).cast("long").alias("n_grams"),
+        )
+        .select(id_col, "span_start", "span_end", "n_grams")
+    )
+
+
+def remove_duplicate_spans(
+    df: DataFrame,
+    spans: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Scrub companion to :func:`duplicate_spans`: drop every token
+    whose position falls inside a duplicated span and report the
+    surviving token stream per doc as (id, n_tokens, n_dup_tokens,
+    clean_md5) — ``clean_md5`` is the md5 of the space-joined kept
+    tokens, so equality against an oracle verifies the exact stream
+    without hauling the text. Docs with no spans pass through with
+    n_dup_tokens = 0. (This removes EVERY occurrence; keep-one-copy
+    policies need a global occurrence order and belong to the caller.)
+
+    Scale: one groupBy on the span side (span lists are tiny relative
+    to text), a co-partitioned LEFT join on the id, then a narrow map —
+    the position filter is a higher-order function over the token
+    array, zero Python."""
+    sp = spans.groupBy(id_col).agg(
+        F.collect_list(F.struct("span_start", "span_end")).alias("_sp")
+    )
+    toks = _toks(text_col)
+    kept = (
+        f"filter(transform(_toks, (t, i) -> named_struct('t', t, 'i', i)),"
+        f" s -> not exists(_sp, p -> s.i >= p.span_start and s.i < p.span_end))"
+    )
+    empty = "cast(array() as array<struct<span_start:bigint,span_end:bigint>>)"
+    return (
+        df.select(F.col(id_col), F.expr(toks).alias("_toks"))
+        .join(sp, id_col, "left")
+        .withColumn("_sp", F.coalesce(F.col("_sp"), F.expr(empty)))
+        .select(
+            id_col,
+            F.size("_toks").cast("long").alias("n_tokens"),
+            (F.size("_toks") - F.size(F.expr(kept))).cast("long").alias("n_dup_tokens"),
+            F.md5(F.expr(f"concat_ws(' ', transform({kept}, s -> s.t))")).alias("clean_md5"),
+        )
+    )

@@ -761,3 +761,56 @@ def test_ivf_full_probe_equals_exact(spark):
     assert {(r.query_id, r.neighbor_id, r.rank) for r in part} == {
         (r.query_id, r.neighbor_id, r.rank) for r in again
     }
+
+
+def test_duplicate_spans_semantics(spark):
+    """Maximal-span merge, cross-doc vs any-occurrence modes, short-doc
+    guard, and the scrub companion's token accounting."""
+    from quickwit_spark.pipeline.dedup import duplicate_spans, remove_duplicate_spans
+
+    df = spark.createDataFrame(
+        [
+            ("a", "x1 x2 x3 x4 x5 q1 q2 q3 q4 q5 q6 y1"),
+            ("b", "z1 q1 q2 q3 q4 q5 q6 z2 z3"),
+            ("c", "u1 u2 u3 u4 u5 u6 u7"),
+            ("d", "r1 r2 r1 r2 r1 r2 r1 r2"),  # within-doc repeats only
+            ("e", "s1"),  # shorter than min_len
+        ],
+        ["doc_id", "text"],
+    )
+    cross = {
+        (r.doc_id, r.span_start, r.span_end, r.n_grams)
+        for r in duplicate_spans(df, min_len=3).collect()
+    }
+    # q1..q6 is one maximal 6-token span in both docs (4 merged 3-grams)
+    assert cross == {("a", 5, 11, 4), ("b", 1, 7, 4)}
+    any_ = {
+        (r.doc_id, r.span_start, r.span_end)
+        for r in duplicate_spans(df, min_len=3, cross_doc_only=False).collect()
+    }
+    assert any_ == {("a", 5, 11), ("b", 1, 7), ("d", 0, 8)}
+
+    spans = duplicate_spans(df, min_len=3)
+    out = {r.doc_id: r for r in remove_duplicate_spans(df, spans).collect()}
+    assert out["a"].n_dup_tokens == 6 and out["a"].n_tokens == 12
+    assert out["b"].n_dup_tokens == 6
+    # untouched docs pass through with zero removed and full stream kept
+    assert out["c"].n_dup_tokens == 0 and out["e"].n_dup_tokens == 0
+    import hashlib
+
+    assert out["a"].clean_md5 == hashlib.md5(b"x1 x2 x3 x4 x5 y1").hexdigest()
+
+    with pytest.raises(ValueError):
+        duplicate_spans(df, min_len=1)
+
+
+def test_duplicate_spans_plan_two_shuffles(spark, docs):
+    """The span plan must keep to its scale contract: exchanges only on
+    the gram hash and the doc id — no join back for the duplicate mark,
+    no broadcast of a corpus-sized duplicate list, no cartesian."""
+    from quickwit_spark.pipeline.dedup import duplicate_spans
+
+    plan = duplicate_spans(docs, min_len=8)._jdf.queryExecution().toString()
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+    # windows mark duplicates in place of a groupBy+join on the hash
+    assert plan.count("SortMergeJoin") + plan.count("BroadcastHashJoin") == 0
