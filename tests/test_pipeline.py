@@ -814,3 +814,74 @@ def test_duplicate_spans_plan_two_shuffles(spark, docs):
     assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
     # windows mark duplicates in place of a groupBy+join on the hash
     assert plan.count("SortMergeJoin") + plan.count("BroadcastHashJoin") == 0
+
+
+def test_duplicate_spans_matches_bruteforce_random(spark):
+    """Randomized parity: a seeded corpus with injected shared
+    paragraphs, checked span-for-span against a pure-Python
+    brute-force (dict of gram occurrences + island merge)."""
+    import random
+    import re
+
+    from quickwit_spark.pipeline.dedup import duplicate_spans
+
+    rng = random.Random(20260818)
+    vocab = [f"v{i:02d}" for i in range(50)]
+    texts = {
+        f"d{i:03d}": [rng.choice(vocab) for _ in range(rng.randint(5, 60))]
+        for i in range(120)
+    }
+    for _ in range(10):  # shared paragraphs pasted into 2-5 docs each
+        para = [rng.choice(vocab) for _ in range(rng.randint(6, 15))]
+        for d in rng.sample(sorted(texts), rng.randint(2, 5)):
+            at = rng.randint(0, len(texts[d]))
+            texts[d] = texts[d][:at] + para + texts[d][at:]
+    L = 4
+
+    grams: dict[tuple, list] = {}
+    for d, ts in texts.items():
+        for p in range(len(ts) - L + 1):
+            grams.setdefault(tuple(ts[p : p + L]), []).append((d, p))
+    dup_pos: dict[str, list] = {}
+    for occ in grams.values():
+        if len({d for d, _ in occ}) >= 2:
+            for d, p in occ:
+                dup_pos.setdefault(d, []).append(p)
+    want = set()
+    for d, ps in dup_pos.items():
+        ps.sort()
+        start = prev = ps[0]
+        n = 1
+        for p in ps[1:]:
+            if p - prev <= L:
+                prev, n = p, n + 1
+            else:
+                want.add((d, start, prev + L, n))
+                start = prev = p
+                n = 1
+        want.add((d, start, prev + L, n))
+
+    df = spark.createDataFrame(
+        [(d, " ".join(ts)) for d, ts in texts.items()], ["doc_id", "text"]
+    )
+    got = {
+        (r.doc_id, r.span_start, r.span_end, r.n_grams)
+        for r in duplicate_spans(df, min_len=L).collect()
+    }
+    assert got == want and len(want) > 20
+
+
+def test_duplicate_spans_hash_paths_agree(spark, docs):
+    """The fast xxhash64-over-slice path and the DuckDB-reproducible
+    md5 path must produce identical spans (same semantics, different
+    gram hash)."""
+    from quickwit_spark.pipeline.dedup import duplicate_spans
+
+    fast = {tuple(r) for r in duplicate_spans(docs, min_len=8).collect()}
+    md5 = {
+        tuple(r) for r in duplicate_spans(docs, min_len=8, hash="md5").collect()
+    }
+    assert fast == md5 and fast
+
+    with pytest.raises(ValueError):
+        duplicate_spans(docs, hash="sha1")
