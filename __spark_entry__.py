@@ -816,6 +816,18 @@ def q_dedup_substring_spans(spark, sf_dir):
     return duplicate_spans(_docs(spark, sf_dir), min_len=8, hash="md5")
 
 
+def q_dedup_substring_keepfirst(spark, sf_dir):
+    """Lee et al. remove-all-but-one policy: spans over every
+    duplicated occurrence EXCEPT each gram's globally smallest
+    (id, pos) one — one extra min-struct window over the same
+    gram-hash partition, no extra shuffle."""
+    from quickwit_spark.pipeline.dedup import duplicate_spans
+
+    return duplicate_spans(
+        _docs(spark, sf_dir), min_len=8, hash="md5", keep_first=True
+    )
+
+
 def q_dedup_substring_scrub(spark, sf_dir):
     """Scrub companion: per-doc surviving token stream after removing
     every duplicated span, verified by md5 of the kept tokens."""
@@ -1017,6 +1029,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_embedding_cosine": q_dedup_embedding_cosine,
         "dedup_embedding_lsh": q_dedup_embedding_lsh,
         "dedup_substring_spans": q_dedup_substring_spans,
+        "dedup_substring_keepfirst": q_dedup_substring_keepfirst,
         "dedup_substring_scrub": q_dedup_substring_scrub,
         "dedup_clusters": q_dedup_clusters,
         "dedup_canonical": q_dedup_canonical,
@@ -1694,6 +1707,42 @@ SELECT doc_id, min(pos)::BIGINT AS span_start, (max(pos) + {L})::BIGINT AS span_
 FROM isl GROUP BY doc_id, island
 """
     sql["dedup_substring_spans"] = substring_spans
+
+    # keep-first variant: same CTE chain but the duplicate mark also
+    # skips each gram's canonical (globally smallest (doc_id, pos))
+    # occurrence — struct min windows order lexicographically in both
+    # engines
+    sql["dedup_substring_keepfirst"] = f"""
+WITH t AS (SELECT doc_id, {TOKS} AS toks FROM documents),
+g AS (
+  SELECT doc_id, i AS pos, {span_gh} AS gh
+  FROM t, UNNEST(generate_series(0, len(toks) - {L})) AS u(i)
+  WHERE len(toks) >= {L}
+),
+m AS (
+  SELECT doc_id, pos FROM (
+    SELECT doc_id, pos,
+      min(doc_id) OVER (PARTITION BY gh) AS mn,
+      max(doc_id) OVER (PARTITION BY gh) AS mx,
+      min(struct_pack(d := doc_id, p := pos)) OVER (PARTITION BY gh) AS mo
+    FROM g)
+  WHERE mn <> mx AND NOT (doc_id = mo.d AND pos = mo.p)
+),
+brk AS (
+  SELECT doc_id, pos,
+    CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) <= {L}
+         THEN 0 ELSE 1 END AS b
+  FROM m
+),
+isl AS (
+  SELECT doc_id, pos,
+    sum(b) OVER (PARTITION BY doc_id ORDER BY pos ROWS UNBOUNDED PRECEDING) AS island
+  FROM brk
+)
+SELECT doc_id, min(pos)::BIGINT AS span_start, (max(pos) + {L})::BIGINT AS span_end,
+  count(*)::BIGINT AS n_grams
+FROM isl GROUP BY doc_id, island
+"""
 
     sql["dedup_substring_scrub"] = f"""
 WITH spans AS ({substring_spans}),

@@ -570,6 +570,7 @@ def duplicate_spans(
     min_len: int = 8,
     cross_doc_only: bool = True,
     hash: str = "xxhash64",
+    keep_first: bool = False,
 ) -> DataFrame:
     """Exact SUBSTRING dedup: find token spans that occur (verbatim)
     more than once in the corpus — the span-level complement of the
@@ -606,6 +607,13 @@ def duplicate_spans(
     is bit-reproducible in DuckDB/Python for cross-engine
     verification. Identical spans either way modulo hash collisions.
 
+    ``keep_first`` is the Lee et al. remove-all-but-one policy: each
+    gram's canonical occurrence — the globally smallest (id, pos),
+    one more min-struct window aggregate over the SAME gram-hash
+    partition (no extra shuffle) — is left unmarked, so scrubbing the
+    returned spans with :func:`remove_duplicate_spans` keeps exactly
+    one copy of each duplicated passage instead of deleting them all.
+
     Reference analog: none — Quickwit dedups nothing; this is part of
     the training-pipeline surface (SURVEY §7.1 M7)."""
     L = int(min_len)
@@ -634,6 +642,9 @@ def duplicate_spans(
         dup = F.min(id_col).over(gw) != F.max(id_col).over(gw)
     else:
         dup = F.count(F.lit(1)).over(gw) >= 2
+    if keep_first:
+        occ = F.struct(F.col(id_col), F.col("pos"))
+        dup = dup & (occ != F.min(occ).over(gw))
     marked = grams.withColumn("_dup", dup).where("_dup")
     dw = Window.partitionBy(id_col).orderBy("pos")
     brk = F.when(F.col("pos") - F.lag("pos").over(dw) <= L, 0).otherwise(1)

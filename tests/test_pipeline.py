@@ -885,3 +885,23 @@ def test_duplicate_spans_hash_paths_agree(spark, docs):
 
     with pytest.raises(ValueError):
         duplicate_spans(docs, hash="sha1")
+
+
+def test_duplicate_spans_keep_first(spark):
+    """keep_first leaves each gram's globally-smallest (id, pos)
+    occurrence unmarked, so scrubbing keeps exactly one copy of the
+    duplicated passage."""
+    from quickwit_spark.pipeline.dedup import duplicate_spans, remove_duplicate_spans
+
+    df = spark.createDataFrame(
+        [
+            ("a", "x1 x2 x3 x4 x5 q1 q2 q3 q4 q5 q6 y1"),
+            ("b", "z1 q1 q2 q3 q4 q5 q6 z2 z3"),
+        ],
+        ["doc_id", "text"],
+    )
+    spans = duplicate_spans(df, min_len=3, keep_first=True)
+    got = {(r.doc_id, r.span_start, r.span_end, r.n_grams) for r in spans.collect()}
+    assert got == {("b", 1, 7, 4)}  # doc a holds the canonical copy
+    out = {r.doc_id: r for r in remove_duplicate_spans(df, spans).collect()}
+    assert out["a"].n_dup_tokens == 0 and out["b"].n_dup_tokens == 6
