@@ -828,6 +828,23 @@ def q_dedup_substring_keepfirst(spark, sf_dir):
     )
 
 
+def q_decontaminate_spans(spark, sf_dir):
+    """Span-level decontamination: exact token spans where a corpus
+    doc (doc_id % 97 != 0) verbatim-overlaps the held-out eval subset
+    (doc_id % 97 == 0, the same split the k-gram decontaminate entry
+    uses) — max-flag window over the unioned gram table, no broadcast
+    ceiling on the eval set."""
+    from quickwit_spark.pipeline.dedup import contamination_spans
+
+    docs = _docs(spark, sf_dir)
+    return contamination_spans(
+        docs.where(F.col("doc_id") % 97 != 0),
+        docs.where(F.col("doc_id") % 97 == 0),
+        min_len=8,
+        hash="md5",
+    )
+
+
 def q_dedup_substring_scrub(spark, sf_dir):
     """Scrub companion: per-doc surviving token stream after removing
     every duplicated span, verified by md5 of the kept tokens."""
@@ -1031,6 +1048,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_substring_spans": q_dedup_substring_spans,
         "dedup_substring_keepfirst": q_dedup_substring_keepfirst,
         "dedup_substring_scrub": q_dedup_substring_scrub,
+        "decontaminate_spans": q_decontaminate_spans,
         "dedup_clusters": q_dedup_clusters,
         "dedup_canonical": q_dedup_canonical,
         "unigram_logprob": q_unigram_logprob,
@@ -1707,6 +1725,39 @@ SELECT doc_id, min(pos)::BIGINT AS span_start, (max(pos) + {L})::BIGINT AS span_
 FROM isl GROUP BY doc_id, island
 """
     sql["dedup_substring_spans"] = substring_spans
+
+    # span-level decontamination: corpus grams (doc_id % 97 != 0)
+    # joined against the DISTINCT eval-gram hashes (doc_id % 97 == 0),
+    # then the same islands merge (a join is the window-max's
+    # value-equivalent formulation)
+    sql["decontaminate_spans"] = f"""
+WITH t AS (SELECT doc_id, {TOKS} AS toks FROM documents),
+cg AS (
+  SELECT doc_id, i AS pos, {span_gh} AS gh
+  FROM t, UNNEST(generate_series(0, len(toks) - {L})) AS u(i)
+  WHERE len(toks) >= {L} AND doc_id % 97 <> 0
+),
+eh AS (
+  SELECT DISTINCT {span_gh} AS gh
+  FROM t, UNNEST(generate_series(0, len(toks) - {L})) AS u(i)
+  WHERE len(toks) >= {L} AND doc_id % 97 = 0
+),
+m AS (SELECT cg.doc_id, cg.pos FROM cg JOIN eh USING (gh)),
+brk AS (
+  SELECT doc_id, pos,
+    CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) <= {L}
+         THEN 0 ELSE 1 END AS b
+  FROM m
+),
+isl AS (
+  SELECT doc_id, pos,
+    sum(b) OVER (PARTITION BY doc_id ORDER BY pos ROWS UNBOUNDED PRECEDING) AS island
+  FROM brk
+)
+SELECT doc_id, min(pos)::BIGINT AS span_start, (max(pos) + {L})::BIGINT AS span_end,
+  count(*)::BIGINT AS n_grams
+FROM isl GROUP BY doc_id, island
+"""
 
     # keep-first variant: same CTE chain but the duplicate mark also
     # skips each gram's canonical (globally smallest (doc_id, pos))

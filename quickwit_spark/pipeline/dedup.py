@@ -619,24 +619,7 @@ def duplicate_spans(
     L = int(min_len)
     if L < 2:
         raise ValueError("min_len must be >= 2")
-    if hash == "xxhash64":
-        gh = f"xxhash64(slice(_toks, i + 1, {L}))"
-    elif hash == "md5":
-        gh = H15.format(x=f"concat_ws(' ', slice(_toks, i + 1, {L}))")
-    else:
-        raise ValueError(f"unknown hash {hash!r} (xxhash64 or md5)")
-    toks = _toks(text_col)
-    grams = (
-        _ensure_parallelism(df)
-        .select(F.col(id_col), F.expr(toks).alias("_toks"))
-        .where(F.expr(f"size(_toks) >= {L}"))
-        .select(
-            id_col,
-            F.posexplode(
-                F.expr(f"transform(sequence(0, size(_toks) - {L}), i -> {gh})")
-            ).alias("pos", "gh"),
-        )
-    )
+    grams = _gram_rows(df, id_col, text_col, L, _gram_hash(L, hash))
     gw = Window.partitionBy("gh")
     if cross_doc_only:
         dup = F.min(id_col).over(gw) != F.max(id_col).over(gw)
@@ -646,6 +629,42 @@ def duplicate_spans(
         occ = F.struct(F.col(id_col), F.col("pos"))
         dup = dup & (occ != F.min(occ).over(gw))
     marked = grams.withColumn("_dup", dup).where("_dup")
+    return _merge_islands(marked, id_col, L)
+
+
+def _gram_hash(L: int, hash: str) -> str:
+    """Seed-gram hash expression over the ``_toks`` array at lambda
+    index ``i`` (see duplicate_spans for the xxhash64/md5 tradeoff)."""
+    if hash == "xxhash64":
+        return f"xxhash64(slice(_toks, i + 1, {L}))"
+    if hash == "md5":
+        return H15.format(x=f"concat_ws(' ', slice(_toks, i + 1, {L}))")
+    raise ValueError(f"unknown hash {hash!r} (xxhash64 or md5)")
+
+
+def _gram_rows(
+    df: DataFrame, id_col: str, text_col: str, L: int, gh: str
+) -> DataFrame:
+    """(id, pos, gh): one row per length-L token window. Docs shorter
+    than L are filtered BEFORE the explode (sequence(0, n) with n<0
+    counts down)."""
+    return (
+        _ensure_parallelism(df)
+        .select(F.col(id_col), F.expr(_toks(text_col)).alias("_toks"))
+        .where(F.expr(f"size(_toks) >= {L}"))
+        .select(
+            id_col,
+            F.posexplode(
+                F.expr(f"transform(sequence(0, size(_toks) - {L}), i -> {gh})")
+            ).alias("pos", "gh"),
+        )
+    )
+
+
+def _merge_islands(marked: DataFrame, id_col: str, L: int) -> DataFrame:
+    """Merge marked gram positions into maximal spans per doc
+    (gaps-and-islands over the doc partition; the groupBy reuses the
+    window's partitioning so this is ONE shuffle)."""
     dw = Window.partitionBy(id_col).orderBy("pos")
     brk = F.when(F.col("pos") - F.lag("pos").over(dw) <= L, 0).otherwise(1)
     island = F.sum(brk).over(
@@ -662,6 +681,61 @@ def duplicate_spans(
         )
         .select(id_col, "span_start", "span_end", "n_grams")
     )
+
+
+def contamination_spans(
+    df: DataFrame,
+    eval_df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_len: int = 8,
+    hash: str = "xxhash64",
+) -> DataFrame:
+    """Span-level DECONTAMINATION: the exact token spans where a
+    corpus doc verbatim-overlaps the evaluation set — the
+    span-granular complement of :func:`sampling.decontaminate` (which
+    only counts k-gram hits per doc): instead of dropping a whole
+    document for one contaminated sentence, scrub just the spans with
+    :func:`remove_duplicate_spans` and keep the rest.
+
+    Method: corpus and eval seed grams (length ``min_len``, hashed per
+    ``hash``) are unioned with a source flag; a corpus gram is
+    contaminated when ANY eval gram shares its hash — a max-flag
+    window aggregate over the gram-hash partition (eval rows carry a
+    null id: corpus/eval id types or collisions never interact).
+    Contaminated positions merge gaps-and-islands into maximal spans,
+    same as :func:`duplicate_spans`.
+
+    Scale: eval sets are small next to the corpus, so the unioned gram
+    table stays O(corpus tokens); same TWO shuffles as
+    duplicate_spans. Unlike ``decontaminate``'s broadcast-join, the
+    eval side here rides the same gram-hash shuffle — no driver-side
+    collection, no broadcast-size ceiling on the eval set."""
+    L = int(min_len)
+    if L < 2:
+        raise ValueError("min_len must be >= 2")
+    gh = _gram_hash(L, hash)
+    c = _gram_rows(df, id_col, text_col, L, gh).withColumn("_ev", F.lit(0))
+    id_type = dict(c.dtypes)[id_col]
+    e = (
+        _gram_rows(
+            eval_df.select(
+                F.lit(None).cast(id_type).alias(id_col), F.col(text_col)
+            ),
+            id_col,
+            text_col,
+            L,
+            gh,
+        )
+        .withColumn("_ev", F.lit(1))
+    )
+    grams = c.unionByName(e)
+    gw = Window.partitionBy("gh")
+    marked = (
+        grams.withColumn("_hit", F.max("_ev").over(gw) == 1)
+        .where((F.col("_ev") == 0) & F.col("_hit"))
+    )
+    return _merge_islands(marked, id_col, L)
 
 
 def remove_duplicate_spans(

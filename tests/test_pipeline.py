@@ -905,3 +905,39 @@ def test_duplicate_spans_keep_first(spark):
     assert got == {("b", 1, 7, 4)}  # doc a holds the canonical copy
     out = {r.doc_id: r for r in remove_duplicate_spans(df, spans).collect()}
     assert out["a"].n_dup_tokens == 0 and out["b"].n_dup_tokens == 6
+
+
+def test_contamination_spans_semantics(spark):
+    """Only corpus positions whose gram appears in the eval set are
+    marked; eval-internal duplication and corpus-internal duplication
+    do NOT mark anything on their own."""
+    from quickwit_spark.pipeline.dedup import contamination_spans, remove_duplicate_spans
+
+    corpus = spark.createDataFrame(
+        [
+            ("a", "x1 x2 x3 q1 q2 q3 q4 x4 x5"),
+            ("b", "z1 z2 z3 z4 z5 z6"),
+            ("c", "q2 q3 q4 x9"),
+            # corpus-internal dup of doc b's text: not contamination
+            ("d", "z1 z2 z3 z4 z5 z6"),
+        ],
+        ["doc_id", "text"],
+    )
+    ev = spark.createDataFrame(
+        [("e1", "w1 q1 q2 q3 q4 w2"), ("e2", "w1 q1 q2 q3 q4 w2")],
+        ["doc_id", "text"],
+    )
+    got = {
+        (r.doc_id, r.span_start, r.span_end, r.n_grams)
+        for r in contamination_spans(corpus, ev, min_len=3).collect()
+    }
+    assert got == {("a", 3, 7, 2), ("c", 0, 3, 1)}
+
+    # scrubbing the spans removes exactly the contaminated tokens
+    sp = contamination_spans(corpus, ev, min_len=3)
+    out = {r.doc_id: r for r in remove_duplicate_spans(corpus, sp).collect()}
+    assert out["a"].n_dup_tokens == 4 and out["b"].n_dup_tokens == 0
+    assert out["c"].n_dup_tokens == 3 and out["d"].n_dup_tokens == 0
+
+    with pytest.raises(ValueError):
+        contamination_spans(corpus, ev, min_len=1)
