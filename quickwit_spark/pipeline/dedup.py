@@ -777,3 +777,40 @@ def remove_duplicate_spans(
             F.md5(F.expr(f"concat_ws(' ', transform({kept}, s -> s.t))")).alias("clean_md5"),
         )
     )
+
+
+def exact_dedup_stream(
+    stream: DataFrame,
+    text_col: str = "text",
+    ts_col: str | None = None,
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming counterpart of :func:`exact_dedup`: emit each content
+    digest's FIRST-arriving document and drop every later duplicate,
+    across micro-batches (ingest-side dedup for a continuously
+    arriving corpus — the batch op's min-id keeper policy becomes
+    first-seen-wins under arrival order).
+
+    State is one row per distinct digest. With ``ts_col`` set the
+    digest state is watermark-bounded (``dropDuplicatesWithinWatermark``
+    — a duplicate arriving later than the watermark delay can slip
+    through, but state stops growing with corpus size); without it,
+    dedup is exact and state grows with the number of DISTINCT
+    documents (a digest + row of state each — bounded by content
+    volume, not arrival volume, but unbounded over an infinite
+    stream: prefer a ``ts_col`` in production).
+
+    Spark-native: the digest is a narrow map and the dedup rides
+    Structured Streaming's built-in dropDuplicates state store — no
+    custom applyInPandasWithState needed."""
+    if not stream.isStreaming:
+        raise ValueError("exact_dedup_stream needs a streaming DataFrame; "
+                         "use exact_dedup for batch input")
+    d = stream.withColumn("_digest", F.md5(F.col(text_col)))
+    if ts_col is not None:
+        # parquet TIMESTAMP_NTZ cannot carry a watermark (session tz is
+        # pinned UTC, so the cast is value-preserving here)
+        d = d.withColumn(ts_col, F.col(ts_col).cast("timestamp_ltz"))
+        d = d.withWatermark(ts_col, watermark)
+        return d.dropDuplicatesWithinWatermark(["_digest"]).drop("_digest")
+    return d.dropDuplicates(["_digest"]).drop("_digest")

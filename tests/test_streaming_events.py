@@ -189,3 +189,58 @@ def test_session_idx_survives_timeout_flush():
     st2.hasTimedOut = True
     assert list(_session_update((7,), [], st2, 30, "ts", True)) == []
     assert not st2.exists
+
+
+def test_streaming_exact_dedup_first_seen(spark, tmp_path):
+    """exact_dedup_stream keeps each digest's first arrival across
+    micro-batches; with arrival ordered by doc_id the kept set equals
+    the batch keeper set, and the watermarked variant behaves the same
+    when duplicates arrive within the delay."""
+    import pandas as pd
+
+    from quickwit_spark.pipeline.dedup import exact_dedup, exact_dedup_stream
+
+    rows = []
+    for i in range(60):
+        rows.append((i, f"text {i % 20}", pd.Timestamp("2025-01-01") + pd.Timedelta(seconds=i)))
+    pdf = pd.DataFrame(rows, columns=["doc_id", "text", "ts"])
+    src = tmp_path / "dedup_in"
+    src.mkdir()
+    half = len(pdf) // 2  # doc_id order => first arrival is min id
+    for i, part in enumerate((pdf.iloc[:half], pdf.iloc[half:])):
+        pq.write_table(
+            pa.Table.from_pandas(part, preserve_index=False),
+            str(src / f"p{i}.parquet"), coerce_timestamps="us",
+        )
+    batch = spark.read.parquet(str(src))
+
+    with pytest.raises(ValueError):
+        exact_dedup_stream(batch)
+
+    keepers = {
+        r.doc_id
+        for r in exact_dedup(batch).where(~F.col("is_dup")).collect()
+    }
+    stream = (
+        spark.readStream.schema(batch.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    for name, kwargs in (
+        ("kept_plain", {}),
+        ("kept_wm", {"ts_col": "ts", "watermark": "10 minutes"}),
+    ):
+        q = (
+            exact_dedup_stream(stream, **kwargs)
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            assert q.awaitTermination(120)
+        finally:
+            q.stop()
+        got = {r.doc_id for r in spark.sql(f"select doc_id from {name}").collect()}
+        assert got == keepers, name
