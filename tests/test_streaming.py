@@ -182,3 +182,44 @@ def test_non_file_streaming_source_drives_ingest(spark, tmp_path):
     assert len(batches) >= 2
     se = Searcher(spark, idx_dir)
     assert se.search("streamed", k=5).num_hits == cat.total_docs()
+
+
+def test_dedup_at_ingest_composes(spark, tmp_path):
+    """exact_dedup_stream composes in FRONT of the foreachBatch index
+    build (stateful ops must precede writeStream): duplicate-text turns
+    arriving in a later micro-batch never reach the index, and the
+    result is searchable."""
+    import pandas as pd
+
+    from quickwit_spark.operators.search import Searcher
+    from quickwit_spark.pipeline.dedup import exact_dedup_stream
+    from quickwit_spark.plans.catalog import Catalog
+    from quickwit_spark.streaming.ingest import start_stream_build
+
+    full = generate_transcripts(300, seed=21)
+    dup = full.head(50).copy()
+    dup["conv_id"] = dup["conv_id"] + "-copy"  # new identity, same text
+
+    src = tmp_path / "in"
+    src.mkdir()
+    _write(full, str(src / "part1.parquet"))
+    _write(dup, str(src / "part2.parquet"))
+
+    schema = spark.read.parquet(str(src / "part1.parquet")).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    idx = str(tmp_path / "didx")
+    q = start_stream_build(
+        spark, exact_dedup_stream(stream, text_col="text"), idx,
+        str(tmp_path / "ckpt"), CFG, n_splits=2,
+    )
+    q.awaitTermination(120)
+
+    want = int(pd.concat([full, dup])["text"].nunique())
+    assert Catalog.load(idx).total_docs() == want
+
+    r = Searcher(spark, idx).search("w00001", k=10)
+    assert r.num_hits > 0 and not r.errors
