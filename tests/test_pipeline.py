@@ -941,3 +941,64 @@ def test_contamination_spans_semantics(spark):
 
     with pytest.raises(ValueError):
         contamination_spans(corpus, ev, min_len=1)
+
+
+def test_contamination_spans_matches_bruteforce_random(spark):
+    """Randomized parity for span-level decontamination: seeded corpus
+    + eval set with injected shared passages, checked span-for-span
+    against a pure-Python brute force."""
+    import random
+
+    from quickwit_spark.pipeline.dedup import contamination_spans
+
+    rng = random.Random(20260819)
+    vocab = [f"v{i:02d}" for i in range(40)]
+    corpus = {
+        f"d{i:03d}": [rng.choice(vocab) for _ in range(rng.randint(5, 50))]
+        for i in range(80)
+    }
+    evals = {
+        f"e{i}": [rng.choice(vocab) for _ in range(rng.randint(10, 25))]
+        for i in range(8)
+    }
+    for _ in range(12):  # eval passages pasted into corpus docs
+        ev = rng.choice(sorted(evals))
+        lo = rng.randint(0, max(len(evals[ev]) - 6, 0))
+        passage = evals[ev][lo : lo + rng.randint(5, 10)]
+        for d in rng.sample(sorted(corpus), rng.randint(1, 3)):
+            at = rng.randint(0, len(corpus[d]))
+            corpus[d] = corpus[d][:at] + passage + corpus[d][at:]
+    L = 4
+
+    ev_grams = {
+        tuple(ts[p : p + L])
+        for ts in evals.values()
+        for p in range(len(ts) - L + 1)
+    }
+    want = set()
+    for d, ts in corpus.items():
+        ps = [p for p in range(len(ts) - L + 1) if tuple(ts[p : p + L]) in ev_grams]
+        if not ps:
+            continue
+        start = prev = ps[0]
+        n = 1
+        for p in ps[1:]:
+            if p - prev <= L:
+                prev, n = p, n + 1
+            else:
+                want.add((d, start, prev + L, n))
+                start = prev = p
+                n = 1
+        want.add((d, start, prev + L, n))
+
+    cdf = spark.createDataFrame(
+        [(d, " ".join(ts)) for d, ts in corpus.items()], ["doc_id", "text"]
+    )
+    edf = spark.createDataFrame(
+        [(d, " ".join(ts)) for d, ts in evals.items()], ["doc_id", "text"]
+    )
+    got = {
+        (r.doc_id, r.span_start, r.span_end, r.n_grams)
+        for r in contamination_spans(cdf, edf, min_len=L).collect()
+    }
+    assert got == want and len(want) > 5
