@@ -754,6 +754,39 @@ def q_corpus_curation(spark, sf_dir):
     )
 
 
+def q_corpus_curation_spans(spark, sf_dir):
+    """Second composed curation gate, with the round-4 span family:
+    exact-dedup keepers (one digest-window shuffle) → keep-first
+    substring-span scrub (remove every duplicated passage except its
+    canonical copy; two gram shuffles) → per-source kept/removed
+    token accounting. The doc-level and span-level dedup compose:
+    whole-doc copies fall to the digest window first, so the span
+    pass only pays for partial overlaps."""
+    from quickwit_spark.pipeline.dedup import (
+        duplicate_spans,
+        exact_dedup,
+        remove_duplicate_spans,
+    )
+
+    docs = _docs(spark, sf_dir)
+    kept = (
+        exact_dedup(docs, append=True)
+        .where(~F.col("is_dup"))
+        .select("doc_id", "text", "source")
+    )
+    spans = duplicate_spans(kept, min_len=8, hash="md5", keep_first=True)
+    scrub = remove_duplicate_spans(kept, spans)
+    return (
+        scrub.join(kept.select("doc_id", "source"), "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("sum_tokens"),
+            F.sum("n_dup_tokens").cast("long").alias("sum_removed"),
+        )
+    )
+
+
 def q_dedup_exact(spark, sf_dir):
     from quickwit_spark.pipeline.dedup import exact_dedup
 
@@ -1039,6 +1072,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sequence_packing_materialized": q_sequence_packing_materialized,
         "dedup_exact": q_dedup_exact,
         "corpus_curation": q_corpus_curation,
+        "corpus_curation_spans": q_corpus_curation_spans,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_simhash": q_dedup_simhash,
@@ -1725,6 +1759,64 @@ SELECT doc_id, min(pos)::BIGINT AS span_start, (max(pos) + {L})::BIGINT AS span_
 FROM isl GROUP BY doc_id, island
 """
     sql["dedup_substring_spans"] = substring_spans
+
+    # composed gate #2: exact-dedup keepers -> keep-first span scrub
+    # -> per-source kept/removed token accounting (sum casts: DuckDB
+    # sum(BIGINT) is HUGEINT)
+    sql["corpus_curation_spans"] = f"""
+WITH k0 AS (
+  SELECT doc_id, text, source,
+         min(doc_id) OVER (PARTITION BY md5(text)) AS keeper
+  FROM documents
+),
+keepers AS (SELECT doc_id, text, source FROM k0 WHERE doc_id = keeper),
+t AS (SELECT doc_id, {TOKS} AS toks FROM keepers),
+g AS (
+  SELECT doc_id, i AS pos, {span_gh} AS gh
+  FROM t, UNNEST(generate_series(0, len(toks) - {L})) AS u(i)
+  WHERE len(toks) >= {L}
+),
+m AS (
+  SELECT doc_id, pos FROM (
+    SELECT doc_id, pos,
+      min(doc_id) OVER (PARTITION BY gh) AS mn,
+      max(doc_id) OVER (PARTITION BY gh) AS mx,
+      min(struct_pack(d := doc_id, p := pos)) OVER (PARTITION BY gh) AS mo
+    FROM g)
+  WHERE mn <> mx AND NOT (doc_id = mo.d AND pos = mo.p)
+),
+brk AS (
+  SELECT doc_id, pos,
+    CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) <= {L}
+         THEN 0 ELSE 1 END AS b
+  FROM m
+),
+isl AS (
+  SELECT doc_id, pos,
+    sum(b) OVER (PARTITION BY doc_id ORDER BY pos ROWS UNBOUNDED PRECEDING) AS island
+  FROM brk
+),
+spans AS (
+  SELECT doc_id, min(pos) AS s, max(pos) + {L} AS e
+  FROM isl GROUP BY doc_id, island
+),
+sl AS (SELECT doc_id, list(struct_pack(s := s, e := e)) AS sp FROM spans GROUP BY doc_id),
+sc AS (
+  SELECT t.doc_id, t.toks, coalesce(sl.sp, []) AS sp
+  FROM t LEFT JOIN sl ON t.doc_id = sl.doc_id
+),
+kk AS (
+  SELECT doc_id, len(toks)::BIGINT AS n_tokens,
+    (len(toks) - len(list_filter(list_transform(toks, (x, i) -> i - 1),
+       p -> len(list_filter(sp, q -> p >= q.s AND p < q.e)) = 0)))::BIGINT AS n_dup_tokens
+  FROM sc
+)
+SELECT source, count(*)::BIGINT AS n_docs,
+  sum(n_tokens)::BIGINT AS sum_tokens,
+  sum(n_dup_tokens)::BIGINT AS sum_removed
+FROM kk JOIN keepers USING (doc_id)
+GROUP BY source
+"""
 
     # span-level decontamination: corpus grams (doc_id % 97 != 0)
     # joined against the DISTINCT eval-gram hashes (doc_id % 97 == 0),
