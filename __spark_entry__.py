@@ -293,6 +293,45 @@ def q_bm25_scoped_group(spark, sf_dir):
     )
 
 
+# fixed query table for the batch-retrieval gate: single-term,
+# conjunctions, and a repeated term (repeated must clause → 2x score)
+_BATCH_QUERIES = [
+    ("b1", "vector"),
+    ("b2", "hash join"),
+    ("b3", "scan filter table"),
+    ("b4", "vector vector"),
+    ("b5", "stream window group"),
+]
+
+
+def q_bm25_batch_topk(spark, sf_dir):
+    """Batch retrieval (operators/batch_search): top-10 BM25 for a whole
+    TABLE of queries in one declarative Spark job — posting scan joined
+    against the broadcast query-term table, isin term pushdown,
+    vectorized posting decode, conjunction groupBy, per-query window.
+    Output ranking is re-cut on (rounded score, doc_id) so the oracle's
+    tie order is engine-independent."""
+    from pyspark.sql import Window
+
+    from quickwit_spark.operators.batch_search import batch_bm25_topk
+
+    idx = _docs_index(spark, sf_dir)
+    qdf = spark.createDataFrame(_BATCH_QUERIES, "query_id string, query string")
+    hits = batch_bm25_topk(spark, idx, qdf, k=25, fetch_cols=("doc_id",))
+    w = Window.partitionBy("query_id").orderBy(
+        F.round("score", 4).desc(), F.col("doc_id").asc()
+    )
+    return (
+        hits.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= 10)
+        .select(
+            "query_id",
+            F.col("doc_id").cast("long").alias("doc_id"),
+            F.round("score", 4).alias("score"),
+        )
+    )
+
+
 def q_docmapper_typed(spark, sf_dir):
     """Generic DocMapping over a synthesized JSON feed of the documents
     table: typed leaves (i64/f64), base64 bytes, nested object, and a
@@ -1041,6 +1080,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_stemmed": q_bm25_stemmed,
         "bm25_boosted": q_bm25_boosted,
         "bm25_scoped_group": q_bm25_scoped_group,
+        "bm25_batch_topk": q_bm25_batch_topk,
         "demux_tenant_counts": q_demux_tenant_counts,
         "docmapper_typed": q_docmapper_typed,
         "search_num_hits": q_search_num_hits,
@@ -1415,6 +1455,59 @@ g AS (
 SELECT g.doc_id, round(g.s + tvec.s, 4) AS score
 FROM g JOIN tvec ON g.doc_id = tvec.doc_id
 ORDER BY g.s + tvec.s DESC, g.doc_id ASC LIMIT 20
+"""
+    )
+
+    # batch retrieval: top-10 per query of a query TABLE, conjunction
+    # semantics with term multiplicity as a score weight (a repeated
+    # term is a repeated must clause); tie order (rounded score desc,
+    # doc_id asc) on both engines
+    qvalues = ", ".join(f"('{qid}', '{q}')" for qid, q in _BATCH_QUERIES)
+    sql["bm25_batch_topk"] = (
+        _BM25_WITH
+        + f"""
+, queries(query_id, qtext) AS (VALUES {qvalues}),
+qterms AS (
+  SELECT query_id, term, count(*) AS weight
+  FROM (SELECT query_id,
+               unnest(regexp_extract_all(lower(qtext), '[0-9a-z]+')) AS term
+        FROM queries)
+  GROUP BY query_id, term
+),
+nq AS (SELECT query_id, count(*) AS n_terms FROM qterms GROUP BY query_id),
+qdf AS (
+  SELECT term, count(DISTINCT doc_id) AS df FROM toks
+  WHERE term IN (SELECT DISTINCT term FROM qterms) GROUP BY term
+),
+qtf AS (
+  SELECT term, doc_id, count(*) AS tf FROM toks
+  WHERE term IN (SELECT DISTINCT term FROM qterms) GROUP BY term, doc_id
+),
+scored AS (
+  SELECT q.query_id, t.doc_id,
+         sum(q.weight
+             * ln(1 + ((SELECT n FROM stats) - d.df + 0.5) / (d.df + 0.5))
+             * (t.tf * ({K1} + 1))
+             / (t.tf + {K1} * (1 - {B} + {B} * dl.dl / (SELECT avgdl FROM stats)))) AS s,
+         count(*) AS nm
+  FROM qterms q
+  JOIN qtf t USING (term)
+  JOIN qdf d USING (term)
+  JOIN dl ON t.doc_id = dl.doc_id
+  GROUP BY q.query_id, t.doc_id
+),
+conj AS (
+  SELECT s.query_id, s.doc_id, round(s.s, 4) AS score
+  FROM scored s JOIN nq USING (query_id)
+  WHERE s.nm = nq.n_terms
+),
+ranked AS (
+  SELECT query_id, doc_id, score,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, doc_id ASC) AS rnk
+  FROM conj
+)
+SELECT query_id, doc_id, score FROM ranked WHERE rnk <= 10
 """
     )
 
