@@ -316,7 +316,17 @@ def q_bm25_batch_topk(spark, sf_dir):
     from quickwit_spark.operators.batch_search import batch_bm25_topk
 
     idx = _docs_index(spark, sf_dir)
-    qdf = spark.createDataFrame(_BATCH_QUERIES, "query_id string, query string")
+    # pandas-sourced so the query table becomes an Arrow LocalRelation
+    # (JVM-side, 1 partition) instead of a 32-partition pickled-Python
+    # parallelize scan — the plan references this subtree ~4x (pushdown
+    # collect + broadcasts), and the python scan costs ~0.3 s per
+    # evaluation vs ~0 for the local relation (measured: 9.3 s -> 1.6 s
+    # per batch call at sf0.01)
+    import pandas as _pd
+
+    qdf = spark.createDataFrame(
+        _pd.DataFrame(_BATCH_QUERIES, columns=["query_id", "query"])
+    )
     hits = batch_bm25_topk(spark, idx, qdf, k=25, fetch_cols=("doc_id",))
     w = Window.partitionBy("query_id").orderBy(
         F.round("score", 4).desc(), F.col("doc_id").asc()

@@ -299,7 +299,7 @@ def main() -> None:
                  "ann_cosine_topk", "media_metadata",
                  "corpus_curation", "sequence_packing",
                  "sequence_packing_materialized", "chunk_overlap",
-                 "unigram_logprob"):
+                 "unigram_logprob", "bm25_batch_topk"):
         fn = entry.queries()[name]
 
         def run(fn=fn):
