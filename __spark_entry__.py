@@ -342,6 +342,54 @@ def q_bm25_batch_topk(spark, sf_dir):
     )
 
 
+def q_hard_negatives(spark, sf_dir):
+    """Hard-negative mining (pipeline/mining): top BM25 hits per query
+    EXCLUDING a labeled-positive set — the contrastive-training negative
+    generator (DPR-style), composed from batch retrieval + a left_anti
+    join. Positives here are rule-derived so every scale factor agrees:
+    doc is positive for query bN iff doc_id % 7 == N % 7. Output re-cut
+    on (rounded score, doc_id) for engine-independent ties."""
+    from pyspark.sql import Window
+
+    from quickwit_spark.pipeline.mining import mine_hard_negatives
+
+    idx = _docs_index(spark, sf_dir)
+    import pandas as _pd
+
+    qdf = spark.createDataFrame(
+        _pd.DataFrame(_BATCH_QUERIES, columns=["query_id", "query"])
+    )
+    docs = _docs(spark, sf_dir).select("doc_id")
+    positives = (
+        qdf.select(
+            "query_id",
+            F.substring("query_id", 2, 8).cast("long").alias("qn"),
+        )
+        .crossJoin(docs)
+        .where((F.col("doc_id") % 7) == (F.col("qn") % 7))
+        .select("query_id", "doc_id")
+    )
+    # mine the FULL 40-deep candidate set minus positives, then cut to
+    # 10 on the engine-independent (rounded score, doc_id) order — the
+    # 40-row buffer keeps rounded boundary ties away from the cut
+    neg = mine_hard_negatives(
+        spark, idx, qdf, positives, k=40, n_neg=40, doc_key="doc_id"
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.round("score", 4).desc(), F.col("doc_id").asc()
+    )
+    return (
+        neg.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= 10)
+        .select(
+            "query_id",
+            F.col("doc_id").cast("long").alias("doc_id"),
+            F.col("rnk").cast("long").alias("neg_rank"),
+            F.round("score", 4).alias("score"),
+        )
+    )
+
+
 def q_docmapper_typed(spark, sf_dir):
     """Generic DocMapping over a synthesized JSON feed of the documents
     table: typed leaves (i64/f64), base64 bytes, nested object, and a
@@ -1091,6 +1139,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_boosted": q_bm25_boosted,
         "bm25_scoped_group": q_bm25_scoped_group,
         "bm25_batch_topk": q_bm25_batch_topk,
+        "hard_negatives": q_hard_negatives,
         "demux_tenant_counts": q_demux_tenant_counts,
         "docmapper_typed": q_docmapper_typed,
         "search_num_hits": q_search_num_hits,
@@ -1518,6 +1567,66 @@ ranked AS (
   FROM conj
 )
 SELECT query_id, doc_id, score FROM ranked WHERE rnk <= 10
+"""
+    )
+
+    # hard-negative mining: the same staged computation as the engine —
+    # 40-deep candidate rank, THEN the rule-positive anti-filter
+    # (doc_id % 7 == qnum % 7), THEN re-rank and cut 10 on the
+    # engine-independent (rounded score, doc_id) order
+    sql["hard_negatives"] = (
+        _BM25_WITH
+        + f"""
+, queries(query_id, qtext) AS (VALUES {qvalues}),
+qterms AS (
+  SELECT query_id, term, count(*) AS weight
+  FROM (SELECT query_id,
+               unnest(regexp_extract_all(lower(qtext), '[0-9a-z]+')) AS term
+        FROM queries)
+  GROUP BY query_id, term
+),
+nq AS (SELECT query_id, count(*) AS n_terms FROM qterms GROUP BY query_id),
+qdf AS (
+  SELECT term, count(DISTINCT doc_id) AS df FROM toks
+  WHERE term IN (SELECT DISTINCT term FROM qterms) GROUP BY term
+),
+qtf AS (
+  SELECT term, doc_id, count(*) AS tf FROM toks
+  WHERE term IN (SELECT DISTINCT term FROM qterms) GROUP BY term, doc_id
+),
+scored AS (
+  SELECT q.query_id, t.doc_id,
+         sum(q.weight
+             * ln(1 + ((SELECT n FROM stats) - d.df + 0.5) / (d.df + 0.5))
+             * (t.tf * ({K1} + 1))
+             / (t.tf + {K1} * (1 - {B} + {B} * dl.dl / (SELECT avgdl FROM stats)))) AS s,
+         count(*) AS nm
+  FROM qterms q
+  JOIN qtf t USING (term)
+  JOIN qdf d USING (term)
+  JOIN dl ON t.doc_id = dl.doc_id
+  GROUP BY q.query_id, t.doc_id
+),
+conj AS (
+  SELECT s.query_id, s.doc_id, round(s.s, 4) AS score
+  FROM scored s JOIN nq USING (query_id)
+  WHERE s.nm = nq.n_terms
+),
+ranked AS (
+  SELECT query_id, doc_id, score,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, doc_id ASC) AS rnk
+  FROM conj
+),
+negs AS (
+  SELECT query_id, doc_id, score,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, doc_id ASC) AS neg_rank
+  FROM ranked
+  WHERE rnk <= 40
+    AND NOT (doc_id % 7 = CAST(substr(query_id, 2) AS BIGINT) % 7)
+)
+SELECT query_id, doc_id, neg_rank, score FROM negs WHERE neg_rank <= 10
 """
     )
 
