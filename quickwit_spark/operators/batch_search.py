@@ -201,6 +201,7 @@ def batch_bm25_topk(
     # parquet pushdown: when the distinct query-term set is small, an
     # isin literal filter reaches the scan and term-sorted row-group
     # stats prune it (bounded driver-side collect — limit guards it)
+    pushed = False
     if pushdown_max_terms > 0:
         sample = [
             r.term
@@ -209,13 +210,20 @@ def batch_bm25_topk(
         ]
         if len(sample) <= pushdown_max_terms:
             postings = postings.where(F.col("term").isin(sample))
+            pushed = True
     postings = postings.withColumn("split_id", _split_id_col()).select(
         "split_id", "term", "df", "doc_ids", "tfs"
     )
 
-    matched = postings.join(
-        F.broadcast(qterms.select("term").distinct()), "term"
-    )
+    if pushed:
+        # the isin literal IS the complete distinct-term set (the limit
+        # guard proved it) — a broadcast semijoin on the same set would
+        # only re-evaluate the tokenize subtree for zero extra pruning
+        matched = postings
+    else:
+        matched = postings.join(
+            F.broadcast(qterms.select("term").distinct()), "term"
+        )
     # global df per term — sum of per-shard dfs over every split (each
     # docid appears in exactly one shard row per split, so this equals
     # the persisted term-stats table's value)
