@@ -1047,6 +1047,17 @@ def q_sample_temperature(spark, sf_dir):
     ).select("doc_id", "lang")
 
 
+def q_shuffle_rows(spark, sf_dir):
+    """Deterministic global corpus shuffle: (shard, pos) layout from
+    the cross-engine md5 hash — the write-time training order. One
+    hash-partition shuffle; the permutation is never on one node."""
+    from quickwit_spark.pipeline.sampling import shuffle_rows
+
+    return shuffle_rows(
+        _docs(spark, sf_dir), seed="ep1", n_shards=8
+    ).select("doc_id", "shuffle_shard", "shuffle_pos")
+
+
 def q_ann_cosine_topk(spark, sf_dir):
     from quickwit_spark.pipeline.similarity import cosine_topk
 
@@ -1187,6 +1198,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unigram_logprob": q_unigram_logprob,
         "chunk_overlap": q_chunk_overlap,
         "sample_temperature": q_sample_temperature,
+        "shuffle_rows": q_shuffle_rows,
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
@@ -2422,6 +2434,17 @@ r AS (SELECT lang, sqrt(cmin * 1.0 / cg) AS rate FROM c, m)
 SELECT d.doc_id, d.lang FROM documents d JOIN r USING (lang)
 WHERE {h15.format(x="'tmp1:' || cast(doc_id AS VARCHAR)")} % 1000000
       < floor(rate * 1000000)
+"""
+
+    sql["shuffle_rows"] = f"""
+SELECT doc_id,
+       ({h15.format(x="'ep1:' || cast(doc_id AS VARCHAR)")} % 8)::INT
+           AS shuffle_shard,
+       row_number() OVER (
+           PARTITION BY {h15.format(x="'ep1:' || cast(doc_id AS VARCHAR)")} % 8
+           ORDER BY {h15.format(x="'ep1~' || cast(doc_id AS VARCHAR)")}, doc_id
+       )::BIGINT AS shuffle_pos
+FROM documents
 """
 
     sql["dedup_embedding_cosine"] = f"""

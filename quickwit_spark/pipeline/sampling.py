@@ -79,6 +79,48 @@ def stratified_sample(
     )
 
 
+def shuffle_rows(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    seed: str = "sh0",
+    n_shards: int = 64,
+) -> DataFrame:
+    """Deterministic global corpus shuffle — the write-time training
+    order. Every row gets ``(shuffle_shard, shuffle_pos)`` from the
+    cross-engine md5 hash: reading shards ``0..n_shards`` in order and
+    rows by ``shuffle_pos`` within each shard streams the corpus in a
+    reproducible pseudo-random permutation. A new epoch is a new
+    ``seed`` — not a second copy of the data.
+
+    Scale (the 100 TB story): the permutation is never materialized in
+    one place. Shard assignment is a narrow map; the within-shard
+    position is a window per shard, i.e. ``n_shards``-way parallel
+    sorts of ~rows/n_shards each (size ``n_shards`` so a shard fits an
+    executor's sort buffer). Writing with
+    ``partitionBy(shuffle_shard)`` + ``sortWithinPartitions`` lays the
+    corpus out in shuffled order with exactly ONE hash-partition
+    shuffle. Unlike ``orderBy(rand())``, the layout is reproducible
+    across engines, runs, and partitionings (no RNG state), and
+    appending rows never reorders previously-placed ones within their
+    shard prefix semantics.
+    """
+    from pyspark.sql import Window
+
+    shard = F.expr(
+        H15.format(x=f"concat('{seed}:', cast({id_col} as string))")
+    ) % n_shards
+    ordh = F.expr(
+        H15.format(x=f"concat('{seed}~', cast({id_col} as string))")
+    )
+    w = Window.partitionBy("shuffle_shard").orderBy("_ord", id_col)
+    return (
+        df.withColumn("shuffle_shard", shard.cast("int"))
+        .withColumn("_ord", ordh)
+        .withColumn("shuffle_pos", F.row_number().over(w).cast("bigint"))
+        .drop("_ord")
+    )
+
+
 def temperature_sample(
     df: DataFrame,
     strata_col: str = "source",

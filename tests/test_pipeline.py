@@ -386,6 +386,34 @@ def test_stratified_sample_deterministic_reproducible(spark):
     assert sub_sample == {i for i in a if i < 1000}
 
 
+def test_shuffle_rows_permutation_invariants(spark):
+    """(shard, pos) is a permutation layout: every row appears exactly
+    once, positions are dense 1..count(shard) per shard, the layout is
+    reproducible across runs and partitionings, and a new seed yields a
+    different order over the same row set."""
+    from quickwit_spark.pipeline.sampling import shuffle_rows
+
+    rows = [(i,) for i in range(3000)]
+    df = spark.createDataFrame(rows, "doc_id long")
+    out = shuffle_rows(df, seed="e1", n_shards=8).collect()
+    assert len(out) == 3000
+    assert {r.doc_id for r in out} == set(range(3000))
+    by_shard: dict[int, list[int]] = {}
+    for r in out:
+        assert 0 <= r.shuffle_shard < 8
+        by_shard.setdefault(r.shuffle_shard, []).append(r.shuffle_pos)
+    for poss in by_shard.values():
+        assert sorted(poss) == list(range(1, len(poss) + 1))
+
+    # reproducible across partitionings; seed changes the order
+    key = lambda rs: sorted((r.doc_id, r.shuffle_shard, r.shuffle_pos) for r in rs)
+    again = shuffle_rows(df.repartition(13), seed="e1", n_shards=8).collect()
+    assert key(again) == key(out)
+    other = shuffle_rows(df, seed="e2", n_shards=8).collect()
+    assert key(other) != key(out)
+    assert {r.doc_id for r in other} == set(range(3000))
+
+
 def test_pii_scrub_redacts_and_counts(spark):
     from quickwit_spark.pipeline.scrub import pii_scrub
 
