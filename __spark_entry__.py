@@ -1084,6 +1084,17 @@ def q_ann_ivf_topk(spark, sf_dir):
     )
 
 
+def q_dedup_semantic(spark, sf_dir):
+    """SemDeDup: Voronoi cells over deterministic md5-sampled
+    centroids, within-cell cosine prune (keep-lowest-id canonical).
+    One row per embedding; the only pairwise work is within-cell."""
+    from quickwit_spark.pipeline.dedup import semantic_dedup
+
+    return semantic_dedup(
+        _embs(spark, sf_dir), threshold=0.3, n_centroids=8, seed="sd1"
+    )
+
+
 def q_events_windowed(spark, sf_dir):
     from quickwit_spark.pipeline.events import windowed_event_counts
 
@@ -1202,6 +1213,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
+        "dedup_semantic": q_dedup_semantic,
         "media_metadata": q_media_metadata,
         "frame_sample": q_frame_sample,
         "events_windowed": q_events_windowed,
@@ -2552,6 +2564,37 @@ ranked AS (
   FROM cand
 )
 SELECT query_id, neighbor_id, rank, cosine FROM ranked WHERE rank <= 10
+"""
+
+    # SemDeDup twin: same centroid sample/assignment as the IVF twin
+    # (seed 'sd1'), within-cell pairs, lowest near-dup predecessor
+    sql["dedup_semantic"] = f"""
+WITH w AS (SELECT vec_id, embedding, sqrt({self_dot}) AS nrm FROM embeddings),
+cents AS (
+  SELECT vec_id AS cid, embedding AS cvec, nrm AS cnrm FROM w
+  ORDER BY {h15.format(x="'sd1:' || cast(vec_id AS VARCHAR)")}, vec_id
+  LIMIT 8
+),
+assign AS (
+  SELECT vec_id AS c_id, cid AS cell FROM (
+    SELECT w.vec_id, c.cid,
+           row_number() OVER (PARTITION BY w.vec_id
+             ORDER BY {ivf_dot_wc} / (w.nrm * c.cnrm) DESC, c.cid ASC) AS rn
+    FROM w, cents c) t WHERE rn = 1
+),
+dup AS (
+  SELECT b.c_id AS b_id, min(a.c_id) AS canon
+  FROM assign a JOIN assign b USING (cell)
+  JOIN w wa ON wa.vec_id = a.c_id
+  JOIN w wq ON wq.vec_id = b.c_id
+  WHERE a.c_id < b.c_id
+    AND round({ivf_dot_aq} / (wa.nrm * wq.nrm), 6) >= 0.3
+  GROUP BY b.c_id
+)
+SELECT a.c_id AS vec_id, a.cell,
+       coalesce(d.canon, a.c_id) AS canonical_id,
+       d.canon IS NOT NULL AS is_dup
+FROM assign a LEFT JOIN dup d ON d.b_id = a.c_id
 """
 
     sql["events_windowed"] = """

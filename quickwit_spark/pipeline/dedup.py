@@ -563,6 +563,78 @@ def embedding_lsh_pairs(
     return out
 
 
+def semantic_dedup(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.7,
+    n_centroids: int = 8,
+    seed: str = "sd1",
+) -> DataFrame:
+    """SemDeDup-style semantic dedup (Abbas et al. 2023,
+    arXiv:2303.09540): cluster the embeddings, then prune
+    near-duplicates WITHIN each cluster only. Rows land in Voronoi
+    cells around deterministic md5-sampled centroids (the same IVF
+    structure as ``similarity.ivf_ann_topk``); within a cell, a row is
+    a duplicate iff some LOWER-id cell-mate has cosine ≥ threshold,
+    and its ``canonical_id`` is the lowest such id (kept rows are
+    their own canonical). One row out per row in:
+    (id, cell, canonical_id, is_dup).
+
+    Keeper policy: "any near-dup predecessor" — the keep-lowest-id
+    rule this module uses everywhere — rather than the paper's greedy
+    chain over already-kept items: the chain is inherently sequential
+    within a cluster, while the predecessor rule is order-free (one
+    self-join + min-aggregate) and slightly MORE aggressive (a row
+    whose only near-dup predecessor was itself removed still drops).
+
+    Scale (the 100 TB story): the only pairwise work is within-cell.
+    Size ``n_centroids`` so a cell holds ~corpus/n_centroids rows (the
+    paper runs ~50k clusters precisely to keep this quadratic term
+    tiny); cell assignment is a narrow map over a broadcast centroid
+    array, then ONE shuffle on the cell key feeds both the self-join
+    and the min-aggregate. The corpus is never compared across cells
+    — recall < 1 by design at cell boundaries, exactly as in the
+    paper.
+    """
+    from quickwit_spark.pipeline.similarity import (
+        _assign_cells,
+        _centroid_array,
+        _with_norm,
+    )
+
+    c = _with_norm(_ensure_parallelism(df), id_col, vec_col, "c")
+    ca = _assign_cells(c, _centroid_array(c, n_centroids, seed))
+    a = ca.select(
+        F.col("c_id").alias("a_id"), F.col("c_v").alias("va"),
+        F.col("c_n").alias("na"), "cell",
+    )
+    b = ca.select(
+        F.col("c_id").alias("b_id"), F.col("c_v").alias("vb"),
+        F.col("c_n").alias("nb"), "cell",
+    )
+    dup = (
+        a.join(b, "cell")
+        .where(F.col("a_id") < F.col("b_id"))
+        .where(
+            F.round(
+                F.expr(_DOT.format(a="va", b="vb"))
+                / (F.col("na") * F.col("nb")),
+                6,
+            )
+            >= threshold
+        )
+        .groupBy("b_id")
+        .agg(F.min("a_id").alias("_canon"))
+    )
+    return ca.join(dup, ca["c_id"] == dup["b_id"], "left").select(
+        F.col("c_id").alias(id_col),
+        "cell",
+        F.coalesce("_canon", F.col("c_id")).alias("canonical_id"),
+        F.col("_canon").isNotNull().alias("is_dup"),
+    )
+
+
 def duplicate_spans(
     df: DataFrame,
     id_col: str = "doc_id",

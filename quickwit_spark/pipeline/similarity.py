@@ -277,6 +277,57 @@ def ann_index_topk(
     )
 
 
+# cosine of a row vector {v} (norm {n}) against centroid lambda var c
+_COS_C = (
+    "(aggregate(zip_with({v}, c.cvec, (x, y) -> cast(x as double) * cast(y as double)),"
+    " 0D, (s, t) -> s + t) / ({n} * c.cnrm))"
+)
+
+
+def _centroid_array(c: DataFrame, n_centroids: int, seed: str) -> DataFrame:
+    """Deterministic md5-ranked centroid sample of a ``_with_norm``'d
+    corpus, collected into ONE row holding a cid-sorted struct array
+    (broadcastable; no k-means, no RNG — DuckDB-verifiable)."""
+    h = (
+        f"cast(conv(substring(md5(concat('{seed}:', cast(c_id as string))),"
+        f" 1, 15), 16, 10) as bigint)"
+    )
+    cents = (
+        c.orderBy(F.expr(h), F.col("c_id"))
+        .limit(n_centroids)
+        .select(
+            F.col("c_id").alias("cid"),
+            F.col("c_v").alias("cvec"),
+            F.col("c_n").alias("cnrm"),
+        )
+    )
+    return cents.agg(
+        F.expr(
+            "array_sort(collect_list(named_struct("
+            "'cid', cid, 'cvec', cvec, 'cnrm', cnrm)),"
+            " (a, b) -> case when a.cid < b.cid then -1"
+            " when a.cid > b.cid then 1 else 0 end)"
+        ).alias("cents")
+    )
+
+
+def _assign_cells(c: DataFrame, cent_arr: DataFrame) -> DataFrame:
+    """Voronoi cell per corpus row: argmax-cosine centroid (ties to the
+    lowest cid — the array is cid-sorted and the fold keeps the first
+    max, matching the oracle's (cos desc, cid asc)). A narrow map over
+    a broadcast centroid array — the corpus is never shuffled."""
+    cc = _COS_C.format(v="c_v", n="c_n")
+    assign = (
+        f"aggregate(cents, named_struct('cid', cast(-1 as bigint),"
+        f" 'best', cast('-Infinity' as double)),"
+        f" (acc, c) -> if({cc} > acc.best,"
+        f" named_struct('cid', c.cid, 'best', {cc}), acc)).cid"
+    )
+    return c.crossJoin(F.broadcast(cent_arr)).select(
+        "c_id", "c_v", "c_n", F.expr(assign).alias("cell")
+    )
+
+
 def ivf_ann_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -309,45 +360,9 @@ def ivf_ann_topk(
     corpus = ensure_parallelism(corpus)
     c = _with_norm(corpus, id_col, vec_col, "c")
     q = _with_norm(queries, id_col, vec_col, "q")
-    h = (
-        f"cast(conv(substring(md5(concat('{seed}:', cast(c_id as string))),"
-        f" 1, 15), 16, 10) as bigint)"
-    )
-    cents = (
-        c.orderBy(F.expr(h), F.col("c_id"))
-        .limit(n_centroids)
-        .select(
-            F.col("c_id").alias("cid"),
-            F.col("c_v").alias("cvec"),
-            F.col("c_n").alias("cnrm"),
-        )
-    )
-    cent_arr = cents.agg(
-        F.expr(
-            "array_sort(collect_list(named_struct("
-            "'cid', cid, 'cvec', cvec, 'cnrm', cnrm)),"
-            " (a, b) -> case when a.cid < b.cid then -1"
-            " when a.cid > b.cid then 1 else 0 end)"
-        ).alias("cents")
-    )
-    # cosine of a row vector {v} (norm {n}) against centroid lambda var c
-    cos_c = (
-        "(aggregate(zip_with({v}, c.cvec, (x, y) -> cast(x as double) * cast(y as double)),"
-        " 0D, (s, t) -> s + t) / ({n} * c.cnrm))"
-    )
-    cc = cos_c.format(v="c_v", n="c_n")
-    # per-row argmax: first (lowest-cid, array is cid-sorted) centroid
-    # with the max cosine — matches the oracle's (cos desc, cid asc)
-    assign = (
-        f"aggregate(cents, named_struct('cid', cast(-1 as bigint),"
-        f" 'best', cast('-Infinity' as double)),"
-        f" (acc, c) -> if({cc} > acc.best,"
-        f" named_struct('cid', c.cid, 'best', {cc}), acc)).cid"
-    )
-    ca = c.crossJoin(F.broadcast(cent_arr)).select(
-        "c_id", "c_v", "c_n", F.expr(assign).alias("cell")
-    )
-    qc = cos_c.format(v="q_v", n="q_n")
+    cent_arr = _centroid_array(c, n_centroids, seed)
+    ca = _assign_cells(c, cent_arr)
+    qc = _COS_C.format(v="q_v", n="q_n")
     probes = (
         f"transform(slice(array_sort(transform(cents,"
         f" c -> named_struct('negcos', -{qc}, 'cid', c.cid))),"

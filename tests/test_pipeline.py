@@ -122,6 +122,43 @@ def test_persisted_ann_index_matches_inline_lsh(spark, tmp_path):
     assert "PartitionFilters" in plan and "bucket" in plan.split("PartitionFilters")[1][:200]
 
 
+def test_semantic_dedup_invariants_and_exact_copies(spark):
+    """One row out per row in; is_dup ⇔ canonical_id is a lower id in
+    the same cell; exact vector copies (cosine 1.0) always collapse to
+    the lowest-id copy in their cell group."""
+    from pyspark.sql import functions as F
+
+    from quickwit_spark.pipeline.dedup import semantic_dedup
+
+    base = spark.read.parquet(
+        "/root/testdata/sf0.001/embeddings.parquet"
+    ).limit(40)
+    # clone three rows under new ids: identical vectors share the
+    # argmax cell, and cosine(v, v) = 1 >= any threshold
+    clones = base.where(F.col("vec_id") < 3).select(
+        (F.col("vec_id") + 100000).alias("vec_id"), "embedding"
+    )
+    df = base.select("vec_id", "embedding").unionByName(clones)
+    out = semantic_dedup(df, threshold=0.95, n_centroids=4, seed="t1").toPandas()
+
+    assert len(out) == df.count()
+    assert sorted(out["vec_id"]) == sorted(
+        r.vec_id for r in df.select("vec_id").collect()
+    )
+    cell_of = dict(zip(out["vec_id"], out["cell"]))
+    for r in out.itertuples():
+        if r.is_dup:
+            assert r.canonical_id < r.vec_id
+            assert cell_of[r.canonical_id] == r.cell
+        else:
+            assert r.canonical_id == r.vec_id
+    by_id = out.set_index("vec_id")
+    for orig in range(3):
+        clone = by_id.loc[orig + 100000]
+        assert clone.is_dup  # its exact copy has a lower id in-cell
+        assert clone.canonical_id <= orig
+
+
 def test_embedding_lsh_pairs_subset_exact_and_recall_monotone(spark):
     """Bucketed pairs must be a subset of the exact O(n²) result with
     identical cosines (LSH can miss, never invent), restrict the
