@@ -299,7 +299,8 @@ def main() -> None:
                  "ann_cosine_topk", "media_metadata",
                  "corpus_curation", "sequence_packing",
                  "sequence_packing_materialized", "chunk_overlap",
-                 "unigram_logprob", "bm25_batch_topk"):
+                 "unigram_logprob", "bm25_batch_topk",
+                 "dedup_semantic", "shuffle_rows"):
         fn = entry.queries()[name]
 
         def run(fn=fn):

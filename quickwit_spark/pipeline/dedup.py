@@ -570,6 +570,7 @@ def semantic_dedup(
     threshold: float = 0.7,
     n_centroids: int = 8,
     seed: str = "sd1",
+    persist_intermediates: bool = True,
 ) -> DataFrame:
     """SemDeDup-style semantic dedup (Abbas et al. 2023,
     arXiv:2303.09540): cluster the embeddings, then prune
@@ -596,6 +597,13 @@ def semantic_dedup(
     and the min-aggregate. The corpus is never compared across cells
     — recall < 1 by design at cell boundaries, exactly as in the
     paper.
+
+    ``persist_intermediates`` (default on) caches the assigned-cells
+    DataFrame: the declarative plan references it THREE times (both
+    self-join sides + the final left join) and Catalyst cannot CSE
+    across a join, so each reference would re-run the centroid sample
+    and the argmax fold over the whole corpus. Release with
+    ``unpersist_intermediates``.
     """
     from quickwit_spark.pipeline.similarity import (
         _assign_cells,
@@ -605,6 +613,10 @@ def semantic_dedup(
 
     c = _with_norm(_ensure_parallelism(df), id_col, vec_col, "c")
     ca = _assign_cells(c, _centroid_array(c, n_centroids, seed))
+    cached = []
+    if persist_intermediates:
+        ca = ca.persist(StorageLevel.MEMORY_AND_DISK)
+        cached.append(ca)
     a = ca.select(
         F.col("c_id").alias("a_id"), F.col("c_v").alias("va"),
         F.col("c_n").alias("na"), "cell",
@@ -627,12 +639,14 @@ def semantic_dedup(
         .groupBy("b_id")
         .agg(F.min("a_id").alias("_canon"))
     )
-    return ca.join(dup, ca["c_id"] == dup["b_id"], "left").select(
+    out = ca.join(dup, ca["c_id"] == dup["b_id"], "left").select(
         F.col("c_id").alias(id_col),
         "cell",
         F.coalesce("_canon", F.col("c_id")).alias("canonical_id"),
         F.col("_canon").isNotNull().alias("is_dup"),
     )
+    out._qs_cached = cached
+    return out
 
 
 def duplicate_spans(
