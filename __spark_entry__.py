@@ -1084,6 +1084,31 @@ def q_ann_ivf_topk(spark, sf_dir):
     )
 
 
+def q_embedding_quantize(spark, sf_dir):
+    """Int8 scalar quantization of the embedding column (4x at-rest
+    reduction): per-vector floor-of-shifted quantize, digest of the
+    integer array (engine-portable) + the dequant scale."""
+    from quickwit_spark.pipeline.similarity import quantize_embeddings
+
+    return quantize_embeddings(_embs(spark, sf_dir)).select(
+        "vec_id",
+        F.round(F.col("scale"), 6).alias("scale"),
+        F.md5(
+            F.expr("array_join(transform(qvec, x -> cast(x as string)), ',')")
+        ).alias("q_md5"),
+    )
+
+
+def q_ann_quantized_topk(spark, sf_dir):
+    """Brute-force cosine top-k over int8-quantized vectors: exact
+    BIGINT dot products (scales cancel out of cosine), same broadcast
+    + window top-k shape as the float op."""
+    from quickwit_spark.pipeline.similarity import quantized_cosine_topk
+
+    embs = _embs(spark, sf_dir)
+    return quantized_cosine_topk(embs, embs.where(F.col("vec_id") < 5), k=10)
+
+
 def q_dedup_semantic(spark, sf_dir):
     """SemDeDup: Voronoi cells over deterministic md5-sampled
     centroids, within-cell cosine prune (keep-lowest-id canonical).
@@ -1214,6 +1239,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_topk": q_ann_lsh_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
         "dedup_semantic": q_dedup_semantic,
+        "embedding_quantize": q_embedding_quantize,
+        "ann_quantized_topk": q_ann_quantized_topk,
         "media_metadata": q_media_metadata,
         "frame_sample": q_frame_sample,
         "events_windowed": q_events_windowed,
@@ -2560,6 +2587,50 @@ ranked AS (
   SELECT q_id AS query_id, c_id AS neighbor_id,
          row_number() OVER (PARTITION BY q_id
            ORDER BY cosine DESC, c_id ASC) AS rank,
+         cosine
+  FROM cand
+)
+SELECT query_id, neighbor_id, rank, cosine FROM ranked WHERE rank <= 10
+"""
+
+    # int8 quantization twins: floor-of-shifted quantize (IEEE-exact
+    # cross-engine, unlike engine round() modes), BIGINT integer dots
+    q8 = """q8 AS (
+  SELECT vec_id,
+    CASE WHEN m > 0 THEN list_transform(embedding, x -> floor(x::DOUBLE * 127.0 / m + 0.5)::BIGINT)
+         ELSE list_transform(embedding, x -> 0::BIGINT) END AS qv, m
+  FROM (SELECT vec_id, embedding,
+        list_max(list_transform(embedding, x -> abs(x::DOUBLE))) AS m
+        FROM embeddings)
+)"""
+    sql["embedding_quantize"] = f"""
+WITH {q8}
+SELECT vec_id, round(m, 6) AS scale,
+       md5(array_to_string(list_transform(qv, x -> x::VARCHAR), ',')) AS q_md5
+FROM q8
+"""
+
+    qdot = (
+        "list_sum(list_transform(generate_series(1, len(a.qv)),"
+        " i -> a.qv[i] * b.qv[i]))"
+    )
+    sql["ann_quantized_topk"] = f"""
+WITH {q8},
+n AS (
+  SELECT vec_id, qv,
+         sqrt(list_sum(list_transform(qv, x -> x * x))::DOUBLE) AS nrm
+  FROM q8
+),
+cand AS (
+  SELECT b.vec_id AS query_id, a.vec_id AS neighbor_id,
+         round(({qdot})::DOUBLE / (a.nrm * b.nrm), 6) AS cosine
+  FROM n a JOIN n b ON a.vec_id <> b.vec_id
+  WHERE b.vec_id < 5
+),
+ranked AS (
+  SELECT query_id, neighbor_id,
+         row_number() OVER (PARTITION BY query_id
+           ORDER BY cosine DESC, neighbor_id ASC) AS rank,
          cosine
   FROM cand
 )

@@ -65,6 +65,97 @@ def cosine_topk(
     )
 
 
+def quantize_embeddings(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Symmetric per-vector int8 scalar quantization: the storage/IO
+    scale path for embedding columns — ``array<tinyint>`` is 4× (vs
+    float32 at rest; 8× vs Spark's float64 arrays) smaller than the
+    raw vectors, which is the difference between an ANN corpus that
+    fits executor memory and one that spills.
+
+    ``q_i = floor(x_i · 127 / max|x| + 0.5)`` — an explicit
+    floor-of-shifted (half-toward-+inf) instead of an engine
+    ``round()`` because floor over identical IEEE doubles is
+    bit-reproducible across Spark/DuckDB/numpy while round() modes are
+    not. A zero vector quantizes to all zeros with scale 0. Returns
+    (id, qvec: array<tinyint>, scale = max|x| — dequantize as
+    ``q_i · scale / 127``).
+
+    Cosine survives quantization EXACTLY in structure: per-vector
+    scaling cancels in cosine, so quantized cosine is the cosine of
+    the integer arrays (see :func:`quantized_cosine_topk`) — no
+    dequantization in the hot path, integer dot products all the way.
+    Narrow map, zero shuffles.
+    """
+    v = f"transform({vec_col}, x -> cast(x as double))"
+    maxabs = f"array_max(transform({v}, x -> abs(x)))"
+    qvec = (
+        f"if({maxabs} > 0D,"
+        f" transform({v}, x -> cast(floor(x * 127.0D / {maxabs} + 0.5D)"
+        f" as tinyint)),"
+        f" transform({v}, x -> cast(0 as tinyint)))"
+    )
+    return ensure_parallelism(df).select(
+        F.col(id_col),
+        F.expr(qvec).alias("qvec"),
+        F.expr(maxabs).alias("scale"),
+    )
+
+
+def quantized_cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """:func:`cosine_topk` over int8-quantized vectors: both sides
+    quantize (narrow maps), the dot product is exact BIGINT integer
+    arithmetic (≤127²·dim per pair — engines agree bit-for-bit, no
+    float-sum association concerns), and per-vector scales cancel out
+    of cosine entirely. Same broadcast + window top-k shape as the
+    exact op; recall < 1 only through quantization rounding of
+    near-tied neighbors. Returns (query_id, neighbor_id, rank,
+    cosine) with cosine computed over the quantized vectors.
+    """
+    idot = (
+        "aggregate(zip_with({a}, {b}, (x, y) ->"
+        " cast(x as bigint) * cast(y as bigint)), cast(0 as bigint),"
+        " (s, v) -> s + v)"
+    )
+    c = quantize_embeddings(corpus, id_col, vec_col).select(
+        F.col(id_col).alias("c_id"), F.col("qvec").alias("c_q"),
+        F.expr(f"sqrt({idot.format(a='qvec', b='qvec')})").alias("c_n"),
+    )
+    q = quantize_embeddings(queries, id_col, vec_col).select(
+        F.col(id_col).alias("q_id"), F.col("qvec").alias("q_q"),
+        F.expr(f"sqrt({idot.format(a='qvec', b='qvec')})").alias("q_n"),
+    )
+    scored = c.join(F.broadcast(q), F.col("c_id") != F.col("q_id")).withColumn(
+        "cosine",
+        F.round(
+            F.expr(idot.format(a="c_q", b="q_q")) / (F.col("c_n") * F.col("q_n")),
+            6,
+        ),
+    )
+    w = Window.partitionBy("q_id").orderBy(
+        F.col("cosine").desc(), F.col("c_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            F.col("q_id").alias("query_id"),
+            F.col("c_id").alias("neighbor_id"),
+            "rank",
+            "cosine",
+        )
+    )
+
+
 def _proj_expr(vec_col: str, seed: int) -> str:
     """Projection of ``vec_col`` onto plane {p}'s deterministic ±1
     normal (md5-derived — reproducible across engines with no RNG

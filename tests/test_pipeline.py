@@ -122,6 +122,51 @@ def test_persisted_ann_index_matches_inline_lsh(spark, tmp_path):
     assert "PartitionFilters" in plan and "bucket" in plan.split("PartitionFilters")[1][:200]
 
 
+def test_quantize_embeddings_roundtrip_and_topk_recall(spark):
+    """Quantized values stay in [-127, 127] with max|q| = 127 for
+    nonzero vectors; dequantization error is bounded by scale/254 per
+    component; zero vectors quantize to zeros with scale 0; and the
+    quantized brute-force top-k agrees with the exact float top-k on
+    nearly every neighbor (int8 rounding only reorders near-ties)."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from quickwit_spark.pipeline.similarity import (
+        cosine_topk,
+        quantize_embeddings,
+        quantized_cosine_topk,
+    )
+
+    embs = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    zero = spark.createDataFrame(
+        [(999999, [0.0] * len(embs.first().embedding))],
+        "vec_id long, embedding array<float>",
+    )
+    q = quantize_embeddings(embs.unionByName(zero)).toPandas().set_index("vec_id")
+    raw = embs.toPandas().set_index("vec_id")
+    zrow = q.loc[999999]
+    assert zrow.scale == 0.0 and all(v == 0 for v in zrow.qvec)
+    for vid in list(raw.index[:20]):
+        qv = np.array(q.loc[vid].qvec, dtype=np.int64)
+        x = np.array(raw.loc[vid].embedding, dtype=np.float64)
+        s = q.loc[vid].scale
+        assert s == np.abs(x).max()
+        assert np.abs(qv).max() == 127 and np.abs(qv).max() <= 127
+        deq = qv * s / 127.0
+        assert np.abs(deq - x).max() <= s / 254.0 + 1e-9
+
+    qs = embs.where(F.col("vec_id") < 5)
+    exact = cosine_topk(embs, qs, k=10).toPandas()
+    quant = quantized_cosine_topk(embs, qs, k=10).toPandas()
+    key = lambda df: {
+        (r.query_id, r.neighbor_id) for r in df.itertuples()
+    }
+    overlap = len(key(exact) & key(quant)) / len(key(exact))
+    assert overlap >= 0.9
+
+
 def test_semantic_dedup_invariants_and_exact_copies(spark):
     """One row out per row in; is_dup ⇔ canonical_id is a lower id in
     the same cell; exact vector copies (cosine 1.0) always collapse to
