@@ -1109,6 +1109,27 @@ def q_ann_quantized_topk(spark, sf_dir):
     return quantized_cosine_topk(embs, embs.where(F.col("vec_id") < 5), k=10)
 
 
+def q_kmeans_clusters(spark, sf_dir):
+    """Quantized k-means (k=8, 2 Lloyd rounds): integer-lattice
+    centroids + exact BIGINT distances make every round bit-identical
+    across engines — the oracle replays the same iterations as CTEs
+    and lands on the same assignment with no tolerance window."""
+    from quickwit_spark.pipeline.clustering import kmeans_assign
+
+    return kmeans_assign(
+        _embs(spark, sf_dir), k=8, n_iter=2, persist_intermediates=False
+    )
+
+
+def q_cluster_balanced(spark, sf_dir):
+    """DataComp-style cluster-balanced subsample: cap each k-means
+    cluster at 20 rows via the cross-engine md5 rank (deterministic
+    uniform within-cluster draw)."""
+    from quickwit_spark.pipeline.clustering import cluster_balanced_sample
+
+    return cluster_balanced_sample(_embs(spark, sf_dir), quota=20, k=8, n_iter=2)
+
+
 def q_dedup_semantic(spark, sf_dir):
     """SemDeDup: Voronoi cells over deterministic md5-sampled
     centroids, within-cell cosine prune (keep-lowest-id canonical).
@@ -1241,6 +1262,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_semantic": q_dedup_semantic,
         "embedding_quantize": q_embedding_quantize,
         "ann_quantized_topk": q_ann_quantized_topk,
+        "kmeans_clusters": q_kmeans_clusters,
+        "cluster_balanced": q_cluster_balanced,
         "media_metadata": q_media_metadata,
         "frame_sample": q_frame_sample,
         "events_windowed": q_events_windowed,
@@ -2666,6 +2689,62 @@ SELECT a.c_id AS vec_id, a.cell,
        coalesce(d.canon, a.c_id) AS canonical_id,
        d.canon IS NOT NULL AS is_dup
 FROM assign a LEFT JOIN dup d ON d.b_id = a.c_id
+"""
+
+    # quantized k-means twins: replay the Lloyd rounds as CTEs — exact
+    # BIGINT distances + floor(int_sum/count + 0.5) centroid updates
+    # are bit-identical across engines, so assignment matches exactly
+    def _km_assign(name, cents):
+        return f"""{name} AS (
+  SELECT vec_id, qv, cid, dist::BIGINT AS dist FROM (
+    SELECT t.*, row_number() OVER (PARTITION BY vec_id
+      ORDER BY dist ASC, cid ASC) AS rn
+    FROM (
+      SELECT x.vec_id, x.qv, c.cid,
+        list_sum(list_transform(generate_series(1, len(x.qv)),
+          i -> (x.qv[i] - c.cv[i]) * (x.qv[i] - c.cv[i]))) AS dist
+      FROM q8 x CROSS JOIN {cents} c) t) WHERE rn = 1
+)"""
+
+    def _km_update(name, assign, prev):
+        return f"""{name} AS (
+  SELECT p.cid, coalesce(u.cv, p.cv) AS cv FROM {prev} p LEFT JOIN (
+    SELECT cid, list(val ORDER BY pos) AS cv FROM (
+      SELECT a.cid, t.i AS pos,
+        floor(sum(a.qv[t.i])::DOUBLE / count(*) + 0.5)::BIGINT AS val
+      FROM {assign} a, unnest(generate_series(1, len(a.qv))) AS t(i)
+      GROUP BY a.cid, t.i) GROUP BY cid
+  ) u USING (cid)
+)"""
+
+    km_h = h15.format(x="'km1:' || cast(vec_id AS VARCHAR)")
+    km_ctes = [
+        q8,
+        f"""cents0 AS (
+  SELECT (row_number() OVER (ORDER BY {km_h}, vec_id) - 1)::BIGINT AS cid,
+         qv AS cv
+  FROM q8 ORDER BY {km_h}, vec_id LIMIT 8
+)""",
+        _km_assign("a0", "cents0"),
+        _km_update("cents1", "a0", "cents0"),
+        _km_assign("a1", "cents1"),
+        _km_update("cents2", "a1", "cents1"),
+        _km_assign("afinal", "cents2"),
+    ]
+    km_with = "WITH " + ",\n".join(km_ctes)
+    sql["kmeans_clusters"] = f"""
+{km_with}
+SELECT vec_id, cid AS cluster_id, dist AS sq_dist FROM afinal
+"""
+
+    bal_h = h15.format(x="'bal1:' || cast(vec_id AS VARCHAR)")
+    sql["cluster_balanced"] = f"""
+{km_with}
+SELECT vec_id, cluster_id, sq_dist FROM (
+  SELECT vec_id, cid AS cluster_id, dist AS sq_dist,
+         row_number() OVER (PARTITION BY cid
+           ORDER BY {bal_h}, vec_id) AS rn
+  FROM afinal) WHERE rn <= 20
 """
 
     sql["events_windowed"] = """

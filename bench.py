@@ -300,7 +300,8 @@ def main() -> None:
                  "corpus_curation", "sequence_packing",
                  "sequence_packing_materialized", "chunk_overlap",
                  "unigram_logprob", "bm25_batch_topk",
-                 "dedup_semantic", "shuffle_rows"):
+                 "dedup_semantic", "shuffle_rows",
+                 "ann_quantized_topk"):
         fn = entry.queries()[name]
 
         def run(fn=fn):

@@ -167,6 +167,71 @@ def test_quantize_embeddings_roundtrip_and_topk_recall(spark):
     assert overlap >= 0.9
 
 
+def test_kmeans_assign_invariants(spark):
+    """One row out per row in; cluster ids in [0, k); sq_dist equals
+    the brute-force numpy min distance to the SAME final centroids
+    (recomputed independently with exact integer arithmetic); the
+    assignment is invariant to input partitioning; the balanced sample
+    caps every cluster at the quota and is a subset of the assignment."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from quickwit_spark.pipeline.clustering import (
+        cluster_balanced_sample,
+        kmeans_assign,
+    )
+    from quickwit_spark.pipeline.similarity import quantize_embeddings
+
+    embs = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    k, n_iter = 6, 2
+    a = kmeans_assign(embs, k=k, n_iter=n_iter,
+                      persist_intermediates=False).toPandas()
+    assert len(a) == embs.count()
+    assert a.cluster_id.between(0, k - 1).all()
+
+    # independent replay: same init, same Lloyd rounds, numpy integers
+    q = (
+        quantize_embeddings(embs)
+        .select("vec_id", F.expr("transform(qvec, x -> cast(x as bigint))").alias("qv"))
+        .toPandas()
+        .sort_values("vec_id")
+    )
+    ids = q.vec_id.to_numpy()
+    X = np.array([list(v) for v in q.qv], dtype=np.int64)
+    h = lambda s: [
+        int(__import__("hashlib").md5(f"{s}:{i}".encode()).hexdigest()[:15], 16)
+        for i in ids
+    ]
+    order = np.lexsort((ids, np.array(h("km1"))))
+    C = X[order[:k]].copy()
+    for _ in range(n_iter):
+        d = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+        assign = d.argmin(axis=1)  # argmin keeps lowest index on ties
+        for c in range(k):
+            m = assign == c
+            if m.any():
+                s = X[m].sum(axis=0)
+                C[c] = np.floor(s.astype(np.float64) / m.sum() + 0.5).astype(np.int64)
+    d = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+    exp = dict(zip(ids, d.argmin(axis=1)))
+    exp_d = dict(zip(ids, d.min(axis=1)))
+    got = a.set_index("vec_id")
+    for i in ids:
+        assert got.loc[i].cluster_id == exp[i]
+        assert got.loc[i].sq_dist == exp_d[i]
+
+    b = kmeans_assign(embs.repartition(7), k=k, n_iter=n_iter,
+                      persist_intermediates=False).toPandas()
+    assert a.sort_values("vec_id").reset_index(drop=True).equals(
+        b.sort_values("vec_id").reset_index(drop=True)
+    )
+
+    bal = cluster_balanced_sample(embs, quota=10, k=k, n_iter=n_iter).toPandas()
+    assert bal.groupby("cluster_id").size().max() <= 10
+    merged = bal.merge(a, on="vec_id", suffixes=("", "_a"))
+    assert (merged.cluster_id == merged.cluster_id_a).all()
+
+
 def test_semantic_dedup_invariants_and_exact_copies(spark):
     """One row out per row in; is_dup ⇔ canonical_id is a lower id in
     the same cell; exact vector copies (cosine 1.0) always collapse to
