@@ -1019,6 +1019,16 @@ def q_dedup_canonical(spark, sf_dir):
     return canonical_docs(docs, clusters)
 
 
+def q_tfidf_keywords(spark, sf_dir):
+    """Top-5 TF-IDF keywords per doc: smoothed idf quantized to
+    integer micro-nats so the score — and therefore the top-k order —
+    is exact integer arithmetic on both engines."""
+    from quickwit_spark.pipeline.textstats import tfidf_keywords
+
+    return tfidf_keywords(_docs(spark, sf_dir), k=5,
+                          persist_intermediates=False)
+
+
 def q_unigram_logprob(spark, sf_dir):
     """Corpus unigram-LM quality score (perplexity stand-in): mean
     ln p(token) per doc, each ln quantized to integer micro-nats so
@@ -1253,6 +1263,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters": q_dedup_clusters,
         "dedup_canonical": q_dedup_canonical,
         "unigram_logprob": q_unigram_logprob,
+        "tfidf_keywords": q_tfidf_keywords,
         "chunk_overlap": q_chunk_overlap,
         "sample_temperature": q_sample_temperature,
         "shuffle_rows": q_shuffle_rows,
@@ -2468,6 +2479,30 @@ SELECT d.doc_id,
        coalesce(pd.n_tokens, 0)::BIGINT AS n_tokens,
        round((sq::DOUBLE / pd.n_tokens - qtot) / 1000000, 6) AS logprob
 FROM documents d LEFT JOIN pd ON d.doc_id = pd.doc_id, tot
+"""
+
+    # TF-IDF twin: micro-nat idf makes tf*idf exact integer arithmetic,
+    # so the (score desc, term asc) top-k order matches bit-for-bit
+    sql["tfidf_keywords"] = f"""
+WITH toks AS (SELECT doc_id, unnest({TOKS}) AS tok FROM documents),
+tf AS (SELECT doc_id, tok, count(*) AS tf FROM toks GROUP BY doc_id, tok),
+n AS (SELECT count(*)::BIGINT AS n FROM documents),
+idf AS (
+  SELECT tok,
+         round(ln((1 + n.n)::DOUBLE / (1 + count(*))) * 1000000, 0)::BIGINT
+           AS idf_micro
+  FROM tf, n GROUP BY tok, n.n
+),
+ranked AS (
+  SELECT tf.doc_id, tf.tok AS term, tf.tf::BIGINT AS tf,
+         (tf.tf * idf.idf_micro)::BIGINT AS score_micro,
+         row_number() OVER (PARTITION BY tf.doc_id
+           ORDER BY tf.tf * idf.idf_micro DESC, tf.tok ASC) AS rank
+  FROM tf JOIN idf USING (tok)
+)
+SELECT doc_id, term, rank, tf,
+       round(score_micro::DOUBLE / 1000000, 6) AS tfidf
+FROM ranked WHERE rank <= 5
 """
 
     sql["chunk_overlap"] = f"""

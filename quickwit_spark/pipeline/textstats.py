@@ -309,3 +309,85 @@ def unigram_logprob(
     )
     out._qs_cached = cached
     return out
+
+
+def tfidf_keywords(
+    df: DataFrame,
+    k: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    persist_intermediates: bool = True,
+) -> DataFrame:
+    """Top-k TF-IDF keywords per document — the classic extractive
+    summary / topic-signal column a curation pipeline keys search and
+    mixing decisions on. score(d, t) = tf(d,t) · ln((1+N)/(1+df(t)))
+    (smoothed idf), with the idf quantized to integer micro-nats
+    (``LN_MICRO``, same trick as :func:`unigram_logprob`) so the
+    per-term score is exact integer arithmetic and the top-k order is
+    bit-identical across engines. Ties break (score desc, term asc).
+
+    Returns (id_col, term, rank, tf, tfidf) — tfidf is the micro-nat
+    score scaled back to nats, rounded to 6dp.
+
+    Scale: same shape as :func:`unigram_logprob` — per-doc tf with
+    map-side combine, a vocab-sized df/idf aggregate, one tf→idf join
+    carrying a row per (doc, distinct token), then ONE window shuffle
+    on the doc id for the top-k. ``persist_intermediates`` caches the
+    tf frame across its two consumers (idf aggregate + scoring join);
+    release with
+    :func:`quickwit_spark.pipeline.dedup.unpersist_intermediates`.
+    """
+    from pyspark.sql import Window
+
+    tf = (
+        df.select(F.col(id_col), F.explode(tokens_col(text_col)).alias("tok"))
+        .groupBy(id_col, "tok")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    cached = []
+    if persist_intermediates:
+        from pyspark.storagelevel import StorageLevel
+
+        tf = tf.persist(StorageLevel.MEMORY_AND_DISK)
+        cached.append(tf)
+    ndocs = df.agg(F.count(F.lit(1)).cast("long").alias("_n"))
+    idf = (
+        tf.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("_df"))
+        .crossJoin(F.broadcast(ndocs))
+        .select(
+            "tok",
+            F.round(
+                F.log(
+                    (F.lit(1) + F.col("_n")).cast("double")
+                    / (F.lit(1) + F.col("_df"))
+                )
+                * LN_MICRO,
+                0,
+            )
+            .cast("long")
+            .alias("_idf"),
+        )
+    )
+    scored = tf.join(idf, "tok").select(
+        F.col(id_col),
+        F.col("tok").alias("term"),
+        F.col("tf").cast("long").alias("tf"),
+        (F.col("tf") * F.col("_idf")).alias("_score"),
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("_score").desc(), F.col("term").asc()
+    )
+    out = (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            id_col,
+            "term",
+            "rank",
+            "tf",
+            F.round(F.col("_score").cast("double") / LN_MICRO, 6).alias("tfidf"),
+        )
+    )
+    out._qs_cached = cached
+    return out

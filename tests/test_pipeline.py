@@ -875,6 +875,35 @@ def test_unigram_logprob_bounds(spark, docs):
     assert {(r.doc_id, r.n_tokens, r.logprob) for r in plain.collect()} == cached_rows
 
 
+def test_tfidf_keywords_crafted(spark):
+    """A corpus-wide stopword never outranks a doc-unique term; rank
+    order is (tf*idf desc, term asc); at most k rows per doc; and the
+    tfidf value matches the hand-computed micro-nat formula."""
+    import math
+
+    from quickwit_spark.pipeline.textstats import tfidf_keywords
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the the the apple apple banana"),
+            (2, "the cherry"),
+            (3, "the banana banana"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = tfidf_keywords(docs, k=2, persist_intermediates=False).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    assert all(len(v) <= 2 for v in by_doc.values())
+    # idf('the') = ln(4/4) = 0 -> never beats a positive-idf term
+    d1 = sorted(by_doc[1], key=lambda r: r.rank)
+    assert [r.term for r in d1] == ["apple", "banana"]
+    idf_apple = round(math.log(4 / 2) * 1_000_000)
+    assert d1[0].tf == 2 and d1[0].tfidf == round(2 * idf_apple / 1e6, 6)
+    assert {r.term for r in by_doc[2]} == {"cherry", "the"}
+
+
 def test_canonical_docs_one_keeper_per_cluster(spark, docs):
     """Exactly one canonical per cluster; the keeper has the cluster's
     max token count (ties by lowest id); sizes sum to the corpus."""
