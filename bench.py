@@ -301,7 +301,8 @@ def main() -> None:
                  "sequence_packing_materialized", "chunk_overlap",
                  "unigram_logprob", "bm25_batch_topk",
                  "dedup_semantic", "shuffle_rows",
-                 "ann_quantized_topk"):
+                 "ann_quantized_topk", "kmeans_clusters",
+                 "tfidf_keywords"):
         fn = entry.queries()[name]
 
         def run(fn=fn):
