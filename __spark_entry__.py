@@ -1019,6 +1019,31 @@ def q_dedup_canonical(spark, sf_dir):
     return canonical_docs(docs, clusters)
 
 
+def q_bpe_merges(spark, sf_dir):
+    """Learn 6 BPE merges from the corpus (most frequent adjacent
+    symbol pair per round, ties lexical, greedy left-to-right merge).
+    The string-replace formulation is bit-exact cross-engine, so the
+    oracle replays the rounds as CTEs and lands on the same table."""
+    from quickwit_spark.pipeline.bpe import bpe_learn, merges_df
+    from quickwit_spark.pipeline.dedup import unpersist_intermediates
+
+    merges, reps = bpe_learn(_docs(spark, sf_dir), n_merges=6)
+    unpersist_intermediates(reps)
+    return merges_df(spark, merges)
+
+
+def q_bpe_encode(spark, sf_dir):
+    """Encode every doc with the 6 learned merges: per-doc subtoken
+    count + md5 of the ordered subtoken stream."""
+    from quickwit_spark.pipeline.bpe import bpe_encode, bpe_learn
+
+    docs = _docs(spark, sf_dir)
+    _, reps = bpe_learn(docs, n_merges=6)
+    out = bpe_encode(docs, reps)
+    out._qs_cached = getattr(reps, "_qs_cached", ())
+    return out
+
+
 def q_tfidf_keywords(spark, sf_dir):
     """Top-5 TF-IDF keywords per doc: smoothed idf quantized to
     integer micro-nats so the score — and therefore the top-k order —
@@ -1264,6 +1289,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_canonical": q_dedup_canonical,
         "unigram_logprob": q_unigram_logprob,
         "tfidf_keywords": q_tfidf_keywords,
+        "bpe_merges": q_bpe_merges,
+        "bpe_encode": q_bpe_encode,
         "chunk_overlap": q_chunk_overlap,
         "sample_temperature": q_sample_temperature,
         "shuffle_rows": q_shuffle_rows,
@@ -2479,6 +2506,64 @@ SELECT d.doc_id,
        coalesce(pd.n_tokens, 0)::BIGINT AS n_tokens,
        round((sq::DOUBLE / pd.n_tokens - qtot) / 1000000, 6) AS logprob
 FROM documents d LEFT JOIN pd ON d.doc_id = pd.doc_id, tot
+"""
+
+    # BPE twins: replay the merge rounds as CTEs — replace() is
+    # left-to-right non-overlapping in both engines (= greedy BPE
+    # merge), pair counts are exact integer sums, ties break lexical.
+    # Every CTE is MATERIALIZED: the merge pick is referenced as 3
+    # scalar subqueries per round, and DuckDB's default CTE inlining
+    # re-executes each reference — the 6-round chain goes exponential
+    # (4^6 r0 scans) without materialization.
+    S = "chr(30)"
+
+    def _bpe_round(i):
+        prev, m, cur = f"r{i - 1}", f"m{i}", f"r{i}"
+        return f""",
+px{i} AS MATERIALIZED (SELECT freq, string_split(rep, {S}) AS a FROM {prev}),
+pc{i} AS MATERIALIZED (
+  SELECT a[t.i] AS lhs, a[t.i + 1] AS rhs, sum(freq)::BIGINT AS pair_freq
+  FROM px{i}, unnest(generate_series(1, len(a) - 1)) AS t(i)
+  GROUP BY 1, 2
+),
+{m} AS MATERIALIZED (SELECT lhs, rhs, pair_freq FROM pc{i}
+  ORDER BY pair_freq DESC, lhs ASC, rhs ASC LIMIT 1),
+{cur} AS MATERIALIZED (
+  SELECT word, freq,
+    replace(rep, (SELECT lhs FROM {m}) || {S} || (SELECT rhs FROM {m}),
+            (SELECT lhs FROM {m}) || (SELECT rhs FROM {m})) AS rep
+  FROM {prev}
+)"""
+
+    bpe_base = f"""WITH wf AS MATERIALIZED (
+  SELECT tok AS word, count(*) AS freq
+  FROM (SELECT unnest({TOKS}) AS tok FROM documents) GROUP BY tok
+),
+r0 AS MATERIALIZED (
+  SELECT word, freq,
+    array_to_string(list_transform(generate_series(1, length(word)),
+      i -> word[i]), {S}) AS rep
+  FROM wf
+)""" + "".join(_bpe_round(i) for i in range(1, 7))
+
+    sql["bpe_merges"] = f"""
+{bpe_base}
+SELECT * FROM (
+  {' UNION ALL '.join(f"SELECT {i}::INT AS rank, lhs, rhs, pair_freq FROM m{i}" for i in range(1, 7))}
+) ORDER BY rank
+"""
+
+    sql["bpe_encode"] = f"""
+{bpe_base},
+toks6 AS (
+  SELECT d.doc_id, t.i AS pos, d.tk[t.i] AS word
+  FROM (SELECT doc_id, {TOKS} AS tk FROM documents) d,
+       unnest(generate_series(1, len(d.tk))) AS t(i)
+)
+SELECT e.doc_id, count(*)::BIGINT AS n_tokens,
+       sum(len(string_split(r6.rep, {S})))::BIGINT AS n_subtokens,
+       md5(string_agg(r6.rep, {S} ORDER BY e.pos)) AS sub_md5
+FROM toks6 e JOIN r6 USING (word) GROUP BY e.doc_id
 """
 
     # TF-IDF twin: micro-nat idf makes tf*idf exact integer arithmetic,

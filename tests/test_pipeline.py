@@ -875,6 +875,74 @@ def test_unigram_logprob_bounds(spark, docs):
     assert {(r.doc_id, r.n_tokens, r.logprob) for r in plain.collect()} == cached_rows
 
 
+def test_bpe_matches_pure_python_reference(spark):
+    """bpe_learn/bpe_encode agree with a from-scratch Python BPE
+    (word-freq dict, overlap-counted pair stats, greedy left-to-right
+    merge, ties to the lexically smallest pair) on merges, subtoken
+    counts, and the per-doc subtoken-stream digest; the result is
+    invariant to input partitioning."""
+    import hashlib
+    import re
+    from collections import Counter
+
+    from quickwit_spark.pipeline.bpe import SEP, bpe_encode, bpe_learn
+    from quickwit_spark.pipeline.dedup import unpersist_intermediates
+
+    texts = [
+        "low lower lowest low low",
+        "new newer newest new news",
+        "wide wider widest low new",
+        "lower newer lower wide wide",
+    ]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], ["doc_id", "text"]
+    )
+    n = 6
+    merges, reps = bpe_learn(docs, n_merges=n)
+
+    wf = Counter(
+        t for txt in texts for t in re.findall(r"[^\W_]+", txt.lower())
+    )
+    seqs = {w: list(w) for w in wf}
+    ref_merges = []
+    for _ in range(n):
+        counts = Counter()
+        for w, f in wf.items():
+            s = seqs[w]
+            for i in range(len(s) - 1):
+                counts[(s[i], s[i + 1])] += f
+        if not counts:
+            break
+        (l, r), freq = min(
+            counts.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        ref_merges.append((l, r, freq))
+        for w, s in seqs.items():
+            out, i = [], 0
+            while i < len(s):
+                if i + 1 < len(s) and s[i] == l and s[i + 1] == r:
+                    out.append(l + r)
+                    i += 2
+                else:
+                    out.append(s[i])
+                    i += 1
+            seqs[w] = out
+    assert merges == ref_merges
+
+    enc = {r.doc_id: r for r in bpe_encode(docs, reps).collect()}
+    for i, txt in enumerate(texts):
+        toks = re.findall(r"[^\W_]+", txt.lower())
+        stream = SEP.join(SEP.join(seqs[t]) for t in toks)
+        assert enc[i].n_tokens == len(toks)
+        assert enc[i].n_subtokens == sum(len(seqs[t]) for t in toks)
+        assert enc[i].sub_md5 == hashlib.md5(stream.encode()).hexdigest()
+    unpersist_intermediates(reps)
+
+    merges2, reps2 = bpe_learn(docs.repartition(5), n_merges=n)
+    assert merges2 == merges
+    unpersist_intermediates(reps2)
+
+
 def test_tfidf_keywords_crafted(spark):
     """A corpus-wide stopword never outranks a doc-unique term; rank
     order is (tf*idf desc, term asc); at most k rows per doc; and the
