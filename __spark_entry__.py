@@ -1019,6 +1019,15 @@ def q_dedup_canonical(spark, sf_dir):
     return canonical_docs(docs, clusters)
 
 
+def q_quality_filter(spark, sf_dir):
+    """CCNet-style corpus-relative quality gate: drop the bottom 10%
+    of docs by unigram-LM score; threshold = exact type-7 quantile
+    (Spark percentile == DuckDB quantile_cont over 6dp scores)."""
+    from quickwit_spark.pipeline.sampling import quality_percentile_filter
+
+    return quality_percentile_filter(_docs(spark, sf_dir), p=0.1)
+
+
 def q_bpe_merges(spark, sf_dir):
     """Learn 6 BPE merges from the corpus (most frequent adjacent
     symbol pair per round, ties lexical, greedy left-to-right merge).
@@ -1291,6 +1300,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_keywords": q_tfidf_keywords,
         "bpe_merges": q_bpe_merges,
         "bpe_encode": q_bpe_encode,
+        "quality_filter": q_quality_filter,
         "chunk_overlap": q_chunk_overlap,
         "sample_temperature": q_sample_temperature,
         "shuffle_rows": q_shuffle_rows,
@@ -2506,6 +2516,32 @@ SELECT d.doc_id,
        coalesce(pd.n_tokens, 0)::BIGINT AS n_tokens,
        round((sq::DOUBLE / pd.n_tokens - qtot) / 1000000, 6) AS logprob
 FROM documents d LEFT JOIN pd ON d.doc_id = pd.doc_id, tot
+"""
+
+    # quality-gate twin: the unigram chain + an exact type-7 quantile
+    # threshold (quantile_cont == Spark percentile over 6dp scores)
+    sql["quality_filter"] = f"""
+WITH toks AS (SELECT doc_id, unnest({TOKS}) AS tok FROM documents),
+tf AS (SELECT doc_id, tok, count(*) AS tf FROM toks GROUP BY doc_id, tok),
+vocab AS (
+  SELECT tok, sum(tf) AS cnt,
+         round(ln(sum(tf)) * 1000000, 0)::BIGINT AS q
+  FROM tf GROUP BY tok
+),
+tot AS (SELECT round(ln(sum(cnt)) * 1000000, 0)::BIGINT AS qtot FROM vocab),
+pd AS (
+  SELECT tf.doc_id, sum(tf.tf)::BIGINT AS n_tokens,
+         sum(tf.tf * vocab.q)::BIGINT AS sq
+  FROM tf JOIN vocab USING (tok) GROUP BY tf.doc_id
+),
+scored AS (
+  SELECT pd.doc_id, pd.n_tokens,
+         round((sq::DOUBLE / pd.n_tokens - qtot) / 1000000, 6) AS logprob
+  FROM pd, tot
+),
+thr AS (SELECT quantile_cont(logprob, 0.1) AS t FROM scored)
+SELECT s.doc_id, s.n_tokens, s.logprob, round(thr.t, 6) AS cutoff
+FROM scored s, thr WHERE s.logprob >= thr.t
 """
 
     # BPE twins: replay the merge rounds as CTEs — replace() is

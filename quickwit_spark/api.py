@@ -430,13 +430,32 @@ class Index:
         return Catalog.load(self.index_dir)
 
     def describe(self) -> dict:
+        """CLI ``index describe`` analog (quickwit-cli/src/index.rs:
+        548-640): general info + per-split descriptive stats (mean,
+        population std dev, linear-interpolation percentiles — the
+        stats.rs:40-59 formula; q25/q99 are the REAL 25th/99th, not
+        index.rs:753/756's copy-paste of q50/q75) over split doc
+        counts and sizes, plus the timestamp range when present.
+        Driver-side over catalog metadata only, like the reference."""
         cat = self.catalog()
         pub = cat.published_splits()
+        ts_ranges = [s.time_range for s in pub if s.time_range]
         return {
             "index_dir": self.index_dir,
             "num_published_splits": len(pub),
             "num_docs": cat.total_docs(),
             "size_in_bytes": sum(s.size_in_bytes for s in pub),
+            "timestamp_range_us": (
+                [min(r[0] for r in ts_ranges), max(r[1] for r in ts_ranges)]
+                if ts_ranges
+                else None
+            ),
+            "split_num_docs_stats": _descriptive_stats(
+                [s.num_docs for s in pub]
+            ),
+            "split_size_mb_stats": _descriptive_stats(
+                [s.size_in_bytes // 1_000_000 for s in pub]
+            ),
             "checkpoint": dict(cat.checkpoint),
             "fields": [f.name for f in cat.config.fields],
         }
@@ -474,3 +493,37 @@ class Index:
         return self.spark.read.parquet(
             fsio.spark_read_path(fsio.join(self.index_dir, "lineage"))
         )
+
+
+def _descriptive_stats(values: list[int]) -> dict | None:
+    """mean / population std dev / linear-interpolation percentiles,
+    the quickwit-cli stats.rs:20-59 formulas (percentile: rank =
+    p/100 · (n−1), interpolate between floor and ceil neighbors)."""
+    if not values:
+        return None
+    vals = sorted(values)
+    n = len(vals)
+    mean = sum(vals) / n
+    std = (sum((v - mean) ** 2 for v in vals) / n) ** 0.5
+
+    def pct(p: int) -> float:
+        if n == 1:
+            return float(vals[0])
+        if p == 100:
+            return float(vals[-1])
+        rank = p / 100 * (n - 1)
+        lo = int(rank)
+        d = rank - lo
+        return vals[lo] + (vals[lo + 1] - vals[lo]) * d
+
+    return {
+        "mean": round(mean, 2),
+        "std": round(std, 2),
+        "min": vals[0],
+        "max": vals[-1],
+        "q1": round(pct(1), 2),
+        "q25": round(pct(25), 2),
+        "q50": round(pct(50), 2),
+        "q75": round(pct(75), 2),
+        "q99": round(pct(99), 2),
+    }

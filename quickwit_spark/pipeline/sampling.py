@@ -166,3 +166,51 @@ def temperature_sample(
         .drop("_rate")
         .select(*df.columns)
     )
+
+
+def quality_percentile_filter(
+    df: DataFrame,
+    p: float = 0.1,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Corpus-relative quality gate: score every doc with the corpus
+    unigram LM (:func:`quickwit_spark.pipeline.textstats
+    .unigram_logprob`) and drop the bottom ``p`` quantile — the
+    "remove the worst X% by perplexity" move of CCNet-style curation,
+    with the threshold taken from THIS corpus rather than a magic
+    constant. Docs with no tokens (NULL score) are dropped outright.
+
+    Returns the kept docs as (id_col, n_tokens, logprob, cutoff) where
+    cutoff is the corpus-wide p-quantile every row was gated on.
+
+    Exactness: scores are 6dp-rounded micro-nat means (cross-engine
+    identical); the threshold is the exact type-7 linear-interpolation
+    quantile over them (Spark ``percentile`` == DuckDB
+    ``quantile_cont``). An interpolated threshold lies strictly
+    between two 6dp score values, so a last-ulp engine difference
+    cannot flip any row's >= comparison.
+
+    Scale: the quantile is the one non-linear step — Spark's exact
+    ``percentile`` gathers the score column (8 bytes/doc) on one
+    reducer, fine to ~10^9 docs; past that swap in
+    ``approx_percentile(logprob, p, 10000)`` (same plan shape,
+    documented accuracy knob). Everything else is unigram_logprob's
+    map-side-combined shape plus one broadcast of the 1-row threshold.
+    """
+    from quickwit_spark.pipeline.textstats import unigram_logprob
+
+    scored = unigram_logprob(df, id_col, text_col,
+                             persist_intermediates=False)
+    thr = scored.agg(F.expr(f"percentile(logprob, {p}D)").alias("_thr"))
+    return (
+        scored.where(F.col("logprob").isNotNull())
+        .crossJoin(F.broadcast(thr))
+        .where(F.col("logprob") >= F.col("_thr"))
+        .select(
+            id_col,
+            "n_tokens",
+            "logprob",
+            F.round(F.col("_thr"), 6).alias("cutoff"),
+        )
+    )

@@ -34,6 +34,32 @@ def test_describe(index, corpus):
     assert d["size_in_bytes"] > 0
     assert d["fields"] == ["text", "role", "tool"]
 
+    # split statistics block (CLI `index describe` §2, index.rs:630-640)
+    st = d["split_num_docs_stats"]
+    docs_per_split = sorted(
+        s.num_docs for s in index.catalog().published_splits()
+    )
+    assert st["min"] == docs_per_split[0] and st["max"] == docs_per_split[-1]
+    assert st["mean"] == round(sum(docs_per_split) / 4, 2)
+    assert st["q1"] <= st["q25"] <= st["q50"] <= st["q75"] <= st["q99"]
+    # q50 of 4 sorted values = linear midpoint of the middle pair
+    assert st["q50"] == round(
+        (docs_per_split[1] + docs_per_split[2]) / 2, 2
+    )
+    assert d["split_size_mb_stats"] is not None
+    lo, hi = d["timestamp_range_us"]
+    assert lo <= hi
+
+
+def test_descriptive_stats_edge_cases():
+    from quickwit_spark.api import _descriptive_stats
+
+    assert _descriptive_stats([]) is None
+    one = _descriptive_stats([7])
+    assert one["mean"] == 7.0 and one["q99"] == 7.0 and one["std"] == 0.0
+    s = _descriptive_stats(list(range(1, 11)))
+    assert (s["q25"], s["q50"], s["q75"]) == (3.25, 5.5, 7.75)
+
 
 def test_search_json_shape(index):
     r = index.search_json("w00001", k=3)

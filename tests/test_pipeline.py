@@ -875,6 +875,31 @@ def test_unigram_logprob_bounds(spark, docs):
     assert {(r.doc_id, r.n_tokens, r.logprob) for r in plain.collect()} == cached_rows
 
 
+def test_quality_percentile_filter(spark, docs):
+    """Kept set == {scores >= numpy's type-7 p-quantile}; cutoff
+    matches that quantile; no-token docs are dropped."""
+    import numpy as np
+
+    from quickwit_spark.pipeline.sampling import quality_percentile_filter
+    from quickwit_spark.pipeline.textstats import unigram_logprob
+
+    with_empty = docs.select("doc_id", "text").union(
+        spark.createDataFrame([(10_000, "??!")], ["doc_id", "text"])
+    )
+    scored = {
+        r.doc_id: r.logprob
+        for r in unigram_logprob(with_empty, persist_intermediates=False).collect()
+        if r.logprob is not None
+    }
+    thr = float(np.quantile(np.array(list(scored.values())), 0.2))
+    out = quality_percentile_filter(with_empty, p=0.2).collect()
+    kept = {r.doc_id for r in out}
+    assert 10_000 not in kept
+    assert kept == {d for d, s in scored.items() if s >= thr}
+    assert all(abs(r.cutoff - round(thr, 6)) <= 1e-6 for r in out)
+    assert all(r.logprob >= r.cutoff - 1e-6 for r in out)
+
+
 def test_bpe_matches_pure_python_reference(spark):
     """bpe_learn/bpe_encode agree with a from-scratch Python BPE
     (word-freq dict, overlap-counted pair stats, greedy left-to-right
