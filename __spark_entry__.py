@@ -1233,6 +1233,89 @@ def q_frame_sample(spark, sf_dir):
     return frame_sample(meta, every_n=8)
 
 
+# ---------------------------------------------------------------------------
+# transcript curation ops (pipeline/transcripts.py) over a turns table
+# derived deterministically from `documents` — the (conv_id, turn_idx,
+# role, text, tool, ts) shape the engine indexes; both engines derive
+# it with the same integer arithmetic so the fixtures are identical
+# ---------------------------------------------------------------------------
+
+
+def _turns_df(spark, sf_dir):
+    return _docs(spark, sf_dir).select(
+        F.concat(
+            F.lit("c"), F.lpad((F.col("doc_id") % 97).cast("string"), 3, "0")
+        ).alias("conv_id"),
+        F.expr("CAST(doc_id DIV 97 AS INT)").alias("turn_idx"),
+        F.expr(
+            "CASE WHEN (doc_id DIV 97) % 2 = 0 THEN 'user' ELSE 'assistant' END"
+        ).alias("role"),
+        F.col("text"),
+        F.expr(
+            "CASE WHEN (doc_id DIV 97) % 2 = 1 AND doc_id % 5 = 0"
+            " THEN 'search' END"
+        ).alias("tool"),
+        F.expr(
+            "timestamp'2025-01-01 00:00:00' + make_interval(0,0,0,0,0,doc_id,0)"
+        ).alias("ts"),
+    )
+
+
+def q_transcript_render(spark, sf_dir):
+    """Chat-template rendering: one training string per conversation,
+    '<|role|>'/'<|role:tool|>' headers, turn order respected."""
+    from quickwit_spark.pipeline.transcripts import render_conversations
+
+    return render_conversations(_turns_df(spark, sf_dir))
+
+
+def q_transcript_loss_spans(spark, sf_dir):
+    """Train-on-assistant loss masking: the [tok_start, tok_end) token
+    span of every assistant turn in its conversation's token stream."""
+    from quickwit_spark.pipeline.transcripts import assistant_spans
+
+    return assistant_spans(_turns_df(spark, sf_dir))
+
+
+def q_transcript_truncate(spark, sf_dir):
+    """Context-length gate: maximal turn prefix per conversation with
+    total tokens <= 64 (never splits a turn)."""
+    from quickwit_spark.pipeline.transcripts import truncate_to_budget
+
+    return truncate_to_budget(_turns_df(spark, sf_dir), max_tokens=64).select(
+        "conv_id", "turn_idx", "n_tok", "tok_end"
+    )
+
+
+def q_transcript_stats(spark, sf_dir):
+    """Per-conversation curation stats: role/tool turn counts, token
+    totals, mean assistant-turn tokens, wall-clock span."""
+    from quickwit_spark.pipeline.transcripts import conversation_stats
+
+    return conversation_stats(_turns_df(spark, sf_dir))
+
+
+def q_transcript_dedup(spark, sf_dir):
+    """Conversation-LEVEL exact dedup over a corpus with 8 replayed
+    conversations (conv_id 'rNNN' byte-identical to 'cNNN'): each conv
+    maps to its canonical survivor + dup-group size."""
+    from quickwit_spark.pipeline.transcripts import dedup_conversations
+
+    base = _turns_df(spark, sf_dir)
+    replay = base.filter(
+        F.expr("CAST(substring(conv_id, 2, 3) AS INT) < 8")
+    ).withColumn("conv_id", F.concat(F.lit("r"), F.substring("conv_id", 2, 3)))
+    return dedup_conversations(base.unionByName(replay))
+
+
+def q_transcript_context(spark, sf_dir):
+    """Sliding SFT samples: for each assistant turn, the rendered
+    context of the previous 2 turns + the turn itself."""
+    from quickwit_spark.pipeline.transcripts import context_windows
+
+    return context_windows(_turns_df(spark, sf_dir), k_prev=2)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "bm25_topk": q_bm25_topk,
@@ -1316,6 +1399,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "frame_sample": q_frame_sample,
         "events_windowed": q_events_windowed,
         "events_sessionize": q_events_sessionize,
+        "transcript_render": q_transcript_render,
+        "transcript_loss_spans": q_transcript_loss_spans,
+        "transcript_truncate": q_transcript_truncate,
+        "transcript_stats": q_transcript_stats,
+        "transcript_dedup": q_transcript_dedup,
+        "transcript_context": q_transcript_context,
     }
 
 
@@ -2952,6 +3041,106 @@ WITH meta AS (
 )
 SELECT media_id, unnest(generate_series(0, n_frames - 1, 8))::INT AS frame_idx
 FROM meta
+"""
+
+    # ---- transcript curation ops: same deterministic turns table as
+    # _turns_df (integer arithmetic over doc_id), same render template
+    turns_cte = """
+turns AS (
+  SELECT 'c' || lpad((doc_id % 97)::VARCHAR, 3, '0') AS conv_id,
+         (doc_id // 97)::INT AS turn_idx,
+         CASE WHEN (doc_id // 97) % 2 = 0 THEN 'user' ELSE 'assistant' END AS role,
+         text,
+         CASE WHEN (doc_id // 97) % 2 = 1 AND doc_id % 5 = 0 THEN 'search' END AS tool,
+         TIMESTAMP '2025-01-01 00:00:00' + to_minutes(doc_id::BIGINT) AS ts
+  FROM documents
+)"""
+
+    def _line(p: str = "") -> str:
+        r, t, x = f"{p}role", f"{p}tool", f"{p}text"
+        return (
+            f"'<|' || {r} || CASE WHEN {t} IS NOT NULL THEN ':' || {t}"
+            f" ELSE '' END || '|>' || {x}"
+        )
+
+    sql["transcript_render"] = f"""
+WITH {turns_cte}
+SELECT conv_id, count(*)::BIGINT AS n_turns,
+       string_agg({_line()}, chr(10) ORDER BY turn_idx) AS rendered
+FROM turns GROUP BY conv_id
+"""
+
+    cum_cte = f"""
+c AS (
+  SELECT conv_id, turn_idx, role, len({TOKS})::BIGINT AS n_tok,
+         sum(len({TOKS})) OVER (
+           PARTITION BY conv_id ORDER BY turn_idx
+           ROWS UNBOUNDED PRECEDING)::BIGINT AS tok_end
+  FROM turns
+)"""
+
+    sql["transcript_loss_spans"] = f"""
+WITH {turns_cte}, {cum_cte}
+SELECT conv_id, turn_idx, (tok_end - n_tok)::BIGINT AS tok_start, tok_end
+FROM c WHERE role = 'assistant'
+"""
+
+    sql["transcript_truncate"] = f"""
+WITH {turns_cte}, {cum_cte}
+SELECT conv_id, turn_idx, n_tok, tok_end FROM c WHERE tok_end <= 64
+"""
+
+    sql["transcript_stats"] = f"""
+WITH {turns_cte}
+SELECT conv_id,
+       count(*)::BIGINT AS n_turns,
+       sum(CASE WHEN role = 'user' THEN 1 ELSE 0 END)::BIGINT AS n_user,
+       sum(CASE WHEN role = 'assistant' THEN 1 ELSE 0 END)::BIGINT AS n_assistant,
+       sum(CASE WHEN tool IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS n_tool_calls,
+       sum(len({TOKS}))::BIGINT AS n_tokens,
+       round(sum(CASE WHEN role = 'assistant' THEN len({TOKS}) ELSE 0 END)::DOUBLE
+             / greatest(sum(CASE WHEN role = 'assistant' THEN 1 ELSE 0 END), 1),
+             6) AS avg_assistant_tokens,
+       date_diff('second', min(ts), max(ts))::BIGINT AS span_seconds
+FROM turns GROUP BY conv_id
+"""
+
+    # conversation-level dedup corpus: 8 replayed convs ('rNNN' =
+    # byte-identical transcript of 'cNNN'); grouping by the rendered
+    # string itself (the Spark side groups by md5(rendered) — identical
+    # partitions barring md5 collision)
+    sql["transcript_dedup"] = f"""
+WITH {turns_cte},
+all_turns AS (
+  SELECT * FROM turns
+  UNION ALL
+  SELECT 'r' || substr(conv_id, 2) AS conv_id, turn_idx, role, text, tool, ts
+  FROM turns WHERE substr(conv_id, 2)::INT < 8
+),
+r AS (
+  SELECT conv_id,
+         string_agg({_line()}, chr(10) ORDER BY turn_idx) AS rendered
+  FROM all_turns GROUP BY conv_id
+),
+g AS (
+  SELECT rendered, min(conv_id) AS canonical_conv_id,
+         count(*)::BIGINT AS dup_group_size
+  FROM r GROUP BY rendered
+)
+SELECT r.conv_id, g.canonical_conv_id, g.dup_group_size
+FROM r JOIN g USING (rendered)
+"""
+
+    sql["transcript_context"] = f"""
+WITH {turns_cte}
+SELECT t.conv_id, t.turn_idx,
+       string_agg({_line("p.")}, chr(10) ORDER BY p.turn_idx) AS context
+FROM turns t
+JOIN turns p
+  ON p.conv_id = t.conv_id
+ AND p.turn_idx BETWEEN t.turn_idx - 2 AND t.turn_idx
+WHERE t.role = 'assistant'
+GROUP BY t.conv_id, t.turn_idx
 """
 
     return sql
