@@ -1207,6 +1207,55 @@ def q_events_sessionize(spark, sf_dir):
     )
 
 
+def q_events_asof(spark, sf_dir):
+    """As-of enrichment: for each probe (derived deterministically from
+    documents), the latest event of the same user at-or-before the
+    probe instant — union-and-carry-forward plan, ONE key shuffle, no
+    range join (plan-asserted in tests/test_event_joins.py)."""
+    from quickwit_spark.pipeline.events import asof_join
+
+    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    probes = _docs(spark, sf_dir).select(
+        F.col("doc_id").alias("probe_id"),
+        (F.col("doc_id") % 150).cast("int").alias("user_id"),
+        F.expr(
+            "timestamp'2024-01-01 00:00:00'"
+            " + make_interval(0,0,0,0,0,doc_id*37,0)"
+        ).alias("ts"),
+    )
+    return asof_join(probes, ev).select(
+        "probe_id", "user_id", "asof_event_id", "asof_event_type",
+        "asof_ts_us",
+    )
+
+
+def q_events_interval(spark, sf_dir):
+    """Range (interval-containment) join, bucketized to an equi-join:
+    per-interval event count + value sum over 45-minute intervals
+    derived from documents. Intervals with zero events drop (inner
+    semantics) — both engines agree."""
+    from quickwit_spark.pipeline.events import interval_join
+
+    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    iv = _docs(spark, sf_dir).select(
+        F.col("doc_id").alias("interval_id"),
+        F.expr(
+            "timestamp'2024-01-01 00:00:00'"
+            " + make_interval(0,0,0,0,0,doc_id*80,0)"
+        ).alias("start_ts"),
+        F.expr(
+            "timestamp'2024-01-01 00:00:00'"
+            " + make_interval(0,0,0,0,0,doc_id*80+45,0)"
+        ).alias("end_ts"),
+    )
+    return interval_join(iv, ev, bucket_minutes=60).groupBy(
+        "interval_id"
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 4).alias("value_sum"),
+    )
+
+
 def q_media_metadata(spark, sf_dir):
     from quickwit_spark.pipeline.multimodal import (
         attach_fake_payload,
@@ -1399,6 +1448,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "frame_sample": q_frame_sample,
         "events_windowed": q_events_windowed,
         "events_sessionize": q_events_sessionize,
+        "events_asof": q_events_asof,
+        "events_interval": q_events_interval,
         "transcript_render": q_transcript_render,
         "transcript_loss_spans": q_transcript_loss_spans,
         "transcript_truncate": q_transcript_truncate,
@@ -3041,6 +3092,45 @@ WITH meta AS (
 )
 SELECT media_id, unnest(generate_series(0, n_frames - 1, 8))::INT AS frame_idx
 FROM meta
+"""
+
+    # ---- as-of join: latest same-user event at-or-before each probe;
+    # ties broken (ts desc, event_id desc) exactly like the Spark
+    # window's (ts, tag, tie) order; LEFT semantics keep probe rows
+    # with no prior event
+    sql["events_asof"] = """
+WITH probes AS (
+  SELECT doc_id AS probe_id, (doc_id % 150)::INT AS user_id,
+         TIMESTAMP '2024-01-01 00:00:00' + to_minutes((doc_id * 37)::BIGINT) AS ts
+  FROM documents
+),
+ranked AS (
+  SELECT p.probe_id, e.event_id, e.event_type, epoch_us(e.ts)::BIGINT AS ts_us,
+         row_number() OVER (
+           PARTITION BY p.probe_id ORDER BY e.ts DESC, e.event_id DESC) AS rn
+  FROM probes p JOIN events e
+    ON e.user_id = p.user_id AND e.ts <= p.ts
+)
+SELECT p.probe_id, p.user_id,
+       r.event_id AS asof_event_id, r.event_type AS asof_event_type,
+       r.ts_us AS asof_ts_us
+FROM probes p LEFT JOIN (SELECT * FROM ranked WHERE rn = 1) r
+  ON r.probe_id = p.probe_id
+"""
+
+    # ---- interval-containment join (the oracle is the naive theta
+    # join; the Spark side bucketizes to an equi-join)
+    sql["events_interval"] = """
+WITH iv AS (
+  SELECT doc_id AS interval_id,
+         TIMESTAMP '2024-01-01 00:00:00' + to_minutes((doc_id * 80)::BIGINT) AS s,
+         TIMESTAMP '2024-01-01 00:00:00' + to_minutes((doc_id * 80 + 45)::BIGINT) AS e
+  FROM documents
+)
+SELECT interval_id, count(*)::BIGINT AS n_events,
+       round(sum(value), 4) AS value_sum
+FROM iv JOIN events ev ON ev.ts >= iv.s AND ev.ts < iv.e
+GROUP BY interval_id
 """
 
     # ---- transcript curation ops: same deterministic turns table as

@@ -189,3 +189,118 @@ def sessionize(
             F.round(F.sum("value"), 4).alias("value_sum"),
         )
     )
+
+
+def asof_join(
+    probes: DataFrame,
+    events: DataFrame,
+    key_col: str = "user_id",
+    probe_ts_col: str = "ts",
+    event_ts_col: str = "ts",
+    payload_cols: tuple[str, ...] = ("event_id", "event_type"),
+    tiebreak_col: str = "event_id",
+) -> DataFrame:
+    """As-of join: for each probe row, the LATEST event of the same
+    ``key_col`` with event ts <= probe ts (left semantics — probes
+    with no prior event keep NULL payload columns).
+
+    Spark has no native as-of join; the scalable expression is the
+    union-and-carry-forward pattern: tag the two inputs, union them,
+    and take ``last(payload, ignorenulls)`` over a (key, ts)-ordered
+    running window — ONE shuffle on the key, per-key sorted scan, no
+    range join and no per-probe lookup. Equal timestamps are made
+    deterministic by ordering (ts, tag, tiebreak): events sort before
+    probes at the same instant (<= semantics) and the highest
+    ``tiebreak_col`` event wins among exact ties.
+
+    Output: all probe columns + ``asof_<payload>`` + ``asof_ts_us``
+    (integer microseconds — no fractional-epoch drift cross-engine).
+    """
+    e_us = F.unix_micros(F.col(event_ts_col).cast("timestamp_ltz"))
+    p_us = F.unix_micros(F.col(probe_ts_col).cast("timestamp_ltz"))
+    ev = events.select(
+        F.col(key_col).alias("_k"),
+        e_us.alias("_ts_us"),
+        F.lit(0).alias("_tag"),
+        F.col(tiebreak_col).cast("long").alias("_tie"),
+        F.struct(
+            *[F.col(c).alias(c) for c in payload_cols],
+            e_us.alias("asof_ts_us"),
+        ).alias("_payload"),
+        *[F.lit(None).cast(t.dataType).alias(f"_p_{t.name}")
+          for t in probes.schema.fields],
+    )
+    pr = probes.select(
+        F.col(key_col).alias("_k"),
+        p_us.alias("_ts_us"),
+        F.lit(1).alias("_tag"),
+        F.lit(0).cast("long").alias("_tie"),
+        F.lit(None).cast(
+            ev.schema["_payload"].dataType
+        ).alias("_payload"),
+        *[F.col(t.name).alias(f"_p_{t.name}") for t in probes.schema.fields],
+    )
+    w = (
+        Window.partitionBy("_k")
+        .orderBy("_ts_us", "_tag", "_tie")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    joined = ev.unionByName(pr).withColumn(
+        "_m", F.last("_payload", ignorenulls=True).over(w)
+    )
+    return joined.filter(F.col("_tag") == 1).select(
+        *[F.col(f"_p_{t.name}").alias(t.name) for t in probes.schema.fields],
+        *[F.col("_m")[c].alias(f"asof_{c}") for c in payload_cols],
+        F.col("_m")["asof_ts_us"].alias("asof_ts_us"),
+    )
+
+
+def interval_join(
+    intervals: DataFrame,
+    events: DataFrame,
+    bucket_minutes: int,
+    start_col: str = "start_ts",
+    end_col: str = "end_ts",
+    event_ts_col: str = "ts",
+) -> DataFrame:
+    """Range (interval-containment) join: pair each event with every
+    interval whose half-open [start, end) contains its timestamp.
+
+    A naive theta join is a broadcast-nested-loop (quadratic at
+    scale). The scalable expression bucketizes time: each interval is
+    exploded to the ``bucket_minutes``-wide buckets it overlaps, each
+    event belongs to exactly ONE bucket, and the join becomes an
+    EQUI-join on the bucket id followed by the exact containment
+    filter — one hash shuffle, prunable, AQE-skew tolerant. Pick
+    ``bucket_minutes`` >= the typical interval length so intervals
+    explode to O(1) buckets (len/bucket + 1 rows each).
+
+    Returns intervals' columns + the matched event row's columns
+    (event ts as ``event_ts_us`` integer microseconds).
+    """
+    b_us = int(bucket_minutes) * 60 * 1_000_000
+    s_us = F.unix_micros(F.col(start_col).cast("timestamp_ltz"))
+    e_us = F.unix_micros(F.col(end_col).cast("timestamp_ltz"))
+    t_us = F.unix_micros(F.col(event_ts_col).cast("timestamp_ltz"))
+    iv = intervals.withColumn("_s_us", s_us).withColumn("_e_us", e_us)
+    iv = iv.withColumn(
+        "_bucket",
+        F.explode(
+            F.sequence(
+                (F.col("_s_us") / b_us).cast("long"),
+                # end is exclusive: the last covered bucket holds e-1
+                ((F.col("_e_us") - 1) / b_us).cast("long"),
+            )
+        ),
+    )
+    ev = events.withColumn("_t_us", t_us).withColumn(
+        "_bucket", (F.col("_t_us") / b_us).cast("long")
+    )
+    matched = iv.join(ev, "_bucket").filter(
+        (F.col("_t_us") >= F.col("_s_us")) & (F.col("_t_us") < F.col("_e_us"))
+    )
+    keep_iv = [c for c in intervals.columns]
+    keep_ev = [c for c in events.columns if c != event_ts_col]
+    return matched.select(
+        *keep_iv, *keep_ev, F.col("_t_us").alias("event_ts_us")
+    )
