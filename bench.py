@@ -337,7 +337,8 @@ def main() -> None:
                  "unigram_logprob", "bm25_batch_topk",
                  "dedup_semantic", "shuffle_rows",
                  "ann_quantized_topk", "kmeans_clusters",
-                 "tfidf_keywords"):
+                 "tfidf_keywords", "transcript_render",
+                 "transcript_dedup", "events_asof", "events_interval"):
         fn = entry.queries()[name]
 
         def run(fn=fn):
