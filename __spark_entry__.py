@@ -1207,6 +1207,38 @@ def q_events_sessionize(spark, sf_dir):
     )
 
 
+def q_retrieval_metrics(spark, sf_dir):
+    """Self-retrieval evaluation: every 10th document queries the index
+    with its own first 3 tokens; gold = the document itself. Emits the
+    per-query gold rank inside the BM25 top-10 + reciprocal rank (the
+    MRR@10 / recall@10 components). The 50-row query fixture is
+    collected to a local relation (driver-side metadata, not data);
+    the OP takes any (hits, gold) pair at any scale."""
+    import pandas as _pd
+
+    from quickwit_spark.operators.batch_search import batch_bm25_topk
+    from quickwit_spark.pipeline.mining import retrieval_metrics
+
+    idx = _docs_index(spark, sf_dir)
+    toks40 = (
+        "filter(regexp_extract_all(lower(text), '[0-9a-z]+', 0),"
+        " t -> length(t) <= 40)"
+    )
+    qpdf = (
+        _docs(spark, sf_dir)
+        .where(F.col("doc_id") % 10 == 0)
+        .select(
+            F.col("doc_id").alias("query_id"),
+            F.array_join(F.slice(F.expr(toks40), 1, 3), " ").alias("query"),
+        )
+        .toPandas()
+    )
+    qdf = spark.createDataFrame(_pd.DataFrame(qpdf))
+    hits = batch_bm25_topk(spark, idx, qdf, k=25, fetch_cols=("doc_id",))
+    gold = qdf.select("query_id", F.col("query_id").alias("doc_id"))
+    return retrieval_metrics(hits, gold, k=10)
+
+
 def q_events_asof(spark, sf_dir):
     """As-of enrichment: for each probe (derived deterministically from
     documents), the latest event of the same user at-or-before the
@@ -1450,6 +1482,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_sessionize": q_events_sessionize,
         "events_asof": q_events_asof,
         "events_interval": q_events_interval,
+        "retrieval_metrics": q_retrieval_metrics,
         "transcript_render": q_transcript_render,
         "transcript_loss_spans": q_transcript_loss_spans,
         "transcript_truncate": q_transcript_truncate,
@@ -3093,6 +3126,67 @@ WITH meta AS (
 SELECT media_id, unnest(generate_series(0, n_frames - 1, 8))::INT AS frame_idx
 FROM meta
 """
+
+    # ---- self-retrieval evaluation: the same first-principles batch
+    # BM25 as bm25_batch_topk, with queries DERIVED (first 3 tokens of
+    # every 10th doc) and an MRR/rank tail; gold = the querying doc
+    sql["retrieval_metrics"] = (
+        _BM25_WITH
+        + f"""
+, queries AS (
+  SELECT doc_id AS query_id, array_to_string(({TOKS40})[1:3], ' ') AS qtext
+  FROM documents WHERE doc_id % 10 = 0
+),
+qterms AS (
+  SELECT query_id, term, count(*) AS weight
+  FROM (SELECT query_id,
+               unnest(regexp_extract_all(lower(qtext), '[0-9a-z]+')) AS term
+        FROM queries)
+  GROUP BY query_id, term
+),
+nq AS (SELECT query_id, count(*) AS n_terms FROM qterms GROUP BY query_id),
+qdf AS (
+  SELECT term, count(DISTINCT doc_id) AS df FROM toks
+  WHERE term IN (SELECT DISTINCT term FROM qterms) GROUP BY term
+),
+qtf AS (
+  SELECT term, doc_id, count(*) AS tf FROM toks
+  WHERE term IN (SELECT DISTINCT term FROM qterms) GROUP BY term, doc_id
+),
+scored AS (
+  SELECT q.query_id, t.doc_id,
+         sum(q.weight
+             * ln(1 + ((SELECT n FROM stats) - d.df + 0.5) / (d.df + 0.5))
+             * (t.tf * ({K1} + 1))
+             / (t.tf + {K1} * (1 - {B} + {B} * dl.dl / (SELECT avgdl FROM stats)))) AS s,
+         count(*) AS nm
+  FROM qterms q
+  JOIN qtf t USING (term)
+  JOIN qdf d USING (term)
+  JOIN dl ON t.doc_id = dl.doc_id
+  GROUP BY q.query_id, t.doc_id
+),
+conj AS (
+  SELECT s.query_id, s.doc_id, round(s.s, 4) AS score
+  FROM scored s JOIN nq USING (query_id)
+  WHERE s.nm = nq.n_terms
+),
+ranked AS (
+  SELECT query_id, doc_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, doc_id ASC) AS rnk
+  FROM conj
+),
+m AS (
+  SELECT query_id, min(rnk)::INT AS gold_rank
+  FROM ranked WHERE rnk <= 10 AND doc_id = query_id GROUP BY query_id
+)
+SELECT q.query_id, m.gold_rank,
+       round(CASE WHEN m.gold_rank IS NOT NULL
+                  THEN 1.0 / m.gold_rank ELSE 0.0 END, 6) AS recip_rank
+FROM queries q LEFT JOIN m USING (query_id)
+"""
+    )
 
     # ---- as-of join: latest same-user event at-or-before each probe;
     # ties broken (ts desc, event_id desc) exactly like the Spark

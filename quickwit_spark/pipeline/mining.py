@@ -75,3 +75,56 @@ def mine_hard_negatives(
         .where(F.col("neg_rank") <= n_neg)
         .select("query_id", doc_key, "neg_rank", "score")
     )
+
+
+def retrieval_metrics(
+    hits: DataFrame,
+    gold: DataFrame,
+    k: int = 10,
+    query_col: str = "query_id",
+    doc_col: str = "doc_id",
+    score_col: str = "score",
+) -> DataFrame:
+    """Retrieval-quality evaluation: for every query in ``gold``, the
+    rank of its best gold document inside the top-``k`` retrieved hits
+    and the reciprocal rank (the per-query MRR@k component; averaging
+    recip_rank over queries gives MRR@k, counting gold_rank non-null
+    gives recall@k when gold is one-doc-per-query).
+
+    hits: retrieval output (query_id, doc_id, score) — e.g.
+      ``operators/batch_search.batch_bm25_topk``; deeper than k is
+      fine, the cut happens here on the engine-independent tie order
+      (score rounded to 4dp desc, doc_id asc).
+    gold: labeled-relevant (query_id, doc_id) pairs; queries with no
+      retrieved gold doc keep a row (gold_rank NULL, recip_rank 0.0).
+
+    Scale: hits is already k·Q rows; one window over it, two
+    query_id-keyed joins with the (small, broadcastable) gold table.
+    Returns (query_id, gold_rank, recip_rank).
+    """
+    w = Window.partitionBy(query_col).orderBy(
+        F.round(F.col(score_col), 4).desc(), F.col(doc_col).asc()
+    )
+    ranked = hits.withColumn("_rnk", F.row_number().over(w)).where(
+        F.col("_rnk") <= int(k)
+    )
+    matched = (
+        ranked.join(
+            gold.select(query_col, doc_col), [query_col, doc_col]
+        )
+        .groupBy(query_col)
+        .agg(F.min("_rnk").alias("gold_rank"))
+    )
+    per_q = gold.select(query_col).distinct().join(
+        matched, query_col, "left"
+    )
+    return per_q.select(
+        query_col,
+        F.col("gold_rank").cast("int").alias("gold_rank"),
+        F.round(
+            F.when(
+                F.col("gold_rank").isNotNull(), 1.0 / F.col("gold_rank")
+            ).otherwise(0.0),
+            6,
+        ).alias("recip_rank"),
+    )

@@ -100,3 +100,48 @@ def test_mining_depth_validation(spark, index_dir):
             spark, index_dir, _qdf(spark), positives, k=5, n_neg=6,
             doc_key="conv_id",
         )
+
+
+class TestRetrievalMetrics:
+    def _frames(self, spark):
+        from pyspark.sql import types as T
+
+        hits = spark.createDataFrame(
+            [
+                # q1: gold doc 5 ranked 2nd (score ties broken doc asc)
+                (1, 9, 3.0), (1, 5, 2.5), (1, 7, 2.5),
+                # q2: gold doc 4 at rank 1
+                (2, 4, 9.0), (2, 6, 1.0),
+                # q3: gold absent from hits
+                (3, 8, 1.0),
+            ],
+            T.StructType([
+                T.StructField("query_id", T.LongType()),
+                T.StructField("doc_id", T.LongType()),
+                T.StructField("score", T.DoubleType()),
+            ]),
+        )
+        gold = spark.createDataFrame(
+            [(1, 5), (2, 4), (3, 99), (4, 1)],  # q4 never retrieved
+            ["query_id", "doc_id"],
+        )
+        return hits, gold
+
+    def test_ranks_and_mrr(self, spark):
+        from quickwit_spark.pipeline.mining import retrieval_metrics
+
+        hits, gold = self._frames(spark)
+        out = {r.query_id: r for r in retrieval_metrics(hits, gold, k=10).collect()}
+        assert len(out) == 4
+        assert (out[1].gold_rank, out[1].recip_rank) == (2, 0.5)
+        assert (out[2].gold_rank, out[2].recip_rank) == (1, 1.0)
+        assert (out[3].gold_rank, out[3].recip_rank) == (None, 0.0)
+        assert (out[4].gold_rank, out[4].recip_rank) == (None, 0.0)
+
+    def test_k_cut(self, spark):
+        from quickwit_spark.pipeline.mining import retrieval_metrics
+
+        hits, gold = self._frames(spark)
+        # k=1 drops q1's rank-2 gold out of the window
+        out = {r.query_id: r for r in retrieval_metrics(hits, gold, k=1).collect()}
+        assert out[1].gold_rank is None and out[2].gold_rank == 1
