@@ -175,6 +175,19 @@ def getsize(path: str) -> int:
     return int(fs.get_file_info(p).size)
 
 
+def listdir(path: str) -> list:
+    """Base names of the direct children of ``path`` (non-recursive);
+    empty list when the directory does not exist."""
+    from pyarrow.fs import FileSelector
+
+    fs, p = resolve_fs(path)
+    try:
+        infos = fs.get_file_info(FileSelector(p))
+    except (FileNotFoundError, OSError):
+        return []
+    return [info.base_name for info in infos]
+
+
 def exists(path: str) -> bool:
     from pyarrow.fs import FileType
 

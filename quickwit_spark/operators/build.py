@@ -476,6 +476,7 @@ def build_index(
     n_splits: int = 8,
     resume: bool = True,
     ingest_id: str | None = None,
+    retain_history: bool = False,
 ) -> Catalog:
     """Build (or resume) the index for ``source`` (DataFrame or parquet
     path of transcripts). One Spark job: shuffle by routing hash, build
@@ -509,7 +510,13 @@ def build_index(
         catalog = Catalog.load(index_dir)
         _migrate_legacy_checkpoint(catalog)
     else:
-        catalog = Catalog.create(index_dir, config, source_path)
+        # retain_history=True (manifest backend) keeps superseded
+        # manifests so Searcher(at_seq=...) can time-travel past commits
+        catalog = Catalog.create(
+            index_dir, config, source_path,
+            backend="manifest" if retain_history else None,
+            retain_history=retain_history,
+        )
     ingest_id = _resolve_ingest_id(catalog, source, ingest_id)
     marker_key = f"batch/{ingest_id}"
     if catalog.checkpoint.get(marker_key) == "complete":

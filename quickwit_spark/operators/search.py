@@ -1650,10 +1650,17 @@ class Searcher:
     and per-term global doc-freqs across queries (the root's metastore +
     footer caches, leaf.rs:64-107 analog)."""
 
-    def __init__(self, spark, index_dir: str):
+    def __init__(self, spark, index_dir: str, at_seq: int | None = None):
         self.spark = spark
         self.index_dir = index_dir
-        self.catalog = Catalog.load(index_dir)
+        # at_seq: search a HISTORICAL catalog state (manifest backend
+        # with retain_history — Iceberg snapshot-read analog). Split
+        # files are immutable so the old split set answers exactly as
+        # it did then, as long as split GC has not reaped deleted
+        # splits (run expire_history before gc, like Iceberg's
+        # expire_snapshots before remove_orphan_files).
+        self.at_seq = at_seq
+        self.catalog = Catalog.load(index_dir, at_seq=at_seq)
         self.config = self.catalog.config
         self._df_cache: dict[tuple[str, str], int] = {}
         self._catalog_mtime = self._mtime()
@@ -1680,7 +1687,7 @@ class Searcher:
         return self.catalog.total_docs()
 
     def refresh(self) -> None:
-        self.catalog = Catalog.load(self.index_dir)
+        self.catalog = Catalog.load(self.index_dir, at_seq=self.at_seq)
         self.config = self.catalog.config
         self._df_cache.clear()
         self._catalog_mtime = self._mtime()
@@ -1688,8 +1695,9 @@ class Searcher:
     def _refresh_if_stale(self) -> None:
         """A merge/ingest/GC republished the catalog since this handle
         loaded it — old split dirs may be gone; reload (one os.stat per
-        query, the metastore-poll analog)."""
-        if self._mtime() != self._catalog_mtime:
+        query, the metastore-poll analog). A time-travel handle is
+        pinned: new commits cannot change the state at its seq."""
+        if self.at_seq is None and self._mtime() != self._catalog_mtime:
             self.refresh()
 
     # -- global term stats -------------------------------------------------

@@ -152,6 +152,7 @@ class Catalog:
         source_path: str | None = None,
         backend: str | None = None,
         doc_mapping: dict | None = None,
+        retain_history: bool = False,
     ) -> "Catalog":
         """Create a fresh catalog. ``backend`` ∈ {"json", "sqlite",
         "manifest"}; defaults to $QUICKWIT_SPARK_CATALOG, else "json"
@@ -176,11 +177,19 @@ class Catalog:
         fsio.resolve_fs(index_dir)  # reject unknown schemes before any I/O
         fsio.makedirs(fsio.join(index_dir, "splits"))
         fsio.makedirs(fsio.join(index_dir, "lineage"))
+        if retain_history and backend != "manifest":
+            raise ValueError(
+                "retain_history (snapshot time travel) requires the "
+                f"manifest backend, not {backend!r} — the append log IS "
+                "the history; row/JSON backends keep only current state"
+            )
         cat = {
             "sqlite": SqliteCatalog,
             "manifest": ManifestCatalog,
             "json": Catalog,
         }[backend](index_dir)
+        if retain_history:
+            cat.retain_history = True
         cat.config = config
         cat.source_path = source_path
         cat.doc_mapping = doc_mapping
@@ -189,11 +198,21 @@ class Catalog:
         return cat
 
     @staticmethod
-    def load(index_dir: str) -> "Catalog":
+    def load(index_dir: str, at_seq: int | None = None) -> "Catalog":
         """Load whichever backend lives at ``index_dir`` (an index has
-        exactly one backend: manifest head > catalog.db > catalog.json)."""
+        exactly one backend: manifest head > catalog.db > catalog.json).
+
+        ``at_seq`` time-travels a MANIFEST catalog to the state after
+        commit ``at_seq`` (Iceberg snapshot-read analog; the returned
+        catalog is read-only). Other backends keep only current state
+        and reject it loudly."""
         if fsio.exists(ManifestCatalog._head_path(index_dir)):
-            return ManifestCatalog._load(index_dir)
+            return ManifestCatalog._load(index_dir, at_seq=at_seq)
+        if at_seq is not None:
+            raise ValueError(
+                "time travel (at_seq) requires the manifest catalog "
+                f"backend; {index_dir!r} uses a current-state-only backend"
+            )
         if fsio.is_local(index_dir) and os.path.exists(
             os.path.join(fsio.strip_local(index_dir), SqliteCatalog.DB_FILE)
         ):
@@ -689,6 +708,14 @@ class ManifestCatalog(Catalog):
         self.path = self._head_path(index_dir)
         self._seq = 0
         self._manifests: list[str] = []
+        # snapshot time travel (Iceberg analog): when True, compaction
+        # keeps superseded manifests on disk so Catalog.load(at_seq=N)
+        # can replay any historical commit until expire_history() GCs
+        # it. Off by default — retention is O(total commits) files.
+        self.retain_history = False
+        # set when loaded with at_seq: this handle is a read-only
+        # historical view and must never commit
+        self._frozen_at: int | None = None
 
     @staticmethod
     def _head_path(index_dir: str) -> str:
@@ -700,7 +727,7 @@ class ManifestCatalog(Catalog):
     # -- load ----------------------------------------------------------------
 
     @staticmethod
-    def _load(index_dir: str) -> "ManifestCatalog":
+    def _load(index_dir: str, at_seq: int | None = None) -> "ManifestCatalog":
         last_err: Exception | None = None
         for _ in range(3):  # retry a compaction race (manifest vanished)
             cat = ManifestCatalog(index_dir)
@@ -713,6 +740,9 @@ class ManifestCatalog(Catalog):
                 )
             cat._seq = int(head["seq"])
             cat._manifests = list(head["manifests"])
+            cat.retain_history = bool(head.get("retain_history", False))
+            if at_seq is not None:
+                return cat._replay_at(int(at_seq))
             try:
                 for name in cat._manifests:
                     cat._apply(json.loads(fsio.read_bytes(cat._manifest_path(name))))
@@ -723,6 +753,91 @@ class ManifestCatalog(Catalog):
         raise RuntimeError(
             f"manifest log at {index_dir} kept changing under the reader"
         ) from last_err
+
+    # -- snapshot time travel (Iceberg snapshot-read analog) ------------------
+
+    @staticmethod
+    def _seq_of(name: str) -> int:
+        return int(name.split("-")[1])
+
+    def _retained_manifests(self) -> list[str]:
+        """All manifest files on disk, seq order (== the live head list
+        when history is not retained)."""
+        d = fsio.join(self.index_dir, self.DIR)
+        names = [
+            n for n in fsio.listdir(d)
+            if n.startswith("m-") and n.endswith(".json")
+        ]
+        return sorted(names, key=self._seq_of)
+
+    def _replay_at(self, at_seq: int) -> "ManifestCatalog":
+        """Rebuild the state as of commit ``at_seq`` by replaying the
+        retained log up to it. The log must still hold either commit 1
+        or a full snapshot at-or-before ``at_seq`` (expire_history()
+        trims from the oldest end, so the reachable window is always a
+        contiguous suffix of history)."""
+        if at_seq > self._seq or at_seq < 1:
+            raise ValueError(
+                f"no commit {at_seq} in the manifest log (head is at "
+                f"{self._seq})"
+            )
+        upto = [n for n in self._retained_manifests()
+                if self._seq_of(n) <= at_seq]
+        payloads = [
+            json.loads(fsio.read_bytes(self._manifest_path(n))) for n in upto
+        ]
+        # replay from the LAST full snapshot (earlier files are
+        # redundant); without one the chain must reach back to seq 1
+        start = None
+        for i, p in enumerate(payloads):
+            if p["kind"] == "snapshot":
+                start = i
+        if start is None:
+            if not upto or self._seq_of(upto[0]) != 1:
+                raise ValueError(
+                    f"history before commit {at_seq} has been expired "
+                    "(no snapshot at-or-before it remains) — "
+                    "expire_history trimmed the log past this point"
+                )
+            start = 0
+        for p in payloads[start:]:
+            self._apply(p)
+        self._frozen_at = at_seq
+        return self
+
+    def snapshots(self) -> list[dict]:
+        """The time-travelable commits still in the log: one dict per
+        retained manifest (seq, kind, committed_at unix seconds).
+        Reachable ``at_seq`` targets are those >= the first listed
+        snapshot (or any, when the log reaches back to commit 1)."""
+        out = []
+        for n in self._retained_manifests():
+            p = json.loads(fsio.read_bytes(self._manifest_path(n)))
+            out.append({
+                "seq": self._seq_of(n),
+                "kind": p["kind"],
+                "committed_at": p.get("committed_at"),
+            })
+        return out
+
+    def expire_history(self, before_seq: int) -> int:
+        """GC retained history older than ``before_seq`` (Iceberg
+        expire_snapshots analog): deletes manifests with seq <
+        before_seq that the live head no longer references. Returns the
+        number deleted. Time travel earlier than the oldest remaining
+        snapshot becomes unreachable — run BEFORE split-file GC so a
+        reachable snapshot never references a reaped split."""
+        live = set(self._manifests)
+        n = 0
+        for name in self._retained_manifests():
+            if name in live or self._seq_of(name) >= before_seq:
+                continue
+            try:
+                fsio.delete(self._manifest_path(name))
+                n += 1
+            except FileNotFoundError:
+                pass
+        return n
 
     def _apply(self, p: dict) -> None:
         if p["kind"] == "snapshot":
@@ -761,6 +876,11 @@ class ManifestCatalog(Catalog):
         }
 
     def _commit(self) -> None:
+        if self._frozen_at is not None:
+            raise RuntimeError(
+                f"this catalog is a read-only time-travel view at commit "
+                f"{self._frozen_at}; load the head (no at_seq) to mutate"
+            )
         dirty_splits = self._dirty_splits
         deleted = self._deleted_split_ids
         dirty_ckpt = self._dirty_checkpoint
@@ -783,7 +903,9 @@ class ManifestCatalog(Catalog):
                 "checkpoint": self.checkpoint,
             }
             new_list = [name]
-            superseded = list(self._manifests)
+            # history retention keeps superseded manifests readable for
+            # Catalog.load(at_seq=...) until expire_history() reaps them
+            superseded = [] if self.retain_history else list(self._manifests)
         else:
             payload = {
                 "kind": "delta",
@@ -803,6 +925,7 @@ class ManifestCatalog(Catalog):
             }
             new_list = self._manifests + [name]
             superseded = []
+        payload["committed_at"] = int(time.time())
         fsio.makedirs(fsio.join(self.index_dir, self.DIR))
         fsio.write_bytes(
             self._manifest_path(name), json.dumps(payload, sort_keys=True).encode()
@@ -812,6 +935,8 @@ class ManifestCatalog(Catalog):
             "seq": self._seq,
             "manifests": new_list,
         }
+        if self.retain_history:
+            head["retain_history"] = True
         _atomic_write_text(self.path, json.dumps(head))  # the commit point
         self._manifests = new_list
         for old in superseded:  # safe: no head references them anymore

@@ -437,3 +437,128 @@ def test_source_configs_roundtrip_all_backends(tmp_path, backend):
         cat2.delete_source("nope")
     cat3 = Catalog.load(d)
     assert set(cat3.sources) == {"s2"} and cat3.sources["s2"]["enabled"]
+
+
+# ---------------------------------------------------------------------------
+# snapshot time travel (retain_history + Catalog.load(at_seq=...)) —
+# the Iceberg snapshot-read analog over the manifest append log
+# ---------------------------------------------------------------------------
+
+
+def test_manifest_time_travel_across_compaction(tmp_path, monkeypatch):
+    """Every historical commit stays loadable when history is retained,
+    including commits whose manifests a compaction superseded; the view
+    is read-only; snapshots() lists the reachable log."""
+    monkeypatch.setattr(ManifestCatalog, "COMPACT_AFTER", 4)
+    d = str(tmp_path / "tt")
+    cat = Catalog.create(d, IndexConfig(), backend="manifest",
+                         retain_history=True)
+    for i in range(8):  # crosses at least one compaction
+        cat.stage_and_publish([_sm(f"s-{i}")])
+    assert cat._seq == 9  # create + 8 publishes
+
+    # state after commit k+1 holds splits s-0..s-(k-1)
+    for seq, expect in ((1, set()), (3, {"s-0", "s-1"}),
+                        (6, {"s-0", "s-1", "s-2", "s-3", "s-4"}),
+                        (9, {f"s-{i}" for i in range(8)})):
+        got = Catalog.load(d, at_seq=seq)
+        assert {s.split_id for s in got.published_splits()} == expect, seq
+
+    frozen = Catalog.load(d, at_seq=3)
+    with pytest.raises(RuntimeError, match="read-only time-travel"):
+        frozen.stage_and_publish([_sm("nope")])
+
+    snaps = frozen.snapshots()
+    assert [s["seq"] for s in snaps] == list(range(1, 10))
+    assert any(s["kind"] == "snapshot" for s in snaps)
+    assert all(isinstance(s["committed_at"], int) for s in snaps)
+
+    with pytest.raises(ValueError, match="no commit 99"):
+        Catalog.load(d, at_seq=99)
+
+
+def test_manifest_expire_history(tmp_path, monkeypatch):
+    """expire_history trims the oldest manifests: earlier seqs become
+    unreachable (loud error), later seqs still replay, current load is
+    untouched."""
+    monkeypatch.setattr(ManifestCatalog, "COMPACT_AFTER", 4)
+    d = str(tmp_path / "ex")
+    cat = Catalog.create(d, IndexConfig(), backend="manifest",
+                         retain_history=True)
+    for i in range(8):
+        cat.stage_and_publish([_sm(f"s-{i}")])
+    # compactions happened at seqs 5 (and 9 if reached): find one
+    snap_seqs = [s["seq"] for s in cat.snapshots() if s["kind"] == "snapshot"]
+    assert snap_seqs
+    cut = snap_seqs[-1]
+    n = cat.expire_history(before_seq=cut)
+    assert n > 0
+    with pytest.raises(ValueError, match="expired"):
+        Catalog.load(d, at_seq=cut - 1)
+    got = Catalog.load(d, at_seq=cut)
+    assert len(got.published_splits()) == cut - 1
+    assert len(Catalog.load(d).published_splits()) == 8
+
+
+def test_time_travel_requires_manifest_backend(tmp_path):
+    d = str(tmp_path / "js")
+    Catalog.create(d, IndexConfig(), backend="json")
+    with pytest.raises(ValueError, match="manifest"):
+        Catalog.load(d, at_seq=1)
+    with pytest.raises(ValueError, match="manifest"):
+        Catalog.create(str(tmp_path / "js2"), IndexConfig(),
+                       backend="json", retain_history=True)
+
+
+def test_without_retention_recent_commits_still_reachable(tmp_path):
+    """Default (no retention): at_seq works within the live,
+    un-compacted manifest window — and fails loudly past it."""
+    d = str(tmp_path / "nr")
+    cat = Catalog.create(d, IndexConfig(), backend="manifest")
+    for i in range(3):
+        cat.stage_and_publish([_sm(f"s-{i}")])
+    got = Catalog.load(d, at_seq=2)
+    assert {s.split_id for s in got.published_splits()} == {"s-0"}
+
+
+def test_search_time_travel_pre_merge(spark, corpus, config, tmp_path,
+                                      monkeypatch):
+    """Search over a historical snapshot: a Searcher pinned to the
+    pre-merge commit answers rank-identically to the pre-merge head
+    even after the merge rewrote the split set (split files are
+    immutable and GC has not run)."""
+    import dataclasses
+
+    from quickwit_spark.operators.build import build_index
+    from quickwit_spark.operators.merge import run_merge_pipeline
+    from quickwit_spark.operators.search import Searcher
+
+    config = dataclasses.replace(
+        config, merge_factor=2, max_merge_factor=4, min_level_num_docs=10,
+    )
+    d = str(tmp_path / "idx")
+    cat = build_index(spark, spark.createDataFrame(corpus), d, config,
+                      n_splits=4, retain_history=True)
+    assert isinstance(cat, ManifestCatalog) and cat.retain_history
+    pre_seq = cat._seq
+    pre_splits = {s.split_id for s in cat.published_splits()}
+
+    before = Searcher(spark, d).search("w00001 w00002", k=15)
+
+    assert run_merge_pipeline(spark, d) >= 1
+    head = Catalog.load(d)
+    assert {s.split_id for s in head.published_splits()} != pre_splits
+
+    pinned = Searcher(spark, d, at_seq=pre_seq)
+    assert {s.split_id for s in pinned.catalog.published_splits()} \
+        == pre_splits
+    r = pinned.search("w00001 w00002", k=15)
+    assert r.num_hits == before.num_hits
+    assert [(h.split_id, h.docid, round(h.score, 9)) for h in r.hits] \
+        == [(h.split_id, h.docid, round(h.score, 9)) for h in before.hits]
+
+    # the head searcher reflects the merged state, same ranking by
+    # (conv, turn) since merge preserves global stats
+    r_head = Searcher(spark, d).search("w00001 w00002", k=15)
+    assert [(h.conv_id, h.turn_idx) for h in r_head.hits] \
+        == [(h.conv_id, h.turn_idx) for h in before.hits]

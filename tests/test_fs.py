@@ -246,3 +246,17 @@ class TestMockE2E:
         assert os.path.exists(os.path.join(mock_backing, "todelete"))
         idx.delete()
         assert not os.path.exists(os.path.join(mock_backing, "todelete"))
+
+
+def test_listdir_mock_and_local(tmp_path):
+    from quickwit_spark.functions import fs as fsio
+
+    base = str(tmp_path / "lst")
+    fsio.makedirs(base)
+    fsio.write_bytes(os.path.join(base, "a.json"), b"{}")
+    fsio.write_bytes(os.path.join(base, "b.json"), b"{}")
+    for prefix in ("", "mock://"):
+        got = sorted(fsio.listdir(prefix + base))
+        assert got == ["a.json", "b.json"], prefix
+    assert fsio.listdir(str(tmp_path / "missing")) == []
+    assert fsio.listdir("mock://" + str(tmp_path / "missing")) == []
