@@ -25,9 +25,12 @@ from quickwit_spark.plans.catalog import Catalog
 class Index:
     """A published inverted index over a transcripts-shaped table."""
 
-    def __init__(self, spark, index_dir: str):
+    def __init__(self, spark, index_dir: str, at_seq: int | None = None):
         self.spark = spark
         self.index_dir = index_dir
+        # pin reads to a historical catalog commit (manifest backend
+        # with retained history — Iceberg snapshot-read analog)
+        self.at_seq = at_seq
         self._searcher: Searcher | None = None
 
     # -- lifecycle (CLI `index create` / `index delete`) -----------------
@@ -76,10 +79,10 @@ class Index:
         return idx
 
     @staticmethod
-    def open(spark, index_dir: str) -> "Index":
+    def open(spark, index_dir: str, at_seq: int | None = None) -> "Index":
         if not Catalog.exists(index_dir):
             raise FileNotFoundError(f"no index at {index_dir}")
-        return Index(spark, index_dir)
+        return Index(spark, index_dir, at_seq=at_seq)
 
     def delete(self) -> None:
         from quickwit_spark.functions import fs as fsio
@@ -160,7 +163,9 @@ class Index:
 
     def searcher(self) -> Searcher:
         if self._searcher is None:
-            self._searcher = Searcher(self.spark, self.index_dir)
+            self._searcher = Searcher(
+                self.spark, self.index_dir, at_seq=self.at_seq
+            )
         return self._searcher
 
     def search(self, query: str, **kwargs) -> SearchResponse:
@@ -427,7 +432,7 @@ class Index:
     # -- introspection (CLI `index describe`, `split list`) ---------------
 
     def catalog(self) -> Catalog:
-        return Catalog.load(self.index_dir)
+        return Catalog.load(self.index_dir, at_seq=self.at_seq)
 
     def describe(self) -> dict:
         """CLI ``index describe`` analog (quickwit-cli/src/index.rs:

@@ -68,6 +68,9 @@ def _build_parser() -> argparse.ArgumentParser:
 
     c = idx_cmd("search")
     c.add_argument("--query", required=True)
+    c.add_argument("--at-seq", type=int,
+                   help="search the historical catalog state after this "
+                        "commit (manifest backend with retained history)")
     c.add_argument("--max-hits", type=int, default=20)
     c.add_argument("--start-offset", type=int, default=0)
     c.add_argument("--sort-by-field")
@@ -166,7 +169,9 @@ def _spark(args, injected):
 def _index(args, spark):
     from quickwit_spark.api import Index
 
-    return Index.open(spark, args.index_dir)
+    return Index.open(
+        spark, args.index_dir, at_seq=getattr(args, "at_seq", None)
+    )
 
 
 def _discover_index_dirs(data_dir: str | None) -> list[str]:

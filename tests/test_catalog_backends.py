@@ -562,3 +562,21 @@ def test_search_time_travel_pre_merge(spark, corpus, config, tmp_path,
     r_head = Searcher(spark, d).search("w00001 w00002", k=15)
     assert [(h.conv_id, h.turn_idx) for h in r_head.hits] \
         == [(h.conv_id, h.turn_idx) for h in before.hits]
+
+
+def test_index_api_time_travel(spark, corpus, config, tmp_path):
+    """Index.open(at_seq=...) pins search + split listing to the
+    historical commit (the CLI --at-seq path)."""
+    from quickwit_spark.api import Index
+    from quickwit_spark.operators.build import build_index
+
+    d = str(tmp_path / "idx")
+    cat = build_index(spark, spark.createDataFrame(corpus), d, config,
+                      n_splits=2, retain_history=True)
+    pinned = Index.open(spark, d, at_seq=1)  # post-create, pre-publish
+    assert pinned.list_splits() == []
+    head = Index.open(spark, d)
+    assert len(head.list_splits()) == len(cat.published_splits())
+    r_pin = pinned.search("w00001", k=5)
+    r_head = head.search("w00001", k=5)
+    assert r_pin.num_hits == 0 and r_head.num_hits > 0
