@@ -822,15 +822,28 @@ class ManifestCatalog(Catalog):
 
     def expire_history(self, before_seq: int) -> int:
         """GC retained history older than ``before_seq`` (Iceberg
-        expire_snapshots analog): deletes manifests with seq <
-        before_seq that the live head no longer references. Returns the
-        number deleted. Time travel earlier than the oldest remaining
-        snapshot becomes unreachable — run BEFORE split-file GC so a
-        reachable snapshot never references a reaped split."""
+        expire_snapshots analog). Every commit >= ``before_seq`` stays
+        replayable: the cut never crosses the newest full snapshot
+        at-or-before ``before_seq`` (its deltas-only suffix needs that
+        base), and with no such snapshot nothing is deleted (the chain
+        from commit 1 is the only base). Deletes only manifests the
+        live head no longer references; returns the count. Run BEFORE
+        split-file GC so a reachable snapshot never references a
+        reaped split."""
+        names = self._retained_manifests()
+        snap_base = None  # newest snapshot seq <= before_seq
+        for name in names:
+            if self._seq_of(name) > before_seq:
+                break
+            p = json.loads(fsio.read_bytes(self._manifest_path(name)))
+            if p["kind"] == "snapshot":
+                snap_base = self._seq_of(name)
+        if snap_base is None:
+            return 0
         live = set(self._manifests)
         n = 0
-        for name in self._retained_manifests():
-            if name in live or self._seq_of(name) >= before_seq:
+        for name in names:
+            if name in live or self._seq_of(name) >= min(before_seq, snap_base):
                 continue
             try:
                 fsio.delete(self._manifest_path(name))

@@ -580,3 +580,33 @@ def test_index_api_time_travel(spark, corpus, config, tmp_path):
     r_pin = pinned.search("w00001", k=5)
     r_head = head.search("w00001", k=5)
     assert r_pin.num_hits == 0 and r_head.num_hits > 0
+
+
+def test_expire_history_never_strands_later_commits(tmp_path, monkeypatch):
+    """expire_history's cut clamps to the newest snapshot <= before_seq:
+    commits at-or-after before_seq always stay replayable, and with no
+    snapshot at-or-before it nothing is deleted at all."""
+    monkeypatch.setattr(ManifestCatalog, "COMPACT_AFTER", 3)
+    d = str(tmp_path / "sf")
+    cat = Catalog.create(d, IndexConfig(), backend="manifest",
+                         retain_history=True)
+    for i in range(9):  # multiple compactions
+        cat.stage_and_publish([_sm(f"s-{i}")])
+    snap_seqs = [s["seq"] for s in cat.snapshots() if s["kind"] == "snapshot"]
+    assert len(snap_seqs) >= 2
+
+    # no snapshot at-or-before the cut (first compaction is later):
+    # nothing deleted — deleting commit 1 would strand every replay
+    assert min(snap_seqs) > 2
+    assert cat.expire_history(before_seq=2) == 0
+    assert len(Catalog.load(d, at_seq=1).published_splits()) == 0
+
+    # expire BETWEEN two snapshots: the cut clamps to the earlier
+    # snapshot so the (snapshot..before_seq) deltas keep their base
+    mid = snap_seqs[-1] - 1
+    cat.expire_history(before_seq=mid)
+    for seq in range(snap_seqs[-2], cat._seq + 1):
+        got = Catalog.load(d, at_seq=seq)  # must not raise
+        assert len(got.published_splits()) == seq - 1
+    with pytest.raises(ValueError, match="expired"):
+        Catalog.load(d, at_seq=snap_seqs[-2] - 1)
