@@ -74,6 +74,64 @@ def _timed(fn, reps: int = QUERY_REPS) -> tuple[float, list[float]]:
     return statistics.median(samples), samples
 
 
+# shared across ALL gated ops: total seconds the pipeline section may
+# spend sleeping out squeezed windows (a sustained squeeze would
+# otherwise compound per-op waits into the whole bench budget)
+_GATE_WAIT_POOL = [180.0]
+
+
+def _timed_gated(
+    fn, reps: int = QUERY_REPS, t_total0: float | None = None
+) -> tuple[float, list[float], list[float], bool]:
+    """Canary-gated timing for the seconds-long pipeline ops: a rep
+    only COUNTS when the host canary reads clean both before and after
+    it (the scaling probe's pre/post discipline — an external tenant
+    squeeze inflates a single rep up to ~20x, and with only 3 reps one
+    squeezed sample corrupts the median). Squeezed windows are waited
+    out briefly; contended reps are still DISCLOSED in the samples
+    list but excluded from the median while any clean rep exists.
+    Returns (median_of_clean, all_samples, canaries, all_clean)."""
+    clean: list[float] = []
+    samples: list[float] = []
+    canaries: list[float] = []
+    attempts = 0
+    # at most 2 extra attempts over the target rep count, and never
+    # past the total bench budget — a permanently-squeezed host
+    # degrades to the old behavior (median of whatever we measured)
+    while len(clean) < max(reps, 1) and attempts < reps + 2:
+        if t_total0 is not None and (
+            time.time() - t_total0 >= BENCH_TOTAL_BUDGET_SEC
+        ):
+            break
+        pre = _cpu_canary(dur=0.4)
+        canaries.append(round(pre, 1))
+        if pre < CANARY_CLEAN_FLOOR:
+            attempts += 1
+            if _GATE_WAIT_POOL[0] <= 0:
+                break  # waited enough globally: fall through to ungated
+            wait = min(CANARY_WAIT_SEC, 10.0, _GATE_WAIT_POOL[0])
+            _GATE_WAIT_POOL[0] -= wait
+            time.sleep(wait)
+            continue
+        t0 = time.time()
+        fn()
+        dt = time.time() - t0
+        samples.append(dt)
+        attempts += 1
+        post = _cpu_canary(dur=0.4)
+        canaries.append(round(post, 1))
+        if post >= CANARY_CLEAN_FLOOR:
+            clean.append(dt)
+    if not samples:
+        # every attempt was eaten waiting out a squeeze: measure once
+        # ungated — a contended number (disclosed) beats no number
+        t0 = time.time()
+        fn()
+        samples.append(time.time() - t0)
+    pool = clean or samples
+    return statistics.median(pool), samples, canaries, bool(clean)
+
+
 def _gen_transcripts_parquet(n_turns: int, path: str) -> None:
     from quickwit_spark.sources.transcripts import generate_transcripts
 
@@ -281,6 +339,8 @@ def main() -> None:
     n_turns = TURNS_BY_SF.get(sf, 20_000)
     t_total0 = time.time()
     timings: dict[str, float] = {}
+    op_canaries: dict[str, list[float]] = {}
+    ops_contended: list[str] = []
 
     spark = get_spark("bench", cpus=CPUS)
 
@@ -355,9 +415,17 @@ def main() -> None:
         # footer reads + codegen and r3 showed it inflating medians 2x
         # (VERDICT r3 #3: ann/media samples declined monotonically)
         run()
-        med, samples = _timed(run)
+        # canary-gated reps (same pre/post discipline as the scaling
+        # probe): a 20x external-squeeze spike in 1 of 3 reps corrupts
+        # an ungated median (observed r4: [2.9, 53.0, 7.7])
+        med, samples, canaries, all_clean = _timed_gated(
+            run, t_total0=t_total0
+        )
         timings[name] = round(med, 3)
         query_samples[name] = [round(s, 3) for s in samples]
+        op_canaries[name] = canaries
+        if not all_clean:
+            ops_contended.append(name)
 
     spark.stop()
 
@@ -526,6 +594,10 @@ def main() -> None:
             "build_samples": build_samples,
             "query_reps": QUERY_REPS,
             "query_samples": query_samples,
+            # pre/post host canaries per gated pipeline op (hashes/sec;
+            # clean floor CANARY_CLEAN_FLOOR) — shows WHICH medians ran
+            # in a squeezed window
+            "op_canaries": op_canaries,
         }
     }
     print(json.dumps(detail))
@@ -547,6 +619,10 @@ def main() -> None:
         "query_reps": QUERY_REPS,
         "query_p50_sec": round(p50, 4),
         "query_p50_distributed_sec": round(p50_dist, 4),
+        # pipeline ops whose every rep ran in a squeezed host window
+        # (no clean sample obtained — their medians measure contention,
+        # not the op; per-rep canaries are in the sidecar)
+        "ops_contended": ops_contended,
         "scaling": scaling,
     }
     sys.stdout.flush()
