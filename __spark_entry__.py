@@ -1207,6 +1207,21 @@ def q_events_sessionize(spark, sf_dir):
     )
 
 
+def q_transcript_packing(spark, sf_dir):
+    """Conversation-aware packing: whole conversations rendered first
+    (turn order, role headers), THEN concat-and-chunk packed — a
+    conversation never interleaves with another inside the token
+    stream; the packer sees conv-level rows."""
+    from quickwit_spark.pipeline.packing import pack_sequences
+    from quickwit_spark.pipeline.transcripts import render_conversations
+
+    r = render_conversations(_turns_df(spark, sf_dir))
+    return pack_sequences(
+        r, seq_len=64, n_shards=4,
+        id_col="conv_id", text_col="rendered", seed="cpack",
+    )
+
+
 def q_retrieval_metrics(spark, sf_dir):
     """Self-retrieval evaluation: every 10th document queries the index
     with its own first 3 tokens; gold = the document itself. Emits the
@@ -1483,6 +1498,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_asof": q_events_asof,
         "events_interval": q_events_interval,
         "retrieval_metrics": q_retrieval_metrics,
+        "transcript_packing": q_transcript_packing,
         "transcript_render": q_transcript_render,
         "transcript_loss_spans": q_transcript_loss_spans,
         "transcript_truncate": q_transcript_truncate,
@@ -3313,6 +3329,36 @@ g AS (
 )
 SELECT r.conv_id, g.canonical_conv_id, g.dup_group_size
 FROM r JOIN g USING (rendered)
+"""
+
+    # conversation-aware packing: render (same template) then the
+    # sequence_packing window arithmetic keyed by conv_id
+    rtoks = "regexp_extract_all(lower(rendered), '[0-9a-z]+')"
+    sql["transcript_packing"] = f"""
+WITH {turns_cte},
+r AS (
+  SELECT conv_id,
+         string_agg({_line()}, chr(10) ORDER BY turn_idx) AS rendered
+  FROM turns GROUP BY conv_id
+),
+t AS (
+  SELECT conv_id,
+         len({rtoks})::BIGINT AS n_tokens,
+         ({h15.format(x="'cpack:' || conv_id")} % 4)::BIGINT AS shard,
+         {h15.format(x="'cpack~' || conv_id")} AS ord
+  FROM r
+), c AS (
+  SELECT conv_id, shard, n_tokens,
+         (sum(n_tokens) OVER (PARTITION BY shard ORDER BY ord, conv_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens)::BIGINT AS token_start
+  FROM t
+)
+SELECT conv_id, shard, n_tokens, token_start,
+       (token_start // 64)::BIGINT AS seq_idx,
+       (token_start % 64)::BIGINT AS seq_offset,
+       (CASE WHEN n_tokens = 0 THEN 0
+             ELSE (token_start + n_tokens - 1) // 64 - token_start // 64 + 1 END)::BIGINT AS n_seqs
+FROM c
 """
 
     sql["transcript_context"] = f"""
