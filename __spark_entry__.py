@@ -1229,8 +1229,6 @@ def q_retrieval_metrics(spark, sf_dir):
     MRR@10 / recall@10 components). The 50-row query fixture is
     collected to a local relation (driver-side metadata, not data);
     the OP takes any (hits, gold) pair at any scale."""
-    import pandas as _pd
-
     from quickwit_spark.operators.batch_search import batch_bm25_topk
     from quickwit_spark.pipeline.mining import retrieval_metrics
 
@@ -1248,7 +1246,7 @@ def q_retrieval_metrics(spark, sf_dir):
         )
         .toPandas()
     )
-    qdf = spark.createDataFrame(_pd.DataFrame(qpdf))
+    qdf = spark.createDataFrame(qpdf)
     hits = batch_bm25_topk(spark, idx, qdf, k=25, fetch_cols=("doc_id",))
     gold = qdf.select("query_id", F.col("query_id").alias("doc_id"))
     return retrieval_metrics(hits, gold, k=10)

@@ -183,7 +183,10 @@ def listdir(path: str) -> list:
     fs, p = resolve_fs(path)
     try:
         infos = fs.get_file_info(FileSelector(p))
-    except (FileNotFoundError, OSError):
+    except (FileNotFoundError, NotADirectoryError):
+        # only the missing-dir cases map to []; transient I/O errors
+        # must propagate (an empty listing is a VALID answer callers
+        # act on — e.g. expire_history deciding there's no history)
         return []
     return [info.base_name for info in infos]
 

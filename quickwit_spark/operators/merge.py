@@ -477,13 +477,25 @@ def gc_deleted_splits(
     published — the reference's staged-grace sweep)."""
     catalog = Catalog.load(index_dir)
     now = time.time()
+    # retained time-travel history pins split files: a snapshot that
+    # still lists a split as Published may be searched via
+    # Searcher(at_seq=...), so its files survive GC until
+    # expire_history() trims those manifests (Iceberg's
+    # expire_snapshots-before-remove_orphan_files rule, ENFORCED here
+    # rather than left to the caller)
+    protected: set = set()
+    if getattr(catalog, "retain_history", False):
+        protected = catalog.history_referenced_split_ids()
     doomed = [
         s.split_id
         for s in catalog.splits.values()
-        if s.state == "MarkedForDeletion"
-        or (
-            s.state == "Staged"
-            and now - (s.update_timestamp or now) > grace_period_secs
+        if s.split_id not in protected
+        and (
+            s.state == "MarkedForDeletion"
+            or (
+                s.state == "Staged"
+                and now - (s.update_timestamp or now) > grace_period_secs
+            )
         )
     ]
     catalog.delete_splits(doomed)

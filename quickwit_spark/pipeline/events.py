@@ -218,6 +218,13 @@ def asof_join(
     """
     e_us = F.unix_micros(F.col(event_ts_col).cast("timestamp_ltz"))
     p_us = F.unix_micros(F.col(probe_ts_col).cast("timestamp_ltz"))
+    # an event with a NULL timestamp (or key) can never satisfy
+    # `event_ts <= probe_ts`; without this filter its null _ts_us
+    # would sort FIRST in the window and its payload would leak into
+    # probes that have no real prior event
+    events = events.where(
+        F.col(event_ts_col).isNotNull() & F.col(key_col).isNotNull()
+    )
     ev = events.select(
         F.col(key_col).alias("_k"),
         e_us.alias("_ts_us"),

@@ -716,6 +716,7 @@ class ManifestCatalog(Catalog):
         # set when loaded with at_seq: this handle is a read-only
         # historical view and must never commit
         self._frozen_at: int | None = None
+        self._force_snapshot_next = False
 
     @staticmethod
     def _head_path(index_dir: str) -> str:
@@ -741,9 +742,11 @@ class ManifestCatalog(Catalog):
             cat._seq = int(head["seq"])
             cat._manifests = list(head["manifests"])
             cat.retain_history = bool(head.get("retain_history", False))
-            if at_seq is not None:
-                return cat._replay_at(int(at_seq))
             try:
+                if at_seq is not None:
+                    # same retry protection: a concurrent compaction /
+                    # expire can delete a chain member mid-walk
+                    return cat._replay_at(int(at_seq))
                 for name in cat._manifests:
                     cat._apply(json.loads(fsio.read_bytes(cat._manifest_path(name))))
             except FileNotFoundError as exc:
@@ -761,8 +764,12 @@ class ManifestCatalog(Catalog):
         return int(name.split("-")[1])
 
     def _retained_manifests(self) -> list[str]:
-        """All manifest files on disk, seq order (== the live head list
-        when history is not retained)."""
+        """All manifest FILES on disk, seq order. Used only to pick
+        deletion candidates in expire_history — replay/snapshots walk
+        the committed ``prev`` chain instead, because the directory may
+        also hold orphans from a crashed commit (written before the
+        head swap, possibly half-written, possibly sharing a seq with
+        the recommitted real manifest)."""
         d = fsio.join(self.index_dir, self.DIR)
         names = [
             n for n in fsio.listdir(d)
@@ -770,54 +777,117 @@ class ManifestCatalog(Catalog):
         ]
         return sorted(names, key=self._seq_of)
 
+    def _read_manifest(self, name: str) -> dict:
+        return json.loads(fsio.read_bytes(self._manifest_path(name)))
+
+    def _chain_upto(self, at_seq: int) -> list[dict]:
+        """The committed replay prefix for ``at_seq``: walk the ``prev``
+        pointers backward from the live head's tail (every committed
+        manifest is on this chain; orphans from crashed commits never
+        are), skip entries newer than ``at_seq``, stop at the first
+        full snapshot at-or-before it (or commit 1). O(head_seq −
+        at_seq + window-to-snapshot) reads, not O(total history).
+        Returns payloads in ascending replay order."""
+        collected: list[dict] = []
+        name = self._manifests[-1] if self._manifests else None
+        while name is not None:
+            try:
+                p = self._read_manifest(name)
+            except FileNotFoundError:
+                head_now = json.loads(fsio.read_bytes(self.path))
+                if int(head_now["seq"]) != self._seq:
+                    raise  # concurrent writer: _load retries from the new head
+                # stable head + missing chain member = the prefix was
+                # expired before this walk started
+                raise ValueError(
+                    f"history before commit {at_seq} has been expired "
+                    "(chain member no longer retained) — expire_history "
+                    "trimmed the log past this point"
+                ) from None
+            s = self._seq_of(name)
+            if s <= at_seq:
+                collected.append(p)
+                if p["kind"] == "snapshot" or s == 1:
+                    return collected[::-1]
+            name = p.get("prev")
+        raise ValueError(
+            f"history before commit {at_seq} has been expired "
+            "(no snapshot at-or-before it remains on the manifest "
+            "chain) — expire_history trimmed the log past this point"
+        )
+
     def _replay_at(self, at_seq: int) -> "ManifestCatalog":
         """Rebuild the state as of commit ``at_seq`` by replaying the
-        retained log up to it. The log must still hold either commit 1
-        or a full snapshot at-or-before ``at_seq`` (expire_history()
-        trims from the oldest end, so the reachable window is always a
-        contiguous suffix of history)."""
+        committed chain up to it (see :meth:`_chain_upto`)."""
         if at_seq > self._seq or at_seq < 1:
             raise ValueError(
                 f"no commit {at_seq} in the manifest log (head is at "
                 f"{self._seq})"
             )
-        upto = [n for n in self._retained_manifests()
-                if self._seq_of(n) <= at_seq]
-        payloads = [
-            json.loads(fsio.read_bytes(self._manifest_path(n))) for n in upto
-        ]
-        # replay from the LAST full snapshot (earlier files are
-        # redundant); without one the chain must reach back to seq 1
-        start = None
-        for i, p in enumerate(payloads):
-            if p["kind"] == "snapshot":
-                start = i
-        if start is None:
-            if not upto or self._seq_of(upto[0]) != 1:
-                raise ValueError(
-                    f"history before commit {at_seq} has been expired "
-                    "(no snapshot at-or-before it remains) — "
-                    "expire_history trimmed the log past this point"
-                )
-            start = 0
-        for p in payloads[start:]:
+        for p in self._chain_upto(at_seq):
             self._apply(p)
         self._frozen_at = at_seq
         return self
 
     def snapshots(self) -> list[dict]:
-        """The time-travelable commits still in the log: one dict per
-        retained manifest (seq, kind, committed_at unix seconds).
-        Reachable ``at_seq`` targets are those >= the first listed
-        snapshot (or any, when the log reaches back to commit 1)."""
+        """The time-travelable commits still on the chain: one dict per
+        committed manifest (seq, kind, committed_at unix seconds),
+        oldest first. Reachable ``at_seq`` targets are those >= the
+        first listed snapshot (or any, when the chain reaches commit
+        1). An expired prefix ends the walk cleanly."""
         out = []
-        for n in self._retained_manifests():
-            p = json.loads(fsio.read_bytes(self._manifest_path(n)))
+        name = self._manifests[-1] if self._manifests else None
+        while name is not None:
+            try:
+                p = self._read_manifest(name)
+            except FileNotFoundError:
+                break  # expired prefix
             out.append({
-                "seq": self._seq_of(n),
+                "seq": self._seq_of(name),
                 "kind": p["kind"],
                 "committed_at": p.get("committed_at"),
             })
+            name = p.get("prev")
+        return out[::-1]
+
+    def checkpoint_snapshot(self) -> int:
+        """Commit a full snapshot NOW (without waiting for the
+        COMPACT_AFTER threshold) and return its seq. expire_history
+        needs a snapshot at-or-before its cut as the replay base for
+        everything after it — on a young or rarely-compacted retained
+        log there may be none, which would make history untrimmable;
+        `checkpoint_snapshot(); expire_history(that_seq)` trims
+        everything older than "now"."""
+        self._force_snapshot_next = True
+        try:
+            self._dirty_meta = True
+            self._commit()
+        finally:
+            self._force_snapshot_next = False
+        return self._seq
+
+    def history_referenced_split_ids(self) -> set:
+        """Split ids that any retained committed manifest records as
+        Published — the split FILES a time-travel search can still
+        read. Split GC (operators/merge.gc_deleted_splits) must skip
+        these until expire_history trims the manifests, or a pinned
+        Searcher would hit FileNotFoundError on a reaped split (the
+        Iceberg rule: expire_snapshots before remove_orphan_files)."""
+        out: set = set()
+        name = self._manifests[-1] if self._manifests else None
+        while name is not None:
+            try:
+                p = self._read_manifest(name)
+            except FileNotFoundError:
+                break  # expired prefix
+            rows = (
+                p["splits"] if p["kind"] == "snapshot"
+                else p["splits_upserted"]
+            )
+            out.update(
+                s["split_id"] for s in rows if s.get("state") == PUBLISHED
+            )
+            name = p.get("prev")
         return out
 
     def expire_history(self, before_seq: int) -> int:
@@ -830,19 +900,27 @@ class ManifestCatalog(Catalog):
         live head no longer references; returns the count. Run BEFORE
         split-file GC so a reachable snapshot never references a
         reaped split."""
-        names = self._retained_manifests()
-        snap_base = None  # newest snapshot seq <= before_seq
-        for name in names:
-            if self._seq_of(name) > before_seq:
+        # newest snapshot seq <= before_seq, found by walking the
+        # committed chain backward (orphans can't fool the cut)
+        snap_base = None
+        name = self._manifests[-1] if self._manifests else None
+        while name is not None:
+            try:
+                p = self._read_manifest(name)
+            except FileNotFoundError:
+                break  # already-expired prefix
+            s = self._seq_of(name)
+            if p["kind"] == "snapshot" and s <= before_seq:
+                snap_base = s
                 break
-            p = json.loads(fsio.read_bytes(self._manifest_path(name)))
-            if p["kind"] == "snapshot":
-                snap_base = self._seq_of(name)
+            name = p.get("prev")
         if snap_base is None:
             return 0
         live = set(self._manifests)
         n = 0
-        for name in names:
+        # deletion candidates come from the directory listing so
+        # uncommitted orphans below the cut are reaped too
+        for name in self._retained_manifests():
             if name in live or self._seq_of(name) >= min(before_seq, snap_base):
                 continue
             try:
@@ -907,7 +985,15 @@ class ManifestCatalog(Catalog):
             dirty_meta = True
         self._seq += 1
         name = f"m-{self._seq:08d}-{uuid.uuid4().hex[:8]}.json"
-        compact = len(self._manifests) >= self.COMPACT_AFTER
+        # committed-chain pointer: replay/snapshots walk prev links from
+        # the head, so an orphan written by a crashed commit (never
+        # head-swapped, possibly half-written, possibly seq-colliding
+        # with the recommit) is unreachable by construction
+        prev_name = self._manifests[-1] if self._manifests else None
+        compact = (
+            self._force_snapshot_next
+            or len(self._manifests) >= self.COMPACT_AFTER
+        )
         if compact:
             payload = {
                 "kind": "snapshot",
@@ -939,6 +1025,7 @@ class ManifestCatalog(Catalog):
             new_list = self._manifests + [name]
             superseded = []
         payload["committed_at"] = int(time.time())
+        payload["prev"] = prev_name
         fsio.makedirs(fsio.join(self.index_dir, self.DIR))
         fsio.write_bytes(
             self._manifest_path(name), json.dumps(payload, sort_keys=True).encode()

@@ -97,6 +97,23 @@ def main() -> None:
     )
     pairs = interval_join(iv, ev, bucket_minutes=2)
     timed("interval_join", pairs.groupBy("interval_id").count(), n_events)
+    # containment exactness on a sampled interval: the bucketized join
+    # must agree with a direct range filter, and every matched event
+    # must actually lie inside its interval
+    probe_iv = iv.where(F.col("interval_id") == 123).first()
+    got = pairs.where(F.col("interval_id") == 123).count()
+    want = ev.where(
+        (F.col("ts") >= F.lit(probe_iv.start_ts))
+        & (F.col("ts") < F.lit(probe_iv.end_ts))
+    ).count()
+    assert got == want, (got, want)
+    outside = pairs.where(
+        (F.col("event_ts_us")
+         < F.unix_micros(F.col("start_ts").cast("timestamp_ltz")))
+        | (F.col("event_ts_us")
+           >= F.unix_micros(F.col("end_ts").cast("timestamp_ltz")))
+    ).count()
+    assert outside == 0, f"{outside} pairs violate containment"
 
     # --- transcripts at n_turns -----------------------------------------
     turns = spark.range(n_turns).select(

@@ -610,3 +610,74 @@ def test_expire_history_never_strands_later_commits(tmp_path, monkeypatch):
         assert len(got.published_splits()) == seq - 1
     with pytest.raises(ValueError, match="expired"):
         Catalog.load(d, at_seq=snap_seqs[-2] - 1)
+
+
+def test_gc_skips_history_referenced_splits(spark, corpus, config, tmp_path):
+    """With retained history, split GC must NOT reap splits a retained
+    snapshot still lists as Published — the pinned searcher keeps
+    answering after merge+gc; after expire_history the same GC reaps
+    them (Iceberg expire-before-remove rule, enforced in gc)."""
+    import dataclasses
+
+    from quickwit_spark.operators.build import build_index
+    from quickwit_spark.operators.merge import (
+        gc_deleted_splits,
+        run_merge_pipeline,
+    )
+    from quickwit_spark.operators.search import Searcher
+
+    config = dataclasses.replace(
+        config, merge_factor=2, max_merge_factor=4, min_level_num_docs=10,
+    )
+    d = str(tmp_path / "idx")
+    cat = build_index(spark, spark.createDataFrame(corpus), d, config,
+                      n_splits=4, retain_history=True)
+    pre_seq = cat._seq
+    before = Searcher(spark, d).search("w00001 w00002", k=10)
+
+    assert run_merge_pipeline(spark, d) >= 1
+    assert gc_deleted_splits(d, grace_period_secs=0) == []  # protected
+
+    pinned = Searcher(spark, d, at_seq=pre_seq)
+    r = pinned.search("w00001 w00002", k=10)
+    assert [(h.split_id, h.docid) for h in r.hits] == \
+        [(h.split_id, h.docid) for h in before.hits]
+
+    # expire the pre-merge history (forcing a snapshot base first —
+    # a young log has none), then gc really deletes
+    head = Catalog.load(d)
+    snap_seq = head.checkpoint_snapshot()
+    assert head.expire_history(before_seq=snap_seq) > 0
+    reaped = gc_deleted_splits(d, grace_period_secs=0)
+    assert reaped
+    with pytest.raises(ValueError, match="expired"):
+        Catalog.load(d, at_seq=pre_seq)
+
+
+def test_orphan_manifest_is_unreachable(tmp_path):
+    """A manifest written by a crashed commit (never head-swapped) must
+    not poison time travel: replay walks the committed prev chain, so
+    orphans — even half-written or seq-colliding ones — are ignored."""
+    import json as _json
+    import os as _os
+
+    d = str(tmp_path / "oi")
+    cat = Catalog.create(d, IndexConfig(), backend="manifest",
+                         retain_history=True)
+    for i in range(3):
+        cat.stage_and_publish([_sm(f"s-{i}")])
+    mdir = _os.path.join(d, "manifests")
+    # a seq-colliding orphan claiming a bogus split, and a half-written one
+    with open(_os.path.join(mdir, "m-00000003-deadbeef.json"), "w") as f:
+        _json.dump({"kind": "delta", "meta": None,
+                    "splits_upserted": [_sm("BOGUS").to_dict()],
+                    "splits_deleted": [], "checkpoint_set": {},
+                    "checkpoint_removed": [], "prev": None}, f)
+    with open(_os.path.join(mdir, "m-00000002-cafecafe.json"), "w") as f:
+        f.write('{"kind": "del')  # torn write
+
+    for seq, expect in ((2, {"s-0"}), (4, {"s-0", "s-1", "s-2"})):
+        got = Catalog.load(d, at_seq=seq)
+        assert {s.split_id for s in got.published_splits()} == expect
+        assert "BOGUS" not in got.splits
+    assert [s["seq"] for s in Catalog.load(d).snapshots()] == [1, 2, 3, 4]
