@@ -1019,6 +1019,122 @@ def q_dedup_canonical(spark, sf_dir):
     return canonical_docs(docs, clusters)
 
 
+def _incremental_sides(spark, sf_dir):
+    """Deterministic corpus/batch split for the incremental-dedup
+    gates: corpus = docs with id%10<7; the incoming batch = the rest
+    PLUS re-id'd replays of every 17th corpus doc (guaranteed
+    corpus-dup content, ids offset by 1e6 so they never collide)."""
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    corpus = docs.where("doc_id % 10 < 7")
+    batch = docs.where("doc_id % 10 >= 7").unionByName(
+        corpus.where("doc_id % 17 = 0").select(
+            (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+        )
+    )
+    return corpus, batch
+
+
+def q_dedup_exact_incremental(spark, sf_dir):
+    """Incremental exact dedup: the batch is annotated against a
+    STANDING digest index (one narrow row per distinct corpus digest)
+    — per-increment cost scales with the increment, never the corpus.
+    The batch is shuffled once (digest window + index probe join share
+    the partitioning)."""
+    from quickwit_spark.pipeline.dedup import (
+        exact_dedup_incremental,
+        write_digest_index,
+    )
+
+    corpus, batch = _incremental_sides(spark, sf_dir)
+    key = sf_dir + "#digest_idx"
+    if key not in _IDX_CACHE:
+        tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+        d = os.path.join(tempfile.gettempdir(), f"qs_entry_digidx_{tag}_v1")
+        write_digest_index(corpus, d)
+        _IDX_CACHE[key] = d
+    return exact_dedup_incremental(spark, batch, _IDX_CACHE[key])
+
+
+def q_dedup_minhash_incremental(spark, sf_dir):
+    """Incremental MinHash+LSH near-dup: candidate join is new-bands ×
+    corpus-bands ONLY — no corpus self-pairs are ever generated, so a
+    daily increment against a 100 TB corpus does increment-sized work.
+    Same banding + exact-Jaccard verify as dedup_minhash_lsh."""
+    from quickwit_spark.pipeline.dedup import minhash_lsh_incremental
+
+    corpus, batch = _incremental_sides(spark, sf_dir)
+    return minhash_lsh_incremental(batch, corpus, threshold=0.3)
+
+
+def _pages(spark, sf_dir):
+    """Paragraph-structured fixture: 5 consecutive docs per page
+    (bodies joined by newline, doc-id order) wrapped in a shared
+    header/footer paragraph — the CCNet boilerplate shape."""
+    docs = _docs(spark, sf_dir)
+    body = F.array_join(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("doc_id", "text"))),
+            lambda s: s.text,
+        ),
+        "\n",
+    )
+    return (
+        docs.groupBy(F.expr("doc_id DIV 5").alias("page_id"))
+        .agg(body.alias("body"))
+        .select(
+            "page_id",
+            F.concat(
+                F.lit("Common Header Paragraph\n"),
+                F.col("body"),
+                F.lit("\nCommon Footer Paragraph"),
+            ).alias("text"),
+        )
+    )
+
+
+def q_dedup_paragraph(spark, sf_dir):
+    """CCNet paragraph-level dedup: repeated paragraphs (the shared
+    header/footer here) are marked per-occurrence with the corpus-wide
+    first kept — ONE digest-window shuffle, no join back."""
+    from quickwit_spark.pipeline.dedup import paragraph_dedup
+
+    out = paragraph_dedup(_pages(spark, sf_dir), id_col="page_id")
+    return out.withColumn("para_idx", F.col("para_idx").cast("long"))
+
+
+def q_dedup_paragraph_scrub(spark, sf_dir):
+    """Paragraph scrub: rebuild each page keeping only corpus-wide
+    first occurrences; verified via the md5 of the cleaned text."""
+    from quickwit_spark.pipeline.dedup import remove_duplicate_paragraphs
+
+    out = remove_duplicate_paragraphs(_pages(spark, sf_dir), id_col="page_id")
+    return out.select(
+        "page_id", "n_paras", "n_removed",
+        F.md5("text_clean").alias("clean_md5"),
+    )
+
+
+def q_dedup_fraction(spark, sf_dir):
+    """Per-doc duplicated-token fraction (the filter metric over
+    duplicate_spans): spans are disjoint maximal islands so the sum is
+    exact coverage; md5 gram hash for the DuckDB twin."""
+    from quickwit_spark.pipeline.dedup import duplication_fraction
+
+    return duplication_fraction(_docs(spark, sf_dir), min_len=8, hash="md5")
+
+
+def q_sample_split_assign(spark, sf_dir):
+    """Deterministic train/val/test assignment: md5-hash cut at
+    cumulative ppm thresholds — zero shuffles, stable under corpus
+    growth, bit-identical across engines."""
+    from quickwit_spark.pipeline.sampling import assign_split
+
+    return assign_split(
+        _docs(spark, sf_dir).select("doc_id"),
+        {"train": 0.8, "val": 0.1, "test": 0.1},
+    )
+
+
 def q_quality_filter(spark, sf_dir):
     """CCNet-style corpus-relative quality gate: drop the bottom 10%
     of docs by unigram-LM score; threshold = exact type-7 quantile
@@ -1473,6 +1589,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate_spans": q_decontaminate_spans,
         "dedup_clusters": q_dedup_clusters,
         "dedup_canonical": q_dedup_canonical,
+        "dedup_exact_incremental": q_dedup_exact_incremental,
+        "dedup_minhash_incremental": q_dedup_minhash_incremental,
+        "dedup_paragraph": q_dedup_paragraph,
+        "dedup_paragraph_scrub": q_dedup_paragraph_scrub,
+        "dedup_fraction": q_dedup_fraction,
+        "sample_split_assign": q_sample_split_assign,
         "unigram_logprob": q_unigram_logprob,
         "tfidf_keywords": q_tfidf_keywords,
         "bpe_merges": q_bpe_merges,
@@ -2467,6 +2589,155 @@ cand AS (
   WHERE a.doc_id < b.doc_id
 ),
 {jaccard_verify.format(thr=0.4)}
+"""
+
+    # incremental dedup gates: corpus = id%10<7, batch = the rest plus
+    # re-id'd replays of every 17th corpus doc (guaranteed dups)
+    corpus_batch = """
+corpus AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 < 7),
+batch AS (
+  SELECT doc_id, text FROM documents WHERE doc_id % 10 >= 7
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, text FROM corpus WHERE doc_id % 17 = 0
+)"""
+
+    sql["dedup_exact_incremental"] = f"""
+WITH {corpus_batch},
+idx AS (SELECT md5(text) AS digest, min(doc_id) AS corpus_keeper_id
+        FROM corpus GROUP BY 1),
+b AS (
+  SELECT doc_id, md5(text) AS digest,
+    min(doc_id) OVER (PARTITION BY md5(text)) AS batch_keeper_id,
+    count(*) OVER (PARTITION BY md5(text)) AS batch_group_size
+  FROM batch
+)
+SELECT b.doc_id, b.digest,
+  (i.corpus_keeper_id IS NOT NULL) AS is_dup_corpus,
+  i.corpus_keeper_id,
+  b.batch_keeper_id, b.batch_group_size::BIGINT AS batch_group_size,
+  coalesce(i.corpus_keeper_id, b.batch_keeper_id) AS keeper_id,
+  (i.corpus_keeper_id IS NOT NULL OR b.doc_id <> b.batch_keeper_id) AS is_dup
+FROM b LEFT JOIN idx i ON b.digest = i.digest
+"""
+
+    def mh_side(name: str, src: str) -> str:
+        return f"""
+{name}_hs AS (
+  SELECT doc_id,
+    list_transform({shingles}, s -> {mh_h1}) AS hs1,
+    list_transform({shingles}, s -> {mh_h2}) AS hs2
+  FROM {src}
+),
+{name}_sig AS (
+  SELECT doc_id,
+    list_transform(generate_series(0, 11),
+      p -> list_min(list_transform(generate_series(1, len(hs1)),
+             i -> (hs1[i] + p * hs2[i]) % {M}))) AS signature
+  FROM {name}_hs
+),
+{name}_bands AS (
+  SELECT doc_id, b.band,
+         md5(array_to_string(signature[b.band * 3 + 1 : b.band * 3 + 3], ',')) AS bucket
+  FROM {name}_sig, (SELECT unnest(generate_series(0, 3)) AS band) b
+),
+{name}_sets AS (SELECT doc_id, {shingles} AS sh FROM {src})"""
+
+    sql["dedup_minhash_incremental"] = f"""
+WITH {corpus_batch},
+{mh_side('n', 'batch')},
+{mh_side('c', 'corpus')},
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_new, b.doc_id AS id_corpus
+  FROM n_bands a JOIN c_bands b ON a.band = b.band AND a.bucket = b.bucket
+),
+verified AS (
+  SELECT cand.id_new, cand.id_corpus,
+    round(len(list_intersect(sn.sh, sc.sh)) * 1.0
+          / (len(sn.sh) + len(sc.sh) - len(list_intersect(sn.sh, sc.sh))), 6) AS jaccard
+  FROM cand
+  JOIN n_sets sn ON cand.id_new = sn.doc_id
+  JOIN c_sets sc ON cand.id_corpus = sc.doc_id
+)
+SELECT id_new, id_corpus, jaccard FROM verified WHERE jaccard >= 0.3
+"""
+
+    # paragraph-dedup gates: pages of 5 consecutive docs wrapped in a
+    # shared header/footer paragraph (the CCNet boilerplate shape)
+    pages_cte = """
+pages AS (
+  SELECT doc_id // 5 AS page_id,
+         'Common Header Paragraph' || chr(10)
+         || string_agg(text, chr(10) ORDER BY doc_id)
+         || chr(10) || 'Common Footer Paragraph' AS text
+  FROM documents GROUP BY doc_id // 5
+),
+parts AS (SELECT page_id, string_split_regex(text, '\\n+') AS ps FROM pages),
+paras AS (
+  SELECT page_id, i - 1 AS para_idx, ps[i] AS para
+  FROM parts, UNNEST(generate_series(1, len(ps))) AS u(i)
+  WHERE len(trim(ps[i])) > 0
+),
+pd AS (
+  SELECT page_id, para_idx, para,
+    md5(regexp_replace(lower(trim(para)), '\\s+', ' ', 'g')) AS para_digest
+  FROM paras
+)"""
+
+    sql["dedup_paragraph"] = f"""
+WITH {pages_cte},
+w AS (
+  SELECT page_id, para_idx, para_digest,
+    count(*) OVER (PARTITION BY para_digest) AS dup_count,
+    min(struct_pack(p := page_id, i := para_idx))
+      OVER (PARTITION BY para_digest) AS mo
+  FROM pd
+)
+SELECT page_id, para_idx::BIGINT AS para_idx, para_digest,
+  dup_count::BIGINT AS dup_count,
+  (page_id = mo.p AND para_idx = mo.i) AS is_keeper,
+  (dup_count >= 2 AND NOT (page_id = mo.p AND para_idx = mo.i)) AS is_dup
+FROM w
+"""
+
+    sql["dedup_paragraph_scrub"] = f"""
+WITH {pages_cte},
+w AS (
+  SELECT page_id, para_idx, para,
+    count(*) OVER (PARTITION BY para_digest) AS c,
+    min(struct_pack(p := page_id, i := para_idx))
+      OVER (PARTITION BY para_digest) AS mo
+  FROM pd
+),
+m AS (
+  SELECT page_id, para_idx, para,
+    (c >= 2 AND NOT (page_id = mo.p AND para_idx = mo.i)) AS dropped
+  FROM w
+)
+SELECT page_id, count(*)::BIGINT AS n_paras,
+  sum(CASE WHEN dropped THEN 1 ELSE 0 END)::BIGINT AS n_removed,
+  md5(coalesce(string_agg(CASE WHEN NOT dropped THEN para END,
+                          chr(10) ORDER BY para_idx), '')) AS clean_md5
+FROM m GROUP BY page_id
+"""
+
+    sql["dedup_fraction"] = f"""
+WITH spans AS ({substring_spans}),
+agg AS (SELECT doc_id, sum(span_end - span_start) AS dup_tokens
+        FROM spans GROUP BY doc_id)
+SELECT d.doc_id, len({TOKS})::BIGINT AS n_tokens,
+  coalesce(agg.dup_tokens, 0)::BIGINT AS dup_tokens,
+  round(coalesce(agg.dup_tokens, 0) * 1.0
+        / greatest(len({TOKS}), 1), 6) AS dup_fraction
+FROM documents d LEFT JOIN agg ON d.doc_id = agg.doc_id
+"""
+
+    h_split = h15.format(x="concat('split0:', cast(doc_id AS VARCHAR))")
+    sql["sample_split_assign"] = f"""
+SELECT doc_id,
+  CASE WHEN {h_split} % 1000000 < 800000 THEN 'train'
+       WHEN {h_split} % 1000000 < 900000 THEN 'val'
+       ELSE 'test' END AS split
+FROM documents
 """
 
     sql["decontaminate"] = f"""

@@ -398,7 +398,8 @@ def main() -> None:
                  "dedup_semantic", "shuffle_rows",
                  "ann_quantized_topk", "kmeans_clusters",
                  "tfidf_keywords", "transcript_render",
-                 "transcript_dedup", "events_asof", "events_interval"):
+                 "transcript_dedup", "events_asof", "events_interval",
+                 "dedup_exact_incremental", "dedup_paragraph"):
         fn = entry.queries()[name]
 
         def run(fn=fn):

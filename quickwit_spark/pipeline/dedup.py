@@ -900,3 +900,366 @@ def exact_dedup_stream(
         d = d.withWatermark(ts_col, watermark)
         return d.dropDuplicatesWithinWatermark(["_digest"]).drop("_digest")
     return d.dropDuplicates(["_digest"]).drop("_digest")
+
+
+# --------------------------------------------------------------------------
+# Incremental dedup: a GROWING corpus dedups each incoming increment
+# against a standing index instead of re-scanning itself. At 100 TB the
+# re-scan is the difference between a daily job over the increment
+# (~0.1% of corpus) and a daily job over everything.
+# --------------------------------------------------------------------------
+
+
+def write_digest_index(
+    df: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> None:
+    """Persist the standing exact-dedup index: ONE narrow row per
+    DISTINCT content digest — ``(digest, keeper_id)`` with keeper = min
+    id, exactly :func:`exact_dedup`'s keeper policy. One map-side-
+    combined groupBy shuffle over the digest; the stored rows are ~45
+    bytes each, so even a 10^12-doc corpus indexes in low-TB.
+
+    On a real deployment, bucket this dataset by digest
+    (``df.write.bucketBy(4096, 'digest').sortBy('digest')
+    .saveAsTable(...)``) so every increment's probe join co-locates
+    without shuffling the index side; plain parquet keeps this
+    test-portable (no warehouse/catalog dependency).
+
+    Reference analog: none — Quickwit dedups nothing; training-pipeline
+    surface (SURVEY §7.1 M7)."""
+    (
+        df.select(
+            F.md5(F.col(text_col)).alias("digest"),
+            F.col(id_col).alias("keeper_id"),
+        )
+        .groupBy("digest")
+        .agg(F.min("keeper_id").alias("keeper_id"))
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+
+
+def exact_dedup_incremental(
+    spark,
+    new_df: DataFrame,
+    index_path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Annotate an incoming batch against the standing digest index
+    (:func:`write_digest_index`) WITHOUT rescanning the corpus.
+
+    Returns one row per batch doc:
+    ``(id, digest, is_dup_corpus, corpus_keeper_id [null when unseen],
+    batch_keeper_id, batch_group_size, keeper_id, is_dup)`` where
+    ``keeper_id`` coalesces the corpus keeper over the batch keeper and
+    ``is_dup`` marks corpus dups AND within-batch non-keepers — so
+    ``where(~is_dup)`` is exactly the set of rows safe to append.
+
+    Plan: the within-batch window and the index probe join both
+    partition on the digest, so the batch is shuffled ONCE and reused;
+    the index side ships only ``(digest, keeper_id)`` rows (a
+    digest-bucketed index makes that side exchange-free; see
+    :func:`write_digest_index`)."""
+    idx = spark.read.parquet(index_path).withColumnRenamed(
+        "keeper_id", "corpus_keeper_id"
+    )
+    win = Window.partitionBy("digest")
+    batch = new_df.select(
+        F.col(id_col), F.md5(F.col(text_col)).alias("digest")
+    ).select(
+        id_col,
+        "digest",
+        F.min(id_col).over(win).alias("batch_keeper_id"),
+        F.count(F.lit(1)).over(win).alias("batch_group_size"),
+    )
+    return (
+        batch.join(idx, "digest", "left")
+        .withColumn("is_dup_corpus", F.col("corpus_keeper_id").isNotNull())
+        .withColumn(
+            "keeper_id",
+            F.coalesce("corpus_keeper_id", "batch_keeper_id"),
+        )
+        .withColumn(
+            "is_dup",
+            F.col("is_dup_corpus") | (F.col(id_col) != F.col("batch_keeper_id")),
+        )
+        .select(
+            id_col, "digest", "is_dup_corpus", "corpus_keeper_id",
+            "batch_keeper_id", "batch_group_size", "keeper_id", "is_dup",
+        )
+    )
+
+
+def append_digest_index(
+    spark,
+    new_df: DataFrame,
+    index_path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> int:
+    """Extend the standing index with the batch's UNSEEN digests
+    (keeper = min batch id per new digest); returns how many digests
+    were appended. Idempotent on re-run with the same batch (the
+    anti-join sees the previous append). Single-writer append — a
+    concurrent-writer deployment needs a commit log around the dataset
+    (the search index's ManifestCatalog is that protocol for splits);
+    kept out of scope for a plain parquet dataset."""
+    existing = spark.read.parquet(index_path).select("digest")
+    fresh = (
+        new_df.select(
+            F.md5(F.col(text_col)).alias("digest"),
+            F.col(id_col).alias("keeper_id"),
+        )
+        .groupBy("digest")
+        .agg(F.min("keeper_id").alias("keeper_id"))
+        .join(existing, "digest", "left_anti")
+    )
+    n = fresh.count()
+    if n:
+        fresh.write.mode("append").parquet(index_path)
+    return n
+
+
+def minhash_lsh_incremental(
+    new_df: DataFrame,
+    corpus_df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_perm: int = 12,
+    band_size: int = 3,
+    k: int = 3,
+    threshold: float = 0.5,
+    max_bucket: int | None = 1000,
+    persist_intermediates: bool = True,
+) -> DataFrame:
+    """Near-dup pairs between an incoming batch and the standing corpus
+    — the MinHash+LSH analog of :func:`exact_dedup_incremental`. The
+    candidate join is new-bands × corpus-bands ONLY: no corpus×corpus
+    pair is ever generated (that work was done when the corpus was
+    ingested), so per-increment cost scales with the increment, not
+    the corpus. Compose with :func:`minhash_lsh_pairs` over the batch
+    alone for within-batch near-dups.
+
+    Same banding scheme, quadratic-bucket guard (applied to EACH
+    side's bucket membership) and exact-Jaccard verification as
+    :func:`minhash_lsh_pairs`; in production the corpus band table
+    ``(band, bucket, id)`` is persisted once and re-read per increment
+    rather than recomputed (pass a precomputed ``corpus_df`` view of
+    the same shape via ``corpus_bands=``-style staging if needed —
+    here the corpus side is computed declaratively for
+    verifiability).
+
+    Returns ``(id_new, id_corpus, jaccard)`` with jaccard ≥ threshold
+    rounded to 6."""
+    n_bands = num_perm // band_size
+    cached: list[DataFrame] = []
+
+    def _bands(df_: DataFrame) -> tuple[DataFrame, DataFrame]:
+        sets_ = _shingle_sets(df_, id_col, text_col, k)
+        if persist_intermediates:
+            sets_ = sets_.persist(StorageLevel.MEMORY_AND_DISK)
+            cached.append(sets_)
+        sig = _signatures_from_sets(sets_, id_col, num_perm)
+        b = sig.select(
+            F.col(id_col),
+            F.explode(
+                F.expr(
+                    f"transform(sequence(0, {n_bands - 1}), b -> named_struct("
+                    f" 'band', b,"
+                    f" 'bucket', md5(concat_ws(',',"
+                    f"   transform(slice(signature, b * {band_size} + 1, {band_size}),"
+                    f"     v -> cast(v as string))))))"
+                )
+            ).alias("bb"),
+        ).select(
+            id_col, F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
+        )
+        if max_bucket is not None:
+            keep = (
+                b.groupBy("band", "bucket").count()
+                .where(F.col("count") <= max_bucket)
+                .select("band", "bucket")
+            )
+            b = b.join(keep, ["band", "bucket"])
+        return sets_, b
+
+    sets_new, bands_new = _bands(new_df)
+    sets_corpus, bands_corpus = _bands(corpus_df)
+    cand = (
+        bands_new.select(F.col(id_col).alias("id_new"), "band", "bucket")
+        .join(
+            bands_corpus.select(F.col(id_col).alias("id_corpus"), "band", "bucket"),
+            ["band", "bucket"],
+        )
+        .select("id_new", "id_corpus")
+        .distinct()
+    )
+    out = (
+        cand.join(
+            sets_new.select(F.col(id_col).alias("id_new"), F.col("sh").alias("sh_n")),
+            "id_new",
+        )
+        .join(
+            sets_corpus.select(
+                F.col(id_col).alias("id_corpus"), F.col("sh").alias("sh_c")
+            ),
+            "id_corpus",
+        )
+        .withColumn("inter", F.size(F.array_intersect("sh_n", "sh_c")))
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("inter")
+                / (F.size("sh_n") + F.size("sh_c") - F.col("inter")),
+                6,
+            ),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("id_new", "id_corpus", "jaccard")
+    )
+    out._qs_cached = cached
+    return out
+
+
+# --------------------------------------------------------------------------
+# Paragraph-level dedup (CCNet, Wenzek et al. 2020): boilerplate
+# paragraphs repeated across documents — headers, footers, license
+# blurbs — are dropped per-paragraph while the host documents survive.
+# Doc-level dedup never fires on these; span-level (duplicate_spans)
+# fires but ignores the natural paragraph boundary.
+# --------------------------------------------------------------------------
+
+
+def paragraph_dedup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    delim: str = r"\n+",
+    normalize: bool = True,
+) -> DataFrame:
+    """One row per non-empty paragraph: ``(id, para_idx, para_digest,
+    dup_count, is_keeper, is_dup)``. A paragraph's digest is md5 of its
+    CCNet-style normalized form (trim, lowercase, collapse whitespace)
+    when ``normalize``; ``is_keeper`` marks the corpus-wide first
+    occurrence (min ``(id, para_idx)``) and ``is_dup`` every other
+    occurrence of a digest seen ≥2 times. ``para_idx`` indexes the raw
+    ``split(text, delim)`` output, so it addresses the original text
+    even though empty paragraphs are filtered.
+
+    ONE shuffle: dup_count and the keeper are window aggregates over
+    the digest partition (same no-join-back shape as
+    :func:`exact_dedup`)."""
+    norm = F.trim(F.col("para"))
+    if normalize:
+        norm = F.regexp_replace(F.lower(norm), r"\s+", " ")
+    paras = (
+        _ensure_parallelism(df)
+        .select(
+            F.col(id_col),
+            F.posexplode(F.split(F.col(text_col), delim)).alias(
+                "para_idx", "para"
+            ),
+        )
+        .where(F.length(F.trim(F.col("para"))) > 0)
+        .select(id_col, "para_idx", F.md5(norm).alias("para_digest"))
+    )
+    gw = Window.partitionBy("para_digest")
+    occ = F.struct(F.col(id_col), F.col("para_idx"))
+    return (
+        paras.withColumn("dup_count", F.count(F.lit(1)).over(gw))
+        .withColumn("is_keeper", occ == F.min(occ).over(gw))
+        .withColumn("is_dup", (F.col("dup_count") >= 2) & ~F.col("is_keeper"))
+    )
+
+
+def remove_duplicate_paragraphs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    delim: str = r"\n+",
+    normalize: bool = True,
+    min_dup: int = 2,
+) -> DataFrame:
+    """Scrub duplicated paragraphs corpus-wide, keeping each digest's
+    first occurrence (CCNet's dedup applied at paragraph granularity):
+    returns ``(id, n_paras, n_removed, text_clean)`` with the kept
+    paragraphs re-joined by newline in original order. Paragraphs
+    occurring fewer than ``min_dup`` times always survive.
+
+    TWO shuffles: the digest window (from :func:`paragraph_dedup`),
+    then the per-doc rebuild groupBy. The rebuild carries paragraph
+    TEXT through the digest shuffle (array_join needs it back) — at
+    extreme scale prefer marking + a position-filter rebuild against
+    the source like :func:`remove_duplicate_spans`; this direct form
+    keeps one fewer pass over the corpus."""
+    norm = F.trim(F.col("para"))
+    if normalize:
+        norm = F.regexp_replace(F.lower(norm), r"\s+", " ")
+    paras = (
+        _ensure_parallelism(df)
+        .select(
+            F.col(id_col),
+            F.posexplode(F.split(F.col(text_col), delim)).alias(
+                "para_idx", "para"
+            ),
+        )
+        .where(F.length(F.trim(F.col("para"))) > 0)
+        .withColumn("para_digest", F.md5(norm))
+    )
+    gw = Window.partitionBy("para_digest")
+    occ = F.struct(F.col(id_col), F.col("para_idx"))
+    marked = paras.withColumn(
+        "_drop",
+        (F.count(F.lit(1)).over(gw) >= min_dup) & (occ != F.min(occ).over(gw)),
+    )
+    kept = F.array_sort(
+        F.collect_list(
+            F.when(~F.col("_drop"), F.struct(F.col("para_idx"), F.col("para")))
+        )
+    )
+    return marked.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_paras"),
+        F.sum(F.col("_drop").cast("long")).alias("n_removed"),
+        F.array_join(
+            F.transform(kept, lambda s: s.para), "\n"
+        ).alias("text_clean"),
+    )
+
+
+def duplication_fraction(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_len: int = 8,
+    hash: str = "xxhash64",
+) -> DataFrame:
+    """Per-document duplicated-token fraction — the filtering metric on
+    top of :func:`duplicate_spans` (docs past a threshold get dropped
+    or down-sampled in curation): ``(id, n_tokens, dup_tokens,
+    dup_fraction)`` where dup_tokens sums the doc's maximal duplicated
+    spans (disjoint by construction, so the sum is exact coverage) and
+    docs with no spans report 0. Adds one token-count map and an id
+    join to duplicate_spans' two shuffles."""
+    spans = (
+        duplicate_spans(
+            df, id_col=id_col, text_col=text_col, min_len=min_len, hash=hash
+        )
+        .groupBy(id_col)
+        .agg(F.sum(F.col("span_end") - F.col("span_start")).alias("dup_tokens"))
+    )
+    toks = _ensure_parallelism(df).select(
+        F.col(id_col), F.expr(f"size({_toks(text_col)})").alias("n_tokens")
+    )
+    return (
+        toks.join(spans, id_col, "left")
+        .fillna({"dup_tokens": 0})
+        .withColumn(
+            "dup_fraction",
+            F.round(F.col("dup_tokens") / F.greatest(F.col("n_tokens"), F.lit(1)), 6),
+        )
+        .select(id_col, "n_tokens", "dup_tokens", "dup_fraction")
+    )

@@ -214,3 +214,41 @@ def quality_percentile_filter(
             F.round(F.col("_thr"), 6).alias("cutoff"),
         )
     )
+
+
+def assign_split(
+    df: DataFrame,
+    fractions: dict[str, float] | None = None,
+    id_col: str = "doc_id",
+    seed: str = "split0",
+) -> DataFrame:
+    """Deterministic train/val/test assignment: every row gets a
+    ``split`` label by hashing its id into [0, 1e6) (the cross-engine
+    ``H15`` md5 hash — bit-reproducible in Spark, DuckDB and Python)
+    and cutting at the cumulative fraction thresholds, in the
+    fractions' insertion order. The LAST split absorbs the ppm
+    rounding remainder so every row is labeled. Zero shuffles, no RNG
+    state; stable under corpus growth (a doc's label never changes
+    when other docs are appended) and disjoint by construction —
+    train/eval leakage can't happen at assignment time (content-level
+    leakage is :func:`decontaminate`'s job).
+
+    ``fractions`` defaults to {'train': .98, 'val': .01, 'test': .01};
+    values must sum to 1 (±1 ppm)."""
+    fractions = fractions or {"train": 0.98, "val": 0.01, "test": 0.01}
+    if abs(sum(fractions.values()) - 1.0) > 1e-6:
+        raise ValueError(f"fractions must sum to 1, got {fractions}")
+    if len(fractions) < 1:
+        raise ValueError("need at least one split")
+    h = F.expr(
+        H15.format(x=f"concat('{seed}:', cast({id_col} as string))")
+    ) % SAMPLE_MOD
+    names = list(fractions)
+    cuts, acc = [], 0
+    for name in names[:-1]:
+        acc += int(fractions[name] * SAMPLE_MOD)
+        cuts.append(acc)
+    label = F.lit(names[-1])
+    for name, cut in zip(reversed(names[:-1]), reversed(cuts)):
+        label = F.when(h < cut, F.lit(name)).otherwise(label)
+    return df.withColumn("split", label)

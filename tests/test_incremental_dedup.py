@@ -1,0 +1,186 @@
+"""Incremental dedup (standing digest index + new-vs-corpus MinHash),
+paragraph-level dedup, per-doc duplication fraction, and deterministic
+split assignment."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from quickwit_spark.pipeline.dedup import (
+    append_digest_index,
+    duplication_fraction,
+    exact_dedup_incremental,
+    minhash_lsh_incremental,
+    minhash_lsh_pairs,
+    paragraph_dedup,
+    remove_duplicate_paragraphs,
+    unpersist_intermediates,
+    write_digest_index,
+)
+from quickwit_spark.pipeline.sampling import assign_split
+
+
+def _df(spark, rows, cols=("doc_id", "text")):
+    return spark.createDataFrame(pd.DataFrame(rows, columns=list(cols)))
+
+
+class TestExactIncremental:
+    def test_lifecycle(self, spark, tmp_path):
+        idx = str(tmp_path / "digest_idx")
+        corpus = _df(spark, [(0, "alpha beta gamma"), (1, "delta epsilon"),
+                             (2, "alpha beta gamma")])
+        write_digest_index(corpus, idx)
+        # index holds one row per DISTINCT digest with the min-id keeper
+        stored = spark.read.parquet(idx).toPandas()
+        assert len(stored) == 2
+        assert set(stored.keeper_id) == {0, 1}
+
+        batch = _df(spark, [
+            (10, "alpha beta gamma"),   # corpus dup
+            (11, "zeta eta"),           # new
+            (12, "zeta eta"),           # within-batch dup of 11
+            (13, "theta iota"),         # new
+        ])
+        out = exact_dedup_incremental(spark, batch, idx).toPandas() \
+            .set_index("doc_id").sort_index()
+        assert bool(out.loc[10, "is_dup_corpus"]) is True
+        assert out.loc[10, "corpus_keeper_id"] == 0
+        assert out.loc[10, "keeper_id"] == 0
+        assert bool(out.loc[11, "is_dup"]) is False
+        assert bool(out.loc[12, "is_dup"]) is True
+        assert out.loc[12, "keeper_id"] == 11
+        assert bool(out.loc[13, "is_dup"]) is False
+        # exactly the non-dups are appendable; append is idempotent
+        assert append_digest_index(spark, batch, idx) == 2
+        assert append_digest_index(spark, batch, idx) == 0
+        again = exact_dedup_incremental(spark, batch, idx).toPandas()
+        assert bool(again.is_dup.all())  # now everything is seen
+
+    def test_batch_shuffled_once(self, spark, tmp_path):
+        idx = str(tmp_path / "digest_idx2")
+        corpus = _df(spark, [(0, "a b c")])
+        write_digest_index(corpus, idx)
+        batch = _df(spark, [(1, "a b c"), (2, "x y z")])
+        plan = exact_dedup_incremental(spark, batch, idx) \
+            ._jdf.queryExecution().executedPlan().toString()
+        # one exchange for the batch side (window + probe join reuse the
+        # digest partitioning), one for the narrow index side
+        assert plan.count("Exchange hashpartitioning") <= 2
+
+
+class TestMinhashIncremental:
+    def test_new_vs_corpus_only(self, spark):
+        corpus = _df(spark, [
+            (0, "the quick brown fox jumps over the lazy dog tonight"),
+            (1, "completely unrelated corpus content about spark plans"),
+            (2, "another unrelated corpus doc mentioning parquet files"),
+        ])
+        batch = _df(spark, [
+            (100, "the quick brown fox jumps over the lazy dog today"),
+            (101, "fresh batch text with no match whatsoever anywhere"),
+        ])
+        out = minhash_lsh_incremental(batch, corpus, threshold=0.3)
+        pairs = {(r.id_new, r.id_corpus) for r in out.collect()}
+        unpersist_intermediates(out)
+        assert (100, 0) in pairs
+        # only batch ids on the left, corpus ids on the right
+        assert all(a >= 100 and b < 100 for a, b in pairs)
+
+    def test_matches_full_self_join_restricted(self, spark):
+        rows = [(i, f"shared prefix tokens run long {i % 3} tail {i}")
+                for i in range(12)]
+        full = _df(spark, rows)
+        corpus, batch = full.where("doc_id < 8"), full.where("doc_id >= 8")
+        inc = minhash_lsh_incremental(batch, corpus, threshold=0.2)
+        got = {(r.id_corpus, r.id_new, r.jaccard) for r in inc.collect()}
+        unpersist_intermediates(inc)
+        allp = minhash_lsh_pairs(full, threshold=0.2)
+        want = {(r.id_a, r.id_b, r.jaccard) for r in allp.collect()
+                if r.id_a < 8 <= r.id_b}
+        unpersist_intermediates(allp)
+        assert got == want and want  # nonempty and identical
+
+
+PARA_DOCS = [
+    (0, "Header boilerplate\nunique body zero\nFooter legal text"),
+    (1, "header   BOILERPLATE\nunique body one\nFooter legal text"),
+    (2, "totally unique document two"),
+    (3, "\n\nunique body three\n"),
+]
+
+
+class TestParagraphDedup:
+    def test_marks_and_keepers(self, spark):
+        out = paragraph_dedup(_df(spark, PARA_DOCS)).toPandas()
+        out = out.set_index(["doc_id", "para_idx"]).sort_index()
+        # normalization folds case + whitespace: doc1's header == doc0's
+        assert out.loc[(0, 0), "dup_count"] == 2
+        assert bool(out.loc[(0, 0), "is_keeper"]) is True
+        assert bool(out.loc[(1, 0), "is_dup"]) is True
+        # footers duplicate exactly
+        assert bool(out.loc[(1, 2), "is_dup"]) is True
+        # unique paragraphs never marked
+        assert not out.loc[(2, 0), "is_dup"] and out.loc[(2, 0), "dup_count"] == 1
+        # doc3: the leading \n\n collapses into ONE delimiter (delim is
+        # the regex \n+), leaving [''], ['unique body three'] — the
+        # empty is filtered but the body keeps its raw split index 1
+        assert (3, 1) in out.index and (3, 0) not in out.index
+
+    def test_scrub_keep_first(self, spark):
+        out = remove_duplicate_paragraphs(_df(spark, PARA_DOCS)).toPandas() \
+            .set_index("doc_id").sort_index()
+        assert out.loc[0, "n_removed"] == 0  # doc0 holds both keepers
+        assert out.loc[0, "text_clean"] == PARA_DOCS[0][1]
+        assert out.loc[1, "n_removed"] == 2
+        assert out.loc[1, "text_clean"] == "unique body one"
+        assert out.loc[2, "n_removed"] == 0
+        assert out.loc[3, "text_clean"] == "unique body three"
+
+    def test_single_exchange(self, spark):
+        plan = paragraph_dedup(_df(spark, PARA_DOCS)) \
+            ._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("Exchange hashpartitioning") == 1
+
+
+class TestDuplicationFraction:
+    def test_fraction_matches_spans(self, spark):
+        shared = " ".join(f"w{i}" for i in range(10))  # 10-token passage
+        rows = [
+            (0, shared + " unique0 tail0 a b c d e f g h i j"),
+            (1, shared + " unique1 tail1 k l m n o p q r s t"),
+            (2, "no duplication here at all just singles " +
+                " ".join(f"z{i}" for i in range(10))),
+        ]
+        out = duplication_fraction(_df(spark, rows), min_len=8).toPandas() \
+            .set_index("doc_id").sort_index()
+        assert out.loc[0, "n_tokens"] == 22
+        assert out.loc[0, "dup_tokens"] == 10  # exactly the shared passage
+        assert out.loc[0, "dup_fraction"] == pytest.approx(10 / 22, abs=1e-6)
+        assert out.loc[2, "dup_tokens"] == 0 and out.loc[2, "dup_fraction"] == 0
+
+
+class TestAssignSplit:
+    def test_partition_and_determinism(self, spark):
+        df = spark.range(2000).withColumnRenamed("id", "doc_id")
+        out = assign_split(df, {"train": 0.8, "val": 0.1, "test": 0.1})
+        counts = {r.split: r["count"] for r in out.groupBy("split").count().collect()}
+        assert sum(counts.values()) == 2000
+        assert 1520 < counts["train"] < 1680  # ~1600 ± binomial noise
+        # label is a pure function of (seed, id): stable across runs
+        a = {r.doc_id: r.split for r in out.collect()}
+        b = {r.doc_id: r.split
+             for r in assign_split(df, {"train": 0.8, "val": 0.1, "test": 0.1}).collect()}
+        assert a == b
+        # monotone under growth: first 2000 keep labels inside 4000
+        big = assign_split(
+            spark.range(4000).withColumnRenamed("id", "doc_id"),
+            {"train": 0.8, "val": 0.1, "test": 0.1})
+        c = {r.doc_id: r.split for r in big.collect() if r.doc_id < 2000}
+        assert a == c
+
+    def test_validation(self, spark):
+        df = spark.range(5).withColumnRenamed("id", "doc_id")
+        with pytest.raises(ValueError, match="sum to 1"):
+            assign_split(df, {"train": 0.5, "val": 0.1})
