@@ -1135,6 +1135,29 @@ def q_sample_split_assign(spark, sf_dir):
     )
 
 
+def q_dsir_logweights(spark, sf_dir):
+    """DSIR importance weights (Xie et al. 2023): hashed
+    unigram+bigram log-ratio of a small target distribution (every
+    97th doc — the decontaminate gate's eval set) vs the raw corpus.
+    Each ln is quantized to integer micro-nats, so logweight_micro is
+    exact integer arithmetic on both engines; the ratio table is
+    bucket-bounded and broadcast — the only corpus-wide exchange is
+    the per-doc groupBy."""
+    from quickwit_spark.pipeline.sampling import dsir_logweights
+
+    docs = _docs(spark, sf_dir)
+    return dsir_logweights(docs, docs.where("doc_id % 97 = 0"))
+
+
+def q_dsir_select(spark, sf_dir):
+    """DSIR argmax selection: top-50 docs by exact integer importance
+    weight (ties by id) — TakeOrdered, no global sort."""
+    from quickwit_spark.pipeline.sampling import dsir_select
+
+    docs = _docs(spark, sf_dir)
+    return dsir_select(docs, docs.where("doc_id % 97 = 0"), k=50)
+
+
 def q_quality_filter(spark, sf_dir):
     """CCNet-style corpus-relative quality gate: drop the bottom 10%
     of docs by unigram-LM score; threshold = exact type-7 quantile
@@ -1595,6 +1618,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_paragraph_scrub": q_dedup_paragraph_scrub,
         "dedup_fraction": q_dedup_fraction,
         "sample_split_assign": q_sample_split_assign,
+        "dsir_logweights": q_dsir_logweights,
+        "dsir_select": q_dsir_select,
         "unigram_logprob": q_unigram_logprob,
         "tfidf_keywords": q_tfidf_keywords,
         "bpe_merges": q_bpe_merges,
@@ -2738,6 +2763,51 @@ SELECT doc_id,
        WHEN {h_split} % 1000000 < 900000 THEN 'val'
        ELSE 'test' END AS split
 FROM documents
+"""
+
+    # DSIR gates: hashed unigram+bigram features, add-one smoothed
+    # micro-nat log ratios (target = every 97th doc), exact integer sum
+    DSIR_B = 10_000
+    dsir_feats = f"""
+  SELECT doc_id, u.f AS bucket FROM (
+    SELECT doc_id, list_concat(
+      list_transform(toks, t -> {h15.format(x='t')} % {DSIR_B}),
+      list_transform(generate_series(1, len(toks) - 1),
+        i -> {h15.format(x="toks[i] || ' ' || toks[i+1]")} % {DSIR_B})
+    ) AS fs
+    FROM (SELECT doc_id, {TOKS} AS toks FROM documents{{flt}})
+  ), UNNEST(fs) AS u(f)"""
+    dsir_core = f"""
+raw_feats AS ({dsir_feats.format(flt="")}),
+tgt_feats AS ({dsir_feats.format(flt=" WHERE doc_id % 97 = 0")}),
+rc AS (SELECT bucket, count(*) AS rc FROM raw_feats GROUP BY bucket),
+tc AS (SELECT bucket, count(*) AS tc FROM tgt_feats GROUP BY bucket),
+tot AS (SELECT
+  round(ln((SELECT sum(rc) FROM rc) + {DSIR_B}) * 1000000, 0)::BIGINT AS qrt,
+  round(ln((SELECT sum(tc) FROM tc) + {DSIR_B}) * 1000000, 0)::BIGINT AS qtt),
+ratio AS (
+  SELECT rc.bucket,
+    (round(ln(coalesce(tc.tc, 0) + 1) * 1000000, 0)::BIGINT
+     - (SELECT qtt FROM tot)
+     - round(ln(rc.rc + 1) * 1000000, 0)::BIGINT
+     + (SELECT qrt FROM tot)) AS qr
+  FROM rc LEFT JOIN tc ON rc.bucket = tc.bucket
+),
+per_doc AS (
+  SELECT f.doc_id, count(*)::BIGINT AS n_feats, sum(r.qr)::BIGINT AS lw
+  FROM raw_feats f JOIN ratio r ON f.bucket = r.bucket
+  GROUP BY f.doc_id
+),
+weights AS (
+  SELECT d.doc_id, coalesce(p.n_feats, 0)::BIGINT AS n_feats,
+    coalesce(p.lw, 0)::BIGINT AS logweight_micro,
+    round(coalesce(p.lw, 0) / 1000000.0, 6) AS logweight
+  FROM documents d LEFT JOIN per_doc p ON d.doc_id = p.doc_id
+)"""
+    sql["dsir_logweights"] = f"WITH {dsir_core}\nSELECT * FROM weights"
+    sql["dsir_select"] = f"""WITH {dsir_core}
+SELECT * FROM weights
+ORDER BY logweight_micro DESC, doc_id ASC LIMIT 50
 """
 
     sql["decontaminate"] = f"""

@@ -399,7 +399,8 @@ def main() -> None:
                  "ann_quantized_topk", "kmeans_clusters",
                  "tfidf_keywords", "transcript_render",
                  "transcript_dedup", "events_asof", "events_interval",
-                 "dedup_exact_incremental", "dedup_paragraph"):
+                 "dedup_exact_incremental", "dedup_paragraph",
+                 "dsir_logweights"):
         fn = entry.queries()[name]
 
         def run(fn=fn):

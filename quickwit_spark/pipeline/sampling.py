@@ -252,3 +252,152 @@ def assign_split(
     for name, cut in zip(reversed(names[:-1]), reversed(cuts)):
         label = F.when(h < cut, F.lit(name)).otherwise(label)
     return df.withColumn("split", label)
+
+
+# --------------------------------------------------------------------------
+# DSIR — Data Selection via Importance Resampling (Xie et al. 2023):
+# score every raw doc by how much more likely its hashed n-gram
+# features are under a small TARGET distribution than under the raw
+# corpus distribution, then keep the top of that ranking. The standard
+# cheap way to skew a 100 TB crawl toward a domain (code, math, a
+# style) given only a few thousand in-domain examples.
+# --------------------------------------------------------------------------
+
+
+def _hashed_features(df: DataFrame, id_col: str, text_col: str,
+                     n_buckets: int) -> DataFrame:
+    """(id, bucket): one row per token occurrence + one per bigram
+    occurrence, hashed into [0, n_buckets) with the cross-engine H15
+    md5 hash (DSIR's hashed unigram+bigram feature space)."""
+    from quickwit_spark.pipeline.textstats import TOKEN_PATTERN
+
+    toks = f"regexp_extract_all(lower({text_col}), '{TOKEN_PATTERN}', 0)"
+    uni = f"transform({toks}, t -> {H15.format(x='t')} % {n_buckets})"
+    # size<2 guard: sequence(1, 0) counts DOWN in Spark and would
+    # index an empty array
+    bi = (
+        f"CASE WHEN size({toks}) >= 2 THEN"
+        f" transform(sequence(1, size({toks}) - 1),"
+        f"  i -> {H15.format(x=f'concat({toks}[i-1], chr(32), {toks}[i])')}"
+        f"  % {n_buckets})"
+        f" ELSE cast(array() AS array<bigint>) END"
+    )
+    return df.select(
+        F.col(id_col),
+        F.explode(F.expr(f"concat({uni}, {bi})")).alias("bucket"),
+    )
+
+
+def dsir_logweights(
+    df: DataFrame,
+    target_df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 10_000,
+) -> DataFrame:
+    """Per-doc DSIR importance log-weight: ``log p_target(feats) -
+    log p_raw(feats)`` under add-one-smoothed hashed unigram+bigram
+    distributions. Every ln is quantized to integer micro-nats
+    (``LN_MICRO``, the :func:`quality scoring <quickwit_spark.pipeline
+    .textstats.unigram_logprob>` trick) so the per-doc sum —
+    ``logweight_micro`` — is EXACT integer arithmetic, bit-identical
+    across Spark / DuckDB / numpy; ``logweight`` is the float view
+    rounded to 6dp. Docs with zero features report 0 (an empty doc is
+    neither in- nor out-of-domain).
+
+    Scale (the 100 TB story): both distributions are bucket tables of
+    ≤ ``n_buckets`` rows — the target side because the target set is
+    small by construction, the raw side because hashing caps the
+    domain — so the scoring join BROADCASTS the ratio table against
+    the exploded corpus features and the only corpus-wide exchange is
+    the map-side-combined per-doc groupBy. No self-join, no collect
+    of anything data-proportional."""
+    from quickwit_spark.pipeline.textstats import LN_MICRO
+
+    feats = _hashed_features(df, id_col, text_col, n_buckets)
+    tgt = _hashed_features(target_df, id_col, text_col, n_buckets)
+    raw_counts = feats.groupBy("bucket").agg(F.count(F.lit(1)).alias("rc"))
+    tgt_counts = tgt.groupBy("bucket").agg(F.count(F.lit(1)).alias("tc"))
+
+    def _qln(col):
+        return F.round(F.log(col.cast("double")) * LN_MICRO, 0).cast("long")
+
+    totals = (
+        raw_counts.agg(F.sum("rc").alias("rt"))
+        .crossJoin(tgt_counts.agg(F.sum("tc").alias("tt")))
+        .select(
+            _qln(F.col("rt") + n_buckets).alias("_qrt"),
+            _qln(F.coalesce(F.col("tt"), F.lit(0)) + n_buckets).alias("_qtt"),
+        )
+    )
+    ratio = (
+        raw_counts.join(tgt_counts, "bucket", "left")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "bucket",
+            (
+                _qln(F.coalesce(F.col("tc"), F.lit(0)) + 1) - F.col("_qtt")
+                - _qln(F.col("rc") + 1) + F.col("_qrt")
+            ).alias("_qr"),
+        )
+    )
+    per_doc = (
+        feats.join(F.broadcast(ratio), "bucket")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_feats"),
+            F.sum("_qr").alias("logweight_micro"),
+        )
+    )
+    return df.select(id_col).join(per_doc, id_col, "left").select(
+        F.col(id_col),
+        F.coalesce("n_feats", F.lit(0)).cast("long").alias("n_feats"),
+        F.coalesce("logweight_micro", F.lit(0)).cast("long")
+        .alias("logweight_micro"),
+        F.round(
+            F.coalesce("logweight_micro", F.lit(0)) / F.lit(float(LN_MICRO)), 6
+        ).alias("logweight"),
+    )
+
+
+def dsir_select(
+    df: DataFrame,
+    target_df: DataFrame,
+    k: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 10_000,
+    gumbel_seed: str | None = None,
+) -> DataFrame:
+    """Keep the ``k`` raw docs with the highest DSIR importance weight
+    (ties by id — fully deterministic because the weights are exact
+    integers). With ``gumbel_seed`` set, rank by ``logweight_micro +
+    Gumbel(H15-hash uniform)`` instead — the paper's importance
+    RESAMPLING (without it, selection is the argmax variant: higher
+    precision, less diversity). The Gumbel noise is a pure hash of
+    (seed, id): deterministic, reproducible, no RNG state.
+
+    The top-k is ``orderBy().limit(k)`` — Spark plans TakeOrdered
+    (per-partition heaps + driver merge of k·partitions rows), never a
+    single-partition global sort."""
+    w = dsir_logweights(df, target_df, id_col, text_col, n_buckets)
+    key = F.col("logweight_micro").cast("double")
+    if gumbel_seed is not None:
+        from quickwit_spark.pipeline.textstats import LN_MICRO
+
+        u = (
+            F.expr(
+                H15.format(
+                    x=f"concat('{gumbel_seed}:', cast({id_col} as string))"
+                )
+            )
+            % SAMPLE_MOD
+            + F.lit(0.5)
+        ) / SAMPLE_MOD
+        key = key + F.round(-F.log(-F.log(u)) * LN_MICRO, 0)
+    return (
+        w.withColumn("_key", key)
+        .orderBy(F.col("_key").desc(), F.col(id_col).asc())
+        .limit(k)
+        .drop("_key")
+    )

@@ -184,3 +184,75 @@ class TestAssignSplit:
         df = spark.range(5).withColumnRenamed("id", "doc_id")
         with pytest.raises(ValueError, match="sum to 1"):
             assign_split(df, {"train": 0.5, "val": 0.1})
+
+
+def _h15(s: str) -> int:
+    import hashlib
+
+    return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+
+class TestDsir:
+    TARGET = [(1000, "cat cats feline cat whiskers purr"),
+              (1001, "cat feline purr cats meow")]
+    RAW = [
+        (0, "cat cats purr feline whiskers happy"),   # in-domain
+        (1, "spark shuffle exchange partition plan"),  # off-domain
+        (2, "cat meow purr"),                          # in-domain
+        (3, "totally unrelated quarterly revenue"),    # off-domain
+        (4, ""),                                       # empty
+    ]
+
+    def test_ranking_and_exact_integer_replay(self, spark):
+        import math
+
+        from quickwit_spark.pipeline.sampling import dsir_logweights
+
+        B, LN = 101, 1_000_000
+        out = dsir_logweights(
+            _df(spark, self.RAW), _df(spark, self.TARGET), n_buckets=B
+        ).toPandas().set_index("doc_id").sort_index()
+
+        # pure-Python integer replay of the micro-nat arithmetic
+        import re
+
+        def feats(text):
+            toks = re.findall(r"[a-z0-9]+", text.lower())
+            f = [_h15(t) % B for t in toks]
+            f += [_h15(f"{a} {b}") % B for a, b in zip(toks, toks[1:])]
+            return f
+
+        from collections import Counter
+        rc = Counter(x for _, t in self.RAW for x in feats(t))
+        tc = Counter(x for _, t in self.TARGET for x in feats(t))
+        qln = lambda v: round(math.log(v) * LN)
+        qrt, qtt = qln(sum(rc.values()) + B), qln(sum(tc.values()) + B)
+        for did, text in self.RAW:
+            fs = feats(text)
+            want = sum(
+                qln(tc.get(x, 0) + 1) - qtt - qln(rc[x] + 1) + qrt for x in fs
+            )
+            assert out.loc[did, "logweight_micro"] == want, did
+            assert out.loc[did, "n_feats"] == len(fs)
+        # in-domain docs outrank off-domain; empty doc is neutral 0
+        assert out.loc[0, "logweight_micro"] > out.loc[1, "logweight_micro"]
+        assert out.loc[2, "logweight_micro"] > out.loc[3, "logweight_micro"]
+        assert out.loc[4, "logweight_micro"] == 0 and out.loc[4, "n_feats"] == 0
+
+    def test_select_topk_and_gumbel_determinism(self, spark):
+        from quickwit_spark.pipeline.sampling import dsir_select
+
+        raw, tgt = _df(spark, self.RAW), _df(spark, self.TARGET)
+        top = dsir_select(raw, tgt, k=2, n_buckets=101)
+        # the off-domain docs (1, 3) must never make the cut; the empty
+        # doc's neutral 0 may legitimately beat a weakly-in-domain doc
+        # on a tiny smoothed fixture
+        assert {r.doc_id for r in top.collect()} <= {0, 2, 4}
+        assert 2 in {r.doc_id for r in top.collect()}
+        g1 = [r.doc_id for r in
+              dsir_select(raw, tgt, k=2, n_buckets=101,
+                          gumbel_seed="g0").collect()]
+        g2 = [r.doc_id for r in
+              dsir_select(raw, tgt, k=2, n_buckets=101,
+                          gumbel_seed="g0").collect()]
+        assert g1 == g2  # hash-Gumbel: no RNG state, fully reproducible
