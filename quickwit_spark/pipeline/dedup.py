@@ -1058,68 +1058,20 @@ def minhash_lsh_incremental(
     n_bands = num_perm // band_size
     cached: list[DataFrame] = []
 
-    def _bands(df_: DataFrame) -> tuple[DataFrame, DataFrame]:
+    def _side(df_: DataFrame) -> tuple[DataFrame, DataFrame]:
         sets_ = _shingle_sets(df_, id_col, text_col, k)
         if persist_intermediates:
             sets_ = sets_.persist(StorageLevel.MEMORY_AND_DISK)
             cached.append(sets_)
         sig = _signatures_from_sets(sets_, id_col, num_perm)
-        b = sig.select(
-            F.col(id_col),
-            F.explode(
-                F.expr(
-                    f"transform(sequence(0, {n_bands - 1}), b -> named_struct("
-                    f" 'band', b,"
-                    f" 'bucket', md5(concat_ws(',',"
-                    f"   transform(slice(signature, b * {band_size} + 1, {band_size}),"
-                    f"     v -> cast(v as string))))))"
-                )
-            ).alias("bb"),
-        ).select(
-            id_col, F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
+        return sets_, _cap_buckets(
+            _band_rows(sig, id_col, n_bands, band_size), max_bucket
         )
-        if max_bucket is not None:
-            keep = (
-                b.groupBy("band", "bucket").count()
-                .where(F.col("count") <= max_bucket)
-                .select("band", "bucket")
-            )
-            b = b.join(keep, ["band", "bucket"])
-        return sets_, b
 
-    sets_new, bands_new = _bands(new_df)
-    sets_corpus, bands_corpus = _bands(corpus_df)
-    cand = (
-        bands_new.select(F.col(id_col).alias("id_new"), "band", "bucket")
-        .join(
-            bands_corpus.select(F.col(id_col).alias("id_corpus"), "band", "bucket"),
-            ["band", "bucket"],
-        )
-        .select("id_new", "id_corpus")
-        .distinct()
-    )
-    out = (
-        cand.join(
-            sets_new.select(F.col(id_col).alias("id_new"), F.col("sh").alias("sh_n")),
-            "id_new",
-        )
-        .join(
-            sets_corpus.select(
-                F.col(id_col).alias("id_corpus"), F.col("sh").alias("sh_c")
-            ),
-            "id_corpus",
-        )
-        .withColumn("inter", F.size(F.array_intersect("sh_n", "sh_c")))
-        .withColumn(
-            "jaccard",
-            F.round(
-                F.col("inter")
-                / (F.size("sh_n") + F.size("sh_c") - F.col("inter")),
-                6,
-            ),
-        )
-        .where(F.col("jaccard") >= threshold)
-        .select("id_new", "id_corpus", "jaccard")
+    sets_new, bands_new = _side(new_df)
+    sets_corpus, bands_corpus = _side(corpus_df)
+    out = _incremental_verify(
+        bands_new, sets_new, bands_corpus, sets_corpus, id_col, threshold
     )
     out._qs_cached = cached
     return out
@@ -1263,3 +1215,186 @@ def duplication_fraction(
         )
         .select(id_col, "n_tokens", "dup_tokens", "dup_fraction")
     )
+
+
+def _band_rows(sig: DataFrame, id_col: str, n_bands: int,
+               band_size: int) -> DataFrame:
+    """(id, band, bucket): the LSH banding of a signature frame —
+    bucket = md5 of the band's signature slice in perm order (identical
+    expression to minhash_lsh_pairs)."""
+    return sig.select(
+        F.col(id_col),
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, {n_bands - 1}), b -> named_struct("
+                f" 'band', b,"
+                f" 'bucket', md5(concat_ws(',',"
+                f"   transform(slice(signature, b * {band_size} + 1, {band_size}),"
+                f"     v -> cast(v as string))))))"
+            )
+        ).alias("bb"),
+    ).select(
+        id_col, F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
+    )
+
+
+def _cap_buckets(bands: DataFrame, max_bucket: int | None) -> DataFrame:
+    """Drop band buckets with more than max_bucket members (the
+    quadratic-blowup guard; see minhash_lsh_pairs)."""
+    if max_bucket is None:
+        return bands
+    keep = (
+        bands.groupBy("band", "bucket").count()
+        .where(F.col("count") <= max_bucket)
+        .select("band", "bucket")
+    )
+    return bands.join(keep, ["band", "bucket"])
+
+
+def _incremental_verify(
+    bands_new: DataFrame, sets_new: DataFrame,
+    bands_corpus: DataFrame, sets_corpus: DataFrame,
+    id_col: str, threshold: float,
+) -> DataFrame:
+    """new-bands × corpus-bands candidates → exact-Jaccard verify.
+    Returns (id_new, id_corpus, jaccard ≥ threshold, rounded 6)."""
+    cand = (
+        bands_new.select(F.col(id_col).alias("id_new"), "band", "bucket")
+        .join(
+            bands_corpus.select(
+                F.col(id_col).alias("id_corpus"), "band", "bucket"
+            ),
+            ["band", "bucket"],
+        )
+        .select("id_new", "id_corpus")
+        .distinct()
+    )
+    return (
+        cand.join(
+            sets_new.select(F.col(id_col).alias("id_new"), F.col("sh").alias("sh_n")),
+            "id_new",
+        )
+        .join(
+            sets_corpus.select(
+                F.col(id_col).alias("id_corpus"), F.col("sh").alias("sh_c")
+            ),
+            "id_corpus",
+        )
+        .withColumn("inter", F.size(F.array_intersect("sh_n", "sh_c")))
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("inter")
+                / (F.size("sh_n") + F.size("sh_c") - F.col("inter")),
+                6,
+            ),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("id_new", "id_corpus", "jaccard")
+    )
+
+
+def write_minhash_index(
+    df: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_perm: int = 12,
+    band_size: int = 3,
+    k: int = 3,
+) -> None:
+    """Persist the corpus side of incremental MinHash dedup: the band
+    table ``bands/`` (id, band, bucket) and the shingle sets ``sets/``
+    (id, sh) as parquet datasets under ``path``, plus the banding
+    params in ``minhash_meta.json`` (probes validate against it —
+    a probe banded differently would silently miss everything).
+
+    Written ONCE when the corpus ingests; every later increment probes
+    the stored tables (:func:`minhash_lsh_indexed`) instead of
+    re-shingling the corpus — the difference between increment-sized
+    and corpus-sized daily work at 100 TB. Storage: bands is
+    n_docs × n_bands narrow rows; sets is the same order as the corpus
+    token volume (needed for exact verification)."""
+    import json as _json
+
+    from quickwit_spark.functions import fs as fsio
+
+    sets_ = _shingle_sets(df, id_col, text_col, k)
+    sig = _signatures_from_sets(sets_, id_col, num_perm)
+    _band_rows(sig, id_col, num_perm // band_size, band_size) \
+        .write.mode("overwrite").parquet(fsio.join(path, "bands"))
+    sets_.write.mode("overwrite").parquet(fsio.join(path, "sets"))
+    fsio.makedirs(path)
+    fsio.write_bytes(
+        fsio.join(path, "minhash_meta.json"),
+        _json.dumps({
+            "id_col": id_col, "num_perm": num_perm,
+            "band_size": band_size, "k": k,
+        }, sort_keys=True).encode(),
+    )
+
+
+def append_minhash_index(
+    new_df: DataFrame,
+    path: str,
+    text_col: str = "text",
+) -> None:
+    """Fold an (already deduped) increment into the stored MinHash
+    index so the NEXT increment sees it. Appends the batch's band rows
+    and shingle sets using the index's own recorded params. The caller
+    is responsible for id uniqueness across appends (same single-writer
+    contract as append_digest_index)."""
+    import json as _json
+
+    from quickwit_spark.functions import fs as fsio
+
+    meta = _json.loads(fsio.read_bytes(fsio.join(path, "minhash_meta.json")))
+    sets_ = _shingle_sets(new_df, meta["id_col"], text_col, meta["k"])
+    sig = _signatures_from_sets(sets_, meta["id_col"], meta["num_perm"])
+    _band_rows(sig, meta["id_col"], meta["num_perm"] // meta["band_size"],
+               meta["band_size"]) \
+        .write.mode("append").parquet(fsio.join(path, "bands"))
+    sets_.write.mode("append").parquet(fsio.join(path, "sets"))
+
+
+def minhash_lsh_indexed(
+    spark,
+    new_df: DataFrame,
+    index_path: str,
+    text_col: str = "text",
+    threshold: float = 0.5,
+    max_bucket: int | None = 1000,
+    persist_intermediates: bool = True,
+) -> DataFrame:
+    """Near-dup pairs between an increment and a PERSISTED corpus
+    MinHash index (:func:`write_minhash_index`) — the production form
+    of :func:`minhash_lsh_incremental`: the corpus is never re-read as
+    text, only its stored band table (filtered to the increment's
+    buckets by the hash join) and the shingle sets of verified
+    candidates move. Returns (id_new, id_corpus, jaccard)."""
+    import json as _json
+
+    from quickwit_spark.functions import fs as fsio
+
+    meta = _json.loads(fsio.read_bytes(fsio.join(index_path, "minhash_meta.json")))
+    id_col = meta["id_col"]
+    cached: list[DataFrame] = []
+    sets_new = _shingle_sets(new_df, id_col, text_col, meta["k"])
+    if persist_intermediates:
+        sets_new = sets_new.persist(StorageLevel.MEMORY_AND_DISK)
+        cached.append(sets_new)
+    sig = _signatures_from_sets(sets_new, id_col, meta["num_perm"])
+    bands_new = _cap_buckets(
+        _band_rows(sig, id_col, meta["num_perm"] // meta["band_size"],
+                   meta["band_size"]),
+        max_bucket,
+    )
+    bands_corpus = _cap_buckets(
+        spark.read.parquet(fsio.join(index_path, "bands")), max_bucket
+    )
+    sets_corpus = spark.read.parquet(fsio.join(index_path, "sets"))
+    out = _incremental_verify(
+        bands_new, sets_new, bands_corpus, sets_corpus, id_col, threshold
+    )
+    out._qs_cached = cached
+    return out

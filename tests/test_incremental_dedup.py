@@ -256,3 +256,45 @@ class TestDsir:
               dsir_select(raw, tgt, k=2, n_buckets=101,
                           gumbel_seed="g0").collect()]
         assert g1 == g2  # hash-Gumbel: no RNG state, fully reproducible
+
+    def test_ratio_join_broadcasts(self, spark):
+        from quickwit_spark.pipeline.sampling import dsir_logweights
+
+        raw, tgt = _df(spark, self.RAW), _df(spark, self.TARGET)
+        plan = dsir_logweights(raw, tgt, n_buckets=101) \
+            ._jdf.queryExecution().executedPlan().toString()
+        # the bucket-bounded ratio table broadcasts against the exploded
+        # corpus features — the corpus is never shuffled for the join
+        assert "BroadcastHashJoin" in plan
+
+
+class TestMinhashIndexed:
+    def test_lifecycle_matches_recompute(self, spark, tmp_path):
+        from quickwit_spark.pipeline.dedup import (
+            append_minhash_index,
+            minhash_lsh_indexed,
+            write_minhash_index,
+        )
+
+        rows = [(i, f"shared prefix tokens run long {i % 3} tail {i}")
+                for i in range(12)]
+        full = _df(spark, rows)
+        corpus, batch = full.where("doc_id < 8"), full.where("doc_id >= 8")
+        idx = str(tmp_path / "mh_idx")
+        write_minhash_index(corpus, idx)
+
+        got_df = minhash_lsh_indexed(spark, batch, idx, threshold=0.2)
+        got = {(r.id_new, r.id_corpus, r.jaccard) for r in got_df.collect()}
+        unpersist_intermediates(got_df)
+        ref_df = minhash_lsh_incremental(batch, corpus, threshold=0.2)
+        want = {(r.id_new, r.id_corpus, r.jaccard) for r in ref_df.collect()}
+        unpersist_intermediates(ref_df)
+        assert got == want and want  # identical to the recompute path
+
+        # fold the batch in: the NEXT increment now matches against it
+        append_minhash_index(batch, idx)
+        nxt = _df(spark, [(100, "shared prefix tokens run long 2 tail 8")])
+        out = minhash_lsh_indexed(spark, nxt, idx, threshold=0.2)
+        hits = {r.id_corpus for r in out.collect()}
+        unpersist_intermediates(out)
+        assert 8 in hits  # doc 8 (appended batch member) is now corpus
