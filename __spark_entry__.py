@@ -1066,6 +1066,26 @@ def q_dedup_minhash_incremental(spark, sf_dir):
     return minhash_lsh_incremental(batch, corpus, threshold=0.3)
 
 
+def q_dedup_minhash_indexed(spark, sf_dir):
+    """The PERSISTED-index form of dedup_minhash_incremental: the
+    corpus band table + shingle sets are written once (cached per
+    sf_dir) and the increment probes the stored datasets — identical
+    pairs to the recompute path, so the same oracle verifies both."""
+    from quickwit_spark.pipeline.dedup import (
+        minhash_lsh_indexed,
+        write_minhash_index,
+    )
+
+    corpus, batch = _incremental_sides(spark, sf_dir)
+    key = sf_dir + "#minhash_idx"
+    if key not in _IDX_CACHE:
+        tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+        d = os.path.join(tempfile.gettempdir(), f"qs_entry_mhidx_{tag}_v1")
+        write_minhash_index(corpus, d)
+        _IDX_CACHE[key] = d
+    return minhash_lsh_indexed(spark, batch, _IDX_CACHE[key], threshold=0.3)
+
+
 def _pages(spark, sf_dir):
     """Paragraph-structured fixture: 5 consecutive docs per page
     (bodies joined by newline, doc-id order) wrapped in a shared
@@ -1618,6 +1638,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_paragraph_scrub": q_dedup_paragraph_scrub,
         "dedup_fraction": q_dedup_fraction,
         "sample_split_assign": q_sample_split_assign,
+        "dedup_minhash_indexed": q_dedup_minhash_indexed,
         "dsir_logweights": q_dsir_logweights,
         "dsir_select": q_dsir_select,
         "unigram_logprob": q_unigram_logprob,
@@ -2685,6 +2706,9 @@ verified AS (
 )
 SELECT id_new, id_corpus, jaccard FROM verified WHERE jaccard >= 0.3
 """
+    # the persisted-index probe produces identical pairs by
+    # construction (same banding, same verify) — same oracle
+    sql["dedup_minhash_indexed"] = sql["dedup_minhash_incremental"]
 
     # paragraph-dedup gates: pages of 5 consecutive docs wrapped in a
     # shared header/footer paragraph (the CCNet boilerplate shape)
