@@ -1178,6 +1178,18 @@ def q_dsir_select(spark, sf_dir):
     return dsir_select(docs, docs.where("doc_id % 97 = 0"), k=50)
 
 
+def q_gopher_rules(spark, sf_dir):
+    """Gopher quality-rule battery (Rae et al. 2021): whitespace-word
+    and line features + composite keep flag — pure narrow map, zero
+    shuffles. min_words/stopword bounds relaxed to the fixture's word
+    lengths so the flag actually splits the corpus."""
+    from quickwit_spark.pipeline.textstats import gopher_rules
+
+    return gopher_rules(
+        _docs(spark, sf_dir), min_words=30, min_required_stopwords=1
+    )
+
+
 def q_quality_filter(spark, sf_dir):
     """CCNet-style corpus-relative quality gate: drop the bottom 10%
     of docs by unigram-LM score; threshold = exact type-7 quantile
@@ -1607,6 +1619,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agg_terms_subagg_avg": q_agg_terms_subagg_avg,
         "token_count": q_token_count,
         "quality_score": q_quality_score,
+        "gopher_rules": q_gopher_rules,
         "lang_id": q_lang_id,
         "fingerprint": q_fingerprint,
         "repetition_stats": q_repetition_stats,
@@ -2778,6 +2791,46 @@ SELECT d.doc_id, len({TOKS})::BIGINT AS n_tokens,
   round(coalesce(agg.dup_tokens, 0) * 1.0
         / greatest(len({TOKS}), 1), 6) AS dup_fraction
 FROM documents d LEFT JOIN agg ON d.doc_id = agg.doc_id
+"""
+
+    gopher_stops = ", ".join(
+        f"'{w}'"
+        for w in ("the", "be", "to", "of", "and", "that", "have", "with")
+    )
+    sql["gopher_rules"] = f"""
+WITH w AS (
+  SELECT doc_id,
+    list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS ws,
+    string_split(text, chr(10)) AS ls,
+    (len(text) - len(replace(text, '#', ''))
+     + len(regexp_extract_all(text, '\\.\\.\\.|…'))) AS n_symbols
+  FROM documents
+),
+f AS (
+  SELECT doc_id,
+    len(ws)::BIGINT AS n_words,
+    round(coalesce(list_sum(list_transform(ws, x -> len(x))), 0) * 1.0
+          / greatest(len(ws), 1), 6) AS mean_word_len,
+    round(n_symbols * 1.0 / greatest(len(ws), 1), 6) AS symbol_ratio,
+    round(len(list_filter(ls, l -> trim(l) LIKE '-%' OR trim(l) LIKE '•%')) * 1.0
+          / greatest(len(ls), 1), 6) AS bullet_line_frac,
+    round(len(list_filter(ls, l -> trim(l) LIKE '%...' OR trim(l) LIKE '%…')) * 1.0
+          / greatest(len(ls), 1), 6) AS ellipsis_line_frac,
+    round(len(list_filter(ws, x -> regexp_matches(x, '[A-Za-z]'))) * 1.0
+          / greatest(len(ws), 1), 6) AS alpha_word_frac,
+    len(list_filter([{gopher_stops}],
+        s -> list_contains(list_transform(ws, x -> lower(x)), s)))::BIGINT
+      AS n_required_stop
+  FROM w
+)
+SELECT doc_id, n_words, mean_word_len, symbol_ratio, bullet_line_frac,
+  ellipsis_line_frac, alpha_word_frac, n_required_stop,
+  (n_words >= 30 AND n_words <= 100000
+   AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
+   AND symbol_ratio <= 0.1
+   AND bullet_line_frac <= 0.9 AND ellipsis_line_frac <= 0.3
+   AND alpha_word_frac >= 0.8 AND n_required_stop >= 1) AS gopher_keep
+FROM f
 """
 
     h_split = h15.format(x="concat('split0:', cast(doc_id AS VARCHAR))")

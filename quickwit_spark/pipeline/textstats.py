@@ -391,3 +391,96 @@ def tfidf_keywords(
     )
     out._qs_cached = cached
     return out
+
+
+GOPHER_REQUIRED_STOPWORDS = (
+    "the", "be", "to", "of", "and", "that", "have", "with",
+)
+
+
+def gopher_rules(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_symbol_ratio: float = 0.1,
+    max_bullet_line_frac: float = 0.9,
+    max_ellipsis_line_frac: float = 0.3,
+    min_alpha_word_frac: float = 0.8,
+    min_required_stopwords: int = 2,
+) -> DataFrame:
+    """The Gopher quality-rule battery (Rae et al. 2021, Table A1):
+    per-doc rule features + a composite ``gopher_keep`` flag. Words
+    are WHITESPACE-split (the paper's definition — distinct from the
+    index tokenizer); lines split on newline. Default thresholds are
+    the paper's; every bound is a parameter because real corpora tune
+    them. Pure narrow map — zero shuffles, zero Python; all features
+    are SQL-expressible so the DuckDB oracle verifies value-for-value.
+
+    Reported features: n_words, mean_word_len, symbol_ratio
+    (# + ellipsis occurrences per word), bullet_line_frac,
+    ellipsis_line_frac, alpha_word_frac, n_required_stop (how many of
+    the paper's 8 required stopwords appear), gopher_keep."""
+    words = f"filter(split({text_col}, '\\\\s+'), w -> w <> '')"
+    lines = f"split({text_col}, '\\n')"
+    stop_arr = ", ".join(f"'{w}'" for w in GOPHER_REQUIRED_STOPWORDS)
+    staged = df.select(
+        F.col(id_col),
+        F.expr(words).alias("_w"),
+        F.expr(lines).alias("_l"),
+        (
+            F.length(text_col)
+            - F.length(F.replace(F.col(text_col), F.lit("#"), F.lit("")))
+            + F.expr(f"size(regexp_extract_all({text_col}, '\\\\.\\\\.\\\\.|…', 0))")
+        ).cast("long").alias("n_symbols"),
+    )
+    feats = staged.select(
+        id_col,
+        F.size("_w").cast("long").alias("n_words"),
+        F.round(
+            F.expr("aggregate(_w, 0L, (a, w) -> a + length(w))")
+            / F.greatest(F.size("_w"), F.lit(1)),
+            6,
+        ).alias("mean_word_len"),
+        F.round(
+            F.col("n_symbols") / F.greatest(F.size("_w"), F.lit(1)), 6
+        ).alias("symbol_ratio"),
+        F.round(
+            F.expr(
+                "size(filter(_l, l -> trim(l) like '-%' or trim(l) like '•%'))"
+            )
+            / F.greatest(F.size("_l"), F.lit(1)),
+            6,
+        ).alias("bullet_line_frac"),
+        F.round(
+            F.expr(
+                "size(filter(_l, l -> trim(l) like '%...' or trim(l) like '%…'))"
+            )
+            / F.greatest(F.size("_l"), F.lit(1)),
+            6,
+        ).alias("ellipsis_line_frac"),
+        F.round(
+            F.expr("size(filter(_w, w -> w rlike '[A-Za-z]'))")
+            / F.greatest(F.size("_w"), F.lit(1)),
+            6,
+        ).alias("alpha_word_frac"),
+        F.expr(
+            f"size(filter(array({stop_arr}),"
+            f" s -> exists(_w, w -> lower(w) = s)))"
+        ).cast("long").alias("n_required_stop"),
+    )
+    return feats.withColumn(
+        "gopher_keep",
+        (F.col("n_words") >= min_words)
+        & (F.col("n_words") <= max_words)
+        & (F.col("mean_word_len") >= min_mean_word_len)
+        & (F.col("mean_word_len") <= max_mean_word_len)
+        & (F.col("symbol_ratio") <= max_symbol_ratio)
+        & (F.col("bullet_line_frac") <= max_bullet_line_frac)
+        & (F.col("ellipsis_line_frac") <= max_ellipsis_line_frac)
+        & (F.col("alpha_word_frac") >= min_alpha_word_frac)
+        & (F.col("n_required_stop") >= min_required_stopwords),
+    )

@@ -298,3 +298,44 @@ class TestMinhashIndexed:
         hits = {r.id_corpus for r in out.collect()}
         unpersist_intermediates(out)
         assert 8 in hits  # doc 8 (appended batch member) is now corpus
+
+
+class TestGopherRules:
+    def test_each_rule_fires(self, spark):
+        from quickwit_spark.pipeline.textstats import gopher_rules
+
+        good = "the cat and dog have fun with all of that " * 6  # 60 words
+        rows = [
+            (0, good),                                   # passes everything
+            (1, "too short of the and"),                 # n_words < min
+            (2, "### " * 60 + good),                     # symbol ratio
+            (3, "\n".join(["- bullet point here"] * 10 + [good])),  # bullets
+            (4, "\n".join(["trailing thought..."] * 5 + [good, good])),
+            (5, ("0101 " * 30) + "the of and"),          # alpha fraction
+            (6, "zz qq xx vv " * 15),                    # no required stops
+        ]
+        out = gopher_rules(
+            _df(spark, rows), min_words=30, max_bullet_line_frac=0.5,
+            max_ellipsis_line_frac=0.3,
+        ).toPandas().set_index("doc_id").sort_index()
+        assert bool(out.loc[0, "gopher_keep"]) is True
+        assert bool(out.loc[1, "gopher_keep"]) is False
+        assert out.loc[1, "n_words"] == 5
+        assert bool(out.loc[2, "gopher_keep"]) is False
+        assert out.loc[2, "symbol_ratio"] > 0.1
+        assert bool(out.loc[3, "gopher_keep"]) is False
+        assert out.loc[3, "bullet_line_frac"] > 0.5
+        assert bool(out.loc[4, "gopher_keep"]) is False
+        assert out.loc[4, "ellipsis_line_frac"] > 0.3
+        assert bool(out.loc[5, "gopher_keep"]) is False
+        assert out.loc[5, "alpha_word_frac"] < 0.8
+        assert bool(out.loc[6, "gopher_keep"]) is False
+        assert out.loc[6, "n_required_stop"] == 0
+        assert out.loc[0, "n_required_stop"] == 6  # the,and,have,with,of,that
+
+    def test_zero_exchange(self, spark):
+        from quickwit_spark.pipeline.textstats import gopher_rules
+
+        plan = gopher_rules(_df(spark, [(0, "a b c")])) \
+            ._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan  # pure narrow map
