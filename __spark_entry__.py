@@ -1034,25 +1034,73 @@ def _incremental_sides(spark, sf_dir):
     return corpus, batch
 
 
-def q_dedup_exact_incremental(spark, sf_dir):
-    """Incremental exact dedup: the batch is annotated against a
-    STANDING digest index (one narrow row per distinct corpus digest)
-    — per-increment cost scales with the increment, never the corpus.
-    The batch is shuffled once (digest window + index probe join share
-    the partitioning)."""
-    from quickwit_spark.pipeline.dedup import (
-        exact_dedup_incremental,
-        write_digest_index,
-    )
+def _digest_index(spark, sf_dir, corpus):
+    """The standing digest index over the corpus side, written once
+    per sf_dir per process."""
+    from quickwit_spark.pipeline.dedup import write_digest_index
 
-    corpus, batch = _incremental_sides(spark, sf_dir)
     key = sf_dir + "#digest_idx"
     if key not in _IDX_CACHE:
         tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
         d = os.path.join(tempfile.gettempdir(), f"qs_entry_digidx_{tag}_v1")
         write_digest_index(corpus, d)
         _IDX_CACHE[key] = d
-    return exact_dedup_incremental(spark, batch, _IDX_CACHE[key])
+    return _IDX_CACHE[key]
+
+
+def q_dedup_exact_incremental(spark, sf_dir):
+    """Incremental exact dedup: the batch is annotated against a
+    STANDING digest index (one narrow row per distinct corpus digest)
+    — per-increment cost scales with the increment, never the corpus.
+    The batch is shuffled once (digest window + index probe join share
+    the partitioning)."""
+    from quickwit_spark.pipeline.dedup import exact_dedup_incremental
+
+    corpus, batch = _incremental_sides(spark, sf_dir)
+    return exact_dedup_incremental(
+        spark, batch, _digest_index(spark, sf_dir, corpus)
+    )
+
+
+def q_corpus_curation_incremental(spark, sf_dir):
+    """Composed incremental ingest gate — what a daily 100 TB-corpus
+    increment actually runs: annotate vs the standing digest index,
+    keep the non-dups, Gopher-gate them, assign train/val/test, and
+    account per split. Increment-sized work end to end; the corpus
+    appears only as the narrow digest index."""
+    from quickwit_spark.pipeline.dedup import exact_dedup_incremental
+    from quickwit_spark.pipeline.sampling import assign_split
+    from quickwit_spark.pipeline.textstats import gopher_rules
+
+    corpus, batch = _incremental_sides(spark, sf_dir)
+    ann = exact_dedup_incremental(
+        spark, batch, _digest_index(spark, sf_dir, corpus)
+    )
+    keepers = batch.join(
+        ann.where(~F.col("is_dup")).select("doc_id"), "doc_id"
+    )
+    gated = gopher_rules(
+        keepers, min_words=30, min_required_stopwords=1
+    ).where("gopher_keep")
+    assigned = assign_split(
+        gated.select("doc_id", "n_words"),
+        {"train": 0.8, "val": 0.1, "test": 0.1},
+    )
+    return assigned.groupBy("split").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_words").alias("n_words_total"),
+    )
+
+
+def q_sample_frequency_cap(spark, sf_dir):
+    """Per-domain frequency cap (RefinedWeb/C4 guard): at most 50 docs
+    per source by deterministic md5 rank — one window shuffle."""
+    from quickwit_spark.pipeline.sampling import frequency_cap
+
+    return frequency_cap(
+        _docs(spark, sf_dir).select("doc_id", "source"),
+        group_col="source", max_per_group=50,
+    )
 
 
 def q_dedup_minhash_incremental(spark, sf_dir):
@@ -1654,6 +1702,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_indexed": q_dedup_minhash_indexed,
         "dsir_logweights": q_dsir_logweights,
         "dsir_select": q_dsir_select,
+        "corpus_curation_incremental": q_corpus_curation_incremental,
+        "sample_frequency_cap": q_sample_frequency_cap,
         "unigram_logprob": q_unigram_logprob,
         "tfidf_keywords": q_tfidf_keywords,
         "bpe_merges": q_bpe_merges,
@@ -2793,18 +2843,23 @@ SELECT d.doc_id, len({TOKS})::BIGINT AS n_tokens,
 FROM documents d LEFT JOIN agg ON d.doc_id = agg.doc_id
 """
 
+    h_split = h15.format(x="concat('split0:', cast(doc_id AS VARCHAR))")
     gopher_stops = ", ".join(
         f"'{w}'"
         for w in ("the", "be", "to", "of", "and", "that", "have", "with")
     )
-    sql["gopher_rules"] = f"""
-WITH w AS (
+
+    def gopher_cte(src: str) -> str:
+        """w/f CTE bodies computing the Gopher rule features over any
+        (doc_id, text) relation."""
+        return f"""
+w AS (
   SELECT doc_id,
     list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS ws,
     string_split(text, chr(10)) AS ls,
     (len(text) - len(replace(text, '#', ''))
      + len(regexp_extract_all(text, '\\.\\.\\.|…'))) AS n_symbols
-  FROM documents
+  FROM {src}
 ),
 f AS (
   SELECT doc_id,
@@ -2822,18 +2877,60 @@ f AS (
         s -> list_contains(list_transform(ws, x -> lower(x)), s)))::BIGINT
       AS n_required_stop
   FROM w
-)
-SELECT doc_id, n_words, mean_word_len, symbol_ratio, bullet_line_frac,
-  ellipsis_line_frac, alpha_word_frac, n_required_stop,
-  (n_words >= 30 AND n_words <= 100000
+)"""
+
+    gopher_keep_cond = """(n_words >= 30 AND n_words <= 100000
    AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
    AND symbol_ratio <= 0.1
    AND bullet_line_frac <= 0.9 AND ellipsis_line_frac <= 0.3
-   AND alpha_word_frac >= 0.8 AND n_required_stop >= 1) AS gopher_keep
+   AND alpha_word_frac >= 0.8 AND n_required_stop >= 1)"""
+
+    sql["gopher_rules"] = f"""
+WITH {gopher_cte('documents')}
+SELECT doc_id, n_words, mean_word_len, symbol_ratio, bullet_line_frac,
+  ellipsis_line_frac, alpha_word_frac, n_required_stop,
+  {gopher_keep_cond} AS gopher_keep
 FROM f
 """
 
-    h_split = h15.format(x="concat('split0:', cast(doc_id AS VARCHAR))")
+    sql["corpus_curation_incremental"] = f"""
+WITH {corpus_batch},
+idx AS (SELECT md5(text) AS digest, min(doc_id) AS corpus_keeper_id
+        FROM corpus GROUP BY 1),
+b AS (
+  SELECT doc_id, md5(text) AS digest,
+    min(doc_id) OVER (PARTITION BY md5(text)) AS batch_keeper_id
+  FROM batch
+),
+keep_ids AS (
+  SELECT b.doc_id FROM b LEFT JOIN idx i ON b.digest = i.digest
+  WHERE i.corpus_keeper_id IS NULL AND b.doc_id = b.batch_keeper_id
+),
+kept AS (SELECT batch.doc_id, batch.text
+         FROM batch JOIN keep_ids USING (doc_id)),
+{gopher_cte('kept').lstrip()},
+gk AS (SELECT doc_id, n_words FROM f WHERE {gopher_keep_cond}),
+assigned AS (
+  SELECT n_words,
+    CASE WHEN {h_split} % 1000000 < 800000 THEN 'train'
+         WHEN {h_split} % 1000000 < 900000 THEN 'val'
+         ELSE 'test' END AS split
+  FROM gk
+)
+SELECT split, count(*)::BIGINT AS n_docs, sum(n_words)::BIGINT AS n_words_total
+FROM assigned GROUP BY split
+"""
+
+    sql["sample_frequency_cap"] = f"""
+SELECT doc_id, source FROM (
+  SELECT doc_id, source,
+    row_number() OVER (PARTITION BY source
+      ORDER BY {h15.format(x="concat('cap0:', cast(doc_id AS VARCHAR))")} ASC,
+               doc_id ASC) AS rk
+  FROM documents)
+WHERE rk <= 50
+"""
+
     sql["sample_split_assign"] = f"""
 SELECT doc_id,
   CASE WHEN {h_split} % 1000000 < 800000 THEN 'train'

@@ -406,3 +406,31 @@ def dsir_select(
         .limit(k)
         .drop("_key")
     )
+
+
+def frequency_cap(
+    df: DataFrame,
+    group_col: str = "source",
+    max_per_group: int = 1000,
+    id_col: str = "doc_id",
+    seed: str = "cap0",
+) -> DataFrame:
+    """Per-group document cap (the RefinedWeb/C4 per-domain guard: a
+    handful of template-heavy hosts otherwise dominate a crawl): keep
+    at most ``max_per_group`` docs per group, chosen by deterministic
+    md5 rank (H15(seed:id), ties by id) so the survivors are
+    bit-reproducible across engines and runs, and a group's survivor
+    set only shrinks predictably as the cap tightens (rank is
+    cap-independent). ONE window shuffle on the group key; heavily
+    skewed groups are bounded by the cap itself downstream."""
+    from pyspark.sql import Window
+
+    h = F.expr(
+        H15.format(x=f"concat('{seed}:', cast({id_col} as string))")
+    )
+    w = Window.partitionBy(group_col).orderBy(h.asc(), F.col(id_col).asc())
+    return (
+        df.withColumn("_rk", F.row_number().over(w))
+        .where(F.col("_rk") <= max_per_group)
+        .drop("_rk")
+    )

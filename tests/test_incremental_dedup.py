@@ -339,3 +339,26 @@ class TestGopherRules:
         plan = gopher_rules(_df(spark, [(0, "a b c")])) \
             ._jdf.queryExecution().executedPlan().toString()
         assert "Exchange" not in plan  # pure narrow map
+
+
+class TestFrequencyCap:
+    def test_cap_deterministic_and_monotone(self, spark):
+        from quickwit_spark.pipeline.sampling import frequency_cap
+
+        rows = [(i, "srcA" if i < 80 else "srcB") for i in range(100)]
+        df = spark.createDataFrame(
+            pd.DataFrame(rows, columns=["doc_id", "source"])
+        )
+        out = frequency_cap(df, max_per_group=10)
+        got = sorted(r.doc_id for r in out.collect())
+        assert len(got) == 20  # 10 from each group
+        # deterministic across runs
+        again = sorted(
+            r.doc_id for r in frequency_cap(df, max_per_group=10).collect()
+        )
+        assert got == again
+        # tightening the cap yields a SUBSET (rank is cap-independent)
+        tight = {r.doc_id for r in frequency_cap(df, max_per_group=5).collect()}
+        assert tight < set(got) and len(tight) == 10
+        # loosening past the group size keeps everything
+        assert frequency_cap(df, max_per_group=1000).count() == 100
