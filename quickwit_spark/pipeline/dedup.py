@@ -1398,3 +1398,53 @@ def minhash_lsh_indexed(
     )
     out._qs_cached = cached
     return out
+
+
+def start_indexed_dedup_stream(
+    spark,
+    stream: DataFrame,
+    index_path: str,
+    out_path: str,
+    checkpoint_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    trigger: dict | None = None,
+):
+    """Streaming exact dedup whose state is the STANDING digest index,
+    not the state-store: each micro-batch is annotated against the
+    index (:func:`exact_dedup_incremental`), the keepers land under
+    ``out_path/batch_id=<n>/`` and their digests are appended to the
+    index for the next batch.
+
+    vs :func:`exact_dedup_stream` (dropDuplicates state): the index is
+    a queryable, shareable dataset — batch jobs, other streams, and
+    ad-hoc `exact_dedup_incremental` calls dedup against the SAME
+    state, and it survives checkpoint loss. Replay-idempotent by
+    construction: the keep condition is ``keeper_id == id`` (the doc
+    is its own canonical copy), which stays TRUE when a crashed batch
+    replays after its own digests were appended — the doc's corpus
+    keeper is then itself — while a genuine duplicate keeps pointing
+    at the earlier keeper; the per-batch output dir is overwritten on
+    replay and ``append_digest_index`` is idempotent per digest.
+    ``trigger`` defaults to availableNow (drain + stop)."""
+    import os as _os
+
+    def handle(batch_df, batch_id: int):
+        ann = exact_dedup_incremental(
+            spark, batch_df, index_path, id_col, text_col
+        )
+        keepers = batch_df.join(
+            ann.where(F.col("keeper_id") == F.col(id_col)).select(id_col),
+            id_col,
+        )
+        keepers.write.mode("overwrite").parquet(
+            _os.path.join(out_path, f"batch_id={batch_id}")
+        )
+        append_digest_index(spark, keepers, index_path, id_col, text_col)
+
+    return (
+        stream.writeStream.foreachBatch(handle)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(**(trigger or {"availableNow": True}))
+        .start()
+    )

@@ -362,3 +362,55 @@ class TestFrequencyCap:
         assert tight < set(got) and len(tight) == 10
         # loosening past the group size keeps everything
         assert frequency_cap(df, max_per_group=1000).count() == 100
+
+
+class TestIndexedDedupStream:
+    def test_stream_dedups_and_reprocessing_is_idempotent(self, spark, tmp_path):
+        import json as _json
+
+        from quickwit_spark.pipeline.dedup import start_indexed_dedup_stream
+
+        src = tmp_path / "src"
+        src.mkdir()
+        (src / "f1.json").write_text("\n".join(
+            _json.dumps(d) for d in [
+                {"doc_id": 10, "text": "alpha beta"},
+                {"doc_id": 11, "text": "gamma delta"},
+            ]))
+        (src / "f2.json").write_text("\n".join(
+            _json.dumps(d) for d in [
+                {"doc_id": 20, "text": "alpha beta"},     # dup of 10
+                {"doc_id": 21, "text": "seed content"},   # dup of seed 0
+                {"doc_id": 22, "text": "epsilon zeta"},   # new
+            ]))
+        idx = str(tmp_path / "digidx")
+        write_digest_index(
+            _df(spark, [(0, "seed content")]), idx
+        )
+        out = str(tmp_path / "kept")
+
+        def run(cp: str):
+            stream = (
+                spark.readStream.schema("doc_id long, text string")
+                .option("maxFilesPerTrigger", 1).json(str(src))
+            )
+            q = start_indexed_dedup_stream(
+                spark, stream, idx, out, str(tmp_path / cp))
+            q.awaitTermination(120)
+
+        run("cp1")
+        kept = spark.read.parquet(out)
+        ids = {r.doc_id for r in kept.select("doc_id").collect()}
+        assert ids == {10, 11, 22}  # both dups dropped, firsts kept
+        # the index now also covers the streamed keepers
+        n_digests = spark.read.parquet(idx).count()
+        assert n_digests == 4  # seed + 3 keepers
+
+        # reprocess everything with a FRESH checkpoint: every keeper is
+        # its own canonical copy (keeper_id == id survives its own
+        # digest being in the index), dups stay dropped, index stable
+        run("cp2")
+        again = {r.doc_id for r in
+                 spark.read.parquet(out).select("doc_id").collect()}
+        assert again == ids
+        assert spark.read.parquet(idx).count() == n_digests
