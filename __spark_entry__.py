@@ -390,6 +390,44 @@ def q_hard_negatives(spark, sf_dir):
     )
 
 
+def q_hybrid_rrf_topk(spark, sf_dir):
+    """Hybrid lexical+semantic retrieval (pipeline/mining
+    hybrid_bm25_cosine_topk): batch BM25 over the inverted index fused
+    with exact cosine over the embeddings table by reciprocal-rank
+    fusion (Cormack et al. 2009; the ES/OpenSearch hybrid-search
+    combiner). Query embeddings are the fixture vectors whose vec_id
+    matches the query number (b1 ↔ vec 1 …). Contributions are
+    floor(1e9/(60+rank)) integers, so rrf_micro and the fused order
+    are bit-identical across engines; overfetch is set corpus-sized so
+    the lexical depth cut happens entirely on the engine-independent
+    (rounded score, doc_id) order."""
+    from quickwit_spark.pipeline.mining import hybrid_bm25_cosine_topk
+
+    idx = _docs_index(spark, sf_dir)
+    import pandas as _pd
+
+    qdf = spark.createDataFrame(
+        _pd.DataFrame(_BATCH_QUERIES, columns=["query_id", "query"])
+    )
+    embs = _embs(spark, sf_dir)
+    qvecs = embs.where(F.col("vec_id").between(1, 5)).select(
+        F.concat(F.lit("b"), F.col("vec_id").cast("string")).alias("query_id"),
+        "embedding",
+    )
+    out = hybrid_bm25_cosine_topk(
+        spark, idx, qdf, embs, qvecs,
+        k=10, depth=20, overfetch=1_000_000,
+    )
+    return out.select(
+        "query_id",
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "fused_rank",
+        "rrf_micro",
+        "lex_rank",
+        "sem_rank",
+    )
+
+
 def q_docmapper_typed(spark, sf_dir):
     """Generic DocMapping over a synthesized JSON feed of the documents
     table: typed leaves (i64/f64), base64 bytes, nested object, and a
@@ -1648,6 +1686,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_scoped_group": q_bm25_scoped_group,
         "bm25_batch_topk": q_bm25_batch_topk,
         "hard_negatives": q_hard_negatives,
+        "hybrid_rrf_topk": q_hybrid_rrf_topk,
         "demux_tenant_counts": q_demux_tenant_counts,
         "docmapper_typed": q_docmapper_typed,
         "search_num_hits": q_search_num_hits,
@@ -2167,6 +2206,97 @@ negs AS (
     AND NOT (doc_id % 7 = CAST(substr(query_id, 2) AS BIGINT) % 7)
 )
 SELECT query_id, doc_id, neg_rank, score FROM negs WHERE neg_rank <= 10
+"""
+    )
+
+    # hybrid RRF: the SAME first-principles lexical ranking (all
+    # conjunction matches ranked on rounded score, cut 20) fused with
+    # the cosine side (query vec = the query's number) by exact
+    # integer floor(1e9/(60+rank)) contributions — bit-identical
+    # rrf_micro and fused order by construction
+    sql["hybrid_rrf_topk"] = (
+        _BM25_WITH
+        + f"""
+, queries(query_id, qtext) AS (VALUES {qvalues}),
+qterms AS (
+  SELECT query_id, term, count(*) AS weight
+  FROM (SELECT query_id,
+               unnest(regexp_extract_all(lower(qtext), '[0-9a-z]+')) AS term
+        FROM queries)
+  GROUP BY query_id, term
+),
+nq AS (SELECT query_id, count(*) AS n_terms FROM qterms GROUP BY query_id),
+qdf AS (
+  SELECT term, count(DISTINCT doc_id) AS df FROM toks
+  WHERE term IN (SELECT DISTINCT term FROM qterms) GROUP BY term
+),
+qtf AS (
+  SELECT term, doc_id, count(*) AS tf FROM toks
+  WHERE term IN (SELECT DISTINCT term FROM qterms) GROUP BY term, doc_id
+),
+scored AS (
+  SELECT q.query_id, t.doc_id,
+         sum(q.weight
+             * ln(1 + ((SELECT n FROM stats) - d.df + 0.5) / (d.df + 0.5))
+             * (t.tf * ({K1} + 1))
+             / (t.tf + {K1} * (1 - {B} + {B} * dl.dl / (SELECT avgdl FROM stats)))) AS s,
+         count(*) AS nm
+  FROM qterms q
+  JOIN qtf t USING (term)
+  JOIN qdf d USING (term)
+  JOIN dl ON t.doc_id = dl.doc_id
+  GROUP BY q.query_id, t.doc_id
+),
+conj AS (
+  SELECT s.query_id, s.doc_id, round(s.s, 4) AS score
+  FROM scored s JOIN nq USING (query_id)
+  WHERE s.nm = nq.n_terms
+),
+lex AS (
+  SELECT * FROM (
+    SELECT query_id, doc_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY score DESC, doc_id ASC) AS lex_rank
+    FROM conj
+  ) WHERE lex_rank <= 20
+),
+wv AS (SELECT vec_id, embedding, sqrt({self_dot}) AS nrm FROM embeddings),
+semsc AS (
+  SELECT 'b' || b.vec_id AS query_id, a.vec_id AS doc_id,
+         round({dot} / (a.nrm * b.nrm), 6) AS cosine
+  FROM wv a JOIN wv b ON b.vec_id BETWEEN 1 AND 5
+),
+sem AS (
+  SELECT * FROM (
+    SELECT query_id, doc_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY cosine DESC, doc_id ASC) AS sem_rank
+    FROM semsc
+  ) WHERE sem_rank <= 20
+),
+contrib AS (
+  SELECT query_id, doc_id,
+         CAST(FLOOR(1000000000.0 / (60 + lex_rank)) AS BIGINT) AS c FROM lex
+  UNION ALL
+  SELECT query_id, doc_id,
+         CAST(FLOOR(1000000000.0 / (60 + sem_rank)) AS BIGINT) AS c FROM sem
+),
+fused AS (
+  SELECT query_id, doc_id, CAST(sum(c) AS BIGINT) AS rrf_micro
+  FROM contrib GROUP BY query_id, doc_id
+),
+franked AS (
+  SELECT query_id, doc_id, rrf_micro,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY rrf_micro DESC, doc_id ASC) AS fused_rank
+  FROM fused
+)
+SELECT r.query_id, r.doc_id, r.fused_rank, r.rrf_micro,
+       l.lex_rank, s.sem_rank
+FROM franked r
+LEFT JOIN lex l ON r.query_id = l.query_id AND r.doc_id = l.doc_id
+LEFT JOIN sem s ON r.query_id = s.query_id AND r.doc_id = s.doc_id
+WHERE r.fused_rank <= 10
 """
     )
 

@@ -33,15 +33,22 @@ def cosine_topk(
     k: int = 10,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    exclude_self: bool = True,
 ) -> DataFrame:
     """Exact top-k cosine neighbors for each query vector (excluding
-    itself). The small query side is broadcast; ranking is a window
-    top-k that AQE executes as a partial sort — no global shuffle of
-    the corpus. Returns (query_id, neighbor_id, rank, cosine)."""
+    itself unless ``exclude_self=False`` — e.g. when the query side
+    carries external query ids that are not corpus ids, where the
+    `!=` comparison across types would silently null out the join).
+    The small query side is broadcast; ranking is a window top-k that
+    AQE executes as a partial sort — no global shuffle of the corpus.
+    Returns (query_id, neighbor_id, rank, cosine)."""
     c = _with_norm(ensure_parallelism(corpus), id_col, vec_col, "c")
     q = _with_norm(queries, id_col, vec_col, "q")
+    pair_cond = (
+        F.col("c_id") != F.col("q_id") if exclude_self else F.lit(True)
+    )
     scored = (
-        c.join(F.broadcast(q), F.col("c_id") != F.col("q_id"))
+        c.join(F.broadcast(q), pair_cond)
         .withColumn(
             "cosine",
             F.round(

@@ -145,3 +145,180 @@ class TestRetrievalMetrics:
         # k=1 drops q1's rank-2 gold out of the window
         out = {r.query_id: r for r in retrieval_metrics(hits, gold, k=1).collect()}
         assert out[1].gold_rank is None and out[2].gold_rank == 1
+
+
+class TestRrfFuse:
+    def _sides(self, spark):
+        a = spark.createDataFrame(
+            [("q1", 1, 1), ("q1", 2, 2), ("q1", 3, 3), ("q2", 7, 1)],
+            "query_id string, doc_id long, rank long",
+        )
+        b = spark.createDataFrame(
+            [("q1", 2, 1), ("q1", 4, 2), ("q2", 7, 1)],
+            "query_id string, doc_id long, rank long",
+        )
+        return a, b
+
+    @staticmethod
+    def _c(rank, rrf_k=60):
+        import math
+
+        from quickwit_spark.pipeline.mining import RRF_SCALE
+
+        return math.floor(RRF_SCALE / (rrf_k + rank))
+
+    def test_exact_integer_fusion(self, spark):
+        from quickwit_spark.pipeline.mining import rrf_fuse
+
+        a, b = self._sides(spark)
+        out = {
+            (r.query_id, r.doc_id): r
+            for r in rrf_fuse([a, b], k=10).collect()
+        }
+        # doc 2 appears on both sides: rank 2 on a, rank 1 on b
+        assert out[("q1", 2)].rrf_micro == self._c(2) + self._c(1)
+        assert out[("q1", 2)].n_sides == 2
+        assert out[("q1", 1)].rrf_micro == self._c(1)
+        assert out[("q1", 4)].rrf_micro == self._c(2)
+        assert out[("q1", 3)].rrf_micro == self._c(3)
+        assert out[("q2", 7)].rrf_micro == 2 * self._c(1)
+        # fused order: doc2 (both sides) > doc1 (r1) > doc4 (r2) > doc3
+        ranks = {r.doc_id: r.fused_rank for r in out.values() if r.query_id == "q1"}
+        assert ranks == {2: 1, 1: 2, 4: 3, 3: 4}
+
+    def test_k_cut_and_tie_order(self, spark):
+        from quickwit_spark.pipeline.mining import rrf_fuse
+
+        a, b = self._sides(spark)
+        got = rrf_fuse([a, b], k=2).collect()
+        assert sorted(
+            (r.doc_id for r in got if r.query_id == "q1")
+        ) == [1, 2]
+        # equal-rank docs on a single side tie-break by doc id asc
+        t = spark.createDataFrame(
+            [("q", 9, 1), ("q", 3, 1)], "query_id string, doc_id long, rank long"
+        )
+        rows = {r.doc_id: r.fused_rank for r in rrf_fuse([t], k=5).collect()}
+        assert rows == {3: 1, 9: 2}
+
+    def test_empty_sides_rejected(self, spark):
+        from quickwit_spark.pipeline.mining import rrf_fuse
+
+        with pytest.raises(ValueError):
+            rrf_fuse([])
+
+
+class TestHybridRrf:
+    @pytest.fixture(scope="class")
+    def hybrid_setup(self, spark, tmp_path_factory):
+        """Tiny documents-style index + deterministic embeddings."""
+        from quickwit_spark.config import FieldConfig, IndexConfig
+        from quickwit_spark.operators.build import build_index
+
+        docs = [
+            (i, " ".join(
+                (["alpha"] * (1 + i % 3))
+                + (["beta"] if i % 2 == 0 else ["gamma"])
+                + [f"w{i:03d}"]
+            ))
+            for i in range(24)
+        ]
+        from pyspark.sql import functions as F
+
+        ddf = spark.createDataFrame(docs, "doc_id long, text string").withColumn(
+            "ts",
+            F.expr(
+                "timestamp'2025-01-01 00:00:00'"
+                " + make_interval(0,0,0,0,0,0,doc_id)"
+            ),
+        )
+        cfg = IndexConfig(
+            fields=(FieldConfig("text", tokenizer="default", record="position"),),
+            default_search_field="text",
+            doc_key_fields=("doc_id",),
+            routing_field="doc_id",
+            tag_fields=(),
+        )
+        d = str(tmp_path_factory.mktemp("hybrid") / "idx")
+        build_index(spark, ddf, d, cfg, n_splits=2)
+        # embeddings: doc i points mostly at axis (i % 4) — queries along
+        # an axis rank docs of that residue class first, ties by id
+        vecs = [
+            (i, [1.0 if j == i % 4 else 0.1 * (j + 1) for j in range(4)])
+            for i in range(24)
+        ]
+        corpus_vecs = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
+        qrows = [("h1", [1.0, 0.0, 0.0, 0.0]), ("h2", [0.0, 1.0, 0.0, 0.0])]
+        query_vecs = spark.createDataFrame(qrows, "query_id string, embedding array<double>")
+        queries = spark.createDataFrame(
+            [("h1", "alpha beta"), ("h2", "alpha gamma")],
+            "query_id string, query string",
+        )
+        return d, queries, corpus_vecs, query_vecs
+
+    def test_matches_side_recomputation(self, spark, hybrid_setup):
+        import math
+
+        from pyspark.sql import functions as F
+
+        from quickwit_spark.operators.batch_search import batch_bm25_topk
+        from quickwit_spark.pipeline.mining import (
+            RRF_SCALE,
+            hybrid_bm25_cosine_topk,
+        )
+        from quickwit_spark.pipeline.similarity import cosine_topk
+
+        d, queries, corpus_vecs, query_vecs = hybrid_setup
+        depth, k, rrf_k = 8, 6, 60
+        out = hybrid_bm25_cosine_topk(
+            spark, d, queries, corpus_vecs, query_vecs,
+            k=k, depth=depth, rrf_k=rrf_k,
+        ).collect()
+
+        # recompute both sides independently
+        hits = batch_bm25_topk(
+            spark, d, queries, k=depth, fetch_cols=("doc_id",)
+        ).collect()
+        lex: dict[str, dict[int, int]] = {}
+        for qid in ("h1", "h2"):
+            rows = sorted(
+                ((-round(r.score, 4), r.doc_id) for r in hits if r.query_id == qid)
+            )[:depth]
+            lex[qid] = {doc: i + 1 for i, (_, doc) in enumerate(rows)}
+        sem_rows = cosine_topk(
+            corpus_vecs,
+            query_vecs.select(F.col("query_id").alias("vec_id"), "embedding"),
+            k=depth, exclude_self=False,
+        ).collect()
+        sem = {("h1",): {}, ("h2",): {}}
+        sem = {"h1": {}, "h2": {}}
+        for r in sem_rows:
+            sem[r.query_id][r.neighbor_id] = r.rank
+
+        expect: dict[tuple, int] = {}
+        for qid in ("h1", "h2"):
+            for doc in set(lex[qid]) | set(sem[qid]):
+                m = 0
+                if doc in lex[qid]:
+                    m += math.floor(RRF_SCALE / (rrf_k + lex[qid][doc]))
+                if doc in sem[qid]:
+                    m += math.floor(RRF_SCALE / (rrf_k + sem[qid][doc]))
+                expect[(qid, doc)] = m
+
+        assert len(out) == 2 * k
+        for r in out:
+            key = (r.query_id, r.doc_id)
+            assert expect[key] == r.rrf_micro
+            assert r.lex_rank == lex[r.query_id].get(r.doc_id)
+            assert r.sem_rank == sem[r.query_id].get(r.doc_id)
+            assert r.n_sides == (r.lex_rank is not None) + (r.sem_rank is not None)
+        # and the cut keeps exactly the top-k of the expected fusion
+        for qid in ("h1", "h2"):
+            full = sorted(
+                ((qq, dd) for (qq, dd) in expect if qq == qid),
+                key=lambda t: (-expect[t], t[1]),
+            )[:k]
+            got = {
+                (r.query_id, r.doc_id) for r in out if r.query_id == qid
+            }
+            assert got == set(full)
