@@ -1276,6 +1276,39 @@ def q_gopher_rules(spark, sf_dir):
     )
 
 
+def q_c4_rules(spark, sf_dir):
+    """C4 line/page filter battery (Raffel et al. 2020 §2.2) over a
+    deterministically synthesized line structure: every 5th word of
+    the flat fixture text becomes a '.'-terminated line (the remainder
+    line keeps NO terminal punctuation, exercising the punct rule),
+    plus per-doc-id variants — a javascript line (%5), a short line
+    (%7), a page-level 'lorem ipsum' prefix (%17) and a curly brace
+    (%13). Both engines build the identical synthetic text, so kept
+    lines, sentence counts, and the keep flag match value-for-value."""
+    from quickwit_spark.pipeline.textstats import c4_rules
+
+    docs = _docs(spark, sf_dir)
+    base = F.regexp_replace(
+        F.col("text"), r"(([a-z0-9]+ ){4}[a-z0-9]+) ", "$1.\n"
+    )
+    synth = F.concat(
+        F.when(
+            F.col("doc_id") % 17 == 0,
+            F.lit("lorem ipsum dolor sit amet consectetur.\n"),
+        ).otherwise(F.lit("")),
+        base,
+        F.when(
+            F.col("doc_id") % 5 == 0,
+            F.lit("\nplease enable javascript to view this page today."),
+        ).otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 7 == 0, F.lit("\ntiny line.")).otherwise(
+            F.lit("")
+        ),
+        F.when(F.col("doc_id") % 13 == 0, F.lit(" {")).otherwise(F.lit("")),
+    )
+    return c4_rules(docs.select("doc_id", synth.alias("text")))
+
+
 def q_quality_filter(spark, sf_dir):
     """CCNet-style corpus-relative quality gate: drop the bottom 10%
     of docs by unigram-LM score; threshold = exact type-7 quantile
@@ -1707,6 +1740,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_count": q_token_count,
         "quality_score": q_quality_score,
         "gopher_rules": q_gopher_rules,
+        "c4_rules": q_c4_rules,
         "lang_id": q_lang_id,
         "fingerprint": q_fingerprint,
         "repetition_stats": q_repetition_stats,
@@ -3020,6 +3054,52 @@ WITH {gopher_cte('documents')}
 SELECT doc_id, n_words, mean_word_len, symbol_ratio, bullet_line_frac,
   ellipsis_line_frac, alpha_word_frac, n_required_stop,
   {gopher_keep_cond} AS gopher_keep
+FROM f
+"""
+
+    # C4 twin: identical synthetic line structure (5-word '.' lines via
+    # the same regex, remainder unpunctuated, %5 javascript line, %7
+    # short line, %17 lorem-ipsum prefix, %13 brace), then the same
+    # line/page rules — RE2 and Java regex agree on this pattern
+    sql["c4_rules"] = """
+WITH synth AS (
+  SELECT doc_id,
+    (CASE WHEN doc_id % 17 = 0
+          THEN 'lorem ipsum dolor sit amet consectetur.' || chr(10)
+          ELSE '' END)
+    || regexp_replace(text, '(([a-z0-9]+ ){4}[a-z0-9]+) ',
+                      '\\1.' || chr(10), 'g')
+    || (CASE WHEN doc_id % 5 = 0
+             THEN chr(10) || 'please enable javascript to view this page today.'
+             ELSE '' END)
+    || (CASE WHEN doc_id % 7 = 0 THEN chr(10) || 'tiny line.' ELSE '' END)
+    || (CASE WHEN doc_id % 13 = 0 THEN ' {' ELSE '' END) AS text
+  FROM documents
+),
+l AS (
+  SELECT doc_id, text,
+    list_transform(string_split(text, chr(10)), x -> trim(x)) AS ls
+  FROM synth
+),
+k AS (
+  SELECT doc_id, text, len(ls)::BIGINT AS n_lines,
+    list_filter(ls, x -> regexp_matches(x, '[.!?"]$')
+      AND len(list_filter(string_split(x, ' '), w -> w <> '')) >= 5
+      AND NOT contains(lower(x), 'javascript')) AS kept
+  FROM l
+),
+f AS (
+  SELECT doc_id, n_lines, len(kept)::BIGINT AS n_kept_lines,
+    len(regexp_extract_all(array_to_string(kept, chr(10)), '[.!?]'))::BIGINT
+      AS n_sentences,
+    contains(lower(text), 'lorem ipsum') AS has_blocklist,
+    contains(text, '{') AS has_brace,
+    array_to_string(kept, chr(10)) AS kept_text
+  FROM k
+)
+SELECT doc_id, n_lines, n_kept_lines, n_sentences, has_blocklist, has_brace,
+  kept_text,
+  (n_sentences >= 3 AND NOT has_blocklist AND NOT has_brace) AS c4_keep
 FROM f
 """
 

@@ -484,3 +484,90 @@ def gopher_rules(
         & (F.col("alpha_word_frac") >= min_alpha_word_frac)
         & (F.col("n_required_stop") >= min_required_stopwords),
     )
+
+
+def c4_rules(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_words_per_line: int = 5,
+    min_sentences: int = 3,
+    blocklist: tuple = ("lorem ipsum",),
+    drop_brace: bool = True,
+) -> DataFrame:
+    """The C4 line/page filter battery (Raffel et al. 2020, §2.2) —
+    the other canonical web-corpus cleaner next to :func:`gopher_rules`:
+
+    * line level (lines = newline split, trimmed): keep a line iff it
+      ends in terminal punctuation (``. ! ? "``), has at least
+      ``min_words_per_line`` space-separated words (the paper's 5),
+      and does not mention ``javascript`` (case-insensitive);
+    * page level: drop the page if the KEPT text has fewer than
+      ``min_sentences`` sentences (terminal-punct marks — the paper's
+      3), if the original page contains any ``blocklist`` phrase
+      (stand-in for the paper's word-list filter; lowercase matched),
+      or if it contains a curly brace (``drop_brace`` — the paper's
+      code-page heuristic).
+
+    The paper's remaining rule — dedup of any 3-sentence span — is the
+    span-dedup family (``dedup.duplicate_spans`` /
+    ``decontaminate_spans``), not re-implemented here.
+
+    Pure narrow map: higher-order filters over the line array, zero
+    shuffles, zero Python; every feature SQL-expressible so the DuckDB
+    oracle verifies value-for-value (entry twin: ``c4_rules``).
+
+    Returns (id_col, n_lines, n_kept_lines, n_sentences,
+    has_blocklist, has_brace, kept_text, c4_keep).
+    """
+    lines = f"transform(split({text_col}, '\\n'), x -> trim(x))"
+    kept = (
+        "filter(_l, x -> x rlike '[.!?\"]$'"
+        f" and size(filter(split(x, ' '), w -> w <> ''))"
+        f" >= {int(min_words_per_line)}"
+        " and not contains(lower(x), 'javascript'))"
+    )
+    has_block = F.lit(False)
+    for phrase in blocklist:
+        p = str(phrase).lower().replace("'", "''")
+        has_block = has_block | F.expr(
+            f"contains(lower({text_col}), '{p}')"
+        )
+    staged = df.select(
+        F.col(id_col),
+        F.expr(lines).alias("_l"),
+        has_block.alias("has_blocklist"),
+        F.expr(f"contains({text_col}, '{{')").alias("has_brace"),
+    ).select(
+        id_col,
+        F.size("_l").cast("long").alias("n_lines"),
+        F.expr(kept).alias("_k"),
+        "has_blocklist",
+        "has_brace",
+    )
+    feats = staged.select(
+        id_col,
+        "n_lines",
+        F.size("_k").cast("long").alias("n_kept_lines"),
+        F.expr(
+            "size(regexp_extract_all(array_join(_k, '\\n'), '[.!?]', 0))"
+        ).cast("long").alias("n_sentences"),
+        "has_blocklist",
+        "has_brace",
+        F.expr("array_join(_k, '\\n')").alias("kept_text"),
+    )
+    keep = (F.col("n_sentences") >= int(min_sentences)) & ~F.col(
+        "has_blocklist"
+    )
+    if drop_brace:
+        keep = keep & ~F.col("has_brace")
+    return feats.withColumn("c4_keep", keep).select(
+        id_col,
+        "n_lines",
+        "n_kept_lines",
+        "n_sentences",
+        "has_blocklist",
+        "has_brace",
+        "kept_text",
+        "c4_keep",
+    )

@@ -414,3 +414,72 @@ class TestIndexedDedupStream:
                  spark.read.parquet(out).select("doc_id").collect()}
         assert again == ids
         assert spark.read.parquet(idx).count() == n_digests
+
+
+class TestC4Rules:
+    def test_line_and_page_rules(self, spark):
+        from quickwit_spark.pipeline.textstats import c4_rules
+
+        good = "the quick brown fox jumps over it."
+        rows = [
+            # 3 good lines -> kept page
+            (0, "\n".join([good, good, good])),
+            # line dropped: no terminal punctuation
+            (1, "\n".join([good, good, "no punctuation on this line", good])),
+            # line dropped: < 5 words despite punctuation
+            (2, "\n".join([good, good, "too short."])),
+            # line dropped: javascript mention
+            (3, "\n".join([good, good, "please enable JavaScript to view.", good])),
+            # page dropped: blocklist phrase anywhere in the ORIGINAL text
+            (4, "\n".join([good, good, "Lorem Ipsum dolor sit amet."])),
+            # page dropped: curly brace
+            (5, "\n".join([good, good, good, "if (x) { return y; }"])),
+            # page dropped: fewer than 3 sentences after line filtering
+            (6, "\n".join([good, good])),
+            # multi-sentence single line still counts 3 sentences
+            (7, "one two three four five. six seven eight nine ten! end it now ok yes?"),
+        ]
+        out = (
+            c4_rules(_df(spark, rows))
+            .toPandas()
+            .set_index("doc_id")
+            .sort_index()
+        )
+        assert bool(out.loc[0, "c4_keep"]) is True
+        assert out.loc[0, "n_kept_lines"] == 3
+        assert bool(out.loc[1, "c4_keep"]) is True
+        assert out.loc[1, "n_lines"] == 4 and out.loc[1, "n_kept_lines"] == 3
+        assert out.loc[2, "n_kept_lines"] == 2  # 'too short.' cut
+        assert out.loc[3, "n_kept_lines"] == 3  # javascript line cut
+        assert bool(out.loc[4, "has_blocklist"]) is True
+        assert bool(out.loc[4, "c4_keep"]) is False
+        assert bool(out.loc[5, "has_brace"]) is True
+        assert bool(out.loc[5, "c4_keep"]) is False
+        assert bool(out.loc[6, "c4_keep"]) is False
+        assert out.loc[6, "n_sentences"] == 2
+        assert bool(out.loc[7, "c4_keep"]) is True
+        assert out.loc[7, "n_sentences"] == 3
+        # kept_text is the trimmed kept lines rejoined
+        assert out.loc[0, "kept_text"] == "\n".join([good, good, good])
+
+    def test_thresholds_and_blocklist_params(self, spark):
+        from quickwit_spark.pipeline.textstats import c4_rules
+
+        rows = [(0, "alpha beta gamma delta epsilon zeta.\nsecret phrase here today now.")]
+        strict = c4_rules(
+            _df(spark, rows), min_sentences=2, blocklist=("secret phrase",)
+        ).collect()[0]
+        assert strict.has_blocklist and not strict.c4_keep
+        loose = c4_rules(
+            _df(spark, rows), min_sentences=2, blocklist=()
+        ).collect()[0]
+        assert (not loose.has_blocklist) and loose.c4_keep
+        # word threshold: 6-word line survives min_words_per_line=6, not 7
+        assert c4_rules(
+            _df(spark, rows), min_sentences=1, blocklist=(),
+            min_words_per_line=7,
+        ).collect()[0].n_kept_lines == 0
+        # brace tolerance
+        braced = [(0, "alpha beta gamma delta epsilon { zeta.\n" * 3)]
+        assert c4_rules(_df(spark, braced), drop_brace=False).collect()[0].c4_keep
+        assert not c4_rules(_df(spark, braced)).collect()[0].c4_keep
