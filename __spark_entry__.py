@@ -1362,6 +1362,16 @@ def q_unigram_logprob(spark, sf_dir):
     return unigram_logprob(_docs(spark, sf_dir))
 
 
+def q_bigram_logprob(spark, sf_dir):
+    """Corpus bigram-LM quality score (the CCNet-perplexity-shaped
+    upgrade of unigram_logprob): mean ln p(w_i | w_{i-1}) under the
+    corpus's own ML conditional bigram distribution, each ln in exact
+    integer micro-nats on both engines."""
+    from quickwit_spark.pipeline.textstats import bigram_logprob
+
+    return bigram_logprob(_docs(spark, sf_dir))
+
+
 def q_chunk_overlap(spark, sf_dir):
     """Sliding-window chunking (RAG layout): 64-token chunks every 48
     tokens; zero shuffles — tokenize/posexplode/slice narrow maps."""
@@ -1778,6 +1788,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_curation_incremental": q_corpus_curation_incremental,
         "sample_frequency_cap": q_sample_frequency_cap,
         "unigram_logprob": q_unigram_logprob,
+        "bigram_logprob": q_bigram_logprob,
         "tfidf_keywords": q_tfidf_keywords,
         "bpe_merges": q_bpe_merges,
         "bpe_encode": q_bpe_encode,
@@ -3428,6 +3439,38 @@ SELECT d.doc_id,
        coalesce(pd.n_tokens, 0)::BIGINT AS n_tokens,
        round((sq::DOUBLE / pd.n_tokens - qtot) / 1000000, 6) AS logprob
 FROM documents d LEFT JOIN pd ON d.doc_id = pd.doc_id, tot
+"""
+
+    # bigram-LM twin: same integer micro-nat quantization; heads
+    # re-derived from the bigram table exactly as the Spark plan does
+    sql["bigram_logprob"] = f"""
+WITH t AS (SELECT doc_id, {TOKS} AS tk FROM documents),
+bg AS (
+  SELECT doc_id,
+         unnest(list_transform(generate_series(2, len(tk)),
+                               i -> tk[i-1] || ' ' || tk[i])) AS bg
+  FROM t WHERE len(tk) >= 2
+),
+tf AS (SELECT doc_id, bg, count(*) AS tf FROM bg GROUP BY doc_id, bg),
+bgc AS (SELECT bg, sum(tf)::BIGINT AS c FROM tf GROUP BY bg),
+hc AS (
+  SELECT split_part(bg, ' ', 1) AS head, sum(c)::BIGINT AS hc
+  FROM bgc GROUP BY 1
+),
+q AS (
+  SELECT bg, round(ln(c) * 1000000, 0)::BIGINT
+             - round(ln(hc) * 1000000, 0)::BIGINT AS q
+  FROM bgc JOIN hc ON split_part(bgc.bg, ' ', 1) = hc.head
+),
+pd AS (
+  SELECT tf.doc_id, sum(tf.tf)::BIGINT AS n_bigrams,
+         sum(tf.tf * q.q)::BIGINT AS sq
+  FROM tf JOIN q USING (bg) GROUP BY tf.doc_id
+)
+SELECT d.doc_id,
+       coalesce(pd.n_bigrams, 0)::BIGINT AS n_bigrams,
+       round(sq::DOUBLE / pd.n_bigrams / 1000000, 6) AS logprob
+FROM documents d LEFT JOIN pd ON d.doc_id = pd.doc_id
 """
 
     # quality-gate twin: the unigram chain + an exact type-7 quantile

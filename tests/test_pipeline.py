@@ -1299,3 +1299,61 @@ def test_contamination_spans_matches_bruteforce_random(spark):
         for r in contamination_spans(cdf, edf, min_len=L).collect()
     }
     assert got == want and len(want) > 5
+
+
+def test_bigram_logprob_exact_replay(spark):
+    """Scores match a pure-Python integer micro-nat replay of the
+    ML conditional bigram LM; <2-token docs score NULL; a repeated
+    formulaic doc scores higher than a unique-bigram doc."""
+    import math
+
+    from quickwit_spark.pipeline.textstats import LN_MICRO, bigram_logprob
+
+    rows = [
+        (0, "a b a b a b"),          # formulaic: p(b|a)=1 within-doc mass
+        (1, "a b c d"),              # unique bigrams
+        (2, "c a b d"),
+        (3, "solo"),                 # 1 token -> no bigrams
+        (4, ""),                     # empty
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r.doc_id: r for r in bigram_logprob(df).collect()}
+    assert out[3].n_bigrams == 0 and out[3].logprob is None
+    assert out[4].n_bigrams == 0 and out[4].logprob is None
+
+    # pure-Python replay
+    from collections import Counter
+
+    bg_by_doc = {}
+    corpus = Counter()
+    for did, text in rows:
+        toks = text.split()
+        bgs = [f"{a} {b}" for a, b in zip(toks, toks[1:])]
+        bg_by_doc[did] = bgs
+        corpus.update(bgs)
+    heads = Counter()
+    for bg, c in corpus.items():
+        heads[bg.split(" ")[0]] += c
+
+    def qln(x):
+        return int(math.floor(math.log(x) * LN_MICRO + 0.5))
+
+    for did, bgs in bg_by_doc.items():
+        if not bgs:
+            continue
+        sq = sum(qln(corpus[bg]) - qln(heads[bg.split(" ")[0]]) for bg in bgs)
+        want = round(sq / len(bgs) / LN_MICRO, 6)
+        assert out[did].n_bigrams == len(bgs)
+        assert abs(out[did].logprob - want) < 1e-9, (did, out[did].logprob, want)
+
+    assert out[0].logprob > out[1].logprob  # formulaic beats token soup
+
+    # cached intermediate is releasable and matches the uncached plan
+    from quickwit_spark.pipeline.dedup import unpersist_intermediates
+
+    cached = bigram_logprob(df)
+    assert len(cached._qs_cached) == 1
+    rows_cached = {(r.doc_id, r.n_bigrams, r.logprob) for r in cached.collect()}
+    unpersist_intermediates(cached)
+    plain = bigram_logprob(df, persist_intermediates=False)
+    assert {(r.doc_id, r.n_bigrams, r.logprob) for r in plain.collect()} == rows_cached
