@@ -322,3 +322,75 @@ class TestHybridRrf:
                 (r.query_id, r.doc_id) for r in out if r.query_id == qid
             }
             assert got == set(full)
+
+
+class TestRrfFuseProperty:
+    """Hypothesis property: for ANY set of ranked lists, rrf_fuse's
+    integer fusion equals a pure-Python replay — sums, side counts,
+    tie order, and the k cut."""
+
+    from hypothesis import given, settings, strategies as st
+
+    side = st.lists(
+        st.tuples(
+            st.sampled_from(["q0", "q1", "q2"]),
+            st.integers(min_value=0, max_value=12),   # doc id
+        ),
+        min_size=0,
+        max_size=20,
+        unique=True,  # one rank row per (query, doc) within a side
+    )
+
+    @given(sides=st.lists(side, min_size=1, max_size=4),
+           k=st.integers(min_value=1, max_value=6),
+           rrf_k=st.sampled_from([1, 60]))
+    @settings(max_examples=12, deadline=None)
+    def test_matches_python_replay(self, spark, sides, k, rrf_k):
+        import math
+
+        from quickwit_spark.pipeline.mining import RRF_SCALE, rrf_fuse
+
+        # assign ranks: within each side, per query, rank by doc asc
+        # (any deterministic 1-based ranking works for the property)
+        frames, replay = [], {}
+        rows_any = False
+        for s in sides:
+            ranked = {}
+            by_q = {}
+            for q, d in sorted(s):
+                by_q.setdefault(q, []).append(d)
+            for q, docs in by_q.items():
+                for i, d in enumerate(docs, start=1):
+                    ranked[(q, d)] = i
+                    c = math.floor(RRF_SCALE / (rrf_k + i))
+                    tot, n = replay.get((q, d), (0, 0))
+                    replay[(q, d)] = (tot + c, n + 1)
+            rows = [(q, d, r) for (q, d), r in ranked.items()]
+            rows_any = rows_any or bool(rows)
+            frames.append(
+                spark.createDataFrame(
+                    rows or [("qx", -1, 1)],
+                    "query_id string, doc_id long, rank long",
+                )
+            )
+            if not rows:
+                # placeholder row participates too; mirror it
+                c = math.floor(RRF_SCALE / (rrf_k + 1))
+                tot, n = replay.get(("qx", -1), (0, 0))
+                replay[("qx", -1)] = (tot + c, n + 1)
+
+        out = rrf_fuse(frames, k=k, rrf_k=rrf_k).collect()
+        got = {(r.query_id, r.doc_id): r for r in out}
+        # expected: per query, top-k of (micro desc, doc asc)
+        by_query = {}
+        for (q, d), (tot, n) in replay.items():
+            by_query.setdefault(q, []).append((d, tot, n))
+        expect = {}
+        for q, items in by_query.items():
+            items.sort(key=lambda t: (-t[1], t[0]))
+            for rank, (d, tot, n) in enumerate(items[:k], start=1):
+                expect[(q, d)] = (rank, tot, n)
+        assert set(got) == set(expect)
+        for key, (rank, tot, n) in expect.items():
+            r = got[key]
+            assert (r.fused_rank, r.rrf_micro, r.n_sides) == (rank, tot, n)
