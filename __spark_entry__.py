@@ -3100,12 +3100,14 @@ k AS (
   FROM l
 ),
 f AS (
+  -- coalesce: array_to_string([]) is NULL in DuckDB but Spark's
+  -- array_join([]) is '' — a zero-kept-line page must match exactly
   SELECT doc_id, n_lines, len(kept)::BIGINT AS n_kept_lines,
-    len(regexp_extract_all(array_to_string(kept, chr(10)), '[.!?]'))::BIGINT
-      AS n_sentences,
+    len(regexp_extract_all(coalesce(array_to_string(kept, chr(10)), ''),
+                           '[.!?]'))::BIGINT AS n_sentences,
     contains(lower(text), 'lorem ipsum') AS has_blocklist,
     contains(text, '{') AS has_brace,
-    array_to_string(kept, chr(10)) AS kept_text
+    coalesce(array_to_string(kept, chr(10)), '') AS kept_text
   FROM k
 )
 SELECT doc_id, n_lines, n_kept_lines, n_sentences, has_blocklist, has_brace,

@@ -529,9 +529,10 @@ def c4_rules(
     )
     has_block = F.lit(False)
     for phrase in blocklist:
-        p = str(phrase).lower().replace("'", "''")
-        has_block = has_block | F.expr(
-            f"contains(lower({text_col}), '{p}')"
+        # Column API, not an interpolated SQL literal — phrases with
+        # quotes/backslashes need no escaping
+        has_block = has_block | F.contains(
+            F.lower(F.col(text_col)), F.lit(str(phrase).lower())
         )
     staged = df.select(
         F.col(id_col),
@@ -606,7 +607,6 @@ def bigram_logprob(
     frame across its two consumers; release with
     :func:`quickwit_spark.pipeline.dedup.unpersist_intermediates`.
     """
-    toks = f"regexp_extract_all(lower({text_col}), '{TOKEN_PATTERN}', 0)"
     bigrams = (
         "CASE WHEN size(_toks) >= 2 THEN"
         " transform(sequence(1, size(_toks) - 1),"
@@ -614,7 +614,7 @@ def bigram_logprob(
         " ELSE cast(array() AS array<string>) END"
     )
     tf = (
-        df.select(F.col(id_col), F.expr(toks).alias("_toks"))
+        df.select(F.col(id_col), tokens_col(text_col).alias("_toks"))
         .select(F.col(id_col), F.explode(F.expr(bigrams)).alias("bg"))
         .groupBy(id_col, "bg")
         .agg(F.count(F.lit(1)).alias("tf"))

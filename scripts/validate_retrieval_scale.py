@@ -118,16 +118,17 @@ def main() -> None:
 
     from quickwit_spark.pipeline.mining import RRF_SCALE, hybrid_bm25_cosine_topk
 
+    K, DEPTH, RRF_K = 10, 40, 60
     t0 = time.time()
     out = hybrid_bm25_cosine_topk(
-        spark, idx, qdf, embs, qvecs, k=10, depth=40,
+        spark, idx, qdf, embs, qvecs, k=K, depth=DEPTH, rrf_k=RRF_K,
     ).persist()
     n_out = out.count()
     dt = time.time() - t0
 
     contrib = (
-        f"coalesce(cast(floor({float(RRF_SCALE)} / (60 + lex_rank)) as bigint), 0L)"
-        f" + coalesce(cast(floor({float(RRF_SCALE)} / (60 + sem_rank)) as bigint), 0L)"
+        f"coalesce(cast(floor({float(RRF_SCALE)} / ({RRF_K} + lex_rank)) as bigint), 0L)"
+        f" + coalesce(cast(floor({float(RRF_SCALE)} / ({RRF_K} + sem_rank)) as bigint), 0L)"
     )
     bad_micro = out.where(F.expr(f"rrf_micro <> ({contrib})")).count()
     bad_sides = out.where(
@@ -143,7 +144,7 @@ def main() -> None:
         F.max("fused_rank").alias("hi"),
     )
     bad_rank = ranks.where(
-        "n <> nd or lo <> 1 or hi <> n or n > 10"
+        f"n <> nd or lo <> 1 or hi <> n or n > {K}"
     ).count()
     out.unpersist()
     report(

@@ -483,3 +483,22 @@ class TestC4Rules:
         braced = [(0, "alpha beta gamma delta epsilon { zeta.\n" * 3)]
         assert c4_rules(_df(spark, braced), drop_brace=False).collect()[0].c4_keep
         assert not c4_rules(_df(spark, braced)).collect()[0].c4_keep
+
+
+def test_c4_oracle_zero_kept_line_parity():
+    """A page whose every line is filtered out must report '' / 0 /
+    keep=false in BOTH engines: DuckDB's array_to_string([]) is NULL
+    (unlike Spark's array_join) and the oracle twin must coalesce it
+    (regression: review finding, round 4)."""
+    import duckdb
+
+    import __spark_entry__ as entry
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT 5::BIGINT AS doc_id, 'short' AS text"
+    )
+    row = con.execute(entry.oracle_sql()["c4_rules"]).df().iloc[0]
+    assert row["n_kept_lines"] == 0
+    assert row["kept_text"] == "" and row["n_sentences"] == 0
+    assert bool(row["c4_keep"]) is False

@@ -353,7 +353,6 @@ class TestRrfFuseProperty:
         # assign ranks: within each side, per query, rank by doc asc
         # (any deterministic 1-based ranking works for the property)
         frames, replay = [], {}
-        rows_any = False
         for s in sides:
             ranked = {}
             by_q = {}
@@ -366,7 +365,6 @@ class TestRrfFuseProperty:
                     tot, n = replay.get((q, d), (0, 0))
                     replay[(q, d)] = (tot + c, n + 1)
             rows = [(q, d, r) for (q, d), r in ranked.items()]
-            rows_any = rows_any or bool(rows)
             frames.append(
                 spark.createDataFrame(
                     rows or [("qx", -1, 1)],
