@@ -972,6 +972,22 @@ def q_dedup_embedding_lsh(spark, sf_dir):
     )
 
 
+def q_semantic_decontaminate(spark, sf_dir):
+    """Embedding-space decontamination: max cosine vs a broadcast
+    eval set (vec_id < 8 stands in for the benchmark embeddings) —
+    the paraphrase-catching twin of the k-gram `decontaminate`.
+    Zero corpus shuffles: the eval set collapses to one broadcast
+    row of structs and the flag is a narrow map."""
+    from quickwit_spark.pipeline.sampling import semantic_decontaminate
+
+    embs = _embs(spark, sf_dir)
+    return semantic_decontaminate(
+        embs.where(F.col("vec_id") >= 8),
+        embs.where(F.col("vec_id") < 8),
+        threshold=0.3,
+    )
+
+
 def q_dedup_substring_spans(spark, sf_dir):
     """Span-level exact-substring dedup (Lee et al. 2022): maximal
     token spans duplicated across distinct docs, from merged
@@ -1770,6 +1786,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash_pairs": q_dedup_simhash_pairs,
         "dedup_embedding_cosine": q_dedup_embedding_cosine,
         "dedup_embedding_lsh": q_dedup_embedding_lsh,
+        "semantic_decontaminate": q_semantic_decontaminate,
         "dedup_substring_spans": q_dedup_substring_spans,
         "dedup_substring_keepfirst": q_dedup_substring_keepfirst,
         "dedup_substring_scrub": q_dedup_substring_scrub,
@@ -3643,6 +3660,29 @@ SELECT a.vec_id AS id_a, b.vec_id AS id_b,
        round({dot} / (a.nrm * b.nrm), 6) AS cosine
 FROM w a JOIN w b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
 WHERE round({dot} / (a.nrm * b.nrm), 6) >= 0.2
+"""
+
+    # embedding-space decontamination twin: per-corpus-doc max cosine
+    # vs the eval subset, ties to the smallest eval id, same 6dp
+    # rounding as the Spark side
+    sql["semantic_decontaminate"] = f"""
+WITH w AS (SELECT vec_id, embedding, sqrt({self_dot}) AS nrm FROM embeddings),
+scored AS (
+  SELECT a.vec_id,
+         CASE WHEN a.nrm * b.nrm > 0
+              THEN round({dot} / (a.nrm * b.nrm), 6) END AS cos,
+         b.vec_id AS eid
+  FROM (SELECT * FROM w WHERE vec_id >= 8) a,
+       (SELECT * FROM w WHERE vec_id < 8) b
+),
+ranked AS (
+  SELECT *, row_number() OVER (
+      PARTITION BY vec_id ORDER BY cos DESC NULLS LAST, eid ASC) AS rk
+  FROM scored
+)
+SELECT vec_id, cos AS max_cosine, eid AS nearest_eval_id,
+       coalesce(cos >= 0.3, false) AS contaminated
+FROM ranked WHERE rk = 1
 """
 
     sql["ann_cosine_topk"] = f"""

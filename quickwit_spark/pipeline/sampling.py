@@ -8,6 +8,9 @@ Scale shapes (the 100 TB story):
   the exploded corpus shingles; the only corpus-wide movement is the
   map-side-combined ``groupBy(doc_id)``. The corpus is never
   self-joined and never collected.
+* ``semantic_decontaminate`` — the eval embeddings collapse into one
+  broadcast row of structs, so the corpus-side max-cosine flag is a
+  pure narrow map: zero shuffles, no pair explosion.
 * ``stratified_sample`` — one narrow map over the corpus: keep/drop is
   a deterministic md5 threshold on the doc id (the cross-engine
   ``H15`` hash), so the sample is bit-reproducible across engines,
@@ -51,6 +54,80 @@ def decontaminate(
         id_col,
         n.alias("n_overlap"),
         (n > 0).alias("contaminated"),
+    )
+
+
+def semantic_decontaminate(
+    df: DataFrame,
+    eval_df: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-space twin of :func:`decontaminate`: flag corpus docs
+    whose max cosine similarity against ANY eval-set embedding reaches
+    ``threshold`` (paraphrased benchmark leakage that k-gram overlap
+    misses — the second decontamination pass real pretraining builds
+    run alongside the lexical one).
+
+    Scale shape: the eval set is collapsed into ONE broadcast row
+    (an array of (eid, vec, norm) structs), so the corpus side is a
+    pure narrow map — zero shuffles, no pair explosion; the
+    ``crossJoin`` below is a 1-row broadcast nested-loop (constant
+    fan-out ×1), not a data-proportional cross product. Per-pair
+    cosine is rounded to 6dp (cross-engine float parity, same as
+    similarity.cosine_topk); ties on the max resolve to the smallest
+    eval id. Fits eval sets up to ~10^4 × dim in a single row
+    (benchmarks are that small by construction); beyond that, chunk
+    ``eval_df`` and fold the per-chunk (max_cosine, nearest) — max
+    composes associatively across chunks.
+
+    Returns one row per corpus doc: (id, max_cosine, nearest_eval_id,
+    contaminated). An empty eval set yields max_cosine = NULL and
+    contaminated = false for every doc; zero-norm vectors on either
+    side contribute NULL cosine (never contaminate).
+    """
+    from quickwit_spark.pipeline.similarity import DOT
+
+    ev = eval_df.agg(
+        F.collect_list(
+            F.struct(
+                F.col(id_col).alias("eid"),
+                F.col(vec_col).alias("ev"),
+                F.expr(
+                    f"sqrt({DOT.format(a=vec_col, b=vec_col)})"
+                ).alias("en"),
+            )
+        ).alias("_evs")
+    )
+    c = df.select(
+        F.col(id_col),
+        F.col(vec_col).alias("_cv"),
+        F.expr(f"sqrt({DOT.format(a=vec_col, b=vec_col)})").alias("_cn"),
+    )
+    pair_dot = DOT.format(a="_cv", b="e.ev")
+    scored = (
+        "transform(_evs, e -> struct("
+        f" CASE WHEN _cn * e.en > 0D THEN round({pair_dot} / (_cn * e.en), 6)"
+        " END AS cos, e.eid AS eid))"
+    )
+    out = (
+        c.crossJoin(F.broadcast(ev))
+        .withColumn("_scored", F.expr(scored))
+        .withColumn(
+            "max_cosine", F.expr("array_max(transform(_scored, s -> s.cos))")
+        )
+    )
+    return out.select(
+        id_col,
+        "max_cosine",
+        F.expr(
+            "array_min(transform(filter(_scored, s -> s.cos = max_cosine),"
+            " s -> s.eid))"
+        ).alias("nearest_eval_id"),
+        F.coalesce(
+            F.col("max_cosine") >= F.lit(float(threshold)), F.lit(False)
+        ).alias("contaminated"),
     )
 
 

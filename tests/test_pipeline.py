@@ -499,6 +499,51 @@ def test_decontaminate_counts_and_plan(spark):
     assert "BroadcastHashJoin" in plan
 
 
+def test_semantic_decontaminate_values_and_plan(spark):
+    """Max-cosine flag vs a broadcast eval set: exact values, smallest
+    eval id on max ties, NULL (never contaminated) for zero-norm
+    vectors and for an empty eval set; the plan is a 1-row broadcast
+    nested-loop (constant fan-out) with no corpus-side shuffle — the
+    100 TB shape for a second, paraphrase-catching decontamination
+    pass."""
+    from quickwit_spark.pipeline.sampling import semantic_decontaminate
+
+    corpus = spark.createDataFrame(
+        [
+            (10, [1.0, 0.0]),    # exact eval hit (ev 0)
+            (11, [0.6, 0.8]),    # near ev 1 but under threshold
+            (12, [0.0, 0.0]),    # zero vector: NULL cosine
+            (13, [0.0, -1.0]),   # anti-aligned: max is 0.0 vs ev 0
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    ev = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.0, 1.0]), (2, [2.0, 0.0])],
+        "vec_id long, embedding array<float>",
+    )
+    out = semantic_decontaminate(corpus, ev, threshold=0.9)
+    got = {r.vec_id: tuple(r)[1:] for r in out.collect()}
+    assert got == {
+        # ev 2 ties ev 0 at cosine 1.0 → nearest is the smaller id 0
+        10: (1.0, 0, True),
+        11: (0.8, 1, False),
+        12: (None, None, False),
+        13: (0.0, 0, False),
+    }
+    empty = spark.createDataFrame([], "vec_id long, embedding array<float>")
+    got0 = {r.vec_id: tuple(r)[1:] for r in
+            semantic_decontaminate(corpus, empty).collect()}
+    assert got0 == {i: (None, None, False) for i in (10, 11, 12, 13)}
+    plan = out._sc._jvm.PythonSQLUtils.explainString(
+        out._jdf.queryExecution(), "formatted"
+    )
+    assert "BroadcastNestedLoopJoin" in plan
+    # no hash-partitioned shuffle anywhere: the only exchanges are the
+    # eval side's SinglePartition collapse + its broadcast (1 row)
+    assert "hashpartitioning" not in plan
+    assert "BroadcastExchange" in plan
+
+
 def test_stratified_sample_deterministic_reproducible(spark):
     """Same seed → identical rows; unlisted strata dropped; per-stratum
     rates track the requested fractions; and the keep decision is
