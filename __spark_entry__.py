@@ -3539,9 +3539,18 @@ pc{i} AS MATERIALIZED (
 {m} AS MATERIALIZED (SELECT lhs, rhs, pair_freq FROM pc{i}
   ORDER BY pair_freq DESC, lhs ASC, rhs ASC LIMIT 1),
 {cur} AS MATERIALIZED (
+  -- bracketed merge: every symbol wrapped in {S} so the pattern can
+  -- only match two COMPLETE adjacent symbols (a bare l||SEP||r would
+  -- also fire where l is a proper suffix / r a proper prefix of a
+  -- longer symbol — not BPE); replacement keeps the bracketed form,
+  -- then collapse the double seps and trim the ends
   SELECT word, freq,
-    replace(rep, (SELECT lhs FROM {m}) || {S} || (SELECT rhs FROM {m}),
-            (SELECT lhs FROM {m}) || (SELECT rhs FROM {m})) AS rep
+    trim(replace(
+      replace({S} || replace(rep, {S}, {S} || {S}) || {S},
+              {S} || (SELECT lhs FROM {m}) || {S} || {S}
+                  || (SELECT rhs FROM {m}) || {S},
+              {S} || (SELECT lhs FROM {m}) || (SELECT rhs FROM {m}) || {S}),
+      {S} || {S}, {S}), {S}) AS rep
   FROM {prev}
 )"""
 

@@ -3,12 +3,20 @@ top-N merges from the corpus and encode documents with them — the
 tokenizer-training step of an LLM data pipeline, distributed.
 
 The trick that keeps it engine-exact: a word's symbol sequence is ONE
-delimiter-joined string (``\\x1e`` between symbols), so a merge round
-is a single ``replace(rep, l + SEP + r, l + r)`` — both Spark and
-DuckDB replace left-to-right non-overlapping, which IS greedy BPE
-merge order, and pair frequencies are exact integer sums. The oracle
-replays the rounds as CTEs with scalar-subquery merge picks; no
-tolerance windows anywhere.
+delimiter-joined string (``\\x1e`` between symbols). For the merge
+step the string is re-bracketed so EVERY symbol is individually
+wrapped (``\\x1e sym \\x1e`` concatenated — junctions read
+``\\x1e\\x1e``, ends a single ``\\x1e``); the pattern
+``\\x1e l \\x1e\\x1e r \\x1e`` can then only match two COMPLETE
+adjacent symbols (a bare ``l+SEP+r`` pattern would also fire where
+``l`` is a proper suffix of the preceding symbol or ``r`` a proper
+prefix of the following one — merging across symbol boundaries, which
+is not BPE), and the replacement ``\\x1e lr \\x1e`` preserves the
+bracketed form so consecutive non-overlapping matches stay greedy
+left-to-right — exactly classic BPE merge order. Both Spark and
+DuckDB replace left-to-right non-overlapping, and pair frequencies
+are exact integer sums. The oracle replays the rounds as CTEs with
+scalar-subquery merge picks; no tolerance windows anywhere.
 
 Scale (the 100 TB story): everything after the first groupBy runs on
 the DISTINCT-WORD table (vocab-sized, << corpus — this is why
@@ -94,12 +102,22 @@ def bpe_learn(
             break
         l, r, freq = top[0].l, top[0].r, int(top[0].pair_freq)
         merges.append((l, r, freq))
-        pat, rep_to = f"{l}{SEP}{r}", f"{l}{r}"
+        # bracket every symbol (SEP sym SEP) so the pattern matches only
+        # complete adjacent symbols — module docstring has the argument
+        pat = f"{SEP}{l}{SEP}{SEP}{r}{SEP}"
+        rep_to = f"{SEP}{l}{r}{SEP}"
+        wrapped = (
+            f"concat({_sql_str(SEP)},"
+            f" replace(rep, {_sql_str(SEP)}, {_sql_str(SEP + SEP)}),"
+            f" {_sql_str(SEP)})"
+        )
+        merged = f"replace({wrapped}, {_sql_str(pat)}, {_sql_str(rep_to)})"
         reps = reps.select(
             "word",
             "freq",
             F.expr(
-                f"replace(rep, {_sql_str(pat)}, {_sql_str(rep_to)})"
+                f"trim(BOTH {_sql_str(SEP)} FROM"
+                f" replace({merged}, {_sql_str(SEP + SEP)}, {_sql_str(SEP)}))"
             ).alias("rep"),
         )
     # keep only the last persisted vocab (the one final_reps reads);

@@ -1013,6 +1013,28 @@ def test_bpe_matches_pure_python_reference(spark):
     unpersist_intermediates(reps2)
 
 
+def test_bpe_merge_is_symbol_boundary_exact(spark):
+    """Regression: the merge replace must fire only on two COMPLETE
+    adjacent symbols. This corpus learns (a,b) then (b,c); the word
+    "abc" then holds symbols [ab, c], where an unbracketed
+    ``l+SEP+r`` pattern false-matches (suffix "b" of symbol "ab"
+    against the following "c") and collapses the word to one symbol
+    ["abc"] — true BPE keeps [ab, c] because the adjacent PAIR is
+    (ab, c), not (b, c)."""
+    from quickwit_spark.pipeline.bpe import SEP, bpe_learn
+    from quickwit_spark.pipeline.dedup import unpersist_intermediates
+
+    text = " ".join(["ab"] * 10 + ["xbc"] * 9 + ["abc"])
+    docs = spark.createDataFrame([(0, text)], ["doc_id", "text"])
+    merges, reps = bpe_learn(docs, n_merges=3)
+    assert [(m[0], m[1]) for m in merges] == [("a", "b"), ("b", "c"), ("x", "bc")]
+    got = {r.word: r.rep.split(SEP) for r in reps.collect()}
+    assert got["abc"] == ["ab", "c"]
+    assert got["ab"] == ["ab"]
+    assert got["xbc"] == ["xbc"]
+    unpersist_intermediates(reps)
+
+
 def test_tfidf_keywords_crafted(spark):
     """A corpus-wide stopword never outranks a doc-unique term; rank
     order is (tf*idf desc, term asc); at most k rows per doc; and the
