@@ -1388,6 +1388,16 @@ def q_bigram_logprob(spark, sf_dir):
     return bigram_logprob(_docs(spark, sf_dir))
 
 
+def q_ccnet_buckets(spark, sf_dir):
+    """CCNet head/middle/tail bucketing (Wenzek et al. 2020): label
+    every doc by where its bigram-LM score falls vs the corpus
+    tercile thresholds (exact type-7 quantiles; head = most fluent
+    third). Unscoreable docs (< 2 tokens) get a NULL bucket."""
+    from quickwit_spark.pipeline.textstats import ccnet_buckets
+
+    return ccnet_buckets(_docs(spark, sf_dir))
+
+
 def q_chunk_overlap(spark, sf_dir):
     """Sliding-window chunking (RAG layout): 64-token chunks every 48
     tokens; zero shuffles — tokenize/posexplode/slice narrow maps."""
@@ -1806,6 +1816,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_frequency_cap": q_sample_frequency_cap,
         "unigram_logprob": q_unigram_logprob,
         "bigram_logprob": q_bigram_logprob,
+        "ccnet_buckets": q_ccnet_buckets,
         "tfidf_keywords": q_tfidf_keywords,
         "bpe_merges": q_bpe_merges,
         "bpe_encode": q_bpe_encode,
@@ -3462,8 +3473,7 @@ FROM documents d LEFT JOIN pd ON d.doc_id = pd.doc_id, tot
 
     # bigram-LM twin: same integer micro-nat quantization; heads
     # re-derived from the bigram table exactly as the Spark plan does
-    sql["bigram_logprob"] = f"""
-WITH t AS (SELECT doc_id, {TOKS} AS tk FROM documents),
+    bigram_chain = f"""WITH t AS (SELECT doc_id, {TOKS} AS tk FROM documents),
 bg AS (
   SELECT doc_id,
          unnest(list_transform(generate_series(2, len(tk)),
@@ -3485,11 +3495,40 @@ pd AS (
   SELECT tf.doc_id, sum(tf.tf)::BIGINT AS n_bigrams,
          sum(tf.tf * q.q)::BIGINT AS sq
   FROM tf JOIN q USING (bg) GROUP BY tf.doc_id
+),
+lp AS (
+  SELECT d.doc_id,
+         coalesce(pd.n_bigrams, 0)::BIGINT AS n_bigrams,
+         round(sq::DOUBLE / pd.n_bigrams / 1000000, 6) AS logprob
+  FROM documents d LEFT JOIN pd ON d.doc_id = pd.doc_id
+)"""
+
+    sql["bigram_logprob"] = f"""
+{bigram_chain}
+SELECT doc_id, n_bigrams, logprob FROM lp
+"""
+
+    # CCNet tercile twin: exact type-7 quantile cuts over the 6dp
+    # scores (quantile_cont == Spark percentile), CASE order mirrors
+    # the Spark side exactly
+    sql["ccnet_buckets"] = f"""
+{bigram_chain},
+cuts AS (
+  -- quantile positions formatted from the SAME Python doubles the
+  -- Spark side passes (1.0 - 1/3 != 2.0/3.0 in the last ulp; an
+  -- exact-hit quantile index must not differ between engines)
+  SELECT quantile_cont(logprob, {1.0 - 1 / 3!r}) AS hi,
+         quantile_cont(logprob, {float(1 / 3)!r}) AS lo
+  FROM lp
 )
-SELECT d.doc_id,
-       coalesce(pd.n_bigrams, 0)::BIGINT AS n_bigrams,
-       round(sq::DOUBLE / pd.n_bigrams / 1000000, 6) AS logprob
-FROM documents d LEFT JOIN pd ON d.doc_id = pd.doc_id
+SELECT lp.doc_id, lp.n_bigrams, lp.logprob,
+       CASE WHEN lp.logprob IS NULL THEN NULL
+            WHEN lp.logprob >= cuts.hi THEN 'head'
+            WHEN lp.logprob < cuts.lo THEN 'tail'
+            ELSE 'middle' END AS ccnet_bucket,
+       round(cuts.lo, 6) AS cut_lo,
+       round(cuts.hi, 6) AS cut_hi
+FROM lp, cuts
 """
 
     # quality-gate twin: the unigram chain + an exact type-7 quantile

@@ -660,3 +660,66 @@ def bigram_logprob(
     )
     out._qs_cached = cached
     return out
+
+
+def ccnet_buckets(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    head_frac: float = 1 / 3,
+    tail_frac: float = 1 / 3,
+    persist_intermediates: bool = True,
+) -> DataFrame:
+    """CCNet head/middle/tail quality bucketing (Wenzek et al. 2020
+    §4.3): label every doc by where its LM score falls in the corpus
+    distribution — CCNet sorts by KenLM perplexity and cuts the corpus
+    into thirds ("head" = most fluent, the slice most pretraining
+    recipes keep or upsample). Here the score is the self-scored
+    corpus bigram LM (:func:`bigram_logprob` — higher logprob = lower
+    perplexity), and the cuts are corpus-relative quantile thresholds,
+    not rank positions, so the label is a pure per-row comparison.
+
+    Bucket rule (evaluated in this order, identically in the oracle):
+    NULL score (< 2 tokens — unscoreable) → NULL bucket;
+    ``logprob >= cut_hi`` (the ``1 - head_frac`` quantile) → 'head';
+    ``logprob < cut_lo`` (the ``tail_frac`` quantile) → 'tail';
+    else 'middle'. With heavy score ties the realized fractions can
+    deviate from the requested ones — inherent to threshold (vs rank)
+    bucketing, and the price of needing no global sort.
+
+    Exactness: scores are 6dp micro-nat means (cross-engine
+    identical); thresholds are exact type-7 linear-interpolation
+    quantiles over them (Spark ``percentile`` == DuckDB
+    ``quantile_cont``) — the same discipline as
+    :func:`quickwit_spark.pipeline.sampling.quality_percentile_filter`.
+
+    Scale: bigram_logprob's map-side-combined shape, one exact
+    ``percentile`` over the 8-byte score column (fine to ~10^9 docs;
+    swap ``approx_percentile`` beyond), one broadcast of the 1-row
+    cut pair. Returns (id_col, n_bigrams, logprob, ccnet_bucket,
+    cut_lo, cut_hi)."""
+    if not (0 < head_frac < 1 and 0 < tail_frac < 1
+            and head_frac + tail_frac <= 1):
+        raise ValueError(
+            f"head_frac/tail_frac must be in (0,1) and sum <= 1,"
+            f" got {head_frac}/{tail_frac}"
+        )
+    scored = bigram_logprob(df, id_col, text_col, persist_intermediates)
+    cuts = scored.agg(
+        F.expr(f"percentile(logprob, {1.0 - head_frac}D)").alias("_hi"),
+        F.expr(f"percentile(logprob, {float(tail_frac)}D)").alias("_lo"),
+    )
+    out = scored.crossJoin(F.broadcast(cuts)).select(
+        id_col,
+        "n_bigrams",
+        "logprob",
+        F.when(F.col("logprob").isNull(), F.lit(None).cast("string"))
+        .when(F.col("logprob") >= F.col("_hi"), "head")
+        .when(F.col("logprob") < F.col("_lo"), "tail")
+        .otherwise("middle")
+        .alias("ccnet_bucket"),
+        F.round(F.col("_lo"), 6).alias("cut_lo"),
+        F.round(F.col("_hi"), 6).alias("cut_hi"),
+    )
+    out._qs_cached = getattr(scored, "_qs_cached", [])
+    return out

@@ -1424,3 +1424,50 @@ def test_bigram_logprob_exact_replay(spark):
     unpersist_intermediates(cached)
     plain = bigram_logprob(df, persist_intermediates=False)
     assert {(r.doc_id, r.n_bigrams, r.logprob) for r in plain.collect()} == rows_cached
+
+
+def test_ccnet_buckets_thresholds_and_labels(spark):
+    """Bucket labels follow the tercile thresholds of the bigram-LM
+    score: most-fluent third 'head', least 'tail', unscoreable docs
+    (< 2 tokens) NULL; cut columns are the corpus-wide quantiles every
+    row was compared against; a python replay of the type-7 quantile +
+    CASE rule reproduces every label."""
+    from quickwit_spark.pipeline.dedup import unpersist_intermediates
+    from quickwit_spark.pipeline.textstats import bigram_logprob, ccnet_buckets
+
+    rows = [
+        (0, "a b a b a b a b"),      # formulaic -> highest score
+        (1, "a b a b c"),
+        (2, "a b c d e"),
+        (3, "f g h i j"),            # all-unique bigrams -> low
+        (4, "k l m n o"),
+        (5, "p q r s t"),
+        (6, "solo"),                 # unscoreable
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r.doc_id: r for r in ccnet_buckets(df).collect()}
+    assert out[6].ccnet_bucket is None
+
+    lp = {r.doc_id: r.logprob
+          for r in bigram_logprob(df, persist_intermediates=False).collect()}
+    scores = sorted(v for v in lp.values() if v is not None)
+
+    def type7(p):
+        pos = p * (len(scores) - 1)
+        i, f = int(pos), pos - int(pos)
+        return scores[i] if f == 0 else scores[i] * (1 - f) + scores[i + 1] * f
+
+    hi, lo = type7(1.0 - 1 / 3), type7(1 / 3)
+    for did, s in lp.items():
+        want = (None if s is None else "head" if s >= hi
+                else "tail" if s < lo else "middle")
+        assert out[did].ccnet_bucket == want, (did, s, hi, lo)
+        assert abs(out[did].cut_hi - round(hi, 6)) < 1e-9
+        assert abs(out[did].cut_lo - round(lo, 6)) < 1e-9
+    best = max((d for d, s in lp.items() if s is not None), key=lambda d: lp[d])
+    worst = min((d for d, s in lp.items() if s is not None), key=lambda d: lp[d])
+    assert out[best].ccnet_bucket == "head"
+    assert out[worst].ccnet_bucket == "tail"
+    res = ccnet_buckets(df)
+    res.collect()
+    unpersist_intermediates(res)
