@@ -60,5 +60,43 @@ def test_porter_stem_classics():
     assert porter_stem("sky") == "sky"
 
 
+def test_porter_stem_known_vectors():
+    """Full-algorithm outputs: the Porter 1980 paper's own worked
+    examples (GENERALIZATIONS -> GENER, OSCILLATORS -> OSCIL) plus
+    widely published reference results across every step's territory
+    (plurals, -eed/-ed/-ing, y->i, the step-2/3 suffix ladders,
+    -ant/-ence/-ion strips, -e removal, -ll reduction)."""
+    vectors = {
+        "generalizations": "gener", "oscillators": "oscil",
+        "connected": "connect", "connecting": "connect",
+        "connection": "connect", "connections": "connect",
+        "agreed": "agre", "plastered": "plaster", "motoring": "motor",
+        "conflated": "conflat", "troubled": "troubl", "sized": "size",
+        "hopping": "hop", "tanned": "tan", "falling": "fall",
+        "hissing": "hiss", "fizzed": "fizz", "failing": "fail",
+        "filing": "file", "happy": "happi",
+        "conditional": "condit", "rational": "ration",
+        "digitizer": "digit", "operator": "oper",
+        "feudalism": "feudal", "decisiveness": "decis",
+        "hopefulness": "hope", "callousness": "callous",
+        "formality": "formal", "sensitivity": "sensit",
+        "triplicate": "triplic", "formative": "form",
+        "formalize": "formal", "electricity": "electr",
+        "electrical": "electr", "hopeful": "hope", "goodness": "good",
+        "revival": "reviv", "allowance": "allow", "inference": "infer",
+        "airliner": "airlin", "gyroscopic": "gyroscop",
+        "adjustable": "adjust", "defensible": "defens",
+        "irritant": "irrit", "replacement": "replac",
+        "adjustment": "adjust", "dependent": "depend",
+        "adoption": "adopt", "communism": "commun",
+        "activate": "activ", "effective": "effect",
+        "bowdlerize": "bowdler", "probate": "probat", "rate": "rate",
+        "cease": "ceas", "controlling": "control", "rolling": "roll",
+    }
+    bad = {w: (porter_stem(w), want)
+           for w, want in vectors.items() if porter_stem(w) != want}
+    assert not bad, bad
+
+
 def test_en_stem_pipeline():
     assert tokenize_en_stem("Running QUICKLY") == ["run", "quickli"]
