@@ -13,7 +13,12 @@ over the FULL output (not samples):
   fused_rank is a dense 1..k per query;
 * c4: kept lines never exceed lines; zero-sentence pages never keep;
 * bigram: logprob <= 0 everywhere (ML conditional prob <= 1) and
-  n_bigrams == max(n_tokens - 1, 0) doc-for-doc.
+  n_bigrams == max(n_tokens - 1, 0) doc-for-doc;
+* ccnet_buckets: every row's label equals what its own cut columns
+  imply (CASE replay over the full output), cut_lo <= cut_hi;
+* semantic_decontaminate (1M corpus vs 256-vector eval set):
+  contaminated == (max_cosine >= thr) exactly, cosines in [-1, 1],
+  nearest id always present and inside the eval set.
 
 Run on an otherwise-idle host; the bench canary is printed first so
 the record shows window quality (correctness checks are
@@ -196,6 +201,53 @@ def main() -> None:
     report("bigram_logprob", dt, n_docs, n_bg,
            bad_positive=bad_pos, bad_bigram_count=bad_n)
     assert n_bg == n_docs and bad_pos == 0 and bad_n == 0
+
+    # --- CCNet buckets over the flat corpus --------------------------
+    from quickwit_spark.pipeline.textstats import ccnet_buckets
+
+    t0 = time.time()
+    cb = ccnet_buckets(docs).persist()
+    n_cb = cb.count()
+    dt = time.time() - t0
+    # every row's label must be exactly what its own cut columns imply
+    # (full-output check, and all docs here are scoreable)
+    bad_label = cb.where(
+        "ccnet_bucket <> (case when logprob is null then null"
+        " when logprob >= cut_hi then 'head'"
+        " when logprob < cut_lo then 'tail' else 'middle' end)"
+        " or ccnet_bucket is null or cut_lo > cut_hi"
+    ).count()
+    fracs = {
+        r.ccnet_bucket: r.n
+        for r in cb.groupBy("ccnet_bucket").agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    unpersist_intermediates(cb)
+    cb.unpersist()
+    report("ccnet_buckets", dt, n_docs, n_cb,
+           bad_label=bad_label, bucket_counts=fracs)
+    assert n_cb == n_docs and bad_label == 0
+
+    # --- semantic decontamination vs a 256-vector eval set -----------
+    from quickwit_spark.pipeline.sampling import semantic_decontaminate
+
+    ev = embs.where(F.col("vec_id") < 256)
+    corpus_v = embs.where(F.col("vec_id") >= 256)
+    t0 = time.time()
+    sd = semantic_decontaminate(corpus_v, ev, threshold=0.9).persist()
+    n_sd = sd.count()
+    dt = time.time() - t0
+    bad_flag = sd.where(
+        "contaminated <> coalesce(max_cosine >= 0.9, false)"
+        " or (max_cosine is not null and abs(max_cosine) > 1.000001)"
+        " or (max_cosine is not null and nearest_eval_id is null)"
+        " or (nearest_eval_id is not null and nearest_eval_id >= 256)"
+    ).count()
+    n_cont = sd.where("contaminated").count()
+    sd.unpersist()
+    report("semantic_decontaminate", dt, n_docs - 256, n_sd,
+           contaminated=n_cont, bad=bad_flag)
+    assert n_sd == n_docs - 256 and bad_flag == 0
 
     print(json.dumps({
         "total_sec": round(time.time() - t_all0, 1),
