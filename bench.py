@@ -455,7 +455,8 @@ def main() -> None:
                  "tfidf_keywords", "transcript_render",
                  "transcript_dedup", "events_asof", "events_interval",
                  "dedup_exact_incremental", "dedup_paragraph",
-                 "dsir_logweights", "hybrid_rrf_topk", "c4_rules"):
+                 "dsir_logweights", "hybrid_rrf_topk", "c4_rules",
+                 "ccnet_buckets", "semantic_decontaminate"):
         fn = entry.queries()[name]
 
         def run(fn=fn):
