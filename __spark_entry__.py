@@ -3728,7 +3728,11 @@ ranked AS (
       PARTITION BY vec_id ORDER BY cos DESC NULLS LAST, eid ASC) AS rk
   FROM scored
 )
-SELECT vec_id, cos AS max_cosine, eid AS nearest_eval_id,
+SELECT vec_id, cos AS max_cosine,
+       -- a doc with NO defined cosine (zero-norm corpus vector) has
+       -- no nearest eval doc — rk=1 still picks a row (NULLS LAST
+       -- over an all-NULL group), so mask eid to mirror the engine
+       CASE WHEN cos IS NULL THEN NULL ELSE eid END AS nearest_eval_id,
        coalesce(cos >= 0.3, false) AS contaminated
 FROM ranked WHERE rk = 1
 """

@@ -705,6 +705,15 @@ def ccnet_buckets(
             f" got {head_frac}/{tail_frac}"
         )
     scored = bigram_logprob(df, id_col, text_col, persist_intermediates)
+    cached = list(getattr(scored, "_qs_cached", []))
+    if persist_intermediates:
+        # the cuts aggregate and the labeled output both consume the
+        # full bigram chain; persisting the doc-sized score frame makes
+        # the percentile pass the only full evaluation
+        from pyspark.storagelevel import StorageLevel
+
+        scored = scored.persist(StorageLevel.MEMORY_AND_DISK)
+        cached.append(scored)
     cuts = scored.agg(
         F.expr(f"percentile(logprob, {1.0 - head_frac}D)").alias("_hi"),
         F.expr(f"percentile(logprob, {float(tail_frac)}D)").alias("_lo"),
@@ -721,5 +730,5 @@ def ccnet_buckets(
         F.round(F.col("_lo"), 6).alias("cut_lo"),
         F.round(F.col("_hi"), 6).alias("cut_hi"),
     )
-    out._qs_cached = getattr(scored, "_qs_cached", [])
+    out._qs_cached = cached
     return out

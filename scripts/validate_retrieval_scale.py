@@ -209,13 +209,22 @@ def main() -> None:
     cb = ccnet_buckets(docs).persist()
     n_cb = cb.count()
     dt = time.time() - t0
-    # every row's label must be exactly what its own cut columns imply
-    # (full-output check, and all docs here are scoreable)
-    bad_label = cb.where(
+    # every row's label must match a replay against independently
+    # recomputed UNROUNDED quantile cuts (the output's cut_lo/cut_hi
+    # are 6dp-rounded for display — labeling happened on the exact
+    # values, so the replay must too or a doc scoring exactly
+    # round(cut, 6) false-fails when the cut is interpolated)
+    recut = cb.agg(
+        F.expr(f"percentile(logprob, {1.0 - 1 / 3}D)").alias("_rhi"),
+        F.expr(f"percentile(logprob, {float(1 / 3)}D)").alias("_rlo"),
+    )
+    bad_label = cb.crossJoin(F.broadcast(recut)).where(
         "ccnet_bucket <> (case when logprob is null then null"
-        " when logprob >= cut_hi then 'head'"
-        " when logprob < cut_lo then 'tail' else 'middle' end)"
+        " when logprob >= _rhi then 'head'"
+        " when logprob < _rlo then 'tail' else 'middle' end)"
         " or ccnet_bucket is null or cut_lo > cut_hi"
+        " or abs(cut_hi - round(_rhi, 6)) > 1e-9"
+        " or abs(cut_lo - round(_rlo, 6)) > 1e-9"
     ).count()
     fracs = {
         r.ccnet_bucket: r.n

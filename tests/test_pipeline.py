@@ -1445,7 +1445,8 @@ def test_ccnet_buckets_thresholds_and_labels(spark):
         (6, "solo"),                 # unscoreable
     ]
     df = spark.createDataFrame(rows, ["doc_id", "text"])
-    out = {r.doc_id: r for r in ccnet_buckets(df).collect()}
+    res = ccnet_buckets(df)
+    out = {r.doc_id: r for r in res.collect()}
     assert out[6].ccnet_bucket is None
 
     lp = {r.doc_id: r.logprob
@@ -1468,6 +1469,5 @@ def test_ccnet_buckets_thresholds_and_labels(spark):
     worst = min((d for d, s in lp.items() if s is not None), key=lambda d: lp[d])
     assert out[best].ccnet_bucket == "head"
     assert out[worst].ccnet_bucket == "tail"
-    res = ccnet_buckets(df)
-    res.collect()
+    assert len(res._qs_cached) == 2  # tf frame + persisted score frame
     unpersist_intermediates(res)
