@@ -1398,6 +1398,22 @@ def q_ccnet_buckets(spark, sf_dir):
     return ccnet_buckets(_docs(spark, sf_dir))
 
 
+def q_ccnet_buckets_by_lang(spark, sf_dir):
+    """CCNet bucketing PER LANGUAGE (the paper's actual shape — cuts
+    from each language's own score distribution): lang_id assigns the
+    group, the tercile thresholds come from that group's quantiles,
+    and the broadcast cut table is one row per language."""
+    from quickwit_spark.pipeline.textstats import ccnet_buckets, lang_id
+
+    docs = _docs(spark, sf_dir)
+    # pred_lang, not lang — the documents table carries its own lang
+    # column and the joined frame must not be ambiguous
+    langs = lang_id(docs).select(
+        "doc_id", F.col("lang_pred").alias("pred_lang")
+    )
+    return ccnet_buckets(docs.join(langs, "doc_id"), by_col="pred_lang")
+
+
 def q_chunk_overlap(spark, sf_dir):
     """Sliding-window chunking (RAG layout): 64-token chunks every 48
     tokens; zero shuffles — tokenize/posexplode/slice narrow maps."""
@@ -1817,6 +1833,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unigram_logprob": q_unigram_logprob,
         "bigram_logprob": q_bigram_logprob,
         "ccnet_buckets": q_ccnet_buckets,
+        "ccnet_buckets_by_lang": q_ccnet_buckets_by_lang,
         "tfidf_keywords": q_tfidf_keywords,
         "bpe_merges": q_bpe_merges,
         "bpe_encode": q_bpe_encode,
@@ -3529,6 +3546,41 @@ SELECT lp.doc_id, lp.n_bigrams, lp.logprob,
        round(cuts.lo, 6) AS cut_lo,
        round(cuts.hi, 6) AS cut_hi
 FROM lp, cuts
+"""
+
+    # per-language CCNet twin: same chain, cuts per lang_id group (the
+    # lang CTE mirrors sql["lang_id"]'s vote + tie rule exactly)
+    sql["ccnet_buckets_by_lang"] = f"""
+{bigram_chain},
+lv AS (
+  SELECT doc_id,
+    len(list_filter({TOKS}, t -> t IN ({en})))::INT AS v_en,
+    len(list_filter({TOKS}, t -> t IN ({de})))::INT AS v_de,
+    len(list_filter({TOKS}, t -> t IN ({fr})))::INT AS v_fr
+  FROM documents
+),
+lang AS (
+  SELECT doc_id,
+    CASE WHEN greatest(v_en, v_de, v_fr) = 0 THEN 'und'
+         WHEN v_de = greatest(v_en, v_de, v_fr) THEN 'de'
+         WHEN v_en = greatest(v_en, v_de, v_fr) THEN 'en'
+         ELSE 'fr' END AS pred_lang
+  FROM lv
+),
+g AS (SELECT lp.*, lang.pred_lang FROM lp JOIN lang USING (doc_id)),
+cuts AS (
+  SELECT pred_lang, quantile_cont(logprob, {1.0 - 1 / 3!r}) AS hi,
+               quantile_cont(logprob, {float(1 / 3)!r}) AS lo
+  FROM g GROUP BY pred_lang
+)
+SELECT g.doc_id, g.pred_lang, g.n_bigrams, g.logprob,
+       CASE WHEN g.logprob IS NULL THEN NULL
+            WHEN g.logprob >= cuts.hi THEN 'head'
+            WHEN g.logprob < cuts.lo THEN 'tail'
+            ELSE 'middle' END AS ccnet_bucket,
+       round(cuts.lo, 6) AS cut_lo,
+       round(cuts.hi, 6) AS cut_hi
+FROM g JOIN cuts USING (pred_lang)
 """
 
     # quality-gate twin: the unigram chain + an exact type-7 quantile

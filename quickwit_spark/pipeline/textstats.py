@@ -668,6 +668,7 @@ def ccnet_buckets(
     text_col: str = "text",
     head_frac: float = 1 / 3,
     tail_frac: float = 1 / 3,
+    by_col: str | None = None,
     persist_intermediates: bool = True,
 ) -> DataFrame:
     """CCNet head/middle/tail quality bucketing (Wenzek et al. 2020
@@ -693,11 +694,20 @@ def ccnet_buckets(
     ``quantile_cont``) — the same discipline as
     :func:`quickwit_spark.pipeline.sampling.quality_percentile_filter`.
 
+    ``by_col`` (e.g. a language-id column on ``df``) computes the
+    cuts PER GROUP — CCNet proper buckets per language, so mixed
+    corpora don't label one language's fluent docs against another's
+    distribution. The LM stays the corpus-global self-scored bigram
+    model (CCNet's per-language KenLM has no in-sandbox analog; a
+    per-group LM is the composition "partition the corpus by group,
+    run this per partition"). The group cut table is group-count
+    rows, broadcast.
+
     Scale: bigram_logprob's map-side-combined shape, one exact
     ``percentile`` over the 8-byte score column (fine to ~10^9 docs;
     swap ``approx_percentile`` beyond), one broadcast of the 1-row
-    cut pair. Returns (id_col, n_bigrams, logprob, ccnet_bucket,
-    cut_lo, cut_hi)."""
+    (or per-group) cut table. Returns (id_col, [by_col,] n_bigrams,
+    logprob, ccnet_bucket, cut_lo, cut_hi)."""
     if not (0 < head_frac < 1 and 0 < tail_frac < 1
             and head_frac + tail_frac <= 1):
         raise ValueError(
@@ -714,12 +724,19 @@ def ccnet_buckets(
 
         scored = scored.persist(StorageLevel.MEMORY_AND_DISK)
         cached.append(scored)
-    cuts = scored.agg(
-        F.expr(f"percentile(logprob, {1.0 - head_frac}D)").alias("_hi"),
-        F.expr(f"percentile(logprob, {float(tail_frac)}D)").alias("_lo"),
-    )
-    out = scored.crossJoin(F.broadcast(cuts)).select(
-        id_col,
+    hi_expr = F.expr(f"percentile(logprob, {1.0 - head_frac}D)").alias("_hi")
+    lo_expr = F.expr(f"percentile(logprob, {float(tail_frac)}D)").alias("_lo")
+    if by_col is None:
+        cuts = scored.agg(hi_expr, lo_expr)
+        labeled = scored.crossJoin(F.broadcast(cuts))
+        lead_cols = [id_col]
+    else:
+        grouped = scored.join(df.select(id_col, by_col), id_col)
+        cuts = grouped.groupBy(by_col).agg(hi_expr, lo_expr)
+        labeled = grouped.join(F.broadcast(cuts), by_col)
+        lead_cols = [id_col, by_col]
+    out = labeled.select(
+        *lead_cols,
         "n_bigrams",
         "logprob",
         F.when(F.col("logprob").isNull(), F.lit(None).cast("string"))

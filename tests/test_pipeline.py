@@ -1471,3 +1471,51 @@ def test_ccnet_buckets_thresholds_and_labels(spark):
     assert out[worst].ccnet_bucket == "tail"
     assert len(res._qs_cached) == 2  # tf frame + persisted score frame
     unpersist_intermediates(res)
+
+
+def test_ccnet_buckets_by_group(spark):
+    """Per-group cuts (CCNet proper is per-language): each group's
+    thresholds come from its OWN score distribution — a replay of the
+    type-7 quantile + CASE rule per group reproduces every label, and
+    each group independently contains a head row, so a group whose
+    scores all sit below another group's cuts still gets heads."""
+    from quickwit_spark.pipeline.dedup import unpersist_intermediates
+    from quickwit_spark.pipeline.textstats import bigram_logprob, ccnet_buckets
+
+    rows = [
+        (0, "a b a b a b a b", "x"),
+        (1, "a b a b c", "x"),
+        (2, "a b c d e", "x"),
+        (3, "f g h i j", "y"),
+        (4, "k l m n o", "y"),
+        (5, "p q r s t", "y"),
+        (6, "solo", "y"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text", "grp"])
+    res = ccnet_buckets(df, by_col="grp")
+    out = {r.doc_id: r for r in res.collect()}
+    assert out[6].ccnet_bucket is None and out[6].grp == "y"
+
+    lp = {r.doc_id: r.logprob
+          for r in bigram_logprob(df, persist_intermediates=False).collect()}
+    grp_of = {d: g for d, _, g in rows}
+
+    def type7(scores, p):
+        pos = p * (len(scores) - 1)
+        i, f = int(pos), pos - int(pos)
+        return scores[i] if f == 0 else scores[i] * (1 - f) + scores[i + 1] * f
+
+    for g in ("x", "y"):
+        scores = sorted(lp[d] for d in lp
+                        if grp_of[d] == g and lp[d] is not None)
+        hi, lo = type7(scores, 1.0 - 1 / 3), type7(scores, 1 / 3)
+        labels = set()
+        for d, s in lp.items():
+            if grp_of[d] != g:
+                continue
+            want = (None if s is None else "head" if s >= hi
+                    else "tail" if s < lo else "middle")
+            assert out[d].ccnet_bucket == want, (d, g, s, hi, lo)
+            labels.add(want)
+        assert "head" in labels  # every group buckets against itself
+    unpersist_intermediates(res)
