@@ -14,8 +14,11 @@ over the FULL output (not samples):
 * c4: kept lines never exceed lines; zero-sentence pages never keep;
 * bigram: logprob <= 0 everywhere (ML conditional prob <= 1) and
   n_bigrams == max(n_tokens - 1, 0) doc-for-doc;
-* ccnet_buckets: every row's label equals what its own cut columns
-  imply (CASE replay over the full output), cut_lo <= cut_hi;
+* ccnet_buckets: every row's label equals a replay against
+  independently recomputed unrounded quantile cuts;
+* ccnet_buckets_by_lang: same replay PER GROUP over a separate
+  corpus with three planted languages — every language buckets
+  against its own distribution and contains heads;
 * semantic_decontaminate (1M corpus vs 256-vector eval set):
   contaminated == (max_cosine >= thr) exactly, cosines in [-1, 1],
   nearest id always present and inside the eval set.
@@ -236,6 +239,58 @@ def main() -> None:
     report("ccnet_buckets", dt, n_docs, n_cb,
            bad_label=bad_label, bucket_counts=fracs)
     assert n_cb == n_docs and bad_label == 0
+
+    # --- per-language CCNet buckets over a planted-language corpus ---
+    # separate corpus: every doc gets a language by id % 3 and leads
+    # with that language's stopwords so lang_id is deterministic
+    from quickwit_spark.pipeline.textstats import ccnet_buckets, lang_id
+
+    planted = spark.range(n_docs).select(
+        F.col("id").alias("doc_id"),
+        F.expr(
+            "concat(element_at(array('the a of and is', 'der die das und ist',"
+            " 'le la les et est'), cast(id % 3 as int) + 1), ' ',"
+            "array_join(transform(sequence(1, 16 + cast(id % 16 as int)),"
+            f" i -> {word.format(v=VOCAB)}), ' '))"
+        ).alias("text"),
+    )
+    langs = lang_id(planted).select(
+        "doc_id", F.col("lang_pred").alias("pred_lang")
+    )
+    t0 = time.time()
+    cbl = ccnet_buckets(planted.join(langs, "doc_id"),
+                        by_col="pred_lang").persist()
+    n_cbl = cbl.count()
+    dt = time.time() - t0
+    recut_g = cbl.groupBy("pred_lang").agg(
+        F.expr(f"percentile(logprob, {1.0 - 1 / 3}D)").alias("_rhi"),
+        F.expr(f"percentile(logprob, {float(1 / 3)}D)").alias("_rlo"),
+    )
+    bad_glabel = cbl.join(F.broadcast(recut_g), "pred_lang").where(
+        "ccnet_bucket <> (case when logprob is null then null"
+        " when logprob >= _rhi then 'head'"
+        " when logprob < _rlo then 'tail' else 'middle' end)"
+        " or ccnet_bucket is null"
+        " or abs(cut_hi - round(_rhi, 6)) > 1e-9"
+        " or abs(cut_lo - round(_rlo, 6)) > 1e-9"
+    ).count()
+    gcounts = {
+        (r.pred_lang, r.ccnet_bucket): r.n
+        for r in cbl.groupBy("pred_lang", "ccnet_bucket")
+        .agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    n_langs = len({k[0] for k in gcounts})
+    heads_per_lang = all(
+        any(k == (lang, "head") for k in gcounts)
+        for lang in {k[0] for k in gcounts}
+    )
+    unpersist_intermediates(cbl)
+    cbl.unpersist()
+    report("ccnet_buckets_by_lang", dt, n_docs, n_cbl,
+           bad_label=bad_glabel, n_langs=n_langs,
+           every_lang_has_heads=heads_per_lang)
+    assert n_cbl == n_docs and bad_glabel == 0 and n_langs == 3
+    assert heads_per_lang
 
     # --- semantic decontamination vs a 256-vector eval set -----------
     from quickwit_spark.pipeline.sampling import semantic_decontaminate
