@@ -221,9 +221,14 @@ SCALE_PROBE_BUDGET_SEC = 1500.0  # stop starting new rounds past this
 # must never push the whole run past the harness's patience (r3 lost
 # the artifact to output capture; a degraded-window wait loop must not
 # lose it to a timeout instead). A pair costs ~2.5-4 min, so stopping
-# new pairs at 20 min bounds the run at ~24 min worst case.
+# new pairs at 25 min bounds the run at ~29 min worst case — within
+# the harness tolerance the r3 probe demonstrated (its probe budget
+# alone was 25 min). Raised from 1200 at round-4 close: the clean
+# full run now measures ~21.5 min of ops+probe, so a 20-min cap left
+# ZERO probe slack in a squeezed window (ops overrun → probe stops
+# before its first pair → efficiency inconclusive for the artifact).
 BENCH_TOTAL_BUDGET_SEC = float(
-    os.environ.get("SPARK_GRAFT_BENCH_TOTAL_BUDGET", "1200")
+    os.environ.get("SPARK_GRAFT_BENCH_TOTAL_BUDGET", "1500")
 )
 # Canary gate (VERDICT r3 #2): a clean idle host reads ~40k hashes/sec
 # on 8 threads; 5-22k means an external tenant is squeezing the box and
