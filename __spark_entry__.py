@@ -1752,6 +1752,76 @@ def q_transcript_context(spark, sf_dir):
     return context_windows(_turns_df(spark, sf_dir), k_prev=2)
 
 
+def _turns_curation_df(spark, sf_dir):
+    """Turns table with planted curation hazards, deterministic in
+    doc_id (c = doc_id % 97, t = doc_id DIV 97): shared system
+    preambles (template c%7, prefix length 2+(c%3) turns, tool forced
+    NULL inside the preamble), a stuck-agent loop (c%13==5, odd turns
+    3..9 repeat one assistant message), whitespace-only turns
+    (c%11==3, turn 2), a role repeat (c%11==7, turn 3 forced 'user'),
+    and a timestamp regression (c%11==9, turn 2 set 300 minutes
+    early). CASE order (empty, loop, preamble) is load-bearing and
+    mirrored verbatim in the oracle's turns2 CTE."""
+    return _docs(spark, sf_dir).select(
+        F.expr("'c' || lpad(CAST(doc_id % 97 AS STRING), 3, '0')").alias(
+            "conv_id"
+        ),
+        F.expr("CAST(doc_id DIV 97 AS INT)").alias("turn_idx"),
+        F.expr(
+            "CASE WHEN doc_id % 97 % 11 = 7 AND doc_id DIV 97 = 3 THEN 'user'"
+            " WHEN (doc_id DIV 97) % 2 = 0 THEN 'user'"
+            " ELSE 'assistant' END"
+        ).alias("role"),
+        F.expr(
+            "CASE"
+            " WHEN doc_id % 97 % 11 = 3 AND doc_id DIV 97 = 2 THEN '  '"
+            " WHEN doc_id % 97 % 13 = 5 AND (doc_id DIV 97) % 2 = 1"
+            "  AND doc_id DIV 97 BETWEEN 3 AND 9"
+            "  THEN 'retrying the tool call'"
+            " WHEN doc_id DIV 97 < 2 + doc_id % 97 % 3"
+            "  THEN 'SYS preamble v' || CAST(doc_id % 97 % 7 AS STRING)"
+            "    || ' turn ' || CAST(doc_id DIV 97 AS STRING)"
+            " ELSE text END"
+        ).alias("text"),
+        F.expr(
+            "CASE WHEN doc_id DIV 97 < 2 + doc_id % 97 % 3 THEN NULL"
+            " WHEN (doc_id DIV 97) % 2 = 1 AND doc_id % 5 = 0"
+            " THEN 'search' END"
+        ).alias("tool"),
+        F.expr(
+            "timestamp'2025-01-01 00:00:00' + make_interval(0,0,0,0,0,"
+            "CASE WHEN doc_id % 97 % 11 = 9 AND doc_id DIV 97 = 2"
+            " THEN doc_id - 300 ELSE doc_id END,0)"
+        ).alias("ts"),
+    )
+
+
+def q_transcript_prefix_share(spark, sf_dir):
+    """Shared-prefix families: per conversation, the deepest rendered
+    turn prefix shared byte-identically with another conversation
+    (retried-rollout / templated-spam detection) + how many share it."""
+    from quickwit_spark.pipeline.transcripts import shared_prefix_depth
+
+    return shared_prefix_depth(_turns_curation_df(spark, sf_dir))
+
+
+def q_transcript_loops(spark, sf_dir):
+    """Stuck-agent loop detection: longest run of consecutive
+    byte-identical assistant turns per conversation, plus the count of
+    runs >= 2 and the turns they cover."""
+    from quickwit_spark.pipeline.transcripts import turn_loops
+
+    return turn_loops(_turns_curation_df(spark, sf_dir))
+
+
+def q_transcript_lint(spark, sf_dir):
+    """Structural chat-data validation per conversation: empty turns,
+    adjacent same-role turns, timestamp regressions, opening role."""
+    from quickwit_spark.pipeline.transcripts import transcript_lint
+
+    return transcript_lint(_turns_curation_df(spark, sf_dir))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "bm25_topk": q_bm25_topk,
@@ -1863,6 +1933,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "transcript_stats": q_transcript_stats,
         "transcript_dedup": q_transcript_dedup,
         "transcript_context": q_transcript_context,
+        "transcript_prefix_share": q_transcript_prefix_share,
+        "transcript_loops": q_transcript_loops,
+        "transcript_lint": q_transcript_lint,
     }
 
 
@@ -4283,6 +4356,119 @@ JOIN turns p
  AND p.turn_idx BETWEEN t.turn_idx - 2 AND t.turn_idx
 WHERE t.role = 'assistant'
 GROUP BY t.conv_id, t.turn_idx
+"""
+
+    # ---- transcript curation-hazard battery: the turns2 CTE mirrors
+    # _turns_curation_df verbatim (CASE order empty/loop/preamble is
+    # load-bearing on both sides)
+    turns2_cte = """
+turns2 AS (
+  SELECT 'c' || lpad((doc_id % 97)::VARCHAR, 3, '0') AS conv_id,
+         (doc_id // 97)::INT AS turn_idx,
+         CASE WHEN doc_id % 97 % 11 = 7 AND doc_id // 97 = 3 THEN 'user'
+              WHEN (doc_id // 97) % 2 = 0 THEN 'user'
+              ELSE 'assistant' END AS role,
+         CASE WHEN doc_id % 97 % 11 = 3 AND doc_id // 97 = 2 THEN '  '
+              WHEN doc_id % 97 % 13 = 5 AND (doc_id // 97) % 2 = 1
+                   AND doc_id // 97 BETWEEN 3 AND 9
+                   THEN 'retrying the tool call'
+              WHEN doc_id // 97 < 2 + doc_id % 97 % 3
+                   THEN 'SYS preamble v' || (doc_id % 97 % 7)::VARCHAR
+                        || ' turn ' || (doc_id // 97)::VARCHAR
+              ELSE text END AS text,
+         CASE WHEN doc_id // 97 < 2 + doc_id % 97 % 3 THEN NULL
+              WHEN (doc_id // 97) % 2 = 1 AND doc_id % 5 = 0
+              THEN 'search' END AS tool,
+         TIMESTAMP '2025-01-01 00:00:00' + to_minutes(
+           (CASE WHEN doc_id % 97 % 11 = 9 AND doc_id // 97 = 2
+                 THEN doc_id - 300 ELSE doc_id END)::BIGINT) AS ts
+  FROM documents
+)"""
+
+    # shared-prefix depth: per-line digests, cumulative prefix digests
+    # (digest of '|'-joined line digests — same composition as the
+    # engine's array_join/slice plan), sharer counts per (depth, hash)
+    sql["transcript_prefix_share"] = f"""
+WITH {turns2_cte},
+l AS (
+  SELECT conv_id,
+         row_number() OVER (PARTITION BY conv_id ORDER BY turn_idx) AS rn,
+         md5({_line()}) AS lh
+  FROM turns2
+),
+p AS (
+  SELECT a.conv_id, a.rn AS depth,
+         md5(string_agg(b.lh, '|' ORDER BY b.rn)) AS ph
+  FROM l a JOIN l b ON b.conv_id = a.conv_id AND b.rn <= a.rn
+  GROUP BY a.conv_id, a.rn
+),
+g AS (SELECT depth, ph, count(*)::BIGINT AS cnt FROM p GROUP BY depth, ph),
+j AS (SELECT p.conv_id, p.depth, g.cnt FROM p JOIN g USING (depth, ph)),
+n AS (SELECT conv_id, count(*)::BIGINT AS n_turns FROM turns2 GROUP BY conv_id),
+d AS (
+  SELECT conv_id, max(CASE WHEN cnt >= 2 THEN depth END) AS sd
+  FROM j GROUP BY conv_id
+)
+SELECT n.conv_id, n.n_turns,
+       coalesce(d.sd, 0)::BIGINT AS shared_depth,
+       coalesce(j2.cnt, 1)::BIGINT AS n_sharers
+FROM n JOIN d USING (conv_id)
+LEFT JOIN j j2 ON j2.conv_id = d.conv_id AND j2.depth = d.sd
+"""
+
+    # stuck-agent loops: change-point running sum assigns run ids over
+    # the assistant turns, exactly the engine's window plan
+    sql["transcript_loops"] = f"""
+WITH {turns2_cte},
+f AS (SELECT conv_id, turn_idx, text FROM turns2 WHERE role = 'assistant'),
+x AS (
+  SELECT conv_id, turn_idx,
+         CASE WHEN lag(text) OVER (PARTITION BY conv_id ORDER BY turn_idx)
+                   = text THEN 0 ELSE 1 END AS chg
+  FROM f
+),
+r AS (
+  SELECT conv_id,
+         sum(chg) OVER (PARTITION BY conv_id ORDER BY turn_idx
+                        ROWS UNBOUNDED PRECEDING) AS run
+  FROM x
+),
+runs AS (SELECT conv_id, run, count(*)::BIGINT AS run_len
+         FROM r GROUP BY conv_id, run)
+SELECT conv_id,
+       sum(run_len)::BIGINT AS n_turns_seen,
+       max(run_len)::BIGINT AS max_run,
+       sum(CASE WHEN run_len >= 2 THEN 1 ELSE 0 END)::BIGINT AS n_loops,
+       sum(CASE WHEN run_len >= 2 THEN run_len ELSE 0 END)::BIGINT
+         AS n_loop_turns
+FROM runs GROUP BY conv_id
+"""
+
+    sql["transcript_lint"] = f"""
+WITH {turns2_cte},
+x AS (
+  SELECT conv_id, turn_idx, role,
+         CASE WHEN trim(text) = '' THEN 1 ELSE 0 END AS emp,
+         CASE WHEN role = lag(role) OVER w THEN 1 ELSE 0 END AS rep,
+         CASE WHEN ts < lag(ts) OVER w THEN 1 ELSE 0 END AS reg
+  FROM turns2
+  WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx)
+),
+a AS (
+  SELECT conv_id,
+         count(*)::BIGINT AS n_turns,
+         sum(emp)::BIGINT AS n_empty_turns,
+         sum(rep)::BIGINT AS n_role_repeats,
+         sum(reg)::BIGINT AS n_ts_regressions,
+         arg_min(role, turn_idx) AS first_role
+  FROM x GROUP BY conv_id
+)
+SELECT conv_id, n_turns, n_empty_turns, n_role_repeats, n_ts_regressions,
+       first_role,
+       (CASE WHEN n_empty_turns = 0 AND n_role_repeats = 0
+             AND n_ts_regressions = 0 AND first_role = 'user'
+             THEN 1 ELSE 0 END)::BIGINT AS ok
+FROM a
 """
 
     return sql

@@ -189,6 +189,178 @@ def dedup_conversations(
     )
 
 
+def shared_prefix_depth(
+    turns: DataFrame,
+    conv_col: str = "conv_id",
+    max_depth: int | None = None,
+) -> DataFrame:
+    """Shared-prefix analysis: for each conversation, how deep a turn
+    prefix (rendered lines in turn order, role/tool headers included)
+    is shared byte-identically with at least one OTHER conversation.
+
+    Agent rollouts routinely share long identical prefixes (same system
+    preamble / few-shot turns, branching later); a curation pipeline
+    uses this to find templated spam and retried-rollout families. Two
+    conversations share depth ``d`` iff their first ``d`` rendered
+    lines are pairwise identical.
+
+    Plan: per-conversation sorted line-digest array (one conv shuffle),
+    prefix digests computed in one pass per conversation (digest of the
+    joined per-line digests — O(depth) fixed-width elements, never the
+    raw texts), posexplode to (depth, prefix_digest) rows, one keyed
+    count per (depth, digest), join back, per-conv max. All keyed
+    aggregations with map-side partials; no self-join, no cross
+    product. ``max_depth`` bounds per-conversation work (prefix rows =
+    min(n_turns, max_depth)) — at 10^12 turns cap it (e.g. 64): shared
+    prefixes deeper than the cap still report as depth == max_depth.
+
+    Returns (conv_id, n_turns, shared_depth, n_sharers): the deepest
+    shared depth (0 if no other conversation shares even turn 1) and
+    the number of conversations (self included) sharing that deepest
+    prefix (1 when shared_depth is 0).
+    """
+    line_digest = F.md5(_turn_line(F.col("role"), F.col("tool"), F.col("text")))
+    grouped = turns.groupBy(conv_col).agg(
+        F.array_sort(
+            F.collect_list(F.struct(F.col("turn_idx"), line_digest.alias("lh")))
+        ).alias("_t")
+    ).select(
+        conv_col,
+        F.size("_t").cast("long").alias("n_turns"),
+        (
+            F.slice(F.transform("_t", lambda t: t["lh"]), 1, int(max_depth))
+            if max_depth is not None
+            else F.transform("_t", lambda t: t["lh"])
+        ).alias("_h"),
+    )
+    prefixes = grouped.select(
+        conv_col,
+        "n_turns",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("_h")),
+                lambda i: F.md5(
+                    F.array_join(F.slice(F.col("_h"), F.lit(1), i), "|")
+                ),
+            )
+        ).alias("_pos", "_ph"),
+    ).select(
+        conv_col, "n_turns", (F.col("_pos") + 1).cast("long").alias("depth"), "_ph"
+    )
+    counts = prefixes.groupBy("depth", "_ph").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+    joined = prefixes.join(counts, ["depth", "_ph"])
+    best = joined.groupBy(conv_col).agg(
+        F.max("n_turns").alias("n_turns"),
+        F.max(
+            F.when(F.col("cnt") >= 2, F.struct(F.col("depth"), F.col("cnt")))
+        ).alias("_best"),
+    )
+    return best.select(
+        conv_col,
+        "n_turns",
+        F.coalesce(F.col("_best.depth"), F.lit(0)).cast("long").alias(
+            "shared_depth"
+        ),
+        F.coalesce(F.col("_best.cnt"), F.lit(1)).cast("long").alias("n_sharers"),
+    )
+
+
+def turn_loops(
+    turns: DataFrame,
+    conv_col: str = "conv_id",
+    role: str | None = "assistant",
+    min_run: int = 2,
+) -> DataFrame:
+    """Stuck-agent loop detection: runs of consecutive byte-identical
+    turns within each conversation. With ``role`` set (default
+    'assistant'), only that role's turns are considered and
+    consecutiveness is in that role's own turn order — the standard
+    "agent repeating the same message" curation gate; with
+    ``role=None`` runs compare (role, text) pairs over all turns.
+
+    One conv_id window (lag + running sum to assign run ids), one
+    keyed run-length aggregation, one per-conversation rollup — no
+    self-joins; per-conversation state is O(turns in the conversation).
+
+    Returns (conv_id, n_turns_seen, max_run, n_loops, n_loop_turns):
+    the longest identical run, the number of runs of length >=
+    ``min_run``, and the total turns inside such runs. Conversations
+    with zero matching-role turns are absent from the output.
+    """
+    df = turns if role is None else turns.filter(F.col("role") == role)
+    w = Window.partitionBy(conv_col).orderBy("turn_idx")
+    same = (F.lag("text").over(w) == F.col("text")) & (
+        F.lag("role").over(w) == F.col("role")
+    )
+    df = df.withColumn("_chg", F.when(same, F.lit(0)).otherwise(F.lit(1)))
+    df = df.withColumn(
+        "_run",
+        F.sum("_chg").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    runs = df.groupBy(conv_col, "_run").agg(
+        F.count(F.lit(1)).cast("long").alias("run_len")
+    )
+    loop = F.col("run_len") >= int(min_run)
+    return runs.groupBy(conv_col).agg(
+        F.sum("run_len").cast("long").alias("n_turns_seen"),
+        F.max("run_len").cast("long").alias("max_run"),
+        F.sum(loop.cast("long")).cast("long").alias("n_loops"),
+        F.sum(F.when(loop, F.col("run_len")).otherwise(0))
+        .cast("long")
+        .alias("n_loop_turns"),
+    )
+
+
+def transcript_lint(
+    turns: DataFrame,
+    conv_col: str = "conv_id",
+) -> DataFrame:
+    """Structural validation of chat training data, per conversation:
+    empty turns (whitespace-only text), adjacent same-role turns
+    (broken user/assistant alternation), and timestamp regressions
+    (ts earlier than the previous turn's). ``ok`` is 1 iff all three
+    counts are zero AND the conversation opens with a user turn.
+
+    One conv_id window (two lags), one keyed rollup; whole-stage
+    codegen throughout.
+
+    Returns (conv_id, n_turns, n_empty_turns, n_role_repeats,
+    n_ts_regressions, first_role, ok).
+    """
+    w = Window.partitionBy(conv_col).orderBy("turn_idx")
+    df = turns.select(
+        conv_col,
+        F.col("turn_idx"),
+        F.col("role"),
+        (F.trim(F.col("text")) == "").cast("long").alias("_empty"),
+        (F.lag("role").over(w) == F.col("role")).cast("long").alias("_rep"),
+        (
+            F.col("ts").cast("timestamp_ltz").cast("long")
+            < F.lag(F.col("ts").cast("timestamp_ltz").cast("long")).over(w)
+        ).cast("long").alias("_reg"),
+    )
+    agg = df.groupBy(conv_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_turns"),
+        F.sum("_empty").cast("long").alias("n_empty_turns"),
+        F.coalesce(F.sum("_rep"), F.lit(0)).cast("long").alias("n_role_repeats"),
+        F.coalesce(F.sum("_reg"), F.lit(0)).cast("long").alias(
+            "n_ts_regressions"
+        ),
+        F.min_by("role", "turn_idx").alias("first_role"),
+    )
+    ok = (
+        (F.col("n_empty_turns") == 0)
+        & (F.col("n_role_repeats") == 0)
+        & (F.col("n_ts_regressions") == 0)
+        & (F.col("first_role") == "user")
+    )
+    return agg.withColumn("ok", ok.cast("long"))
+
+
 def context_windows(
     turns: DataFrame,
     k_prev: int = 2,

@@ -13,7 +13,10 @@ from quickwit_spark.pipeline.transcripts import (
     conversation_stats,
     dedup_conversations,
     render_conversations,
+    shared_prefix_depth,
+    transcript_lint,
     truncate_to_budget,
+    turn_loops,
 )
 
 SCHEMA = T.StructType(
@@ -119,6 +122,96 @@ def test_context_windows(turns):
     assert out[("b", 1)] == "<|user|>ping\n<|assistant|>pong"
 
 
+@pytest.fixture(scope="module")
+def messy_turns(spark):
+    """Planted curation hazards: shared prefixes, an assistant loop,
+    an empty turn, a role repeat, a timestamp regression."""
+    rows = [
+        # p/q/r share a 2-turn system preamble; q/r additionally share
+        # turn 2, then diverge; s shares nothing
+        ("p", 0, "user", "SYS preamble", None, _ts(0)),
+        ("p", 1, "assistant", "ack", None, _ts(1)),
+        ("p", 2, "user", "p goes here", None, _ts(2)),
+        ("q", 0, "user", "SYS preamble", None, _ts(0)),
+        ("q", 1, "assistant", "ack", None, _ts(1)),
+        ("q", 2, "user", "shared third turn", None, _ts(2)),
+        ("q", 3, "assistant", "q diverges", None, _ts(3)),
+        ("r", 0, "user", "SYS preamble", None, _ts(0)),
+        ("r", 1, "assistant", "ack", None, _ts(1)),
+        ("r", 2, "user", "shared third turn", None, _ts(2)),
+        ("r", 3, "assistant", "r diverges", None, _ts(3)),
+        # s: stuck agent — 3 identical consecutive assistant turns,
+        # plus an empty user turn and a ts regression at turn 4
+        ("s", 0, "user", "do the thing", None, _ts(0)),
+        ("s", 1, "assistant", "retrying the tool call", "bash", _ts(1)),
+        ("s", 2, "assistant", "retrying the tool call", "bash", _ts(2)),
+        ("s", 3, "assistant", "retrying the tool call", "bash", _ts(3)),
+        ("s", 4, "user", "   ", None, _ts(2)),
+        # t: opens with assistant (lint: first_role != user)
+        ("t", 0, "assistant", "unprompted", None, _ts(0)),
+        ("t", 1, "user", "ok", None, _ts(1)),
+    ]
+    return spark.createDataFrame(rows[::-1], SCHEMA)
+
+
+def test_shared_prefix_depth(turns, messy_turns):
+    # b and c are byte-identical transcripts: full-depth sharing
+    out = {r.conv_id: r for r in shared_prefix_depth(turns).collect()}
+    assert (out["b"].shared_depth, out["b"].n_sharers) == (2, 2)
+    assert (out["c"].shared_depth, out["c"].n_sharers) == (2, 2)
+    assert (out["a"].shared_depth, out["a"].n_sharers) == (0, 1)
+
+    out = {r.conv_id: r for r in shared_prefix_depth(messy_turns).collect()}
+    # p shares only the 2-turn preamble (with q and r => 3 sharers);
+    # q and r share through turn 2 (depth 3, 2 sharers), diverge at 3
+    assert (out["p"].shared_depth, out["p"].n_sharers) == (2, 3)
+    assert (out["q"].shared_depth, out["q"].n_sharers) == (3, 2)
+    assert (out["r"].shared_depth, out["r"].n_sharers) == (3, 2)
+    assert (out["s"].shared_depth, out["s"].n_sharers) == (0, 1)
+    assert out["q"].n_turns == 4
+
+    # depth cap: q/r's depth-3 share reports as the cap; the deeper
+    # prefix rows are never computed
+    capped = {
+        r.conv_id: r
+        for r in shared_prefix_depth(messy_turns, max_depth=2).collect()
+    }
+    assert (capped["q"].shared_depth, capped["q"].n_sharers) == (2, 3)
+    assert capped["q"].n_turns == 4  # n_turns stays uncapped
+
+
+def test_turn_loops(messy_turns):
+    out = {r.conv_id: r for r in turn_loops(messy_turns).collect()}
+    s = out["s"]
+    assert (s.n_turns_seen, s.max_run, s.n_loops, s.n_loop_turns) == (3, 3, 1, 3)
+    assert (out["q"].max_run, out["q"].n_loops) == (1, 0)
+    # role=None compares (role, text) over ALL turns: s's identical
+    # assistant turns are still consecutive in the full order
+    all_roles = {r.conv_id: r for r in turn_loops(messy_turns, role=None).collect()}
+    assert (all_roles["s"].max_run, all_roles["s"].n_loop_turns) == (3, 3)
+    assert all_roles["s"].n_turns_seen == 5
+    # min_run above the longest run finds nothing
+    strict = {r.conv_id: r for r in turn_loops(messy_turns, min_run=4).collect()}
+    assert (strict["s"].n_loops, strict["s"].n_loop_turns) == (0, 0)
+    assert strict["s"].max_run == 3
+
+
+def test_transcript_lint(turns, messy_turns):
+    clean = {r.conv_id: r for r in transcript_lint(turns).collect()}
+    assert all(r.ok == 1 for r in clean.values())
+
+    out = {r.conv_id: r for r in transcript_lint(messy_turns).collect()}
+    s = out["s"]
+    assert s.n_empty_turns == 1  # whitespace-only turn 4
+    assert s.n_role_repeats == 2  # assistant turns 2 and 3
+    assert s.n_ts_regressions == 1  # turn 4 ts earlier than turn 3
+    assert (s.first_role, s.ok) == ("user", 0)
+    t = out["t"]
+    assert (t.first_role, t.ok) == ("assistant", 0)
+    assert (t.n_empty_turns, t.n_role_repeats, t.n_ts_regressions) == (0, 0, 0)
+    assert out["p"].ok == 1
+
+
 def test_plans_stay_jvm_side(turns):
     # zero Python in any of these plans: no BatchEvalPython /
     # ArrowEvalPython / FlatMapsInPandas nodes
@@ -129,6 +222,9 @@ def test_plans_stay_jvm_side(turns):
         conversation_stats(turns),
         dedup_conversations(turns),
         context_windows(turns),
+        shared_prefix_depth(turns),
+        turn_loops(turns),
+        transcript_lint(turns),
     ):
         plan = df._jdf.queryExecution().executedPlan().toString()
         assert "Python" not in plan and "InPandas" not in plan
