@@ -1822,6 +1822,15 @@ def q_transcript_lint(spark, sf_dir):
     return transcript_lint(_turns_curation_df(spark, sf_dir))
 
 
+def q_transcript_divergence(spark, sf_dir):
+    """DPO-shaped preference pairs at rollout branch points: each pair
+    of conversations sharing a maximal rendered prefix, with both
+    first divergent turns; deterministic per-branch/per-family caps."""
+    from quickwit_spark.pipeline.transcripts import divergence_pairs
+
+    return divergence_pairs(_turns_curation_df(spark, sf_dir))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "bm25_topk": q_bm25_topk,
@@ -1936,6 +1945,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "transcript_prefix_share": q_transcript_prefix_share,
         "transcript_loops": q_transcript_loops,
         "transcript_lint": q_transcript_lint,
+        "transcript_divergence": q_transcript_divergence,
     }
 
 
@@ -4469,6 +4479,54 @@ SELECT conv_id, n_turns, n_empty_turns, n_role_repeats, n_ts_regressions,
              AND n_ts_regressions = 0 AND first_role = 'user'
              THEN 1 ELSE 0 END)::BIGINT AS ok
 FROM a
+"""
+
+    # divergence pairs: same prefix digests as transcript_prefix_share,
+    # branch line via rank-(depth+1) left join, the engine's exact md5
+    # rank caps (per_branch=2 convs per continuation, max_branches=16
+    # continuations per prefix group), pairs at the maximal shared
+    # depth only (same-continuation members never pair)
+    sql["transcript_divergence"] = f"""
+WITH {turns2_cte},
+l AS (
+  SELECT conv_id,
+         row_number() OVER (PARTITION BY conv_id ORDER BY turn_idx) AS rn,
+         {_line()} AS line,
+         md5({_line()}) AS lh
+  FROM turns2
+),
+p AS (
+  SELECT a.conv_id, a.rn AS depth,
+         md5(string_agg(b.lh, '|' ORDER BY b.rn)) AS ph
+  FROM l a JOIN l b ON b.conv_id = a.conv_id AND b.rn <= a.rn
+  GROUP BY a.conv_id, a.rn
+),
+cand AS (
+  SELECT p.conv_id, p.depth, p.ph, nl.line AS branch,
+         coalesce(md5(nl.line), '<END>') AS bd
+  FROM p LEFT JOIN l nl
+    ON nl.conv_id = p.conv_id AND nl.rn = p.depth + 1
+  WHERE p.depth >= 1
+),
+keptc AS (
+  SELECT *, row_number() OVER (
+           PARTITION BY depth, ph, bd
+           ORDER BY md5(conv_id || '|' || ph)) AS cr
+  FROM cand
+),
+keptb AS (
+  SELECT *, dense_rank() OVER (
+           PARTITION BY depth, ph
+           ORDER BY md5(bd || '~' || ph)) AS br
+  FROM keptc WHERE cr <= 2
+)
+SELECT a.conv_id AS conv_a, b.conv_id AS conv_b,
+       a.depth::BIGINT AS shared_depth,
+       a.branch AS branch_a, b.branch AS branch_b
+FROM keptb a JOIN keptb b
+  ON a.depth = b.depth AND a.ph = b.ph
+ AND a.conv_id < b.conv_id AND a.bd <> b.bd
+WHERE a.br <= 16 AND b.br <= 16
 """
 
     return sql

@@ -189,6 +189,44 @@ def dedup_conversations(
     )
 
 
+def _prefix_rows(
+    turns: DataFrame, conv_col: str, max_depth: int | None
+) -> DataFrame:
+    """(conv_id, n_turns, depth, _ph) — one row per conversation per
+    prefix depth 1..min(n_turns, max_depth); ``_ph`` is the digest of
+    the '|'-joined per-line digests (fixed-width elements, never the
+    raw texts). One conv shuffle; per-conversation work is
+    O(min(n_turns, max_depth)^2) over 32-char digests."""
+    line_digest = F.md5(_turn_line(F.col("role"), F.col("tool"), F.col("text")))
+    grouped = turns.groupBy(conv_col).agg(
+        F.array_sort(
+            F.collect_list(F.struct(F.col("turn_idx"), line_digest.alias("lh")))
+        ).alias("_t")
+    ).select(
+        conv_col,
+        F.size("_t").cast("long").alias("n_turns"),
+        (
+            F.slice(F.transform("_t", lambda t: t["lh"]), 1, int(max_depth))
+            if max_depth is not None
+            else F.transform("_t", lambda t: t["lh"])
+        ).alias("_h"),
+    )
+    return grouped.select(
+        conv_col,
+        "n_turns",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("_h")),
+                lambda i: F.md5(
+                    F.array_join(F.slice(F.col("_h"), F.lit(1), i), "|")
+                ),
+            )
+        ).alias("_pos", "_ph"),
+    ).select(
+        conv_col, "n_turns", (F.col("_pos") + 1).cast("long").alias("depth"), "_ph"
+    )
+
+
 def shared_prefix_depth(
     turns: DataFrame,
     conv_col: str = "conv_id",
@@ -219,34 +257,7 @@ def shared_prefix_depth(
     the number of conversations (self included) sharing that deepest
     prefix (1 when shared_depth is 0).
     """
-    line_digest = F.md5(_turn_line(F.col("role"), F.col("tool"), F.col("text")))
-    grouped = turns.groupBy(conv_col).agg(
-        F.array_sort(
-            F.collect_list(F.struct(F.col("turn_idx"), line_digest.alias("lh")))
-        ).alias("_t")
-    ).select(
-        conv_col,
-        F.size("_t").cast("long").alias("n_turns"),
-        (
-            F.slice(F.transform("_t", lambda t: t["lh"]), 1, int(max_depth))
-            if max_depth is not None
-            else F.transform("_t", lambda t: t["lh"])
-        ).alias("_h"),
-    )
-    prefixes = grouped.select(
-        conv_col,
-        "n_turns",
-        F.posexplode(
-            F.transform(
-                F.sequence(F.lit(1), F.size("_h")),
-                lambda i: F.md5(
-                    F.array_join(F.slice(F.col("_h"), F.lit(1), i), "|")
-                ),
-            )
-        ).alias("_pos", "_ph"),
-    ).select(
-        conv_col, "n_turns", (F.col("_pos") + 1).cast("long").alias("depth"), "_ph"
-    )
+    prefixes = _prefix_rows(turns, conv_col, max_depth)
     counts = prefixes.groupBy("depth", "_ph").agg(
         F.count(F.lit(1)).cast("long").alias("cnt")
     )
@@ -264,6 +275,110 @@ def shared_prefix_depth(
             "shared_depth"
         ),
         F.coalesce(F.col("_best.cnt"), F.lit(1)).cast("long").alias("n_sharers"),
+    )
+
+
+def divergence_pairs(
+    turns: DataFrame,
+    conv_col: str = "conv_id",
+    min_depth: int = 1,
+    max_depth: int | None = None,
+    per_branch: int = 2,
+    max_branches: int = 16,
+) -> DataFrame:
+    """Preference-pair construction at rollout branch points: for every
+    pair of conversations whose rendered transcripts agree on exactly
+    ``shared_depth >= min_depth`` leading turns and then DIVERGE, emit
+    one row with both first divergent turns — the (shared context,
+    continuation A, continuation B) shape a DPO/RLHF pairing pipeline
+    feeds to preference labeling when multiple rollouts branch from a
+    common prefix.
+
+    A pair surfaces at its MAXIMAL shared depth only: at shallower
+    depths both conversations carry the same next line (same branch
+    digest) and are skipped; beyond it they are never in the same
+    prefix group. A conversation that simply ENDS at the shared depth
+    pairs against continuations (branch = NULL); two conversations
+    that both end there are full duplicates (dedup_conversations'
+    territory) and emit nothing.
+
+    Scale guards, both deterministic md5 ranks (the LSH `max_bucket`
+    pattern): ``per_branch`` caps conversations kept per distinct
+    continuation within a prefix group, ``max_branches`` caps distinct
+    continuations per group — so one viral prefix with B branches
+    yields at most C(min(B, max_branches) * per_branch, 2) pairs
+    instead of quadratic blowup. ``max_depth`` bounds prefix work as
+    in :func:`shared_prefix_depth`. The pair self-join is keyed on
+    (depth, prefix digest) — no cross product.
+
+    Returns (conv_a, conv_b, shared_depth, branch_a, branch_b) with
+    conv_a < conv_b; branch_* is the rendered first divergent line or
+    NULL when that side ended at the shared depth.
+    """
+    prefixes = _prefix_rows(turns, conv_col, max_depth)
+    lines = turns.select(
+        F.col(conv_col).alias("_lc"),
+        F.col("turn_idx"),
+        _turn_line(F.col("role"), F.col("tool"), F.col("text")).alias("_line"),
+    ).withColumn(
+        "_rank",
+        F.row_number().over(
+            Window.partitionBy("_lc").orderBy("turn_idx")
+        ).cast("long"),
+    )
+    cand = prefixes.filter(F.col("depth") >= int(min_depth)).join(
+        lines,
+        (prefixes[conv_col] == lines["_lc"])
+        & (lines["_rank"] == prefixes["depth"] + 1),
+        "left",
+    ).select(
+        conv_col,
+        "depth",
+        "_ph",
+        F.col("_line").alias("_branch"),
+        F.coalesce(F.md5("_line"), F.lit("<END>")).alias("_bd"),
+    )
+    # deterministic caps: per_branch convs per continuation, then
+    # max_branches continuations per prefix group
+    w_conv = Window.partitionBy("depth", "_ph", "_bd").orderBy(
+        F.md5(F.concat_ws("|", F.col(conv_col), F.col("_ph")))
+    )
+    kept = cand.withColumn("_cr", F.row_number().over(w_conv)).filter(
+        F.col("_cr") <= int(per_branch)
+    )
+    w_branch = Window.partitionBy("depth", "_ph").orderBy(
+        F.md5(F.concat_ws("~", F.col("_bd"), F.col("_ph")))
+    )
+    kept = kept.withColumn(
+        "_br", F.dense_rank().over(w_branch)
+    ).filter(F.col("_br") <= int(max_branches))
+    a = kept.select(
+        F.col(conv_col).alias("conv_a"),
+        F.col("depth"),
+        F.col("_ph"),
+        F.col("_branch").alias("branch_a"),
+        F.col("_bd").alias("_bd_a"),
+    )
+    b = kept.select(
+        F.col(conv_col).alias("conv_b"),
+        F.col("depth"),
+        F.col("_ph"),
+        F.col("_branch").alias("branch_b"),
+        F.col("_bd").alias("_bd_b"),
+    )
+    return (
+        a.join(b, ["depth", "_ph"])
+        .filter(
+            (F.col("conv_a") < F.col("conv_b"))
+            & (F.col("_bd_a") != F.col("_bd_b"))
+        )
+        .select(
+            "conv_a",
+            "conv_b",
+            F.col("depth").alias("shared_depth"),
+            "branch_a",
+            "branch_b",
+        )
     )
 
 

@@ -24,7 +24,16 @@ replay of the planting formulas (never by re-running the op):
 * transcript_lint: n_empty_turns / n_role_repeats / n_ts_regressions
   must equal the planted hazard indicator per conversation
   (conv % 89 == 7 / 11 / 17 -> 1 / 2 / 1, else 0), first_role must be
-  'user' everywhere, and ok must equal the conjunction exactly.
+  'user' everywhere, and ok must equal the conjunction exactly;
+* divergence_pairs (per_branch=2, max_branches=16, max_depth=8):
+  every emitted pair must join two conversations of the SAME template
+  with shared_depth == min(K_a, K_b) exactly; the deeper-preamble side
+  must carry the exact rendered template continuation line and the
+  K == depth side must NOT; no pair may have both sides on the shared
+  continuation (the within-branch exclusion); every one of the
+  templates x depths {2,3,4,5} prefix groups must emit >= 1 pair even
+  under the caps; and no group may exceed the cap-implied
+  C(max_branches*per_branch, 2) pair bound.
 
 Planting keeps the hazard turns (7..13) strictly after the deepest
 possible preamble turn (K <= 5), so the expectations compose without
@@ -59,6 +68,7 @@ def main() -> None:
     from pyspark.sql import functions as F
 
     from quickwit_spark.pipeline.transcripts import (
+        divergence_pairs,
         shared_prefix_depth,
         transcript_lint,
         turn_loops,
@@ -230,6 +240,49 @@ def main() -> None:
         mismatches=bad_lint, planted_hazard_convs=n_hazard,
     )
     assert n_out == n_convs and bad_lint == 0, (n_out, bad_lint)
+
+    # --- divergence_pairs ----------------------------------------------
+    t0 = time.time()
+    pairs = divergence_pairs(turns, max_depth=8)
+    ca = "cast(substring(conv_a, 2, 8) as bigint)"
+    cb = "cast(substring(conv_b, 2, 8) as bigint)"
+    ann = pairs.selectExpr(
+        "conv_a", "conv_b", "shared_depth", "branch_a", "branch_b",
+        f"({ca}) % 1000 as tpl_a", f"({cb}) % 1000 as tpl_b",
+        f"2 + (({ca}) DIV 1000) % 4 as k_a",
+        f"2 + (({cb}) DIV 1000) % 4 as k_b",
+    ).selectExpr(
+        "*",
+        # exact rendered template continuation line at turn t = depth
+        # (t <= 5 < every hazard turn; tool is NULL inside preambles)
+        "concat('<|', CASE WHEN shared_depth % 2 = 0 THEN 'user'"
+        " ELSE 'assistant' END, '|>', 'SYS template ',"
+        " cast(tpl_a as string), ' turn ', cast(shared_depth as string))"
+        " as tpl_line",
+    )
+    bad_pairs = ann.filter(
+        "NOT (tpl_a = tpl_b AND conv_a < conv_b"
+        " AND shared_depth = least(k_a, k_b)"
+        " AND branch_a IS NOT NULL AND branch_b IS NOT NULL"
+        " AND branch_a != branch_b"
+        " AND (CASE WHEN k_a > shared_depth THEN branch_a = tpl_line"
+        "      ELSE branch_a != tpl_line END)"
+        " AND (CASE WHEN k_b > shared_depth THEN branch_b = tpl_line"
+        "      ELSE branch_b != tpl_line END)"
+        " AND NOT (branch_a = tpl_line AND branch_b = tpl_line))"
+    ).count()
+    groups = ann.groupBy("tpl_a", "shared_depth").count()
+    n_groups = groups.count()
+    over_cap = groups.filter(f"count > {32 * 31 // 2}").count()
+    n_pairs = pairs.count()
+    report(
+        "divergence_pairs", time.time() - t0, n_turns, n_pairs,
+        mismatches=bad_pairs, groups_covered=n_groups,
+        groups_expected=4000, groups_over_cap=over_cap,
+    )
+    assert bad_pairs == 0 and over_cap == 0 and n_groups == 4000, (
+        bad_pairs, over_cap, n_groups,
+    )
 
     print(json.dumps({
         "total_sec": round(time.time() - t_all0, 2),

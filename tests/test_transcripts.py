@@ -12,6 +12,7 @@ from quickwit_spark.pipeline.transcripts import (
     context_windows,
     conversation_stats,
     dedup_conversations,
+    divergence_pairs,
     render_conversations,
     shared_prefix_depth,
     transcript_lint,
@@ -196,6 +197,56 @@ def test_turn_loops(messy_turns):
     assert strict["s"].max_run == 3
 
 
+def test_divergence_pairs(turns, messy_turns):
+    # b and c are byte-identical (both "end" at the shared depth):
+    # full duplicates emit NO pair; a shares nothing with them
+    assert divergence_pairs(turns).count() == 0
+
+    got = {
+        (r.conv_a, r.conv_b): r
+        for r in divergence_pairs(messy_turns).collect()
+    }
+    # each pair exactly once, at its MAXIMAL shared depth
+    assert set(got) == {("p", "q"), ("p", "r"), ("q", "r")}
+    assert got[("p", "q")].shared_depth == 2
+    assert got[("p", "q")].branch_a == "<|user|>p goes here"
+    assert got[("p", "q")].branch_b == "<|user|>shared third turn"
+    assert got[("q", "r")].shared_depth == 3
+    assert got[("q", "r")].branch_a == "<|assistant|>q diverges"
+    assert got[("q", "r")].branch_b == "<|assistant|>r diverges"
+    # min_depth above every family silences the output
+    assert divergence_pairs(messy_turns, min_depth=4).count() == 0
+
+    # ended-rollout pairing: add a conversation that stops exactly at
+    # the shared preamble — it pairs against each continuation with a
+    # NULL branch, and a byte-identical second ender adds no (e, f) pair
+    extra = messy_turns.sparkSession.createDataFrame(
+        [
+            ("e", 0, "user", "SYS preamble", None, _ts(0)),
+            ("e", 1, "assistant", "ack", None, _ts(1)),
+            ("f", 0, "user", "SYS preamble", None, _ts(0)),
+            ("f", 1, "assistant", "ack", None, _ts(1)),
+        ],
+        SCHEMA,
+    )
+    got2 = {
+        (r.conv_a, r.conv_b): r
+        for r in divergence_pairs(messy_turns.unionByName(extra)).collect()
+    }
+    assert ("e", "f") not in got2
+    assert got2[("e", "p")].branch_a is None
+    assert got2[("e", "p")].branch_b == "<|user|>p goes here"
+    # caps: per_branch=1 keeps one conversation per continuation —
+    # q/r share the depth-2 continuation, so only one of them pairs
+    # against p there, and the (q, r) depth-3 pair survives
+    capped = divergence_pairs(messy_turns, per_branch=1).collect()
+    d2 = [r for r in capped if r.shared_depth == 2]
+    assert len(d2) == 1 and {d2[0].conv_a, d2[0].conv_b} < {"p", "q", "r"}
+    assert [(r.conv_a, r.conv_b) for r in capped if r.shared_depth == 3] == [
+        ("q", "r")
+    ]
+
+
 def test_transcript_lint(turns, messy_turns):
     clean = {r.conv_id: r for r in transcript_lint(turns).collect()}
     assert all(r.ok == 1 for r in clean.values())
@@ -225,6 +276,7 @@ def test_plans_stay_jvm_side(turns):
         shared_prefix_depth(turns),
         turn_loops(turns),
         transcript_lint(turns),
+        divergence_pairs(turns),
     ):
         plan = df._jdf.queryExecution().executedPlan().toString()
         assert "Python" not in plan and "InPandas" not in plan
