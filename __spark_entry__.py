@@ -4252,10 +4252,11 @@ turns AS (
 )"""
 
     def _line(p: str = "") -> str:
+        # NULL text renders as an empty body, mirroring _turn_line
         r, t, x = f"{p}role", f"{p}tool", f"{p}text"
         return (
             f"'<|' || {r} || CASE WHEN {t} IS NOT NULL THEN ':' || {t}"
-            f" ELSE '' END || '|>' || {x}"
+            f" ELSE '' END || '|>' || coalesce({x}, '')"
         )
 
     sql["transcript_render"] = f"""
@@ -4433,9 +4434,11 @@ WITH {turns2_cte},
 f AS (SELECT conv_id, turn_idx, text FROM turns2 WHERE role = 'assistant'),
 x AS (
   SELECT conv_id, turn_idx,
-         CASE WHEN lag(text) OVER (PARTITION BY conv_id ORDER BY turn_idx)
-                   = text THEN 0 ELSE 1 END AS chg
+         CASE WHEN lag(turn_idx) OVER w IS NULL THEN 1
+              WHEN lag(text) OVER w IS NOT DISTINCT FROM text THEN 0
+              ELSE 1 END AS chg
   FROM f
+  WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx)
 ),
 r AS (
   SELECT conv_id,
@@ -4458,7 +4461,7 @@ FROM runs GROUP BY conv_id
 WITH {turns2_cte},
 x AS (
   SELECT conv_id, turn_idx, role,
-         CASE WHEN trim(text) = '' THEN 1 ELSE 0 END AS emp,
+         CASE WHEN text IS NULL OR trim(text) = '' THEN 1 ELSE 0 END AS emp,
          CASE WHEN role = lag(role) OVER w THEN 1 ELSE 0 END AS rep,
          CASE WHEN ts < lag(ts) OVER w THEN 1 ELSE 0 END AS reg
   FROM turns2

@@ -461,7 +461,8 @@ def main() -> None:
                  "transcript_dedup", "events_asof", "events_interval",
                  "dedup_exact_incremental", "dedup_paragraph",
                  "dsir_logweights", "hybrid_rrf_topk", "c4_rules",
-                 "ccnet_buckets", "semantic_decontaminate"):
+                 "ccnet_buckets", "semantic_decontaminate",
+                 "transcript_prefix_share", "transcript_divergence"):
         fn = entry.queries()[name]
 
         def run(fn=fn):

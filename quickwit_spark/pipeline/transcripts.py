@@ -44,7 +44,11 @@ def _turn_header(role, tool):
 
 
 def _turn_line(role, tool, text):
-    return F.concat(_turn_header(role, tool), text)
+    # NULL text renders as an empty body (not a NULL line): a NULL line
+    # would vanish from concat_ws/array_join joins and collapse distinct
+    # transcripts onto one digest in the prefix/divergence ops. The
+    # oracle _line() helper coalesces identically.
+    return F.concat(_turn_header(role, tool), F.coalesce(text, F.lit("")))
 
 
 def render_conversations(
@@ -406,10 +410,18 @@ def turn_loops(
     """
     df = turns if role is None else turns.filter(F.col("role") == role)
     w = Window.partitionBy(conv_col).orderBy("turn_idx")
-    same = (F.lag("text").over(w) == F.col("text")) & (
-        F.lag("role").over(w) == F.col("role")
+    # null-safe comparisons: a run of identical NULL-text turns (e.g. a
+    # stuck tool-only agent) is still a loop; the first row of each
+    # conversation always starts a run (lag(turn_idx) is null there)
+    same = F.lag("text").over(w).eqNullSafe(F.col("text")) & F.lag(
+        "role"
+    ).over(w).eqNullSafe(F.col("role"))
+    df = df.withColumn(
+        "_chg",
+        F.when(
+            F.lag("turn_idx").over(w).isNull() | ~same, F.lit(1)
+        ).otherwise(F.lit(0)),
     )
-    df = df.withColumn("_chg", F.when(same, F.lit(0)).otherwise(F.lit(1)))
     df = df.withColumn(
         "_run",
         F.sum("_chg").over(
@@ -435,7 +447,7 @@ def transcript_lint(
     conv_col: str = "conv_id",
 ) -> DataFrame:
     """Structural validation of chat training data, per conversation:
-    empty turns (whitespace-only text), adjacent same-role turns
+    empty turns (NULL or whitespace-only text), adjacent same-role turns
     (broken user/assistant alternation), and timestamp regressions
     (ts earlier than the previous turn's). ``ok`` is 1 iff all three
     counts are zero AND the conversation opens with a user turn.
@@ -447,16 +459,18 @@ def transcript_lint(
     n_ts_regressions, first_role, ok).
     """
     w = Window.partitionBy(conv_col).orderBy("turn_idx")
+    ts_us = F.unix_micros(F.col("ts").cast("timestamp_ltz"))
     df = turns.select(
         conv_col,
         F.col("turn_idx"),
         F.col("role"),
-        (F.trim(F.col("text")) == "").cast("long").alias("_empty"),
+        # NULL text counts as empty (and keeps the counts/ok non-NULL)
+        (F.col("text").isNull() | (F.trim(F.col("text")) == ""))
+        .cast("long")
+        .alias("_empty"),
         (F.lag("role").over(w) == F.col("role")).cast("long").alias("_rep"),
-        (
-            F.col("ts").cast("timestamp_ltz").cast("long")
-            < F.lag(F.col("ts").cast("timestamp_ltz").cast("long")).over(w)
-        ).cast("long").alias("_reg"),
+        # microsecond epoch comparison: sub-second regressions count
+        (ts_us < F.lag(ts_us).over(w)).cast("long").alias("_reg"),
     )
     agg = df.groupBy(conv_col).agg(
         F.count(F.lit(1)).cast("long").alias("n_turns"),

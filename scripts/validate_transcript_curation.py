@@ -99,7 +99,7 @@ def main() -> None:
         f"pmod(xxhash64({conv}, {t}, j), 50000) as string), 5, '0'))), ' ')"
     )
     turns = spark.range(n_turns).select(
-        F.expr(f"concat('c', lpad(cast({conv} as string), 8, '0'))").alias(
+        F.expr(f"concat('c', lpad(cast({conv} as string), 13, '0'))").alias(
             "conv_id"
         ),
         F.expr(f"cast({t} as int)").alias("turn_idx"),
@@ -123,7 +123,7 @@ def main() -> None:
         F.expr(
             "timestamp'2025-01-01 00:00:00' + make_interval(0,0,0,0,0,0,"
             f" cast(CASE WHEN ({conv}) % 89 = 17 AND {t} = 12"
-            " THEN id - 3600 ELSE id END as int))"
+            " THEN id - 3600 ELSE id END as bigint))"
         ).alias("ts"),
     )
     workdir = tempfile.mkdtemp(prefix="qs_transcur_scale_")
@@ -133,9 +133,8 @@ def main() -> None:
     n_convs = n_turns // TURNS_PER_CONV
 
     # independent per-conversation expectations (pure id arithmetic)
-    cnum = "cast(substring(conv_id, 2, 8) as bigint)"
     exp = spark.range(n_convs).select(
-        F.expr("concat('c', lpad(cast(id as string), 8, '0'))").alias("conv_id"),
+        F.expr("concat('c', lpad(cast(id as string), 13, '0'))").alias("conv_id"),
         F.expr("id % 1000").alias("tpl"),
         F.expr("cast(2 + (id DIV 1000) % 4 as bigint)").alias("exp_k"),
         F.expr("id % 97 = 13").alias("is_loop"),
@@ -244,8 +243,8 @@ def main() -> None:
     # --- divergence_pairs ----------------------------------------------
     t0 = time.time()
     pairs = divergence_pairs(turns, max_depth=8)
-    ca = "cast(substring(conv_a, 2, 8) as bigint)"
-    cb = "cast(substring(conv_b, 2, 8) as bigint)"
+    ca = "cast(substring(conv_a, 2, 13) as bigint)"
+    cb = "cast(substring(conv_b, 2, 13) as bigint)"
     ann = pairs.selectExpr(
         "conv_a", "conv_b", "shared_depth", "branch_a", "branch_b",
         f"({ca}) % 1000 as tpl_a", f"({cb}) % 1000 as tpl_b",

@@ -263,6 +263,72 @@ def test_transcript_lint(turns, messy_turns):
     assert out["p"].ok == 1
 
 
+def test_null_text_handling(spark):
+    """NULL-text turns must not vanish from prefix digests, loop runs,
+    or lint counts (review findings: md5(NULL line) used to be skipped
+    by array_join, lag equality was not null-safe, and sum over
+    all-NULL _empty returned NULL)."""
+    rows = [
+        # x and y differ ONLY in where the NULL-text turn sits: they
+        # must NOT share any prefix (roles differ at turn 0 too)
+        ("x", 0, "user", "hello", None, _ts(0)),
+        ("x", 1, "assistant", None, "bash", _ts(1)),
+        ("y", 0, "user", None, None, _ts(0)),
+        ("y", 1, "assistant", "hello", "bash", _ts(1)),
+        # z: stuck tool-only agent — 3 consecutive NULL-text assistant
+        # turns with the same tool ARE a loop
+        ("z", 0, "user", "go", None, _ts(0)),
+        ("z", 1, "assistant", None, "bash", _ts(1)),
+        ("z", 2, "assistant", None, "bash", _ts(2)),
+        ("z", 3, "assistant", None, "bash", _ts(3)),
+    ]
+    df = spark.createDataFrame(rows, SCHEMA)
+    pref = {r.conv_id: r for r in shared_prefix_depth(df).collect()}
+    assert (pref["x"].shared_depth, pref["y"].shared_depth) == (0, 0)
+
+    loops = {r.conv_id: r for r in turn_loops(df).collect()}
+    assert (loops["z"].max_run, loops["z"].n_loop_turns) == (3, 3)
+
+    lint = {r.conv_id: r for r in transcript_lint(df).collect()}
+    assert lint["z"].n_empty_turns == 3  # NULL text counts as empty
+    assert lint["z"].ok == 0
+    assert lint["x"].n_empty_turns == 1 and lint["x"].ok == 0
+
+    # a NULL-text continuation is a real branch, not an ended rollout
+    pairs = {
+        (r.conv_a, r.conv_b): r for r in divergence_pairs(df).collect()
+    }
+    assert ("x", "y") not in pairs  # nothing shared
+    # x vs a twin sharing turn 0 then diverging into a NULL-text turn
+    extra = spark.createDataFrame(
+        [
+            ("w", 0, "user", "hello", None, _ts(0)),
+            ("w", 1, "assistant", "actual words", None, _ts(1)),
+        ],
+        SCHEMA,
+    )
+    got = {
+        (r.conv_a, r.conv_b): r
+        for r in divergence_pairs(df.unionByName(extra)).collect()
+    }
+    xw = got[("w", "x")]
+    assert xw.shared_depth == 1
+    assert xw.branch_a == "<|assistant|>actual words"
+    assert xw.branch_b == "<|assistant:bash|>"  # NULL body, real branch
+
+
+def test_subsecond_ts_regression(spark):
+    """Sub-second timestamp regressions count (epoch-microsecond
+    comparison, not floored seconds)."""
+    base = dt.datetime(2025, 1, 1)
+    rows = [
+        ("a", 0, "user", "t0", None, base + dt.timedelta(milliseconds=900)),
+        ("a", 1, "assistant", "t1", None, base + dt.timedelta(milliseconds=200)),
+    ]
+    out = transcript_lint(spark.createDataFrame(rows, SCHEMA)).collect()[0]
+    assert out.n_ts_regressions == 1 and out.ok == 0
+
+
 def test_plans_stay_jvm_side(turns):
     # zero Python in any of these plans: no BatchEvalPython /
     # ArrowEvalPython / FlatMapsInPandas nodes
