@@ -1831,6 +1831,27 @@ def q_transcript_divergence(spark, sf_dir):
     return divergence_pairs(_turns_curation_df(spark, sf_dir))
 
 
+def q_transcript_curation(spark, sf_dir):
+    """Composed agent-data gate over the hazard corpus + 8 replayed
+    conversations: lint -> stuck-loop -> exact-duplicate ->
+    prefix-family stages, one verdict row per conversation, later
+    stages computed over earlier survivors."""
+    from quickwit_spark.pipeline.transcripts import curate_transcripts
+
+    base = _turns_curation_df(spark, sf_dir)
+    replay = base.filter(
+        F.expr("CAST(substring(conv_id, 2, 3) AS INT) < 8")
+    ).withColumn("conv_id", F.concat(F.lit("r"), F.substring("conv_id", 2, 3)))
+    # loop_run_limit=2: the planted loop runs span assistant turns 3/5
+    # (length 2 at the testdata conversation lengths)
+    return curate_transcripts(
+        base.unionByName(replay),
+        loop_run_limit=2,
+        family_depth=2,
+        per_family=2,
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "bm25_topk": q_bm25_topk,
@@ -1946,6 +1967,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "transcript_loops": q_transcript_loops,
         "transcript_lint": q_transcript_lint,
         "transcript_divergence": q_transcript_divergence,
+        "transcript_curation": q_transcript_curation,
     }
 
 
@@ -4530,6 +4552,99 @@ FROM keptb a JOIN keptb b
   ON a.depth = b.depth AND a.ph = b.ph
  AND a.conv_id < b.conv_id AND a.bd <> b.bd
 WHERE a.br <= 16 AND b.br <= 16
+"""
+
+    # composed curation gate: the staged engine plan replayed CTE by
+    # CTE over turns2 + 8 replayed convs (priority lint > loop >
+    # duplicate > prefix_family; each stage over earlier survivors)
+    sql["transcript_curation"] = f"""
+WITH {turns2_cte},
+turns3 AS (
+  SELECT * FROM turns2
+  UNION ALL
+  SELECT 'r' || substr(conv_id, 2) AS conv_id, turn_idx, role, text, tool, ts
+  FROM turns2 WHERE substr(conv_id, 2)::INT < 8
+),
+lx AS (
+  SELECT conv_id, turn_idx, role,
+         CASE WHEN text IS NULL OR trim(text) = '' THEN 1 ELSE 0 END AS emp,
+         CASE WHEN role = lag(role) OVER w THEN 1 ELSE 0 END AS rep,
+         CASE WHEN ts < lag(ts) OVER w THEN 1 ELSE 0 END AS reg
+  FROM turns3
+  WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx)
+),
+lint AS (
+  SELECT conv_id,
+         CASE WHEN sum(emp) = 0 AND sum(rep) = 0 AND sum(reg) = 0
+              AND arg_min(role, turn_idx) = 'user' THEN 1 ELSE 0 END AS ok
+  FROM lx GROUP BY conv_id
+),
+lf AS (SELECT conv_id, turn_idx, text FROM turns3 WHERE role = 'assistant'),
+lc AS (
+  SELECT conv_id, turn_idx,
+         CASE WHEN lag(turn_idx) OVER w IS NULL THEN 1
+              WHEN lag(text) OVER w IS NOT DISTINCT FROM text THEN 0
+              ELSE 1 END AS chg
+  FROM lf
+  WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx)
+),
+lr AS (
+  SELECT conv_id,
+         sum(chg) OVER (PARTITION BY conv_id ORDER BY turn_idx
+                        ROWS UNBOUNDED PRECEDING) AS run
+  FROM lc
+),
+loops AS (
+  SELECT conv_id, max(run_len) AS max_run
+  FROM (SELECT conv_id, run, count(*) AS run_len
+        FROM lr GROUP BY conv_id, run)
+  GROUP BY conv_id
+),
+a1 AS (
+  SELECT l.conv_id,
+         CASE WHEN l.ok = 0 THEN 'lint'
+              WHEN coalesce(lo.max_run, 1) >= 2 THEN 'loop' END AS r1
+  FROM lint l LEFT JOIN loops lo USING (conv_id)
+),
+t1 AS (SELECT t.* FROM turns3 t JOIN a1 ON a1.conv_id = t.conv_id
+       WHERE a1.r1 IS NULL),
+rr AS (
+  SELECT conv_id,
+         string_agg({_line()}, chr(10) ORDER BY turn_idx) AS rendered
+  FROM t1 GROUP BY conv_id
+),
+gg AS (SELECT rendered, min(conv_id) AS canonical FROM rr GROUP BY rendered),
+a2 AS (
+  SELECT rr.conv_id,
+         CASE WHEN rr.conv_id <> gg.canonical THEN 'duplicate' END AS r2
+  FROM rr JOIN gg USING (rendered)
+),
+t2 AS (SELECT t.* FROM turns3 t JOIN a2 ON a2.conv_id = t.conv_id
+       WHERE a2.r2 IS NULL),
+l2 AS (
+  SELECT conv_id,
+         row_number() OVER (PARTITION BY conv_id ORDER BY turn_idx) AS rn,
+         md5({_line()}) AS lh
+  FROM t2
+),
+p2 AS (
+  SELECT x.conv_id, md5(x.lh || '|' || y.lh) AS ph
+  FROM l2 x JOIN l2 y ON y.conv_id = x.conv_id AND x.rn = 1 AND y.rn = 2
+),
+a3 AS (
+  SELECT conv_id,
+         CASE WHEN row_number() OVER (
+                PARTITION BY ph ORDER BY md5(conv_id || '|' || ph)) > 2
+              THEN 'prefix_family' END AS r3
+  FROM p2
+)
+SELECT a1.conv_id,
+       (CASE WHEN coalesce(a1.r1, a2.r2, a3.r3) IS NULL
+             THEN 1 ELSE 0 END)::BIGINT AS kept,
+       coalesce(a1.r1, a2.r2, a3.r3) AS reason
+FROM a1
+LEFT JOIN a2 USING (conv_id)
+LEFT JOIN a3 USING (conv_id)
 """
 
     return sql

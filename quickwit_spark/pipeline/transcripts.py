@@ -490,6 +490,90 @@ def transcript_lint(
     return agg.withColumn("ok", ok.cast("long"))
 
 
+def curate_transcripts(
+    turns: DataFrame,
+    conv_col: str = "conv_id",
+    loop_run_limit: int = 3,
+    family_depth: int = 2,
+    per_family: int = 1,
+) -> DataFrame:
+    """Composed end-to-end agent-data curation gate, one verdict row per
+    conversation. Stages, in priority order (first failure wins):
+
+    1. ``lint`` — structural hazards (:func:`transcript_lint` ok == 0);
+    2. ``loop`` — a stuck agent (an assistant message repeated
+       ``loop_run_limit``+ times consecutively, :func:`turn_loops`);
+    3. ``duplicate`` — byte-identical rendered transcript of a
+       lint/loop-surviving conversation with a smaller conv_id
+       (:func:`dedup_conversations` canonical-keeper rule);
+    4. ``prefix_family`` — templated spam: among survivors whose first
+       ``family_depth`` rendered turns are identical, keep the
+       ``per_family`` smallest md5-ranked conversations and drop the
+       rest (conversations shorter than ``family_depth`` turns carry
+       no family and always pass this stage).
+
+    Later stages are computed over the SURVIVORS of earlier ones (a
+    duplicate of a lint-dropped conversation reports 'lint', and its
+    canonical is chosen among survivors only) — the same staged
+    semantics as the corpus-side composed ingest gate.
+
+    Scale: each stage is the underlying operator's plan (keyed
+    aggregations and windows on conv_id / digest keys); the
+    composition adds only conv-count-sized semi-joins between stages.
+
+    Returns (conv_id, kept, reason): kept 1/0, reason in
+    ('lint', 'loop', 'duplicate', 'prefix_family') or NULL when kept.
+    """
+    lint = transcript_lint(turns, conv_col).select(conv_col, "ok")
+    loops = turn_loops(turns, conv_col).select(conv_col, "max_run")
+    # conversations with no assistant turns have no loops row: max_run 1
+    s1 = lint.join(loops, conv_col, "left").select(
+        conv_col,
+        F.when(F.col("ok") == 0, F.lit("lint"))
+        .when(
+            F.coalesce(F.col("max_run"), F.lit(1)) >= int(loop_run_limit),
+            F.lit("loop"),
+        )
+        .alias("_r1"),
+    )
+    surv1 = s1.filter(F.col("_r1").isNull()).select(conv_col)
+    turns1 = turns.join(surv1, conv_col, "left_semi")
+    dd = dedup_conversations(turns1, conv_col).select(
+        conv_col,
+        F.when(
+            F.col(conv_col) != F.col("canonical_conv_id"), F.lit("duplicate")
+        ).alias("_r2"),
+    )
+    surv2 = dd.filter(F.col("_r2").isNull()).select(conv_col)
+    turns2 = turns.join(surv2, conv_col, "left_semi")
+    fam = _prefix_rows(turns2, conv_col, max_depth=int(family_depth)).filter(
+        F.col("depth") == int(family_depth)
+    )
+    w_fam = Window.partitionBy("_ph").orderBy(
+        F.md5(F.concat_ws("|", F.col(conv_col), F.col("_ph")))
+    )
+    fam = fam.select(
+        conv_col,
+        F.when(
+            F.row_number().over(w_fam) > int(per_family),
+            F.lit("prefix_family"),
+        ).alias("_r3"),
+    )
+    out = (
+        s1.join(dd.select(conv_col, "_r2"), conv_col, "left")
+        .join(fam, conv_col, "left")
+        .select(
+            conv_col,
+            F.coalesce("_r1", "_r2", "_r3").alias("reason"),
+        )
+    )
+    return out.select(
+        conv_col,
+        F.col("reason").isNull().cast("long").alias("kept"),
+        "reason",
+    )
+
+
 def context_windows(
     turns: DataFrame,
     k_prev: int = 2,

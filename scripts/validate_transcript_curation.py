@@ -25,6 +25,14 @@ replay of the planting formulas (never by re-running the op):
   must equal the planted hazard indicator per conversation
   (conv % 89 == 7 / 11 / 17 -> 1 / 2 / 1, else 0), first_role must be
   'user' everywhere, and ok must equal the conjunction exactly;
+* curate_transcripts (loop_run_limit=3, family_depth=2, per_family=2):
+  exactly one verdict row per conversation; the 'lint' set must equal
+  the planted hazard classes exactly; the 'loop' set must equal the
+  planted loop conversations minus those already lint-dropped; zero
+  'duplicate' verdicts (none planted); and because every conversation
+  in a template shares the same depth-2 preamble, each of the 1000
+  templates must keep EXACTLY per_family conversations, with the
+  rest of its survivors dropped as 'prefix_family';
 * divergence_pairs (per_branch=2, max_branches=16, max_depth=8):
   every emitted pair must join two conversations of the SAME template
   with shared_depth == min(K_a, K_b) exactly; the deeper-preamble side
@@ -68,6 +76,7 @@ def main() -> None:
     from pyspark.sql import functions as F
 
     from quickwit_spark.pipeline.transcripts import (
+        curate_transcripts,
         divergence_pairs,
         shared_prefix_depth,
         transcript_lint,
@@ -239,6 +248,33 @@ def main() -> None:
         mismatches=bad_lint, planted_hazard_convs=n_hazard,
     )
     assert n_out == n_convs and bad_lint == 0, (n_out, bad_lint)
+
+    # --- curate_transcripts (composed gate) ----------------------------
+    t0 = time.time()
+    gate = curate_transcripts(
+        turns, loop_run_limit=3, family_depth=2, per_family=2
+    )
+    g = gate.join(exp, "conv_id")
+    hazard = "(has_empty OR has_role_override OR has_ts_reg)"
+    bad_gate = g.filter(
+        f"coalesce(reason = 'lint', false) != {hazard}"
+        f" OR coalesce(reason = 'loop', false) != (is_loop AND NOT {hazard})"
+        " OR reason = 'duplicate'"
+        " OR (kept = 1) != (reason IS NULL)"
+    ).count()
+    per_tpl = g.groupBy("tpl").agg(
+        F.sum("kept").alias("n_kept"), F.count(F.lit(1)).alias("n"),
+    )
+    bad_tpl = per_tpl.filter("n_kept != 2").count()
+    n_tpl = per_tpl.count()
+    n_out = gate.count()
+    report(
+        "curate_transcripts", time.time() - t0, n_turns, n_out,
+        mismatches=bad_gate, bad_templates=bad_tpl, templates=n_tpl,
+    )
+    assert n_out == n_convs and bad_gate == 0 and bad_tpl == 0, (
+        n_out, bad_gate, bad_tpl,
+    )
 
     # --- divergence_pairs ----------------------------------------------
     t0 = time.time()

@@ -11,6 +11,7 @@ from quickwit_spark.pipeline.transcripts import (
     assistant_spans,
     context_windows,
     conversation_stats,
+    curate_transcripts,
     dedup_conversations,
     divergence_pairs,
     render_conversations,
@@ -315,6 +316,56 @@ def test_null_text_handling(spark):
     assert xw.shared_depth == 1
     assert xw.branch_a == "<|assistant|>actual words"
     assert xw.branch_b == "<|assistant:bash|>"  # NULL body, real branch
+
+
+def test_curate_transcripts(spark):
+    rows = []
+
+    def add(conv, ts_off, *turns):
+        for i, (role, text) in enumerate(turns):
+            rows.append((conv, i, role, text, None, _ts(ts_off + i)))
+
+    # a/b/c: one 2-turn prefix family; c is a byte-identical replay of b
+    add("a", 0, ("user", "SYS"), ("assistant", "ack"), ("user", "a tail"))
+    add("b", 0, ("user", "SYS"), ("assistant", "ack"), ("user", "b tail"))
+    add("c", 10, ("user", "SYS"), ("assistant", "ack"), ("user", "b tail"))
+    # d: lint (opens with assistant); e: loop (3 identical assistant)
+    add("d", 0, ("assistant", "SYS"), ("user", "x"))
+    add("e", 0, ("user", "q"), ("assistant", "L"), ("user", "q2"),
+        ("assistant", "L"), ("user", "q3"), ("assistant", "L"))
+    # f: shorter than family_depth -> never a family member
+    add("f", 0, ("user", "solo"))
+    df = spark.createDataFrame(rows, SCHEMA)
+
+    out = {r.conv_id: r for r in curate_transcripts(df).collect()}
+    assert len(out) == 6
+    assert out["d"].reason == "lint"
+    assert out["e"].reason == "loop"
+    assert out["c"].reason == "duplicate"  # canonical b survives
+    assert out["f"].kept == 1 and out["f"].reason is None
+    # family {a, b}: exactly one kept at per_family=1
+    fam = sorted((out["a"].reason, out["b"].reason), key=str)
+    assert fam.count(None) == 1 and fam.count("prefix_family") == 1
+
+    # per_family=2 keeps both family members; everything else unchanged
+    out2 = {r.conv_id: r for r in curate_transcripts(df, per_family=2).collect()}
+    assert out2["a"].kept == 1 and out2["b"].kept == 1
+    assert (out2["c"].reason, out2["d"].reason, out2["e"].reason) == (
+        "duplicate", "lint", "loop",
+    )
+    # staged semantics: duplicates drop BEFORE families form, so c never
+    # occupies a family slot; and a lint-dropped conv's duplicate
+    # reports lint, not duplicate
+    dup_of_d = spark.createDataFrame(
+        [("g", 0, "assistant", "SYS", None, _ts(50)),
+         ("g", 1, "user", "x", None, _ts(51))],
+        SCHEMA,
+    )
+    out3 = {
+        r.conv_id: r
+        for r in curate_transcripts(df.unionByName(dup_of_d)).collect()
+    }
+    assert out3["g"].reason == "lint"
 
 
 def test_subsecond_ts_regression(spark):
