@@ -1759,9 +1759,11 @@ def _turns_curation_df(spark, sf_dir):
     NULL inside the preamble), a stuck-agent loop (c%13==5, odd turns
     3..9 repeat one assistant message), whitespace-only turns
     (c%11==3, turn 2), a role repeat (c%11==7, turn 3 forced 'user'),
-    and a timestamp regression (c%11==9, turn 2 set 300 minutes
-    early). CASE order (empty, loop, preamble) is load-bearing and
-    mirrored verbatim in the oracle's turns2 CTE."""
+    a timestamp regression (c%11==9, turn 2 set 300 minutes early),
+    and a MISSING timestamp (c%11==1, turn 1 ts NULL — the lint
+    n_null_ts hazard: invisible to the regression comparison, counted
+    explicitly). CASE order (empty, loop, preamble) is load-bearing
+    and mirrored verbatim in the oracle's turns2 CTE."""
     return _docs(spark, sf_dir).select(
         F.expr("'c' || lpad(CAST(doc_id % 97 AS STRING), 3, '0')").alias(
             "conv_id"
@@ -1789,9 +1791,10 @@ def _turns_curation_df(spark, sf_dir):
             " THEN 'search' END"
         ).alias("tool"),
         F.expr(
-            "timestamp'2025-01-01 00:00:00' + make_interval(0,0,0,0,0,"
+            "CASE WHEN doc_id % 97 % 11 = 1 AND doc_id DIV 97 = 1 THEN NULL"
+            " ELSE timestamp'2025-01-01 00:00:00' + make_interval(0,0,0,0,0,"
             "CASE WHEN doc_id % 97 % 11 = 9 AND doc_id DIV 97 = 2"
-            " THEN doc_id - 300 ELSE doc_id END,0)"
+            " THEN doc_id - 300 ELSE doc_id END,0) END"
         ).alias("ts"),
     )
 
@@ -4412,9 +4415,10 @@ turns2 AS (
          CASE WHEN doc_id // 97 < 2 + doc_id % 97 % 3 THEN NULL
               WHEN (doc_id // 97) % 2 = 1 AND doc_id % 5 = 0
               THEN 'search' END AS tool,
-         TIMESTAMP '2025-01-01 00:00:00' + to_minutes(
-           (CASE WHEN doc_id % 97 % 11 = 9 AND doc_id // 97 = 2
-                 THEN doc_id - 300 ELSE doc_id END)::BIGINT) AS ts
+         CASE WHEN doc_id % 97 % 11 = 1 AND doc_id // 97 = 1 THEN NULL
+              ELSE TIMESTAMP '2025-01-01 00:00:00' + to_minutes(
+                (CASE WHEN doc_id % 97 % 11 = 9 AND doc_id // 97 = 2
+                      THEN doc_id - 300 ELSE doc_id END)::BIGINT) END AS ts
   FROM documents
 )"""
 
@@ -4453,11 +4457,17 @@ LEFT JOIN j j2 ON j2.conv_id = d.conv_id AND j2.depth = d.sd
     # the assistant turns, exactly the engine's window plan
     sql["transcript_loops"] = f"""
 WITH {turns2_cte},
-f AS (SELECT conv_id, turn_idx, text FROM turns2 WHERE role = 'assistant'),
+f AS (SELECT conv_id, turn_idx, role, text FROM turns2
+      WHERE role = 'assistant'),
 x AS (
+  -- run continues only when BOTH text and role match the previous
+  -- turn (null-safe) — the engine's `same` predicate verbatim; the
+  -- role term is a no-op under the role='assistant' filter but keeps
+  -- the twin semantically identical for a future role=None entry
   SELECT conv_id, turn_idx,
          CASE WHEN lag(turn_idx) OVER w IS NULL THEN 1
-              WHEN lag(text) OVER w IS NOT DISTINCT FROM text THEN 0
+              WHEN lag(text) OVER w IS NOT DISTINCT FROM text
+                   AND lag(role) OVER w IS NOT DISTINCT FROM role THEN 0
               ELSE 1 END AS chg
   FROM f
   WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx)
@@ -4485,7 +4495,9 @@ x AS (
   SELECT conv_id, turn_idx, role,
          CASE WHEN text IS NULL OR trim(text) = '' THEN 1 ELSE 0 END AS emp,
          CASE WHEN role = lag(role) OVER w THEN 1 ELSE 0 END AS rep,
-         CASE WHEN ts < lag(ts) OVER w THEN 1 ELSE 0 END AS reg
+         CASE WHEN ts < lag(ts) OVER w THEN 1 ELSE 0 END AS reg,
+         CASE WHEN ts IS NULL THEN 1 ELSE 0 END AS nts,
+         CASE WHEN role IS NULL THEN 1 ELSE 0 END AS nrole
   FROM turns2
   WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx)
 ),
@@ -4495,13 +4507,16 @@ a AS (
          sum(emp)::BIGINT AS n_empty_turns,
          sum(rep)::BIGINT AS n_role_repeats,
          sum(reg)::BIGINT AS n_ts_regressions,
+         sum(nts)::BIGINT AS n_null_ts,
+         sum(nrole)::BIGINT AS n_null_role,
          arg_min(role, turn_idx) AS first_role
   FROM x GROUP BY conv_id
 )
 SELECT conv_id, n_turns, n_empty_turns, n_role_repeats, n_ts_regressions,
-       first_role,
+       n_null_ts, n_null_role, first_role,
        (CASE WHEN n_empty_turns = 0 AND n_role_repeats = 0
-             AND n_ts_regressions = 0 AND first_role = 'user'
+             AND n_ts_regressions = 0 AND n_null_ts = 0
+             AND n_null_role = 0 AND first_role = 'user'
              THEN 1 ELSE 0 END)::BIGINT AS ok
 FROM a
 """
@@ -4569,21 +4584,26 @@ lx AS (
   SELECT conv_id, turn_idx, role,
          CASE WHEN text IS NULL OR trim(text) = '' THEN 1 ELSE 0 END AS emp,
          CASE WHEN role = lag(role) OVER w THEN 1 ELSE 0 END AS rep,
-         CASE WHEN ts < lag(ts) OVER w THEN 1 ELSE 0 END AS reg
+         CASE WHEN ts < lag(ts) OVER w THEN 1 ELSE 0 END AS reg,
+         CASE WHEN ts IS NULL THEN 1 ELSE 0 END AS nts,
+         CASE WHEN role IS NULL THEN 1 ELSE 0 END AS nrole
   FROM turns3
   WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx)
 ),
 lint AS (
   SELECT conv_id,
          CASE WHEN sum(emp) = 0 AND sum(rep) = 0 AND sum(reg) = 0
+              AND sum(nts) = 0 AND sum(nrole) = 0
               AND arg_min(role, turn_idx) = 'user' THEN 1 ELSE 0 END AS ok
   FROM lx GROUP BY conv_id
 ),
-lf AS (SELECT conv_id, turn_idx, text FROM turns3 WHERE role = 'assistant'),
+lf AS (SELECT conv_id, turn_idx, role, text FROM turns3
+       WHERE role = 'assistant'),
 lc AS (
   SELECT conv_id, turn_idx,
          CASE WHEN lag(turn_idx) OVER w IS NULL THEN 1
-              WHEN lag(text) OVER w IS NOT DISTINCT FROM text THEN 0
+              WHEN lag(text) OVER w IS NOT DISTINCT FROM text
+                   AND lag(role) OVER w IS NOT DISTINCT FROM role THEN 0
               ELSE 1 END AS chg
   FROM lf
   WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx)

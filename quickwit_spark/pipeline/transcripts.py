@@ -311,9 +311,18 @@ def divergence_pairs(
     continuation within a prefix group, ``max_branches`` caps distinct
     continuations per group — so one viral prefix with B branches
     yields at most C(min(B, max_branches) * per_branch, 2) pairs
-    instead of quadratic blowup. ``max_depth`` bounds prefix work as
-    in :func:`shared_prefix_depth`. The pair self-join is keyed on
-    (depth, prefix digest) — no cross product.
+    instead of quadratic blowup. ``max_depth`` bounds per-conversation
+    prefix work as in :func:`shared_prefix_depth` — but note the
+    COVERAGE consequence: a pair whose true branch point lies DEEPER
+    than ``max_depth`` is NOT emitted at all (at depth == max_depth
+    both sides still carry the same next line, so they are filtered as
+    same-continuation, and deeper prefix rows are never computed).
+    :func:`shared_prefix_depth` still reports such capped families at
+    shared_depth == max_depth; callers of the capped 10^12-turn path
+    who need those deep-branching families should detect them there
+    (shared_depth == max_depth) and re-run :func:`divergence_pairs` on
+    that small subset with a larger cap. The pair self-join is keyed
+    on (depth, prefix digest) — no cross product.
 
     Returns (conv_a, conv_b, shared_depth, branch_a, branch_b) with
     conv_a < conv_b; branch_* is the rendered first divergent line or
@@ -448,15 +457,21 @@ def transcript_lint(
 ) -> DataFrame:
     """Structural validation of chat training data, per conversation:
     empty turns (NULL or whitespace-only text), adjacent same-role turns
-    (broken user/assistant alternation), and timestamp regressions
-    (ts earlier than the previous turn's). ``ok`` is 1 iff all three
-    counts are zero AND the conversation opens with a user turn.
+    (broken user/assistant alternation), timestamp regressions (ts
+    earlier than the previous turn's), and MISSING metadata — NULL ts
+    or NULL role turns. A NULL ts is invisible to the regression
+    comparison and a NULL role is invisible to the repeat comparison
+    (SQL NULL semantics on both engines), so for a structural gate they
+    are hazards in their own right and counted explicitly. ``ok`` is 1
+    iff all five counts are zero AND the conversation opens with a user
+    turn (the n_null_role == 0 conjunct keeps ok non-NULL even when
+    first_role is NULL).
 
     One conv_id window (two lags), one keyed rollup; whole-stage
     codegen throughout.
 
     Returns (conv_id, n_turns, n_empty_turns, n_role_repeats,
-    n_ts_regressions, first_role, ok).
+    n_ts_regressions, n_null_ts, n_null_role, first_role, ok).
     """
     w = Window.partitionBy(conv_col).orderBy("turn_idx")
     ts_us = F.unix_micros(F.col("ts").cast("timestamp_ltz"))
@@ -471,6 +486,8 @@ def transcript_lint(
         (F.lag("role").over(w) == F.col("role")).cast("long").alias("_rep"),
         # microsecond epoch comparison: sub-second regressions count
         (ts_us < F.lag(ts_us).over(w)).cast("long").alias("_reg"),
+        F.col("ts").isNull().cast("long").alias("_null_ts"),
+        F.col("role").isNull().cast("long").alias("_null_role"),
     )
     agg = df.groupBy(conv_col).agg(
         F.count(F.lit(1)).cast("long").alias("n_turns"),
@@ -479,12 +496,16 @@ def transcript_lint(
         F.coalesce(F.sum("_reg"), F.lit(0)).cast("long").alias(
             "n_ts_regressions"
         ),
+        F.sum("_null_ts").cast("long").alias("n_null_ts"),
+        F.sum("_null_role").cast("long").alias("n_null_role"),
         F.min_by("role", "turn_idx").alias("first_role"),
     )
     ok = (
         (F.col("n_empty_turns") == 0)
         & (F.col("n_role_repeats") == 0)
         & (F.col("n_ts_regressions") == 0)
+        & (F.col("n_null_ts") == 0)
+        & (F.col("n_null_role") == 0)
         & (F.col("first_role") == "user")
     )
     return agg.withColumn("ok", ok.cast("long"))

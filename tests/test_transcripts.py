@@ -380,6 +380,57 @@ def test_subsecond_ts_regression(spark):
     assert out.n_ts_regressions == 1 and out.ok == 0
 
 
+def test_null_ts_and_role_are_lint_failures(spark):
+    """Missing metadata is itself a structural hazard: a NULL ts is
+    invisible to the regression comparison and a NULL role to the
+    repeat comparison (SQL NULL semantics), so lint counts them
+    explicitly and fails the conversation (advisor finding r4)."""
+    rows = [
+        # a: NULL ts at turn 1 — no regression fires (NULL compare),
+        # but n_null_ts must catch it
+        ("a", 0, "user", "hi", None, _ts(0)),
+        ("a", 1, "assistant", "yo", None, None),
+        ("a", 2, "user", "more", None, _ts(2)),
+        # b: NULL role at turn 1 — no repeat fires, n_null_role catches
+        ("b", 0, "user", "hi", None, _ts(0)),
+        ("b", 1, None, "mystery", None, _ts(1)),
+        # c: NULL role at turn 0 — first_role comparison would be NULL;
+        # ok must still be a concrete 0, not NULL
+        ("c", 0, None, "who", None, _ts(0)),
+        ("c", 1, "assistant", "resp", None, _ts(1)),
+        # d: clean control
+        ("d", 0, "user", "hi", None, _ts(0)),
+        ("d", 1, "assistant", "yo", None, _ts(1)),
+    ]
+    out = {r.conv_id: r for r in transcript_lint(
+        spark.createDataFrame(rows, SCHEMA)).collect()}
+    a = out["a"]
+    assert (a.n_null_ts, a.n_ts_regressions, a.ok) == (1, 0, 0)
+    b = out["b"]
+    assert (b.n_null_role, b.n_role_repeats, b.ok) == (1, 0, 0)
+    c = out["c"]
+    assert c.n_null_role == 1
+    assert c.ok == 0  # concrete zero, never NULL
+    d = out["d"]
+    assert (d.n_null_ts, d.n_null_role, d.ok) == (0, 0, 1)
+
+
+def test_curate_gates_null_ts(spark):
+    """curate_transcripts treats a NULL-ts conversation as a lint
+    failure (previously it passed silently — ok was computed only
+    from the visible counts)."""
+    rows = [
+        ("a", 0, "user", "hi", None, _ts(0)),
+        ("a", 1, "assistant", "yo", None, None),
+        ("b", 0, "user", "hi there", None, _ts(0)),
+        ("b", 1, "assistant", "sure", None, _ts(1)),
+    ]
+    out = {r.conv_id: r for r in curate_transcripts(
+        spark.createDataFrame(rows, SCHEMA)).collect()}
+    assert (out["a"].kept, out["a"].reason) == (0, "lint")
+    assert (out["b"].kept, out["b"].reason) == (1, None)
+
+
 def test_plans_stay_jvm_side(turns):
     # zero Python in any of these plans: no BatchEvalPython /
     # ArrowEvalPython / FlatMapsInPandas nodes
