@@ -1549,6 +1549,38 @@ def q_events_sessionize(spark, sf_dir):
     )
 
 
+def q_sessionize_stream_replay(spark, sf_dir):
+    """Deterministic batch replay of the stateful streaming
+    sessionizer's append-mode emission (applyInPandasWithState with a
+    gap timeout): sessions closed by an observed gap plus sessions
+    timeout-expired at the input's max event time. Attests the state
+    logic in the driver gate, where a running stream can't."""
+    from quickwit_spark.pipeline.events import sessionize_closed
+
+    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    return sessionize_closed(ev, gap_minutes=30, expire_at_max_ts=True)
+
+
+def q_dedup_stream_replay(spark, sf_dir):
+    """Deterministic batch replay of exact_dedup_stream's
+    first-seen-wins digest state over 4 micro-batches: the corpus plus
+    replayed copies (doc_id%5==2 re-arrives as id+1000000 in batch
+    (doc_id+3)%4), survivor = min (batch, id) arrival — a later-id
+    copy in an earlier batch beats the smaller id, unlike batch
+    exact_dedup's min-id keeper."""
+    from quickwit_spark.pipeline.dedup import exact_dedup_stream_replay
+
+    base = _docs(spark, sf_dir).select(
+        "doc_id", (F.col("doc_id") % 4).alias("batch_id"), "text"
+    )
+    replay = _docs(spark, sf_dir).filter(F.col("doc_id") % 5 == 2).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        ((F.col("doc_id") + 3) % 4).alias("batch_id"),
+        "text",
+    )
+    return exact_dedup_stream_replay(base.unionByName(replay))
+
+
 def q_transcript_packing(spark, sf_dir):
     """Conversation-aware packing: whole conversations rendered first
     (turn order, role headers), THEN concat-and-chunk packed — a
@@ -1956,6 +1988,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "frame_sample": q_frame_sample,
         "events_windowed": q_events_windowed,
         "events_sessionize": q_events_sessionize,
+        "sessionize_stream_replay": q_sessionize_stream_replay,
+        "dedup_stream_replay": q_dedup_stream_replay,
         "events_asof": q_events_asof,
         "events_interval": q_events_interval,
         "retrieval_metrics": q_retrieval_metrics,
@@ -4139,6 +4173,60 @@ SELECT user_id, session_idx::BIGINT AS session_idx, count(*) AS n_events,
        (epoch_us(max(ts)) // 1000000)::BIGINT AS session_end_s,
        round(sum(value), 4) AS value_sum
 FROM s GROUP BY user_id, session_idx
+"""
+
+    # batch replay of the stateful streaming sessionizer's append-mode
+    # emission: gap-closed sessions (a later session of the same user
+    # exists) plus event-time timeout expiry at the global max ts
+    sql["sessionize_stream_replay"] = """
+WITH flagged AS (
+  SELECT user_id, ts, event_id, value,
+    CASE WHEN lag(ts) OVER w IS NULL
+              OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+         THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), s AS (
+  SELECT *, sum(new_session) OVER (
+    PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING
+  ) AS session_idx
+  FROM flagged
+), sess AS (
+  SELECT user_id, session_idx::BIGINT AS session_idx,
+         count(*)::BIGINT AS n_events,
+         epoch_us(min(ts))::BIGINT AS session_start_us,
+         epoch_us(max(ts))::BIGINT AS session_end_us,
+         round(sum(value), 4) AS value_sum
+  FROM s GROUP BY user_id, session_idx
+), sess2 AS (
+  SELECT *, max(session_idx) OVER (PARTITION BY user_id) AS mx FROM sess
+), cutoff AS (SELECT max(epoch_us(ts)) AS cutoff_us FROM events)
+SELECT user_id, session_idx, n_events, session_start_us, session_end_us,
+       value_sum
+FROM sess2, cutoff
+WHERE session_idx < mx OR cutoff_us - session_end_us > 1800000000
+"""
+
+    # first-seen-wins micro-batch dedup replay: survivor per digest is
+    # the min (batch_id, doc_id) arrival key
+    sql["dedup_stream_replay"] = """
+WITH s AS (
+  SELECT doc_id, doc_id % 4 AS batch_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, (doc_id + 3) % 4 AS batch_id, text
+  FROM documents WHERE doc_id % 5 = 2
+),
+d AS (SELECT doc_id, batch_id, md5(text) AS dg FROM s),
+k AS (
+  SELECT dg, doc_id AS keeper_id FROM (
+    SELECT dg, doc_id,
+           row_number() OVER (PARTITION BY dg ORDER BY batch_id, doc_id)
+             AS rn
+    FROM d) WHERE rn = 1
+)
+SELECT d.doc_id, d.batch_id, k.keeper_id,
+       (CASE WHEN d.doc_id = k.keeper_id THEN 1 ELSE 0 END)::BIGINT AS kept
+FROM d JOIN k USING (dg)
 """
 
     sql["media_metadata"] = """

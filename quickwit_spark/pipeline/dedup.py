@@ -902,6 +902,46 @@ def exact_dedup_stream(
     return d.dropDuplicates(["_digest"]).drop("_digest")
 
 
+def exact_dedup_stream_replay(
+    df: DataFrame,
+    batch_col: str = "batch_id",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Deterministic batch REPLAY of :func:`exact_dedup_stream`'s
+    first-seen-wins state semantics: rows arrive in micro-batches
+    ordered by ``batch_col`` (within a batch, arrival order is
+    ``id_col`` — callers wanting exact parity with a real stream must
+    keep digests unique within a batch, since ``dropDuplicates``
+    picks an arbitrary row among same-batch duplicates). The survivor
+    of each content digest is the row with the minimum
+    (batch, id) arrival key — NOT :func:`exact_dedup`'s min-id keeper:
+    a later-id copy that arrived in an EARLIER micro-batch beats the
+    smaller id, exactly as the standing digest state would have
+    admitted it first.
+
+    One digest shuffle (min-of-struct window over the digest
+    partition, same single-exchange shape as :func:`exact_dedup`).
+    Tests drive the real ``exact_dedup_stream`` query over per-batch
+    files and assert its survivors equal this replay's kept rows.
+
+    Returns (id, batch, keeper_id, kept 1/0) for every input row.
+    """
+    from pyspark.sql import Window
+
+    win = Window.partitionBy(F.md5(F.col(text_col)))
+    arrival = F.struct(
+        F.col(batch_col).alias("b"), F.col(id_col).alias("i")
+    )
+    keeper = F.min(arrival).over(win)
+    return df.select(
+        id_col,
+        batch_col,
+        keeper["i"].alias("keeper_id"),
+        (F.col(id_col) == keeper["i"]).cast("long").alias("kept"),
+    )
+
+
 # --------------------------------------------------------------------------
 # Incremental dedup: a GROWING corpus dedups each incoming increment
 # against a standing index instead of re-scanning itself. At 100 TB the

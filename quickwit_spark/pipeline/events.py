@@ -191,6 +191,69 @@ def sessionize(
     )
 
 
+def sessionize_closed(
+    df: DataFrame, gap_minutes: int = 30, ts_col: str = "ts",
+    tiebreak_col: str | None = "event_id",
+    expire_at_max_ts: bool = False,
+) -> DataFrame:
+    """Deterministic batch REPLAY of :func:`sessionize_stream`'s
+    append-mode emission — which sessions the stateful streaming
+    sessionizer would have EMITTED after draining this input:
+
+    * a session closed by an observed gap (a later event of the same
+      user arrived more than ``gap_minutes`` after it) is always
+      emitted — this is the ``expire_open_sessions=False`` bounded
+      drain exactly (tests drive the real ``applyInPandasWithState``
+      query against this result);
+    * with ``expire_at_max_ts=True``, additionally emit sessions whose
+      last event lies more than the gap before the input's max event
+      time — the timeout-expiry behavior replayed on an event-time
+      clock (the deterministic stand-in for ProcessingTimeTimeout,
+      whose wall-clock firings no batch replay can reproduce bit-wise).
+
+    Output schema matches SESSION_OUT_SCHEMA (integer microseconds) so
+    the replay is directly comparable to the stream's sink. A session
+    is gap-closed iff a LATER session of the same user exists
+    (session_idx < per-user max) — no second window pass needed beyond
+    the :func:`sessionize` plan; the global max-ts cutoff is a 1-row
+    broadcast cross join, never a single-partition window shuffle.
+    """
+    s = sessionize(df, gap_minutes, ts_col, tiebreak_col)
+    start_us = F.unix_micros(F.col("session_start").cast("timestamp_ltz"))
+    end_us = F.unix_micros(F.col("session_end").cast("timestamp_ltz"))
+    w_user = Window.partitionBy("user_id")
+    out = s.select(
+        "user_id",
+        F.col("session_idx").cast("long").alias("session_idx"),
+        F.col("n_events").cast("long").alias("n_events"),
+        start_us.alias("session_start_us"),
+        end_us.alias("session_end_us"),
+        "value_sum",
+        (F.col("session_idx") < F.max("session_idx").over(w_user)).alias(
+            "_gap_closed"
+        ),
+    )
+    if expire_at_max_ts:
+        from pyspark.sql.functions import broadcast
+
+        gap_us = int(gap_minutes) * 60 * 1_000_000
+        cutoff = df.agg(
+            F.max(
+                F.unix_micros(F.col(ts_col).cast("timestamp_ltz"))
+            ).alias("_cutoff_us")
+        )
+        out = out.crossJoin(broadcast(cutoff))
+        emitted = F.col("_gap_closed") | (
+            F.col("_cutoff_us") - F.col("session_end_us") > F.lit(gap_us)
+        )
+    else:
+        emitted = F.col("_gap_closed")
+    return out.filter(emitted).select(
+        "user_id", "session_idx", "n_events",
+        "session_start_us", "session_end_us", "value_sum",
+    )
+
+
 def asof_join(
     probes: DataFrame,
     events: DataFrame,

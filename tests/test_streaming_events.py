@@ -72,6 +72,153 @@ def test_stateful_streaming_sessionize_matches_batch(spark, tmp_path):
     assert (abs(merged["value_sum_s"] - merged["value_sum_b"]) < 1e-6).all()
 
 
+def test_sessionize_closed_replays_stream_emission(spark, tmp_path):
+    """The batch replay of the stateful sessionizer's append-mode
+    emission (sessionize_closed) must equal the REAL stream's emitted
+    set EXACTLY — not just row-subset-match: same sessions, same
+    aggregates, nothing extra on either side. This is the semantics
+    the driver-gate entry `sessionize_stream_replay` attests."""
+    from quickwit_spark.pipeline.events import (
+        sessionize_closed,
+        sessionize_stream,
+    )
+
+    full = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    batch = full.where(F.col("user_id") < 40)
+    src = tmp_path / "sess_replay_in"
+    src.mkdir()
+    pdf = batch.toPandas().sort_values("ts")
+    third = len(pdf) // 3
+    for i, part in enumerate(
+        (pdf.iloc[:third], pdf.iloc[third : 2 * third], pdf.iloc[2 * third :])
+    ):
+        pq.write_table(
+            pa.Table.from_pandas(part, preserve_index=False),
+            str(src / f"p{i}.parquet"), coerce_timestamps="us",
+        )
+    stream = (
+        spark.readStream.schema(batch.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    q = (
+        sessionize_stream(stream, gap_minutes=30, expire_open_sessions=False)
+        .writeStream.format("memory")
+        .queryName("sessions_replay")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        assert q.awaitTermination(120)
+    finally:
+        q.stop()
+    got = spark.sql("select * from sessions_replay").toPandas()
+    want = sessionize_closed(batch, gap_minutes=30).toPandas()
+    key = ["user_id", "session_idx"]
+    got = got.sort_values(key).reset_index(drop=True)
+    want = want.sort_values(key).reset_index(drop=True)
+    assert len(got) == len(want) > 0
+    for c in ("user_id", "session_idx", "n_events",
+              "session_start_us", "session_end_us"):
+        assert (got[c] == want[c]).all(), c
+    assert (abs(got["value_sum"] - want["value_sum"]) < 1e-6).all()
+
+
+def test_sessionize_closed_expire_at_max_ts(spark):
+    """expire_at_max_ts adds exactly the sessions whose last event is
+    more than the gap before the input's max event time (the
+    event-time replay of timeout expiry), and never an open one."""
+    import datetime as dt
+
+    from quickwit_spark.pipeline.events import sessionize_closed
+
+    t0 = dt.datetime(2025, 1, 1)
+    rows = [
+        # user 1: two sessions (75m gap between them); the second ends
+        # 20m before the global max ts -> NOT expired (20 < 30), only
+        # the gap-closed session 1 is ever emitted
+        (1, 1, t0, "a", 1.0, None),
+        (2, 1, t0 + dt.timedelta(minutes=5), "a", 1.0, None),
+        (3, 1, t0 + dt.timedelta(minutes=80), "a", 1.0, None),
+        # user 2: one session ending 100m before max ts -> expired
+        (4, 2, t0, "a", 2.0, None),
+        # global clock: user 3's lone event is the max ts
+        (5, 3, t0 + dt.timedelta(minutes=100), "a", 3.0, None),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, "
+        "event_type string, value double, props string"
+    )
+    closed = sessionize_closed(df, gap_minutes=30)
+    assert {(r.user_id, r.session_idx) for r in closed.collect()} == {(1, 1)}
+    expired = sessionize_closed(df, gap_minutes=30, expire_at_max_ts=True)
+    assert {(r.user_id, r.session_idx) for r in expired.collect()} == {
+        (1, 1), (2, 1)
+    }
+
+
+def test_dedup_stream_replay_matches_real_stream(spark, tmp_path):
+    """exact_dedup_stream_replay's kept set must equal the survivors of
+    a REAL exact_dedup_stream run over the same micro-batches (digests
+    unique within each batch, so the stream is deterministic). Plants a
+    later-id copy in an EARLIER batch to prove first-seen-wins differs
+    from batch exact_dedup's min-id keeper."""
+    import pandas as pd
+
+    from quickwit_spark.pipeline.dedup import (
+        exact_dedup_stream,
+        exact_dedup_stream_replay,
+    )
+
+    batches = {
+        0: [(100, "alpha"), (101, "beta")],
+        1: [(10, "alpha"), (11, "gamma"), (12, "delta")],
+        2: [(1, "beta"), (2, "gamma"), (3, "epsilon")],
+    }
+    src = tmp_path / "dedup_replay_in"
+    src.mkdir()
+    rows = []
+    for b, docs in batches.items():
+        pq.write_table(
+            pa.Table.from_pandas(
+                pd.DataFrame(docs, columns=["doc_id", "text"]),
+                preserve_index=False,
+            ),
+            str(src / f"p{b}.parquet"),
+        )
+        rows += [(i, b, t) for i, t in docs]
+    schema = "doc_id long, text string"
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    q = (
+        exact_dedup_stream(stream)
+        .writeStream.format("memory")
+        .queryName("dedup_replay")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        assert q.awaitTermination(120)
+    finally:
+        q.stop()
+    stream_kept = {
+        r.doc_id for r in spark.sql("select * from dedup_replay").collect()
+    }
+    df = spark.createDataFrame(rows, "doc_id long, batch_id long, text string")
+    replay = exact_dedup_stream_replay(df).collect()
+    replay_kept = {r.doc_id for r in replay if r.kept == 1}
+    # maxFilesPerTrigger=1 processes files in discovery order p0,p1,p2
+    assert stream_kept == replay_kept == {100, 101, 11, 12, 3}
+    # first-seen beats min-id: 'alpha' keeps 100 (batch 0), not 10
+    keepers = {r.doc_id: r.keeper_id for r in replay}
+    assert keepers[10] == 100 and keepers[1] == 101
+
+
 def test_streamed_window_counts_match_batch(spark, tmp_path):
     from quickwit_spark.pipeline.events import windowed_event_counts
 
