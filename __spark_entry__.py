@@ -1888,14 +1888,101 @@ def q_transcript_curation(spark, sf_dir):
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """Driver-gate registry. ORDER IS LOAD-BEARING: the driver's
+    per-round CORRECTNESS artifact covers only the FIRST 50 keys in
+    dict insertion order, so the window rotates each round onto the
+    least-recently-driver-attested entries (VERDICT r4 finding #1).
+
+    Rotation policy:
+    * positions 1-3: core sentinels (bm25_topk, bm25_phrase,
+      agg_terms_stats) — the index-build/search/agg spine stays in
+      every round's window;
+    * positions 4-50: entries never driver-attested through r4 (the
+      r4 artifact froze the first 50 of the old ordering), plus the
+      two new streaming-replay entries — 47 first-time attestations;
+    * positions 51+: first the 7 never-attested VARIANTS whose base op
+      is in-window (substring/paragraph-scrub/spans/by-lang/select
+      flavors — next round's rotation candidates), then previously
+      attested entries ordered by last-attested round ascending.
+
+    Every entry stays verified every round regardless of position via
+    tests/test_entry.py (the full local replica of the driver gate).
+    """
     return {
         "bm25_topk": q_bm25_topk,
+        "bm25_phrase": q_bm25_phrase,
+        "agg_terms_stats": q_agg_terms_stats,
+        "sessionize_stream_replay": q_sessionize_stream_replay,
+        "dedup_stream_replay": q_dedup_stream_replay,
+        "corpus_curation": q_corpus_curation,
+        "dedup_embedding_lsh": q_dedup_embedding_lsh,
+        "semantic_decontaminate": q_semantic_decontaminate,
+        "dedup_substring_spans": q_dedup_substring_spans,
+        "dedup_canonical": q_dedup_canonical,
+        "dedup_exact_incremental": q_dedup_exact_incremental,
+        "dedup_minhash_incremental": q_dedup_minhash_incremental,
+        "dedup_paragraph": q_dedup_paragraph,
+        "dedup_fraction": q_dedup_fraction,
+        "sample_split_assign": q_sample_split_assign,
+        "dedup_minhash_indexed": q_dedup_minhash_indexed,
+        "dsir_logweights": q_dsir_logweights,
+        "corpus_curation_incremental": q_corpus_curation_incremental,
+        "sample_frequency_cap": q_sample_frequency_cap,
+        "unigram_logprob": q_unigram_logprob,
+        "bigram_logprob": q_bigram_logprob,
+        "ccnet_buckets": q_ccnet_buckets,
+        "tfidf_keywords": q_tfidf_keywords,
+        "bpe_merges": q_bpe_merges,
+        "bpe_encode": q_bpe_encode,
+        "quality_filter": q_quality_filter,
+        "chunk_overlap": q_chunk_overlap,
+        "sample_temperature": q_sample_temperature,
+        "shuffle_rows": q_shuffle_rows,
+        "ann_ivf_topk": q_ann_ivf_topk,
+        "dedup_semantic": q_dedup_semantic,
+        "embedding_quantize": q_embedding_quantize,
+        "ann_quantized_topk": q_ann_quantized_topk,
+        "kmeans_clusters": q_kmeans_clusters,
+        "cluster_balanced": q_cluster_balanced,
+        "events_asof": q_events_asof,
+        "events_interval": q_events_interval,
+        "retrieval_metrics": q_retrieval_metrics,
+        "transcript_packing": q_transcript_packing,
+        "transcript_render": q_transcript_render,
+        "transcript_loss_spans": q_transcript_loss_spans,
+        "transcript_truncate": q_transcript_truncate,
+        "transcript_stats": q_transcript_stats,
+        "transcript_dedup": q_transcript_dedup,
+        "transcript_context": q_transcript_context,
+        "transcript_prefix_share": q_transcript_prefix_share,
+        "transcript_loops": q_transcript_loops,
+        "transcript_lint": q_transcript_lint,
+        "transcript_divergence": q_transcript_divergence,
+        "transcript_curation": q_transcript_curation,
+        "corpus_curation_spans": q_corpus_curation_spans,
+        "dedup_substring_keepfirst": q_dedup_substring_keepfirst,
+        "dedup_substring_scrub": q_dedup_substring_scrub,
+        "decontaminate_spans": q_decontaminate_spans,
+        "dedup_paragraph_scrub": q_dedup_paragraph_scrub,
+        "ccnet_buckets_by_lang": q_ccnet_buckets_by_lang,
+        "dsir_select": q_dsir_select,
+        "dedup_minhash_lsh": q_dedup_minhash_lsh,
+        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+        "dedup_simhash": q_dedup_simhash,
+        "dedup_simhash_pairs": q_dedup_simhash_pairs,
+        "dedup_embedding_cosine": q_dedup_embedding_cosine,
+        "dedup_clusters": q_dedup_clusters,
+        "ann_cosine_topk": q_ann_cosine_topk,
+        "ann_lsh_topk": q_ann_lsh_topk,
+        "media_metadata": q_media_metadata,
+        "frame_sample": q_frame_sample,
+        "events_windowed": q_events_windowed,
+        "events_sessionize": q_events_sessionize,
         "bm25_boolean": q_bm25_boolean,
         "bm25_disjunction": q_bm25_disjunction,
         "bm25_must_not": q_bm25_must_not,
         "bm25_nested_bool": q_bm25_nested_bool,
         "bm25_neg_phrase": q_bm25_neg_phrase,
-        "bm25_phrase": q_bm25_phrase,
         "bm25_offset": q_bm25_offset,
         "bm25_multifield": q_bm25_multifield,
         "bm25_json_path": q_bm25_json_path,
@@ -1918,7 +2005,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agg_stats_nchars": q_agg_stats_nchars,
         "agg_histogram_nchars": q_agg_histogram_nchars,
         "agg_range_nchars": q_agg_range_nchars,
-        "agg_terms_stats": q_agg_terms_stats,
         "agg_histogram_dense": q_agg_histogram_dense,
         "agg_histogram_subagg_stats": q_agg_histogram_subagg_stats,
         "agg_range_subagg_avg": q_agg_range_subagg_avg,
@@ -1939,72 +2025,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sequence_packing": q_sequence_packing,
         "sequence_packing_materialized": q_sequence_packing_materialized,
         "dedup_exact": q_dedup_exact,
-        "corpus_curation": q_corpus_curation,
-        "corpus_curation_spans": q_corpus_curation_spans,
-        "dedup_minhash_lsh": q_dedup_minhash_lsh,
-        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
-        "dedup_simhash": q_dedup_simhash,
-        "dedup_simhash_pairs": q_dedup_simhash_pairs,
-        "dedup_embedding_cosine": q_dedup_embedding_cosine,
-        "dedup_embedding_lsh": q_dedup_embedding_lsh,
-        "semantic_decontaminate": q_semantic_decontaminate,
-        "dedup_substring_spans": q_dedup_substring_spans,
-        "dedup_substring_keepfirst": q_dedup_substring_keepfirst,
-        "dedup_substring_scrub": q_dedup_substring_scrub,
-        "decontaminate_spans": q_decontaminate_spans,
-        "dedup_clusters": q_dedup_clusters,
-        "dedup_canonical": q_dedup_canonical,
-        "dedup_exact_incremental": q_dedup_exact_incremental,
-        "dedup_minhash_incremental": q_dedup_minhash_incremental,
-        "dedup_paragraph": q_dedup_paragraph,
-        "dedup_paragraph_scrub": q_dedup_paragraph_scrub,
-        "dedup_fraction": q_dedup_fraction,
-        "sample_split_assign": q_sample_split_assign,
-        "dedup_minhash_indexed": q_dedup_minhash_indexed,
-        "dsir_logweights": q_dsir_logweights,
-        "dsir_select": q_dsir_select,
-        "corpus_curation_incremental": q_corpus_curation_incremental,
-        "sample_frequency_cap": q_sample_frequency_cap,
-        "unigram_logprob": q_unigram_logprob,
-        "bigram_logprob": q_bigram_logprob,
-        "ccnet_buckets": q_ccnet_buckets,
-        "ccnet_buckets_by_lang": q_ccnet_buckets_by_lang,
-        "tfidf_keywords": q_tfidf_keywords,
-        "bpe_merges": q_bpe_merges,
-        "bpe_encode": q_bpe_encode,
-        "quality_filter": q_quality_filter,
-        "chunk_overlap": q_chunk_overlap,
-        "sample_temperature": q_sample_temperature,
-        "shuffle_rows": q_shuffle_rows,
-        "ann_cosine_topk": q_ann_cosine_topk,
-        "ann_lsh_topk": q_ann_lsh_topk,
-        "ann_ivf_topk": q_ann_ivf_topk,
-        "dedup_semantic": q_dedup_semantic,
-        "embedding_quantize": q_embedding_quantize,
-        "ann_quantized_topk": q_ann_quantized_topk,
-        "kmeans_clusters": q_kmeans_clusters,
-        "cluster_balanced": q_cluster_balanced,
-        "media_metadata": q_media_metadata,
-        "frame_sample": q_frame_sample,
-        "events_windowed": q_events_windowed,
-        "events_sessionize": q_events_sessionize,
-        "sessionize_stream_replay": q_sessionize_stream_replay,
-        "dedup_stream_replay": q_dedup_stream_replay,
-        "events_asof": q_events_asof,
-        "events_interval": q_events_interval,
-        "retrieval_metrics": q_retrieval_metrics,
-        "transcript_packing": q_transcript_packing,
-        "transcript_render": q_transcript_render,
-        "transcript_loss_spans": q_transcript_loss_spans,
-        "transcript_truncate": q_transcript_truncate,
-        "transcript_stats": q_transcript_stats,
-        "transcript_dedup": q_transcript_dedup,
-        "transcript_context": q_transcript_context,
-        "transcript_prefix_share": q_transcript_prefix_share,
-        "transcript_loops": q_transcript_loops,
-        "transcript_lint": q_transcript_lint,
-        "transcript_divergence": q_transcript_divergence,
-        "transcript_curation": q_transcript_curation,
     }
 
 
