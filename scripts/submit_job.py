@@ -42,6 +42,15 @@ def main(argv=None) -> int:
     m = sub.add_parser("merge")
     m.add_argument("--index", required=True)
 
+    # scaling-probe payload: warmup build, then one timed build over
+    # the in-job-replicated corpus; prints turns_per_sec (the unit the
+    # N-vs-4N-executor efficiency ratio is computed from)
+    pr = sub.add_parser("probe")
+    pr.add_argument("--src", required=True)
+    pr.add_argument("--n-turns", type=int, required=True)
+    pr.add_argument("--replicate", type=int, default=3)
+    pr.add_argument("--n-splits", type=int, default=512)
+
     args = p.parse_args(argv)
 
     # under spark-submit an active session already exists
@@ -82,6 +91,44 @@ def main(argv=None) -> int:
 
         n = run_merge_pipeline(spark, args.index)
         print(json.dumps({"cmd": "merge", "merges": n}))
+    elif args.cmd == "probe":
+        import tempfile
+
+        from pyspark.sql import functions as F
+
+        from quickwit_spark.operators.build import build_index
+
+        base = spark.read.parquet(args.src)
+        df = base
+        for i in range(1, args.replicate):
+            df = df.unionAll(
+                base.withColumn(
+                    "conv_id", F.concat(F.lit(f"r{i}-"), F.col("conv_id"))
+                )
+            )
+        with tempfile.TemporaryDirectory() as td:
+            # warm-up build (JVM codegen + python worker pools on every
+            # executor), then the timed run — same discipline as
+            # bench.scale_probe
+            build_index(
+                spark, base.limit(20_000), td + "/warm_idx",
+                n_splits=args.n_splits, resume=False,
+            )
+            t0 = time.time()
+            build_index(
+                spark, df, td + "/idx",
+                n_splits=args.n_splits, resume=False,
+            )
+            dt = time.time() - t0
+        total = args.n_turns * args.replicate
+        print(json.dumps({
+            "cmd": "probe", "sec": round(dt, 2),
+            "turns": total,
+            "turns_per_sec": round(total / dt, 1),
+            "executors": spark.sparkContext.getConf().get(
+                "spark.master", "?"
+            ),
+        }))
     return 0
 
 
