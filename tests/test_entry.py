@@ -79,3 +79,33 @@ def test_entry_smoke(spark):
     rows = df.collect()
     assert len(rows) >= 1
     assert set(df.columns) == {"doc_id", "score"}
+
+
+def test_driver_window_composition():
+    """The driver's CORRECTNESS artifact covers only the FIRST 50 keys
+    of queries() — lock the round-5 rotation so an innocent dict edit
+    can't silently displace a never-attested entry out of the window
+    (VERDICT r4 finding #1)."""
+    keys = list(entry_mod.queries())
+    window = keys[:50]
+    assert window[:5] == [
+        "bm25_topk", "bm25_phrase", "agg_terms_stats",
+        "sessionize_stream_replay", "dedup_stream_replay",
+    ]
+    # every window entry has an oracle twin (hash-checked, not
+    # rows-only) and the 45 rotated-in ops are all present
+    oracles = entry_mod.oracle_sql()
+    assert all(k in oracles for k in window)
+    rotated_in = {
+        "corpus_curation", "dedup_exact_incremental", "dsir_logweights",
+        "ccnet_buckets", "bpe_merges", "kmeans_clusters", "events_asof",
+        "events_interval", "ann_ivf_topk", "transcript_curation",
+        "transcript_divergence", "transcript_lint",
+    }
+    assert rotated_in <= set(window[5:])
+    # excluded variants wait at the head of the tail for round 6
+    assert keys[50:57] == [
+        "corpus_curation_spans", "dedup_substring_keepfirst",
+        "dedup_substring_scrub", "decontaminate_spans",
+        "dedup_paragraph_scrub", "ccnet_buckets_by_lang", "dsir_select",
+    ]
