@@ -7,31 +7,41 @@ Unlike bench.py's thread-based probe (local[N] shares ONE JVM, one
 scheduler, one python-worker pool), ``local-cluster[E,1,mem]`` launches
 E REAL executor JVMs, each with its own heap, task threads, shuffle
 server, and python workers, driven through the real spark-submit
---py-files path (the zip is the only code shipped). The pair
-    N  = local-cluster[2,1,M]   (2 executors x 1 core)
-    4N = local-cluster[8,1,M]   (8 executors x 1 core)
-runs the identical probe build (scripts/submit_job.py probe) on the
-same input; efficiency = tps_8 / (4 * tps_2).
+--py-files path (the zip is the only code shipped). The pair runs the
+identical probe build (scripts/submit_job.py probe) on the same input;
+efficiency = tps_4N / (4 * tps_N).
 
-Executor-equalized narrow side (same rationale as bench.py's
-round-4 revision #2, re-demonstrated here in the executor setting: a
-LONE 2-executor cluster ran 36.3k turns/s per core — single-core
-turbo clocks plus the whole memory bus to itself, hardware state no
-executor of a real N-executor baseline would have — producing a
-naive-pair ratio of 0.596 in a verified-clean window): the N level
-runs as 4 CONCURRENT independent 2-executor clusters, so both levels
-see the same active-core clocks and bus share, and
-    efficiency = tps_8exec / (4 * mean per-cluster tps_2exec).
+Measurement-mode findings on this box (2026-08-21, all in
+verified-clean windows — steal <= 0.11%, canaries 56-66k):
 
-Same host-physics caveat as every probe on this box: all executors
-share one memory bus, so the 8-executor side saturates memory
-bandwidth a real 8-node cluster would not — the measured ratio is a
-LOWER bound on true executor scaling. Pairs are canary + steal gated
-exactly like bench.py's probe.
+* naive (2, 8) lone-job pair: 0.596 — the lone 2-executor narrow side
+  runs at 36.3k turns/s per core (single-job turbo clocks + the whole
+  memory bus), hardware state no executor of a real N-executor
+  baseline has, so the ratio is strongly UNDERSTATED;
+* executor-equalized (2, 8) — narrow as 4 concurrent independent
+  2-executor clusters: 1.059 at 3M-turn builds, 1.127 at 9M — over
+  the physical <= 1.0 clamp, i.e. OVERSTATED: the equalization adds 4
+  extra driver JVMs' scheduling/publish work to the narrow side's
+  core budget, a cost the thread-probe equalization (where driver and
+  executor share one process) never paid. True efficiency is
+  bracketed between the two modes and sits near 1.0;
+* primary mode, this script's default: naive (4, 16) lone-job pair —
+  a lone 4-executor job no longer gets extreme single-job turbo, and
+  16 single-core executors sit AT the documented bus-contention edge
+  (CLAUDE.md: >16 concurrent python kernels contend), so every
+  residual sandbox bias still pushes the ratio DOWN. The reported
+  number is therefore a LOWER bound on true N->4N executor scaling.
+
+Pairs are canary + steal gated exactly like bench.py's probe.
+Input-size floor: run with n_turns >= 3M (9M per timed build) so the
+wide side runs long enough for compute to dominate its serial floor.
 
 Usage: python scripts/validate_local_cluster_scaling.py [n_turns]
-(default 1M; the in-job x3 replication makes each timed build 3M
-turns). Prints one JSON line per pair + a final summary line.
+(in-job x3 replication => each timed build indexes 3*n_turns).
+Env: SPARK_GRAFT_LC_PAIR="N,4N" overrides the pair;
+SPARK_GRAFT_LC_CONCURRENT=1 switches the narrow side to the
+4x-concurrent equalized variant. Prints one JSON line per pair + a
+final summary line.
 """
 
 from __future__ import annotations
@@ -49,9 +59,18 @@ sys.path.insert(0, REPO)
 
 SPARK_SUBMIT = "/opt/spark/bin/spark-submit"
 EXEC_MEM_MB = 4096
-PAIR = (2, 8)
-MAX_ROUNDS = 4
+# N vs 4N executors, 1 core each. (4, 16) is the primary pair: a lone
+# 4-executor job no longer runs at single-job turbo the way a lone
+# 2-executor one does, and 16 single-core executors sit at the
+# documented bus-contention edge (CLAUDE.md) — every residual sandbox
+# bias still pushes the ratio DOWN, so the naive-pair number is a
+# LOWER bound on true N->4N executor scaling.
+PAIR = tuple(int(x) for x in os.environ.get(
+    "SPARK_GRAFT_LC_PAIR", "4,16").split(","))
+MAX_ROUNDS = 3
 REPLICATE = 3
+CONCURRENT_NARROW = (
+    os.environ.get("SPARK_GRAFT_LC_CONCURRENT", "0") == "1")
 
 
 def _make_zip(path: str) -> None:
@@ -153,18 +172,23 @@ def main() -> None:
             continue
         st0 = bench._cpu_stat()
         # alternate order so in-window drift can't favor one side; the
-        # narrow level is 4 concurrent independent 2-executor clusters
-        # (executor-equalized host state, see module docstring)
+        # narrow level is one LONE N-executor job (the criterion's
+        # literal form — every sandbox bias pushes the ratio down, see
+        # module docstring) unless SPARK_GRAFT_LC_CONCURRENT=1 picks
+        # the executor-equalized 4x-concurrent variant
+        def _narrow():
+            if CONCURRENT_NARROW:
+                return _submit_probe_concurrent(
+                    PAIR[0], zip_path, src, n_turns, 4
+                )
+            return [_submit_probe(PAIR[0], zip_path, src, n_turns)]
+
         if rnd % 2 == 1:
-            r_ns = _submit_probe_concurrent(
-                PAIR[0], zip_path, src, n_turns, 4
-            )
+            r_ns = _narrow()
             r_4n = _submit_probe(PAIR[1], zip_path, src, n_turns)
         else:
             r_4n = _submit_probe(PAIR[1], zip_path, src, n_turns)
-            r_ns = _submit_probe_concurrent(
-                PAIR[0], zip_path, src, n_turns, 4
-            )
+            r_ns = _narrow()
         steal = bench._steal_frac(st0, bench._cpu_stat())
         post = round(bench._cpu_canary(), 1)
         n_tps = [r["turns_per_sec"] for r in r_ns]
@@ -185,7 +209,10 @@ def main() -> None:
             "round": rnd, "executors": list(PAIR),
             "mode": "spark-submit --py-files local-cluster[E,1,%d]"
                     % EXEC_MEM_MB,
-            "n_mode": "4x-concurrent 2-executor clusters",
+            "n_mode": (
+                "4x-concurrent N-executor clusters"
+                if CONCURRENT_NARROW else "lone N-executor job"
+            ),
             "tps": [round(tps_n, 1), r_4n["turns_per_sec"]],
             "n_replica_tps": n_tps,
             "sec": [max(r["sec"] for r in r_ns), r_4n["sec"]],
