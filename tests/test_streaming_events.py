@@ -219,6 +219,35 @@ def test_dedup_stream_replay_matches_real_stream(spark, tmp_path):
     assert keepers[10] == 100 and keepers[1] == 101
 
 
+def test_replay_plans_stay_jvm_side_and_shuffle_bounded(spark):
+    """The replay ops must stay whole-stage-codegen (zero Python) and
+    shuffle-bounded: dedup replay is ONE digest exchange; the
+    sessionize replay is at most two data shuffles (user window +
+    session rollup) plus the 1-row cutoff broadcast."""
+    from pyspark.sql import functions as F
+
+    from quickwit_spark.pipeline.dedup import exact_dedup_stream_replay
+    from quickwit_spark.pipeline.events import sessionize_closed
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    plan = (
+        sessionize_closed(ev, expire_at_max_ts=True)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Python" not in plan and "InPandas" not in plan
+    assert plan.count("Exchange") <= 3  # incl. the BroadcastExchange
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).select("doc_id", (F.col("doc_id") % 4).alias("batch_id"), "text")
+    plan = (
+        exact_dedup_stream_replay(docs)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Python" not in plan and "InPandas" not in plan
+    assert plan.count("Exchange") == 1
+
+
 def test_streamed_window_counts_match_batch(spark, tmp_path):
     from quickwit_spark.pipeline.events import windowed_event_counts
 
