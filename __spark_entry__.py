@@ -4236,7 +4236,12 @@ WITH s AS (
   SELECT doc_id + 1000000 AS doc_id, (doc_id + 3) % 4 AS batch_id, text
   FROM documents WHERE doc_id % 5 = 2
 ),
-d AS (SELECT doc_id, batch_id, md5(text) AS dg FROM s),
+-- coalesce: a NULL-text row must stay one digest GROUP (the engine's
+-- Window.partitionBy(md5(text)) groups NULLs together), not vanish
+-- from the USING join (NULL never equi-joins); chr(1) cannot collide
+-- with a hex md5
+d AS (SELECT doc_id, batch_id,
+             coalesce(md5(text), chr(1)) AS dg FROM s),
 k AS (
   SELECT dg, doc_id AS keeper_id FROM (
     SELECT dg, doc_id,
@@ -4617,7 +4622,10 @@ a AS (
          sum(reg)::BIGINT AS n_ts_regressions,
          sum(nts)::BIGINT AS n_null_ts,
          sum(nrole)::BIGINT AS n_null_role,
-         arg_min(role, turn_idx) AS first_role
+         -- struct-min, NOT arg_min: arg_min SKIPS a NULL role at the
+         -- first turn; the engine keeps it (first_role is the role AT
+         -- min turn_idx, NULL included)
+         (min(struct_pack(t := turn_idx, r := role))).r AS first_role
   FROM x GROUP BY conv_id
 )
 SELECT conv_id, n_turns, n_empty_turns, n_role_repeats, n_ts_regressions,
@@ -4702,7 +4710,8 @@ lint AS (
   SELECT conv_id,
          CASE WHEN sum(emp) = 0 AND sum(rep) = 0 AND sum(reg) = 0
               AND sum(nts) = 0 AND sum(nrole) = 0
-              AND arg_min(role, turn_idx) = 'user' THEN 1 ELSE 0 END AS ok
+              AND (min(struct_pack(t := turn_idx, r := role))).r = 'user'
+              THEN 1 ELSE 0 END AS ok
   FROM lx GROUP BY conv_id
 ),
 lf AS (SELECT conv_id, turn_idx, role, text FROM turns3

@@ -697,7 +697,10 @@ def main() -> None:
     spark.stop()
 
     # --- scaling probe, PHASE 2 (resume with leftover budget) ----------
-    if scaling_enabled and probe_error is None and (
+    # runs even after a phase-1 probe exception: probe_state survives
+    # intact, the phase is exception-wrapped, and a transient child
+    # failure must not forfeit the retry opportunity
+    if scaling_enabled and (
         probe_state["best"] is None
         or probe_state["best"][0] < SCALE_EFF_TARGET
     ) and probe_state["rnd"] < SCALE_MAX_ROUNDS:
@@ -707,7 +710,7 @@ def main() -> None:
                 probe_src, probe_turns,
             ))
         except Exception as exc:
-            probe_error = str(exc)[:300]
+            probe_error = (probe_error or "") + " | phase2: " + str(exc)[:300]
 
     if scaling_enabled:
         # INTERLEAVED paired rounds (N then 4N back-to-back): the
@@ -718,68 +721,69 @@ def main() -> None:
         # clean endpoints (fallback) — see _run_probe_phase. If no
         # clean pair was obtained across both phases the artifact says
         # so (efficiency=null, status=inconclusive) instead of
-        # reporting a contended ratio.
+        # reporting a contended ratio. A probe-child exception never
+        # discards already-scored pairs — probe_state survives and the
+        # error rides along as "probe_error" in the assembled dict.
+        pairs = probe_state["pairs"]
+        best = probe_state["best"]
+        stopped_by = "; ".join(stop_reasons) or "not-started"
         if probe_error is not None:
-            scaling = {"error": probe_error}
+            stopped_by += "; probe_error"
+        # cross-pair best-of-k estimate per width over CLEAN pairs
+        # only (same impossibility clamp as the paired ratios;
+        # widths never mix — an (n, 4n) estimate needs both sides
+        # at the same widths)
+        for cores in {tuple(p["cores"]) for p in pairs}:
+            cp = [p for p in pairs
+                  if tuple(p["cores"]) == cores and p["clean"]]
+            if not cp:
+                continue
+            bn = max(p["tps"][0] for p in cp)
+            bm = max(p["tps"][1] for p in cp)
+            cross = bm / (4.0 * bn)
+            if cross <= 1.0 and (best is None or cross > best[0]):
+                best = (cross, cores, bn, bm)
+        if best is not None:
+            eff_out = round(best[0], 3)
+            cores_used, best_n, best_4n = best[1], best[2], best[3]
+            status = "ok"
         else:
-            pairs = probe_state["pairs"]
-            best = probe_state["best"]
-            stopped_by = "; ".join(stop_reasons) or "not-started"
-            # cross-pair best-of-k estimate per width over CLEAN pairs
-            # only (same impossibility clamp as the paired ratios;
-            # widths never mix — an (n, 4n) estimate needs both sides
-            # at the same widths)
-            for cores in {tuple(p["cores"]) for p in pairs}:
-                cp = [p for p in pairs
-                      if tuple(p["cores"]) == cores and p["clean"]]
-                if not cp:
-                    continue
-                bn = max(p["tps"][0] for p in cp)
-                bm = max(p["tps"][1] for p in cp)
-                cross = bm / (4.0 * bn)
-                if cross <= 1.0 and (best is None or cross > best[0]):
-                    best = (cross, cores, bn, bm)
-            if best is not None:
-                eff_out = round(best[0], 3)
-                cores_used, best_n, best_4n = best[1], best[2], best[3]
-                status = "ok"
-            else:
-                eff_out, best_n, best_4n = None, 0.0, 0.0
-                cores_used = SCALE_PAIR_STAGES[0]
-                status = (
-                    "inconclusive: no clean-window pair obtained before "
-                    "probing stopped (%s; clean = physically possible "
-                    "samples AND (mid-pair steal <= %.2f, or host "
-                    "canary >= %.0f with steal <= %.2f)) — efficiency "
-                    "not measurable this window, see canaries"
-                    % (stopped_by, STEAL_TIGHT_MAX, CANARY_CLEAN_FLOOR,
-                       STEAL_CLEAN_MAX)
-                )
-            scaling = {
-                "cores_n": cores_used[0], "cores_4n": cores_used[1],
-                "n_side": "4 concurrent independent local[N] probes "
-                          "(executor-equalized host state); efficiency "
-                          "= wide tps / sum of concurrent narrow tps",
-                "probe_turns": probe_turns * SCALE_PROBE_REPLICATE,
-                "throughput_n": round(best_n, 1),
-                "throughput_4n": round(best_4n, 1),
-                "efficiency": eff_out,
-                "status": status,
-                "stopped_by": stopped_by,
-                "probe_order": "phase1-before-ops, phase2-after-ops",
-                # every started pair, nothing hidden: its widths, both
-                # throughputs, its ratio, its integrated steal, and
-                # whether it scored
-                "samples": pairs,
-                # per-pair host-contention meter (md5 hashes/sec over 8
-                # threads, measured just before AND after each pair):
-                # a pair only starts when pre >= floor; a collapsed
-                # post no longer voids a pair whose mid-pair steal
-                # stayed <= STEAL_TIGHT_MAX (the squeeze came after
-                # the timed work — the r4 failure mode)
-                "host_canary": probe_state["canaries"],
-                "host_canary_skipped_windows": probe_state["skipped"],
-            }
+            eff_out, best_n, best_4n = None, 0.0, 0.0
+            cores_used = SCALE_PAIR_STAGES[0]
+            status = (
+                "inconclusive: no clean-window pair obtained before "
+                "probing stopped (%s; clean = physically possible "
+                "samples AND (mid-pair steal <= %.2f, or host "
+                "canary >= %.0f with steal <= %.2f)) — efficiency "
+                "not measurable this window, see canaries"
+                % (stopped_by, STEAL_TIGHT_MAX, CANARY_CLEAN_FLOOR,
+                   STEAL_CLEAN_MAX)
+            )
+        scaling = {
+            "cores_n": cores_used[0], "cores_4n": cores_used[1],
+            "n_side": "4 concurrent independent local[N] probes "
+                      "(executor-equalized host state); efficiency "
+                      "= wide tps / sum of concurrent narrow tps",
+            "probe_turns": probe_turns * SCALE_PROBE_REPLICATE,
+            "throughput_n": round(best_n, 1),
+            "throughput_4n": round(best_4n, 1),
+            "efficiency": eff_out,
+            "status": status,
+            "stopped_by": stopped_by,
+            "probe_order": "phase1-before-ops, phase2-after-ops",
+            # every started pair, nothing hidden: its widths, both
+            # throughputs, its ratio, its integrated steal, and
+            # whether it scored
+            "samples": pairs,
+            # per-pair host-contention meter (md5 hashes/sec over 8
+            # threads, measured just before AND after each pair):
+            # a pair only starts when pre >= floor; a collapsed
+            # post no longer voids a pair whose mid-pair steal
+            # stayed <= STEAL_TIGHT_MAX (the squeeze came after
+            # the timed work — the r4 failure mode)
+            "host_canary": probe_state["canaries"],
+            "host_canary_skipped_windows": probe_state["skipped"],
+        }
 
     # Raw-sample disclosure goes on its OWN stdout line + a sidecar
     # file; the FINAL line stays compact so the driver's tail capture

@@ -52,16 +52,61 @@ STATS_MAX_SHARDS = 64
 
 _MANIFEST = "_MANIFEST.json"
 
+# parsed-manifest cache: safe because a shard directory is named by the
+# published-set version hash and IMMUTABLE once its manifest commits
+# (same invariant that justifies parquet_file_cached); bounded small —
+# one entry per live stats version.
+_MANIFEST_CACHE: dict[str, dict] = {}
+
 
 def _shard_dir(out_path: str) -> str:
     return out_path + ".shards"
 
 
+def _write_manifest(shard_dir: str, manifest: dict) -> None:
+    """Atomic commit-marker write: local gets write-tmp-then-rename (a
+    torn manifest must never exist — it would both wedge refresh and
+    break the query path's fallback); object stores PUT atomically."""
+    data = json.dumps(manifest).encode()
+    target = fsio.join(shard_dir, _MANIFEST)
+    if fsio.is_local(target):
+        local = fsio.strip_local(target)
+        tmp = local + ".tmp"
+        with open(tmp, "wb") as f:
+            f.write(data)
+        os.replace(tmp, local)
+    else:
+        fsio.write_bytes(target, data)
+
+
+def _load_manifest(shard_dir: str) -> dict | None:
+    """Parsed manifest, cached per immutable path; None when missing OR
+    unparsable (a torn/foreign file must degrade to the distributed
+    fallback, never crash the query path)."""
+    mpath = fsio.join(shard_dir, _MANIFEST)
+    cached = _MANIFEST_CACHE.get(mpath)
+    if cached is not None:
+        return cached
+    if not fsio.exists(mpath):
+        return None
+    try:
+        manifest = json.loads(fsio.read_bytes(mpath))
+        parts = manifest["parts"]  # shape check
+        assert isinstance(parts, list)
+    except Exception:
+        return None
+    if len(_MANIFEST_CACHE) > 32:
+        _MANIFEST_CACHE.clear()
+    _MANIFEST_CACHE[mpath] = manifest
+    return manifest
+
+
 def _stats_exists(out_path: str) -> bool:
     """Either layout counts: the single sorted file, or a shard
-    directory whose manifest (written LAST) marks the commit."""
-    return fsio.exists(out_path) or fsio.exists(
-        fsio.join(_shard_dir(out_path), _MANIFEST)
+    directory whose (valid) manifest — written LAST — marks the
+    commit."""
+    return fsio.exists(out_path) or (
+        _load_manifest(_shard_dir(out_path)) is not None
     )
 
 
@@ -109,6 +154,9 @@ def refresh_term_stats(spark, catalog: Catalog) -> str | None:
     )
 
     def read_dfs(iterator):
+        from quickwit_spark.operators.build import limit_worker_threads
+
+        limit_worker_threads()
         for pdf in iterator:
             out = []
             for path in pdf["path"]:
@@ -124,11 +172,10 @@ def refresh_term_stats(spark, catalog: Catalog) -> str | None:
         STATS_MIN_SHARDS, min(STATS_MAX_SHARDS, len(splits) // 8)
     )
     shard_dir = _shard_dir(out_path)
-    # a retry after a mid-write failure finds parts but no manifest:
-    # clear and rewrite (the version-hashed name makes this idempotent)
-    if fsio.exists(shard_dir) and not fsio.exists(
-        fsio.join(shard_dir, _MANIFEST)
-    ):
+    # a retry after a mid-write failure finds parts but no VALID
+    # manifest: clear and rewrite (the version-hashed name makes this
+    # idempotent)
+    if fsio.exists(shard_dir) and _load_manifest(shard_dir) is None:
         fsio.rmtree(shard_dir)
     fsio.makedirs(shard_dir)
 
@@ -190,10 +237,7 @@ def refresh_term_stats(spark, catalog: Catalog) -> str | None:
         ]
     }
     # manifest LAST: its presence is the commit marker for the layout
-    fsio.write_bytes(
-        fsio.join(shard_dir, _MANIFEST),
-        json.dumps(manifest).encode(),
-    )
+    _write_manifest(shard_dir, manifest)
     return out_path
 
 
@@ -236,19 +280,17 @@ def carry_forward_term_stats(catalog: Catalog, old_version: str) -> bool:
             fsio.copy_file(old_path, new_path)
         return True
     old_dir = _shard_dir(old_path)
-    if fsio.exists(fsio.join(old_dir, _MANIFEST)):
+    manifest = _load_manifest(old_dir)
+    if manifest is not None:
         new_dir = _shard_dir(new_path)
         if fsio.exists(new_dir):
             fsio.rmtree(new_dir)
         fsio.makedirs(new_dir)
-        manifest = json.loads(fsio.read_bytes(fsio.join(old_dir, _MANIFEST)))
         for p in manifest["parts"]:
             fsio.copy_file(
                 fsio.join(old_dir, p["part"]), fsio.join(new_dir, p["part"])
             )
-        fsio.write_bytes(
-            fsio.join(new_dir, _MANIFEST), json.dumps(manifest).encode()
-        )
+        _write_manifest(new_dir, manifest)
         return True
     return False
 
@@ -269,27 +311,34 @@ def lookup_term_stats(
     if fsio.exists(path):
         tables.append(read_pruned(path, None, "term", term_values))
     else:
-        mpath = fsio.join(_shard_dir(path), _MANIFEST)
-        if not fsio.exists(mpath):
+        manifest = _load_manifest(_shard_dir(path))
+        if manifest is None:
             return None
-        manifest = json.loads(fsio.read_bytes(mpath))
-        for p in manifest["parts"]:
-            # shards are range-partitioned and sorted on the COMPOSITE
-            # (field, term) key, so the manifest's first/last-row
-            # bounds are composite bounds: a (field, term) lookup key
-            # belongs to this shard iff it lies inside them under
-            # tuple comparison (term-only spans would mis-prune across
-            # a field boundary, where the term column resets)
-            lo = (p["field_min"], p["term_min"])
-            hi = (p["field_max"], p["term_max"])
-            hit = sorted({t for (f, t) in terms if lo <= (f, t) <= hi})
-            if hit:
-                tables.append(
-                    read_pruned(
-                        fsio.join(_shard_dir(path), p["part"]),
-                        None, "term", hit,
+        try:
+            for p in manifest["parts"]:
+                # shards are range-partitioned and sorted on the
+                # COMPOSITE (field, term) key, so the manifest's
+                # first/last-row bounds are composite bounds: a
+                # (field, term) lookup key belongs to this shard iff
+                # it lies inside them under tuple comparison
+                # (term-only spans would mis-prune across a field
+                # boundary, where the term column resets)
+                lo = (p["field_min"], p["term_min"])
+                hi = (p["field_max"], p["term_max"])
+                hit = sorted({t for (f, t) in terms if lo <= (f, t) <= hi})
+                if hit:
+                    tables.append(
+                        read_pruned(
+                            fsio.join(_shard_dir(path), p["part"]),
+                            None, "term", hit,
+                        )
                     )
-                )
+        except Exception:
+            # a cached manifest whose parts vanished (stats dir moved
+            # or GC'd out from under this process) must degrade to the
+            # distributed fallback, never crash the query path
+            _MANIFEST_CACHE.pop(fsio.join(_shard_dir(path), _MANIFEST), None)
+            return None
     found: dict[tuple[str, str], int] = {}
     for tbl in tables:
         for f, t, df in zip(

@@ -498,7 +498,13 @@ def transcript_lint(
         ),
         F.sum("_null_ts").cast("long").alias("n_null_ts"),
         F.sum("_null_role").cast("long").alias("n_null_role"),
-        F.min_by("role", "turn_idx").alias("first_role"),
+        # first_role = the role AT the minimum turn_idx, NULL included
+        # — built as a struct-min so the semantics are explicit and
+        # cross-engine (DuckDB's arg_min SKIPS NULL values, Spark's
+        # min_by keeps them; the oracle mirrors this struct-min form)
+        F.min(F.struct(F.col("turn_idx"), F.col("role")))["role"].alias(
+            "first_role"
+        ),
     )
     ok = (
         (F.col("n_empty_turns") == 0)

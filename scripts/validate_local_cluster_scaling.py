@@ -163,13 +163,19 @@ def main() -> None:
 
     best = None
     pairs = []
-    for rnd in range(1, MAX_ROUNDS + 1):
+    rnd = 0
+    deadline = time.time() + 1800.0  # overall wall cap
+    while rnd < MAX_ROUNDS and time.time() < deadline:
         pre = round(bench._cpu_canary(), 1)
         if pre < bench.CANARY_CLEAN_FLOOR:
-            pairs.append({"round": rnd, "skipped_canary": pre})
+            # a squeezed window is WAITED OUT, not spent: it must not
+            # consume one of the MAX_ROUNDS pair attempts (bench.py's
+            # probe-phase wait semantics)
+            pairs.append({"skipped_canary": pre})
             print(json.dumps(pairs[-1]))
-            time.sleep(20)
+            time.sleep(25)
             continue
+        rnd += 1
         st0 = bench._cpu_stat()
         # alternate order so in-window drift can't favor one side; the
         # narrow level is one LONE N-executor job (the criterion's
@@ -194,9 +200,14 @@ def main() -> None:
         n_tps = [r["turns_per_sec"] for r in r_ns]
         tps_n = sum(n_tps) / len(n_tps)
         eff = r_4n["turns_per_sec"] / (4.0 * tps_n)
+        # the <= 1.0 physical clamp applies only to the lone-job mode
+        # (4 independent copies cannot lose to one cooperative job);
+        # the equalized mode legitimately exceeds 1.0 on this box (its
+        # narrow side pays 4 extra driver JVMs — see docstring), so
+        # its ratios are disclosed as measured
         clean = (
             r_4n["turns_per_sec"] > tps_n
-            and eff <= 1.0
+            and (eff <= 1.0 or CONCURRENT_NARROW)
             and (
                 (steal is not None and steal <= bench.STEAL_TIGHT_MAX)
                 or (

@@ -129,6 +129,56 @@ def test_carry_forward_sharded(spark, stats_index, monkeypatch):
     assert got == want
 
 
+def test_torn_manifest_degrades_not_crashes(spark, stats_index):
+    """A torn/garbage manifest must read as 'no stats' (refresh repairs
+    it, lookup returns None for the distributed fallback) — never a
+    JSONDecodeError on the query path."""
+    cat = Catalog.load(stats_index)
+    shard_dir = stats_mod._shard_dir(cat.term_stats_path())
+    mpath = os.path.join(shard_dir, stats_mod._MANIFEST)
+    good = open(mpath, "rb").read()
+    stats_mod._MANIFEST_CACHE.clear()
+    try:
+        with open(mpath, "wb") as f:
+            f.write(good[: len(good) // 2])  # torn write
+        assert not stats_mod._stats_exists(cat.term_stats_path())
+        assert stats_mod.lookup_term_stats(cat, TERMS) is None
+        # refresh repairs: clears the torn dir and rewrites
+        monkey_thresh = stats_mod.DRIVER_REFRESH_MAX_SPLITS
+        stats_mod.DRIVER_REFRESH_MAX_SPLITS = 0
+        try:
+            stats_mod.refresh_term_stats(spark, cat)
+        finally:
+            stats_mod.DRIVER_REFRESH_MAX_SPLITS = monkey_thresh
+        assert stats_mod.lookup_term_stats(cat, TERMS)[
+            ("text", "w00001")
+        ] > 0
+    finally:
+        pass  # repaired state is the valid state; nothing to restore
+
+
+def test_cached_manifest_with_missing_parts_falls_back(spark, stats_index):
+    """A cached manifest whose part files vanished (stats dir moved
+    out from under the process) degrades to None — the fallback the
+    Searcher needs — instead of raising."""
+    from quickwit_spark.functions import fs as fsio
+
+    cat = Catalog.load(stats_index)
+    assert stats_mod.lookup_term_stats(cat, TERMS) is not None  # warm cache
+    stats_root = os.path.join(stats_index, "term_stats")
+    bak = stats_root + ".bak"
+    shutil.move(stats_root, bak)
+    # the footer cache legitimately serves moved-but-immutable part
+    # files (same invariant as split files); clear it to simulate a
+    # COLD process whose manifest cache outlived the files
+    with fsio._PF_CACHE_LOCK:
+        fsio._PF_CACHE.clear()
+    try:
+        assert stats_mod.lookup_term_stats(cat, TERMS) is None
+    finally:
+        shutil.move(bak, stats_root)
+
+
 def test_point_read_latency_no_regression(spark, stats_index):
     """A/B the query-path point read (VERDICT r4 #3 done-criterion):
     the sharded lookup is one manifest read + one shard footer + one

@@ -411,6 +411,10 @@ def test_null_ts_and_role_are_lint_failures(spark):
     c = out["c"]
     assert c.n_null_role == 1
     assert c.ok == 0  # concrete zero, never NULL
+    # first_role is the role AT turn 0 — NULL included (struct-min on
+    # both engines; arg_min-style NULL skipping would report
+    # 'assistant' here)
+    assert c.first_role is None
     d = out["d"]
     assert (d.n_null_ts, d.n_null_role, d.ok) == (0, 0, 1)
 
